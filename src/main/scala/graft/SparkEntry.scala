@@ -1,13 +1,147 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tok
+import graft.operators.Route
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Column-name convention: every computed column is aliased identically in
+  * the Spark query and the DuckDB oracle SQL (the driver hash-compares after
+  * sorting columns by name). Token arrays are rendered as a canonical
+  * comma-joined string (`tok_str`) — the byte-for-byte per-row invariant.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full parse -> enrich -> route pipeline's per-sink aggregate counts.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    StandardPipeline.fromDir(spark, "/root/testdata/sf0.001").counts
+
+  private def routedRows(s: SparkSession, dir: String, sink: String): DataFrame =
+    StandardPipeline.fromDir(s, dir).sinkFrame(sink)
+      .select(col("doc_id"), Tok.tokStr(col("tokens")).as("tok_str"))
+      .orderBy("doc_id")
+
+  private def sqlRoutedRows(pred: String): String =
+    s"""${StandardPipeline.sqlTrunk}
+       |SELECT doc_id, array_to_string(tokens, ',') AS tok_str
+       |FROM trunk WHERE $pred ORDER BY doc_id""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- sanity: classic aggregation over lineitem (scan + groupBy) --
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- tokenize: documents -> raw_sequences (the north-star input shape) --
+    "pipe_tokenize" -> ((s, dir) => {
+      Tok.rawSequences(docs(s, dir))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          Tok.tokStr(col("tokens")).as("tok_str"))
+        .orderBy("doc_id")
+    }),
+
+    // -- parse: dissect-over-tokens + severity decode --
+    "pipe_parse" -> ((s, dir) => {
+      StandardPipeline.fromDir(s, dir).trunk
+        .select(col("doc_id"), col("severity"), col("delim_pos"),
+          col("payload_len"), col("hdr_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // -- enrich: translate-style broadcast dictionary lookup --
+    "pipe_enrich" -> ((s, dir) => {
+      StandardPipeline.fromDir(s, dir).trunk
+        .select(col("doc_id"), col("source"), col("team"), col("tier"))
+        .orderBy("doc_id")
+    }),
+
+    // -- route: per-sink aggregate counts (single-pass, the north-rule invariant) --
+    "pipe_route_counts" -> ((s, dir) =>
+      StandardPipeline.fromDir(s, dir).counts.orderBy("sink")),
+
+    // -- routed-row sets with byte-exact token arrays, one per sink --
+    "pipe_route_errors"  -> ((s, dir) => routedRows(s, dir, "sink_errors")),
+    "pipe_route_warnbig" -> ((s, dir) => routedRows(s, dir, "sink_warn_big")),
+    "pipe_route_teama"   -> ((s, dir) => routedRows(s, dir, "sink_teamA")),
+
+    // -- default branch (matches no sink) --
+    "pipe_route_default" -> ((s, dir) => {
+      val p = StandardPipeline.fromDir(s, dir)
+      Route.defaultFrame(p.flagged, StandardPipeline.sinks)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // -- dlq: parse-failure side channel --
+    "pipe_dlq" -> ((s, dir) => {
+      StandardPipeline.fromDir(s, dir).trunk
+        .filter(col("delim_pos") === 0)
+        .select(col("doc_id"), lit("_dissectfailure").as("reason"))
+        .orderBy("doc_id")
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "pipe_tokenize" ->
+      s"""${Tok.sqlRawSequences}
+         |SELECT doc_id, source, n_tok, array_to_string(tokens, ',') AS tok_str
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "pipe_parse" ->
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT doc_id, severity, delim_pos, payload_len, hdr_tok
+         |FROM trunk ORDER BY doc_id""".stripMargin,
+
+    "pipe_enrich" ->
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT doc_id, source, team, tier FROM trunk ORDER BY doc_id""".stripMargin,
+
+    "pipe_route_counts" -> {
+      val preds = StandardPipeline.sqlSinkPreds
+      val sinkRows = preds.map { case (name, p) =>
+        s"SELECT '$name' AS sink, COUNT(*) FILTER (WHERE $p) AS n FROM trunk"
+      }
+      val noneMatch = preds.map(_._2).mkString("NOT (", " OR ", ")")
+      (Seq(StandardPipeline.sqlTrunk) ++ Seq((sinkRows ++ Seq(
+        s"SELECT '_default' AS sink, COUNT(*) FILTER (WHERE $noneMatch) AS n FROM trunk",
+        s"SELECT '_total' AS sink, COUNT(*) AS n FROM trunk"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY sink"))).mkString("\n")
+    },
+
+    "pipe_route_errors"  -> sqlRoutedRows(StandardPipeline.sqlSinkPreds(0)._2),
+    "pipe_route_warnbig" -> sqlRoutedRows(StandardPipeline.sqlSinkPreds(1)._2),
+    "pipe_route_teama"   -> sqlRoutedRows(StandardPipeline.sqlSinkPreds(2)._2),
+
+    "pipe_route_default" -> {
+      val noneMatch = StandardPipeline.sqlSinkPreds.map(_._2).mkString("NOT (", " OR ", ")")
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT doc_id FROM trunk WHERE $noneMatch ORDER BY doc_id""".stripMargin
+    },
+
+    "pipe_dlq" ->
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT doc_id, '_dissectfailure' AS reason
+         |FROM trunk WHERE delim_pos = 0 ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,197 @@
+package graft.conditions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Logstash conditional-expression algebra (LSCL `if/else` expressions),
+  * re-expressed as a small ADT compiled to Catalyst `Column`s.
+  *
+  * Semantics follow the reference exactly (see SURVEY.md §2.6; reference
+  * `logstash-core/src/main/java/org/logstash/config/ir/compiler/EventCondition.java`):
+  *
+  *  - `==`/`!=` are deep equality of field value vs literal
+  *    (EventCondition.java:118-141,376-412).
+  *  - `in` with a constant string is a SUBSTRING test: field contained in the
+  *    constant (EventCondition.java:595-612).
+  *  - `in` with a constant list is STRINGIFIED equality against any element
+  *    (EventCondition.java:642-659).
+  *  - constant-in-field: string field => substring, list field => element
+  *    equality (EventCondition.java:553-574).
+  *  - `=~` on a non-string field is false, not an error
+  *    (EventCondition.java:232-250,519-535).
+  *  - truthiness `if [f]`: false iff null / "" / "false"
+  *    (EventCondition.java:501-508).
+  *  - Routing is two-valued: a row whose condition evaluates to SQL NULL goes
+  *    to the false branch ("not fulfilled"), so every compiled predicate is
+  *    wrapped in coalesce(cond, false) by [[Cond.predicate]].
+  *
+  * The same ADT is evaluated row-at-a-time by [[RowOracle]] in the test suite
+  * — the oracle IS the executable spec, mirroring the reference's
+  * EventConditionTest.
+  */
+sealed trait Cond {
+  def &&(o: Cond): Cond = And(this, o)
+  def ||(o: Cond): Cond = Or(this, o)
+  def unary_! : Cond = Not(this)
+}
+
+final case class Eq(field: String, value: Any) extends Cond
+final case class Neq(field: String, value: Any) extends Cond
+final case class Gt(field: String, value: Any) extends Cond
+final case class Gte(field: String, value: Any) extends Cond
+final case class Lt(field: String, value: Any) extends Cond
+final case class Lte(field: String, value: Any) extends Cond
+/** field =~ /regex/ — false (not error) on non-string/null fields. */
+final case class RegexMatch(field: String, pattern: String) extends Cond
+final case class RegexNoMatch(field: String, pattern: String) extends Cond
+/** [f] in ["a","b"] — stringified equality vs any element. */
+final case class InList(field: String, values: Seq[Any]) extends Cond
+/** [f] in "conststr" — substring: constant contains field value. */
+final case class InConstStr(field: String, const: String) extends Cond
+/** "const" in [f] — string field: substring; list field: element equality. */
+final case class ConstInField(const: String, field: String, fieldIsList: Boolean = false) extends Cond
+/** if [f] — truthiness. */
+final case class Truthy(field: String) extends Cond
+final case class And(a: Cond, b: Cond) extends Cond
+final case class Or(a: Cond, b: Cond) extends Cond
+final case class Nand(a: Cond, b: Cond) extends Cond
+final case class Xor(a: Cond, b: Cond) extends Cond
+final case class Not(a: Cond) extends Cond
+case object True extends Cond
+case object False extends Cond
+
+object Cond {
+
+  private def litOf(v: Any): Column = lit(v)
+
+  /** Optional schema knowledge: maps a field name to its Spark type, letting
+    * the compiler reproduce runtime-type-dependent reference behavior
+    * statically (e.g. `=~` on a numeric field is constant-false).
+    */
+  type FieldTypes = String => Option[DataType]
+  val NoSchema: FieldTypes = _ => None
+
+  /** Compile to a Catalyst boolean Column. Every sub-condition is two-valued
+    * (coalesced to false), because the reference evaluates each compiled
+    * EventCondition node to a Java boolean before combining — there is no
+    * 3-valued logic anywhere in the reference's condition tree.
+    */
+  def compile(c: Cond): Column = compile(c, NoSchema)
+
+  def compile(c: Cond, ft: FieldTypes): Column = c match {
+    // null-safe: reference eq of a missing/null field vs a literal is FALSE
+    // (so != is TRUE), not SQL-NULL — EventCondition.java:376-412.
+    case Eq(f, v)   => col(f) <=> litOf(v)
+    case Neq(f, v)  => !(col(f) <=> litOf(v))
+    case Gt(f, v)   => col(f) > litOf(v)
+    case Gte(f, v)  => col(f) >= litOf(v)
+    case Lt(f, v)   => col(f) < litOf(v)
+    case Lte(f, v)  => col(f) <= litOf(v)
+    // =~ / !~ on a non-string field is FALSE, not an error
+    // (EventCondition.java:232-250): with a typed schema this is statically
+    // known; without one, only string-typed columns can match anyway in our
+    // fixed-schema world, but we keep the cast fallback for map-extracted
+    // string fields.
+    case RegexMatch(f, p) => ft(f) match {
+      case Some(t) if t != StringType => lit(false)
+      case _ => coalesce(col(f).cast(StringType).rlike(p), lit(false))
+    }
+    case RegexNoMatch(f, p) => !compile(RegexMatch(f, p), ft)
+    case InList(f, vs) =>
+      col(f).cast(StringType).isin(vs.map(String.valueOf(_)): _*)
+    case InConstStr(f, c0) =>
+      litOf(c0).contains(col(f).cast(StringType))
+    case ConstInField(c0, f, isList) =>
+      if (isList) array_contains(col(f), c0) else col(f).cast(StringType).contains(litOf(c0))
+    case Truthy(f) =>
+      col(f).isNotNull &&
+        col(f).cast(StringType) =!= "" && col(f).cast(StringType) =!= "false"
+    case And(a, b)  => predicate(a, ft) && predicate(b, ft)
+    case Or(a, b)   => predicate(a, ft) || predicate(b, ft)
+    case Nand(a, b) => !(predicate(a, ft) && predicate(b, ft))
+    case Xor(a, b)  => predicate(a, ft) =!= predicate(b, ft)
+    case Not(a)     => !predicate(a, ft)
+    case True       => lit(true)
+    case False      => lit(false)
+  }
+
+  /** Two-valued routing predicate: NULL (missing field / null comparison)
+    * routes to the false branch, exactly like the reference's "not fulfilled"
+    * split (DatasetCompiler SplitDataset/Complement).
+    */
+  def predicate(c: Cond): Column = predicate(c, NoSchema)
+
+  def predicate(c: Cond, ft: FieldTypes): Column = coalesce(compile(c, ft), lit(false))
+
+  /** Schema-aware predicate for a concrete frame. */
+  def predicateFor(df: org.apache.spark.sql.DataFrame, c: Cond): Column = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    predicate(c, types.get _)
+  }
+}
+
+/** Row-at-a-time evaluator over Map[String, Any] — the executable spec used by
+  * the ScalaTest/ScalaCheck suites to diff the compiled Column semantics
+  * against reference behavior (mirrors EventConditionTest).
+  */
+object RowOracle {
+  private def str(v: Any): String = String.valueOf(v)
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Number, y: Number) => Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None // mixed types: reference throws -> event cancelled -> false branch
+  }
+
+  private def deepEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Number, y: Number) => x.doubleValue == y.doubleValue
+    case (x: Seq[_], y: Seq[_]) =>
+      x.length == y.length && x.zip(y).forall { case (p, q) => deepEq(p, q) }
+    case _ => a == b
+  }
+
+  /** Tri-state eval: None = "error/null" which routing treats as false. */
+  def eval(c: Cond, row: Map[String, Any]): Boolean = c match {
+    case Eq(f, v)  => deepEq(row.getOrElse(f, null), v)
+    case Neq(f, v) => !deepEq(row.getOrElse(f, null), v)
+    case Gt(f, v)  => cmp(row.getOrElse(f, null), v).exists(_ > 0)
+    case Gte(f, v) => cmp(row.getOrElse(f, null), v).exists(_ >= 0)
+    case Lt(f, v)  => cmp(row.getOrElse(f, null), v).exists(_ < 0)
+    case Lte(f, v) => cmp(row.getOrElse(f, null), v).exists(_ <= 0)
+    case RegexMatch(f, p) => row.getOrElse(f, null) match {
+      case s: String => java.util.regex.Pattern.compile(p).matcher(s).find()
+      case _ => false
+    }
+    case RegexNoMatch(f, p) => !eval(RegexMatch(f, p), row)
+    case InList(f, vs) => row.getOrElse(f, null) match {
+      case null => false
+      case v => vs.exists(x => str(x) == str(v))
+    }
+    case InConstStr(f, c0) => row.getOrElse(f, null) match {
+      case null => false
+      case v => c0.contains(str(v))
+    }
+    case ConstInField(c0, f, _) => row.getOrElse(f, null) match {
+      case null => false
+      case xs: Seq[_] => xs.exists(x => str(x) == c0)
+      case s: String => s.contains(c0)
+      case v => str(v) == c0
+    }
+    case Truthy(f) => row.getOrElse(f, null) match {
+      case null => false
+      case s =>
+        val v = str(s); v.nonEmpty && v != "false"
+    }
+    case And(a, b)  => eval(a, row) && eval(b, row)
+    case Or(a, b)   => eval(a, row) || eval(b, row)
+    case Nand(a, b) => !(eval(a, row) && eval(b, row))
+    case Xor(a, b)  => eval(a, row) ^ eval(b, row)
+    case Not(a)     => !eval(a, row)
+    case True       => true
+    case False      => false
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Enrich stage: translate-filter-style dictionary lookups as broadcast hash
+  * joins (SURVEY.md §2.2/§2.3 — the reference's translate/geoip/useragent/
+  * jdbc_static enrichments are all key->dimension-row left lookups).
+  *
+  * Scale stance: dictionaries are small by construction (they fit in the
+  * reference's process heap), so `broadcast()` keeps the enrich stage
+  * shuffle-free at any input size — the 100 TB plan is scan -> map -> append.
+  * For dimension tables too big to broadcast, `lookupBig` pre-repartitions on
+  * the key and leans on AQE skew handling instead.
+  */
+object Enrich {
+
+  /** In-memory dictionary -> broadcastable dimension frame. */
+  def dictFrame(spark: SparkSession, on: String, dict: Map[String, Map[String, String]]): DataFrame = {
+    val valueCols = dict.values.flatMap(_.keys).toSeq.distinct.sorted
+    val rows = dict.toSeq.sortBy(_._1).map { case (k, vs) =>
+      org.apache.spark.sql.Row.fromSeq(k +: valueCols.map(c => vs.getOrElse(c, null)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      (on +: valueCols).map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** translate filter: left broadcast lookup; miss => null enrich columns
+    * (or `fallback` literals when provided).
+    */
+  def lookup(events: DataFrame, dict: DataFrame, on: String,
+             fallback: Map[String, String] = Map.empty): DataFrame = {
+    val joined = events.join(broadcast(dict), Seq(on), "left")
+    fallback.foldLeft(joined) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), lit(v)))
+    }
+  }
+
+  /** Non-broadcast path for huge dimensions: shuffle join with AQE skew-join
+    * splitting; caller should have AQE enabled (Pipeline.session does).
+    */
+  def lookupBig(events: DataFrame, dim: DataFrame, on: String): DataFrame =
+    events.join(dim.hint("shuffle_hash"), Seq(on), "left")
+
+  /** Salted join for a known-skewed key: explodes the dimension side K ways
+    * and salts the fact side, bounding any single reducer's share of a hot key
+    * to 1/K. Use when AQE's skew split alone is insufficient (e.g. one source
+    * is 60% of rows — FIXTURES.md F1).
+    */
+  def saltedLookup(events: DataFrame, dim: DataFrame, on: String, salt: Int = 16): DataFrame = {
+    val saltedEvents = events.withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(salt)).cast("int"))
+    val saltedDim = dim
+      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedEvents.join(saltedDim, Seq(on, "_salt"), "left").drop("_salt")
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** mutate-filter operations + the per-stage decorator contract.
+  *
+  * Reference semantics (SURVEY.md §2.2): on filter success the decorator runs
+  * in fixed order add_field -> remove_field -> add_tag -> remove_tag, all
+  * values sprintf-interpolated (`filters/base.rb:195-226`, Java twin
+  * `CommonActions.java:50-73`). Tag add dedups like Event.appendTag
+  * (Event.java:513-519) — `array_union` reproduces that exactly.
+  */
+object Mutate {
+
+  // ---- sprintf-lite: "%{field}" refs + literals -> concat of columns ----
+  // Reference: StringInterpolation.java:66-137. v0 scope: %{field} and
+  // literals (SURVEY.md §7.3); unresolved refs stay literal like the reference.
+
+  private val Ref = "%\\{(\\w+)\\}".r
+
+  def sprintf(template: String, columns: Set[String]): Column = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    for (m <- Ref.findAllMatchIn(template)) {
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      val f = m.group(1)
+      // unresolved (unknown column) refs are left literal, like the reference
+      parts += (if (columns.contains(f)) coalesce(col(f).cast("string"), lit(""))
+                else lit(m.matched))
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+  }
+
+  // ---- tags (dedup'ing, null-tolerant) ----
+
+  def addTag(df: DataFrame, tag: String): DataFrame =
+    addTagWhen(df, lit(true), tag)
+
+  /** Append `tag` to the `tags` array where cond holds; creates the column if
+    * missing; dedups (array_union == Event.appendTag semantics).
+    */
+  def addTagWhen(df: DataFrame, cond: Column, tag: String): DataFrame = {
+    val base: Column =
+      if (df.columns.contains("tags")) coalesce(col("tags"), array().cast("array<string>"))
+      else array().cast("array<string>")
+    df.withColumn("tags", when(cond, array_union(base, array(lit(tag)))).otherwise(base))
+  }
+
+  def removeTag(df: DataFrame, tag: String): DataFrame =
+    if (!df.columns.contains("tags")) df
+    else df.withColumn("tags", array_remove(coalesce(col("tags"), array().cast("array<string>")), tag))
+
+  // ---- decorator: add_field -> remove_field -> add_tag -> remove_tag ----
+
+  final case class Decorator(
+      addField: Seq[(String, String)] = Nil,   // name -> sprintf template
+      removeField: Seq[String] = Nil,
+      addTag: Seq[String] = Nil,               // sprintf templates allowed
+      removeTag: Seq[String] = Nil) {
+
+    def apply(df: DataFrame): DataFrame = applyWhen(df, lit(true))
+
+    /** Conditional application (filter-matched rows only), preserving the
+      * fixed reference order.
+      */
+    def applyWhen(df0: DataFrame, matched: Column): DataFrame = {
+      val cols = df0.columns.toSet
+      val afterAdd = addField.foldLeft(df0) { case (d, (name, tpl)) =>
+        val v = sprintf(tpl, cols)
+        d.withColumn(name,
+          if (d.columns.contains(name)) when(matched, v).otherwise(col(name))
+          else when(matched, v))
+      }
+      val afterRemove = removeField.foldLeft(afterAdd) { (d, f) =>
+        if (d.columns.contains(f)) d.withColumn(f, when(matched, lit(null)).otherwise(col(f)))
+        else d
+      }
+      val afterTagAdd = addTag.foldLeft(afterRemove)((d, t) => addTagWhen(d, matched, t))
+      removeTag.foldLeft(afterTagAdd) { (d, t) =>
+        if (!d.columns.contains("tags")) d
+        else d.withColumn("tags",
+          when(matched, array_remove(coalesce(col("tags"), array().cast("array<string>")), t))
+            .otherwise(col("tags")))
+      }
+    }
+  }
+
+  // ---- mutate ops proper (each a thin, codegen'd column rewrite) ----
+
+  def rename(df: DataFrame, from: String, to: String): DataFrame = df.withColumnRenamed(from, to)
+  def convert(df: DataFrame, field: String, typ: String): DataFrame =
+    df.withColumn(field, col(field).cast(typ))
+  def gsub(df: DataFrame, field: String, pattern: String, replacement: String): DataFrame =
+    df.withColumn(field, regexp_replace(col(field), pattern, replacement))
+  def lowercase(df: DataFrame, field: String): DataFrame = df.withColumn(field, lower(col(field)))
+  def uppercase(df: DataFrame, field: String): DataFrame = df.withColumn(field, upper(col(field)))
+  def strip(df: DataFrame, field: String): DataFrame = df.withColumn(field, trim(col(field)))
+  def splitField(df: DataFrame, field: String, sep: String): DataFrame =
+    df.withColumn(field, split(col(field), java.util.regex.Pattern.quote(sep)))
+  def joinField(df: DataFrame, field: String, sep: String): DataFrame =
+    df.withColumn(field, array_join(col(field), sep))
+  def mergeField(df: DataFrame, dst: String, src: String): DataFrame =
+    df.withColumn(dst, array_union(coalesce(col(dst), array()), coalesce(col(src), array())))
+  def update(df: DataFrame, field: String, tpl: String): DataFrame =
+    if (!df.columns.contains(field)) df
+    else df.withColumn(field,
+      when(col(field).isNotNull, sprintf(tpl, df.columns.toSet)).otherwise(col(field)))
+  def replace(df: DataFrame, field: String, tpl: String): DataFrame =
+    df.withColumn(field, sprintf(tpl, df.columns.toSet))
+  def coalesceField(df: DataFrame, field: String, fallbacks: Seq[String]): DataFrame =
+    df.withColumn(field, coalesce((field +: fallbacks).map(col): _*))
+
+  /** prune filter: whitelist/blacklist columns by regex. */
+  def prune(df: DataFrame, whitelist: Option[String] = None, blacklist: Option[String] = None): DataFrame = {
+    val keep = df.columns.filter { c =>
+      whitelist.forall(p => c.matches(p)) && !blacklist.exists(p => c.matches(p))
+    }
+    df.select(keep.map(col): _*)
+  }
+
+  /** fingerprint filter: stable hash of selected fields. method: "sha256" |
+    * "md5" | "murmur" | "xx64".
+    */
+  def fingerprint(df: DataFrame, fields: Seq[String], target: String,
+                  method: String = "sha256"): DataFrame = {
+    val src = concat_ws("|", fields.map(f => coalesce(col(f).cast("string"), lit(""))): _*)
+    val h = method match {
+      case "md5"    => md5(src)
+      case "murmur" => hash(src).cast("string")
+      case "xx64"   => xxhash64(src).cast("string")
+      case _        => sha2(src, 256)
+    }
+    df.withColumn(target, h)
+  }
+
+  /** drop filter (optionally percentage-sampled like the reference's
+    * `percentage` option — deterministic via hash-mod, not rand(), so replays
+    * and resumes route identically).
+    */
+  def drop(df: DataFrame, cond: Column, percentage: Double = 100.0, keyCol: String = "doc_id"): DataFrame =
+    if (percentage >= 100.0) df.filter(!coalesce(cond, lit(false)))
+    else df.filter(!(coalesce(cond, lit(false)) &&
+      pmod(xxhash64(col(keyCol)), lit(100)) < lit(percentage.toLong)))
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Tok
+
+/** Parse-stage operators: Logstash's filter plugins re-expressed as Catalyst
+  * column expressions (SURVEY.md §2.2). All of these are narrow, codegen'd
+  * transforms — no shuffle, no UDF — so they scale linearly with input splits.
+  */
+object Parse {
+
+  // ------------------------------------------------------------------
+  // dissect — positional splitting. Over token arrays the delimiter role is
+  // played by a sentinel token id (Tok.DelimId); over strings by a literal
+  // separator. Reference: dissect filter, docs/static/transforming-data
+  // .asciidoc:249-290 (semantics only; implementation is pure Spark).
+  // ------------------------------------------------------------------
+
+  /** Dissect over the pre-tokenized sequence structure
+    * `[hdr, sev_tok, src_tok, ..., DELIM, payload...]`:
+    * extracts header fields by position and the payload length after the first
+    * delimiter token. Rows without the delimiter are tagged `_dissectfailure`
+    * (the reference's `_dissectfailure` tag contract).
+    */
+  def dissectTokens(df: DataFrame,
+                    fields: Seq[(String, Int)] = Seq("hdr_tok" -> 1, "sev_tok" -> 2),
+                    delimId: Int = Tok.DelimId): DataFrame = {
+    val withFields = fields.foldLeft(df) { case (d, (name, pos)) =>
+      d.withColumn(name, element_at(col("tokens"), pos))
+    }
+    withFields
+      .withColumn("delim_pos", array_position(col("tokens"), delimId).cast("int"))
+      .withColumn("payload_len",
+        when(col("delim_pos") > 0, col("n_tok") - col("delim_pos")).otherwise(lit(0)))
+      .withColumn("tags",
+        when(col("delim_pos") === 0, array(lit("_dissectfailure")))
+          .otherwise(array().cast("array<string>")))
+  }
+
+  /** Severity decode from the planted severity token (tokens[1] mod 3),
+    * the token-array analogue of grok's %{LOGLEVEL:severity}.
+    */
+  def severity(tokens: Column): Column = {
+    val m = element_at(tokens, 1) % 3
+    when(m === 0, "INFO").when(m === 1, "WARN").otherwise("ERROR")
+  }
+
+  /** String-side dissect: `%{a} %{b} %{rest}`-style positional split. */
+  def dissectString(df: DataFrame, source: String, sep: String, names: Seq[String]): DataFrame = {
+    val parts = split(col(source), java.util.regex.Pattern.quote(sep))
+    names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+      if (n == "_") d else d.withColumn(n, element_at(parts, i + 1))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // grok — named-pattern regex extraction with type coercion and
+  // _grokparsefailure tagging. Pattern library is a small public subset of the
+  // stock grok patterns; compilation expands %{NAME:field:type} into plain
+  // Java-regex groups extracted per-field with regexp_extract (codegen'd).
+  // ------------------------------------------------------------------
+
+  val GrokPatterns: Map[String, String] = Map(
+    "WORD" -> "\\w+",
+    "NOTSPACE" -> "\\S+",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT" -> "[+-]?\\d+",
+    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "IP" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "LOGLEVEL" -> "INFO|WARN|ERROR|DEBUG|TRACE|FATAL",
+    "TIMESTAMP_ISO8601" -> "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?")
+
+  final case class GrokField(name: String, group: Int, typ: Option[String])
+  final case class GrokSpec(regex: String, fields: Seq[GrokField])
+
+  private val GrokRef = "%\\{(\\w+)(?::(\\w+))?(?::(int|float))?\\}".r
+
+  /** Expand a grok pattern into (full regex, capture fields). Named refs
+    * without a field name match but don't capture.
+    */
+  def compileGrok(pattern: String): GrokSpec = {
+    val sb = new StringBuilder
+    val fields = Seq.newBuilder[GrokField]
+    var last = 0
+    var group = 0
+    for (m <- GrokRef.findAllMatchIn(pattern)) {
+      sb.append(java.util.regex.Pattern.quote(pattern.substring(last, m.start)))
+      val base = GrokPatterns.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
+      Option(m.group(2)) match {
+        case Some(fieldName) =>
+          group += 1
+          sb.append(s"($base)")
+          fields += GrokField(fieldName, group, Option(m.group(3)))
+        case None =>
+          sb.append(s"(?:$base)")
+      }
+      last = m.end
+    }
+    sb.append(java.util.regex.Pattern.quote(pattern.substring(last)))
+    GrokSpec(sb.toString, fields.result())
+  }
+
+  /** Apply a grok match to a string column: one `regexp_extract` per capture
+    * (all codegen'd; the regex is compiled once per task by Catalyst), empty
+    * match => null fields + `_grokparsefailure` appended to `tags`.
+    */
+  def grok(df: DataFrame, source: String, pattern: String): DataFrame = {
+    val spec = compileGrok(pattern)
+    val matched = coalesce(col(source).rlike(spec.regex), lit(false))
+    val withFields = spec.fields.foldLeft(df) { case (d, f) =>
+      val raw = regexp_extract(col(source), spec.regex, f.group)
+      val v = f.typ match {
+        case Some("int")   => raw.cast("long")
+        case Some("float") => raw.cast("double")
+        case _             => raw
+      }
+      d.withColumn(f.name, when(matched, v))
+    }
+    Mutate.addTagWhen(withFields, !matched, "_grokparsefailure")
+  }
+
+  // ------------------------------------------------------------------
+  // kv / json / csv / date
+  // ------------------------------------------------------------------
+
+  /** kv filter: `k=v` pairs -> MapType column. */
+  def kv(df: DataFrame, source: String, target: String,
+         pairSep: String = " ", kvSep: String = "="): DataFrame =
+    df.withColumn(target, str_to_map(col(source), lit(pairSep), lit(kvSep)))
+
+  /** json filter: parse a JSON string field into a struct target. */
+  def json(df: DataFrame, source: String, target: String, schemaDdl: String): DataFrame =
+    df.withColumn(target,
+      from_json(col(source), org.apache.spark.sql.types.DataType.fromDDL(schemaDdl)))
+
+  /** csv filter: positional parse with column names. */
+  def csv(df: DataFrame, source: String, names: Seq[String], sep: String = ","): DataFrame =
+    dissectString(df, source, sep, names)
+
+  /** date filter: try formats in order, first success wins; failure =>
+    * `_dateparsefailure` tag (reference date-filter contract).
+    */
+  def date(df: DataFrame, source: String, target: String, formats: Seq[String]): DataFrame = {
+    val parsed = coalesce(formats.map(f => try_to_timestamp(col(source), lit(f))): _*)
+    val out = df.withColumn(target, parsed)
+    Mutate.addTagWhen(out, parsed.isNull && col(source).isNotNull, "_dateparsefailure")
+  }
+}

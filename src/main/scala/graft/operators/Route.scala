@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.conditions.Cond
+
+/** Conditional fan-out routing to N sink tables — Logstash's output-section
+  * if/else-gated outputs (SURVEY.md §2.6/§3), Spark-first.
+  *
+  * Physical plan stance (the one real physical decision, SURVEY.md §4):
+  * the parsed+enriched trunk is materialized ONCE (persist MEMORY_AND_DISK),
+  * then each sink is a filter+write over the cached trunk and all per-sink
+  * counts come from a SINGLE aggregate pass over boolean match flags — never
+  * one `count()` job per sink. At 100 TB this means one scan of the input,
+  * one pass for aggregates, and per-sink writes that each read the cache,
+  * instead of N+1 input scans.
+  *
+  * Logstash outputs are independently gated (an event can match several
+  * sinks); `default` catches rows matching none — both supported.
+  */
+object Route {
+
+  final case class SinkSpec(name: String, cond: Cond,
+                            decorator: Mutate.Decorator = Mutate.Decorator())
+
+  /** Columns whose names start with this prefix are the `@metadata` analogue:
+    * available to conditions/decorators, dropped before every sink write
+    * (Event.java:57-68 — metadata never reaches sinks).
+    */
+  val MetaPrefix = "_meta_"
+
+  /** Add one boolean match-flag column per sink (`_m_<sink>`), two-valued
+    * (null routes false). One projection, no shuffle.
+    */
+  def withSinkFlags(trunk: DataFrame, sinks: Seq[SinkSpec]): DataFrame =
+    sinks.foldLeft(trunk) { (d, s) => d.withColumn(flagCol(s.name), Cond.predicateFor(trunk, s.cond)) }
+
+  def flagCol(sink: String): String = s"_m_$sink"
+
+  /** Per-sink routed frame (decorated, metadata dropped) from a flagged trunk. */
+  def sinkFrame(flagged: DataFrame, spec: SinkSpec): DataFrame = {
+    val matched = flagged.filter(col(flagCol(spec.name)))
+    val decorated = spec.decorator(matched)
+    val dropCols = decorated.columns.filter(c => c.startsWith("_m_") || c.startsWith(MetaPrefix))
+    decorated.drop(dropCols.toIndexedSeq: _*)
+  }
+
+  /** Rows matching no sink (the implicit else branch). */
+  def defaultFrame(flagged: DataFrame, sinks: Seq[SinkSpec]): DataFrame = {
+    val none = sinks.map(s => !col(flagCol(s.name))).reduce(_ && _)
+    val d = flagged.filter(none)
+    d.drop(d.columns.filter(c => c.startsWith("_m_") || c.startsWith(MetaPrefix)).toIndexedSeq: _*)
+  }
+
+  /** Single-pass per-sink aggregate counts (the north-rule invariant —
+    * Logstash's per-output events.out counters). One narrow aggregate job.
+    */
+  def sinkCounts(flagged: DataFrame, sinks: Seq[SinkSpec], withDefault: Boolean = true): DataFrame = {
+    val sums: Seq[Column] = sinks.map(s =>
+      sum(col(flagCol(s.name)).cast("long")).as(s.name)) ++
+      (if (withDefault)
+        Seq(sum((!sinks.map(s => col(flagCol(s.name))).reduce(_ || _)).cast("long")).as("_default"),
+            count(lit(1)).as("_total"))
+      else Seq(count(lit(1)).as("_total")))
+    val wide = flagged.agg(sums.head, sums.tail: _*)
+    // long form: (sink, n) — stable shape for the metrics table
+    val pairs = wide.columns.map(c => struct(lit(c).as("sink"), col(c).as("n")))
+    wide.select(explode(array(pairs.toIndexedSeq: _*)).as("kv"))
+      .select(col("kv.sink").as("sink"), col("kv.n").as("n"))
+  }
+
+  /** Per-partition lineage: (partition id, rows, per-sink matched rows) —
+    * persisted alongside sinks so a resumed job can prove per-partition
+    * completeness (the PQ-checkpoint analogue, SURVEY.md §2.7).
+    */
+  def lineage(flagged: DataFrame, sinks: Seq[SinkSpec]): DataFrame = {
+    val aggs = count(lit(1)).as("rows") +:
+      sinks.map(s => sum(col(flagCol(s.name)).cast("long")).as(s"n_${s.name}"))
+    flagged.groupBy(spark_partition_id().as("part")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  final case class RunResult(counts: Map[String, Long], sinkPaths: Map[String, String],
+                             resumedSinks: Seq[String])
+
+  /** Execute the fan-out: persist trunk, write every sink + default + dlq +
+    * lineage + counts to `outDir`. Idempotent/resumable: a sink directory
+    * with a `_SUCCESS` marker is skipped on re-run (counts are recomputed
+    * from the trunk, so resumed runs still report exact totals).
+    */
+  def run(spark: SparkSession, trunk: DataFrame, sinks: Seq[SinkSpec], outDir: String,
+          writeDefault: Boolean = true): RunResult = {
+    val flagged = withSinkFlags(trunk, sinks).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hadoopConf = spark.sparkContext.hadoopConfiguration
+      val resumed = Seq.newBuilder[String]
+      def writeIfNeeded(name: String, df: => DataFrame): String = {
+        val path = s"$outDir/$name"
+        val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val fs = success.getFileSystem(hadoopConf)
+        if (fs.exists(success)) { resumed += name }
+        else df.write.mode("overwrite").parquet(path)
+        path
+      }
+      val paths = sinks.map { s => s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s)) }.toMap ++
+        (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
+         else Map.empty[String, String])
+      writeIfNeeded("_lineage", lineage(flagged, sinks))
+      val countsDf = sinkCounts(flagged, sinks)
+      countsDf.write.mode("overwrite").parquet(s"$outDir/_counts")
+      val counts = countsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      RunResult(counts, paths, resumed.result())
+    } finally flagged.unpersist()
+  }
+}
