@@ -34,7 +34,8 @@ object SparkEntry {
        |FROM trunk WHERE $pred ORDER BY doc_id""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.EventQueries.queries ++ registry.TextQueries.queries ++ Map(
     // -- sanity: classic aggregation over lineitem (scan + groupBy) --
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -96,7 +97,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    registry.EventQueries.oracleSql ++ registry.TextQueries.oracleSql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

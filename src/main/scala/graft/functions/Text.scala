@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Catalyst expressions (higher-order functions; no UDFs) so they stay inside
+  * whole-stage codegen and scale as narrow maps.
+  */
+object Text {
+
+  /** Marker-word sets per language for the n-gram/stopword language-ID
+    * heuristic. Public-knowledge stopword shortlists.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "es" -> Seq("el", "la", "de", "que", "y", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Count of words from `markers` present in the whitespace-tokenized text. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(split(text, " "), w => markers.map(m => w === lit(m)).reduce(_ || _)))
+
+  /** Language-ID heuristic: the language whose marker-word hit count is
+    * highest (first declared wins ties); "und" when no marker hits at all.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val scored = markers.map { case (lang, ms) => (lang, markerHits(text, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight nests later langs as fallback, so the FIRST max wins
+    scored.foldRight(lit("und"): Column) { case ((lang, hits), acc) =>
+      when(hits === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish token count: words + punctuation runs counted separately
+    * (a cheap stand-in for a real subword tokenizer's token count).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality-score components (FIXTURES-style), each a plain expression:
+    * n_words, distinct-word ratio, stopword ratio, mean word length.
+    */
+  def nWords(text: Column): Column = size(split(text, " "))
+
+  def distinctRatio(text: Column): Column = {
+    val words = split(text, " ")
+    size(array_distinct(words)).cast("double") / size(words)
+  }
+
+  def stopwordRatio(text: Column, stops: Seq[String] = Seq("the", "a")): Column = {
+    val words = split(text, " ")
+    size(filter(words, w => stops.map(sw => w === lit(sw)).reduce(_ || _))).cast("double") / size(words)
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val words = split(text, " ")
+    aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(words)
+  }
+
+  /** Composite quality score in [0,1]-ish: favors longer, lexically diverse,
+    * low-stopword documents. Deterministic, oracle-expressible.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      least(nWords(text).cast("double") / 100.0, lit(1.0)) * 0.4 +
+        distinctRatio(text) * 0.4 +
+        (lit(1.0) - stopwordRatio(text)) * 0.2, 6)
+
+  // ---- fingerprints over token arrays ----
+
+  val FpMod = 1000000007L
+  val FpBase = 31L
+
+  /** Rolling polynomial hash over the token ids: fold(h*31 + t) mod p —
+    * the document-fingerprint invariant (deterministic, order-sensitive).
+    */
+  def rollingFingerprint(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (h, t) => pmod(h * FpBase + t.cast("long"), lit(FpMod)))
+
+  /** k-gram shingle ids over token arrays: shingle_i = sum_j t[i+j] * M^(k-1-j)
+    * with M=37 (> vocab size, collision-free for in-vocab ids).
+    */
+  val ShingleBase = 37L
+  def shingleIds(tokens: Column, k: Int): Column = {
+    val n = size(tokens)
+    // guard: Spark's sequence(1, x) DESCENDS for x < 1, so short docs must
+    // yield an empty shingle set explicitly
+    when(n < k, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), n - (k - 1)), i => {
+        (0 until k).map(j => element_at(tokens, i + j).cast("long") *
+          lit(math.pow(ShingleBase.toDouble, (k - 1 - j).toDouble).toLong)).reduce(_ + _)
+      }))
+  }
+
+  /** MinHash signature over a shingle-id array: for hash j, min over shingles
+    * of (a_j * s + b_j) mod p with deterministic a_j = 2j+1, b_j = j*j+7.
+    * Empty shingle set hashes to p (sentinel) so signatures stay total.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = FpMod
+    val mins = (0 until numHashes).map { j =>
+      val a = 2L * j + 1
+      val b = j.toLong * j + 7
+      coalesce(array_min(transform(shingles, s => pmod(s * a + b, lit(p)))), lit(p))
+    }
+    array(mins: _*)
+  }
+
+  /** 16-bit SimHash over token ids: h(t) = t * 2654435761 mod 2^32 (Knuth);
+    * bit_j sums +1/-1 over tokens; sign -> bit. Returns an int in [0, 65535].
+    */
+  def simhash16(tokens: Column): Column = {
+    val knuth = 2654435761L
+    val bits = (0 until 16).map { j =>
+      val votes = aggregate(tokens, lit(0L), (acc, t) => {
+        val h = pmod(t.cast("long") * knuth, lit(4294967296L))
+        acc + when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L))
+      })
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("int")
+  }
+
+  /** Hamming distance between two simhash ints (for near-dup thresholds). */
+  def hamming16(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until 16).map(j => shiftright(x, j) % 2).reduce(_ + _).cast("int")
+  }
+
+  /** Jaccard similarity of two arrays (as distinct sets). */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double"))
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Rate/correlation operators — Logstash's throttle, metrics, and aggregate
+  * filters re-expressed as window functions and grouped aggregations
+  * (SURVEY.md §2.4). In batch mode these are exact (the reference's
+  * wall-clock versions are approximations of exactly these semantics);
+  * streaming variants live in graft.streaming.
+  */
+object Stateful {
+
+  /** throttle filter: allow at most `maxPerPeriod` events per key per period;
+    * later events in the period are marked throttled (reference tags
+    * "throttled" and drops or passes based on before/after counts).
+    * Window spec shuffles once on (key, period) — the natural partitioning.
+    */
+  def throttle(df: DataFrame, keyCol: String, tsCol: String,
+               period: String, maxPerPeriod: Int,
+               orderCols: Seq[String] = Nil): DataFrame = {
+    val periodCol = date_trunc(period, col(tsCol))
+    val order = (col(tsCol) +: orderCols.map(col)).toIndexedSeq
+    val w = Window.partitionBy(col(keyCol), periodCol).orderBy(order: _*)
+    df.withColumn("_rank_in_period", row_number().over(w))
+      .withColumn("throttled", col("_rank_in_period") > maxPerPeriod)
+      .drop("_rank_in_period")
+  }
+
+  /** metrics filter: rolling per-period counters per named field value —
+    * flushed as synthetic (period, name, count, rate) rows.
+    */
+  def metrics(df: DataFrame, nameCol: String, tsCol: String, period: String): DataFrame =
+    df.groupBy(date_trunc(period, col(tsCol)).as("period"), col(nameCol).as("name"))
+      .agg(count(lit(1)).as("events"))
+
+  /** aggregate filter: correlate events sharing a task key; one summary row
+    * per key (count, first/last event time, numeric sum). The batch-exact
+    * analogue of the reference's per-task_id map + timeout flush.
+    */
+  def aggregateByKey(df: DataFrame, keyCol: String, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** clone filter: emit one copy per requested `types` value, each tagged
+    * with its clone type (plus the original when keepOriginal).
+    */
+  def cloneEvents(df: DataFrame, types: Seq[String], keepOriginal: Boolean = true): DataFrame = {
+    val variants = (if (keepOriginal) Seq(lit(null: String)) else Nil) ++ types.map(lit(_))
+    df.withColumn("type", explode(array(variants: _*)))
+  }
+
+  /** split filter: one event per element of an array column. */
+  def splitField(df: DataFrame, arrayCol: String, target: String): DataFrame =
+    df.withColumn(target, explode(col(arrayCol)))
+}

@@ -1,0 +1,159 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Parse, Stateful}
+
+/** Driver-gate queries exercising the filter-stage operators over the
+  * `events` table (event_id, ts, user_id, event_type, value, props), each
+  * with a DuckDB oracle. Naming convention: every computed column aliased
+  * identically in Spark and SQL.
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // grok: named-pattern extraction with :int coercion over the props string
+    "evt_grok" -> ((s, dir) => {
+      Parse.grok(events(s, dir), "props", "\"k\": %{INT:k:int}")
+        .select(col("event_id"), col("k"),
+          size(col("tags")).as("n_tags"))
+        .orderBy("event_id")
+    }),
+
+    // kv: k=v pair extraction into a map, then field access
+    "evt_kv" -> ((s, dir) => {
+      val df = events(s, dir).withColumn("kvline",
+        concat(lit("type="), col("event_type"), lit(" uid="), col("user_id")))
+      Parse.kv(df, "kvline", "kvmap")
+        .select(col("event_id"),
+          col("kvmap")("type").as("type"),
+          col("kvmap")("uid").cast("long").as("uid"))
+        .orderBy("event_id")
+    }),
+
+    // date: format -> parse round trip, grouped per hour
+    "evt_date" -> ((s, dir) => {
+      val df = events(s, dir)
+        .withColumn("ts_str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      Parse.date(df, "ts_str", "parsed",
+        Seq("dd/MM/yyyy HH:mm:ss", "yyyy-MM-dd HH:mm:ss")) // first format misses -> cascade
+        .groupBy(date_trunc("hour", col("parsed")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour")
+    }),
+
+    // throttle: at most 2 events per user per hour pass; list the throttled
+    "evt_throttle" -> ((s, dir) => {
+      Stateful.throttle(events(s, dir), "user_id", "ts", "hour", 2, Seq("event_id"))
+        .filter(col("throttled"))
+        .select(col("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // metrics: per-period counters per event_type
+    "evt_metrics" -> ((s, dir) => {
+      Stateful.metrics(events(s, dir), "event_type", "ts", "hour")
+        .orderBy("period", "name")
+    }),
+
+    // aggregate: per-task (user) correlation summary
+    "evt_aggregate" -> ((s, dir) => {
+      Stateful.aggregateByKey(events(s, dir), "user_id", "ts", "value")
+        .orderBy("user_id")
+    }),
+
+    // clone: N tagged copies per matching event
+    "evt_clone" -> ((s, dir) => {
+      Stateful.cloneEvents(events(s, dir).filter(col("event_type") === "error"),
+        Seq("shadow", "audit"))
+        .select(col("event_id"), coalesce(col("type"), lit("original")).as("type"))
+        .orderBy("event_id", "type")
+    }),
+
+    // split: one row per token of the documents token arrays
+    "doc_split" -> ((s, dir) => {
+      val raw = graft.model.Tok.rawSequences(s.read.parquet(s"$dir/documents.parquet"))
+      Stateful.splitField(raw, "tokens", "tok")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy("tok")
+    }),
+
+    // mutate chain: uppercase/gsub/strip/convert over documents
+    "doc_mutate" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lang_u", upper(col("lang")))
+        .withColumn("text2", regexp_replace(col("text"), "spark", "SPARK"))
+        .select(col("doc_id"), col("lang_u"),
+          length(col("text2")).as("len2"),
+          (length(col("text2")) - length(col("text"))).as("delta"))
+        .orderBy("doc_id")
+    }),
+
+    // drop + fingerprint: deterministic sampling-drop and content hashing
+    "evt_fingerprint" -> ((s, dir) => {
+      graft.operators.Mutate.fingerprint(
+        events(s, dir).filter(col("event_type") =!= "view"),
+        Seq("event_type", "user_id"), "fp", "md5")
+        .select(col("event_id"), col("fp"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "evt_grok" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1) AS BIGINT) AS k,
+        |       CASE WHEN regexp_matches(props, '"k": [+-]?\d+') THEN 0 ELSE 1 END AS n_tags
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_kv" ->
+      """SELECT event_id, event_type AS type, user_id AS uid
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_date" ->
+      """SELECT date_trunc('hour', strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS hour,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "evt_throttle" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                            ORDER BY ts, event_id) AS rk
+        |  FROM events) WHERE rk > 2 ORDER BY event_id""".stripMargin,
+
+    "evt_metrics" ->
+      """SELECT date_trunc('hour', ts) AS period, event_type AS name, COUNT(*) AS events
+        |FROM events GROUP BY 1, 2 ORDER BY period, name""".stripMargin,
+
+    "evt_aggregate" ->
+      """SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "evt_clone" ->
+      """SELECT event_id, t.type
+        |FROM events CROSS JOIN (VALUES ('original'),('shadow'),('audit')) AS t(type)
+        |WHERE event_type = 'error' ORDER BY event_id, type""".stripMargin,
+
+    "doc_split" ->
+      s"""${graft.model.Tok.sqlRawSequences}
+         |SELECT tok, COUNT(*) AS n
+         |FROM (SELECT unnest(tokens) AS tok FROM raw)
+         |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "doc_mutate" ->
+      """SELECT doc_id, upper(lang) AS lang_u,
+        |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) AS INTEGER) AS len2,
+        |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) - length(text) AS INTEGER) AS delta
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_fingerprint" ->
+      """SELECT event_id,
+        |       md5(concat_ws('|', event_type, CAST(user_id AS VARCHAR))) AS fp
+        |FROM events WHERE event_type <> 'view' ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,245 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity, Text}
+import graft.model.Tok
+
+/** Driver-gate queries for the training-data-pipeline operators: text
+  * analysis, deduplication, fingerprinting, embedding similarity. Oracle SQL
+  * is generated from the same constants as the Spark expressions.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // shared DuckDB fragments, generated from the same constants
+  private val P = Text.FpMod
+  private def sqlShingles(k: Int = 3): String = {
+    val terms = (0 until k).map(j =>
+      s"tokens[i+$j]*${math.pow(Text.ShingleBase.toDouble, (k - 1 - j).toDouble).toLong}").mkString(" + ")
+    s"CASE WHEN n_tok < $k THEN [] ELSE list_transform(generate_series(1, n_tok-${k - 1}), i -> $terms) END"
+  }
+  private def sqlSimhash16(tokensExpr: String): String = {
+    val knuth = 2654435761L
+    val bits = (0 until 16).map { j =>
+      val pow = 1L << j
+      s"(CASE WHEN list_sum(list_transform($tokensExpr, t -> CASE WHEN ((t*${knuth}) % 4294967296) // $pow % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN $pow ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString("(", " + ", ")")} AS INTEGER)"
+  }
+  private def sqlMinhashSig(shinglesExpr: String, numHashes: Int): String = {
+    val mins = (0 until numHashes).map { j =>
+      val a = 2L * j + 1; val b = j.toLong * j + 7
+      s"coalesce(list_min(list_transform($shinglesExpr, s -> (s*$a + $b) % $P)), $P)"
+    }
+    mins.mkString("[", ", ", "]")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // language-ID heuristic (marker stopwords, first-max-wins)
+    "txt_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_guess"),
+          Text.markerHits(col("text"), Text.LangMarkers.head._2).as("en_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: components + composite
+    "txt_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        Text.nWords(col("text")).as("n_words"),
+        round(Text.distinctRatio(col("text")), 6).as("distinct_ratio"),
+        round(Text.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(Text.meanWordLen(col("text")), 6).as("mean_wlen"),
+        Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // token counting: whitespace + BPE-ish regex over the punct-rich props
+    "txt_tokcount" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          Text.tokenCountWs(col("props")).as("tok_ws"),
+          Text.tokenCountBpe(col("props")).as("tok_bpe"))
+        .orderBy("event_id")
+    }),
+
+    // document fingerprinting: rolling polynomial hash + simhash
+    "txt_fingerprint" -> ((s, dir) => {
+      Tok.rawSequences(docs(s, dir))
+        .select(col("doc_id"),
+          Text.rollingFingerprint(col("tokens")).as("roll_fp"),
+          Text.simhash16(col("tokens")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup flags
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("is_dup"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs via shingle inverted index
+    "dedup_jaccard" -> ((s, dir) => {
+      // numeric ids so pair orientation (a < b) matches the BIGINT oracle
+      val raw = Tok.rawSequences(docs(s, dir)).withColumn("doc_id", col("doc_id").cast("long"))
+      Dedup.jaccardPairs(raw, "tokens", "doc_id", shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash+LSH banding candidates (verified with exact Jaccard)
+    "dedup_minhash" -> ((s, dir) => {
+      val raw = Tok.rawSequences(docs(s, dir)).withColumn("doc_id", col("doc_id").cast("long"))
+      Dedup.minhashCandidates(raw, "tokens", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 2, jaccardThreshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash bucket histogram (near-dup candidate buckets)
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashBuckets(Tok.rawSequences(docs(s, dir)), "tokens", "doc_id")
+        .select(col("simhash"), col("n_docs"))
+        .orderBy("simhash")
+    }),
+
+    // brute-force cosine top-20 vs the vec_id=0 embedding
+    "sim_topk" -> ((s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).toSeq
+      Similarity.topK(embs(s, dir).filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 20)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
+    // sign-LSH bucket histogram (the ANN partition key)
+    "sim_buckets" -> ((s, dir) => {
+      embs(s, dir)
+        .select(Similarity.signBucket(col("embedding"), 8).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "txt_langid" -> {
+      val hits = Text.LangMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString("(", ",", ")")
+        s"len(list_filter(string_split(text,' '), w -> w IN $inList)) AS h_$lang"
+      }.mkString(",\n         ")
+      val best = Text.LangMarkers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
+      val pick = Text.LangMarkers.foldRight("'und'") { case ((lang, _), acc) =>
+        s"CASE WHEN h_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+      }
+      s"""WITH scored AS (
+         |  SELECT doc_id, $hits
+         |  FROM documents
+         |), best_t AS (SELECT *, $best AS best FROM scored)
+         |SELECT doc_id, $pick AS lang_guess, CAST(h_en AS INTEGER) AS en_hits
+         |FROM best_t ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |         CAST(len(words) AS INTEGER) AS n_words,
+        |         CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dr,
+        |         CAST(len(list_filter(words, x -> x IN ('the','a'))) AS DOUBLE) / len(words) AS sr,
+        |         CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mw
+        |  FROM w)
+        |SELECT doc_id, n_words, round(dr, 6) AS distinct_ratio, round(sr, 6) AS stop_ratio,
+        |       round(mw, 6) AS mean_wlen,
+        |       round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 + dr * 0.4 + (1.0 - sr) * 0.2, 6) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "txt_tokcount" ->
+      """SELECT event_id,
+        |       CAST(len(regexp_split_to_array(props, '\s+')) AS INTEGER) AS tok_ws,
+        |       CAST(len(regexp_extract_all(props, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS tok_bpe
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      s"""${Tok.sqlRawSequences}
+         |SELECT doc_id,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tokens, t -> CAST(t AS BIGINT))),
+         |                   (h, t) -> (h * ${Text.FpBase} + t) % $P) AS roll_fp,
+         |       ${sqlSimhash16("tokens")} AS simhash
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, sha256(text) AS content_hash,
+        |       row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) > 1 AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""${Tok.sqlRawSequences},
+         |sh AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |         list_distinct(${sqlShingles(3)}) AS shset
+         |  FROM raw
+         |), posting AS (
+         |  SELECT id, len(shset) AS n_sh, unnest(shset) AS s FROM sh
+         |), pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+         |  FROM posting a JOIN posting b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+         |FROM pairs WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash" -> {
+      val bands = 8; val rpb = 2
+      val bandKeys = (0 until bands).map { b =>
+        val slice = (0 until rpb).map(r => s"CAST(sig[${b * rpb + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+        s"SELECT id, shset, $b AS band, $slice AS bh FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""${Tok.sqlRawSequences},
+         |sigs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |         list_distinct(${sqlShingles(3)}) AS shset,
+         |         ${sqlMinhashSig(s"list_distinct(${sqlShingles(3)})", bands * rpb)} AS sig
+         |  FROM raw
+         |), banded AS (
+         |  $bandKeys
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |         round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+         |               len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+         |SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""${Tok.sqlRawSequences},
+         |hashed AS (SELECT doc_id, ${sqlSimhash16("tokens")} AS simhash FROM raw)
+         |SELECT simhash, COUNT(*) AS n_docs
+         |FROM hashed GROUP BY simhash HAVING COUNT(*) > 1
+         |ORDER BY simhash""".stripMargin,
+
+    "sim_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |         round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(qv, qv))), 6) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "sim_buckets" -> {
+      val bits = (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      s"""SELECT CAST(${bits.mkString(" + ")} AS INTEGER) AS bucket, COUNT(*) AS n
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+  )
+}
