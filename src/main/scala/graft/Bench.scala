@@ -1,24 +1,119 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "pipeline": {"rows":N,"local8_rows_per_sec":...,"local32_rows_per_sec":...,
+  *               "scaling_efficiency_8_to_32":...}}
+  *
+  * Two parts:
+  *  1. per-query wall time for every registered driver-gate query at
+  *     SPARK_GRAFT_CPUS parallelism (after a warmup run of the flagship);
+  *  2. the north-rule scaling experiment: the SAME flagship parse->enrich->
+  *     route job over an amplified input (deterministic replication of the
+  *     documents table) executed at local[8] and local[32]; reports
+  *     throughput at both plus efficiency = (thr_32 / thr_8) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministic input amplification: replicate each document `reps` times
+    * with distinct doc_ids (the 100 TB stand-in — same per-row work, more
+    * rows). Generated as range x broadcast(docs): fully parallel from the
+    * first task, no single-threaded scan/shuffle warm-up phase.
+    */
+  private def amplified(spark: SparkSession, dir: String, reps: Int, parts: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    spark.range(0, reps, 1, parts).withColumnRenamed("id", "rep")
+      .join(broadcast(docs))
+      .withColumn("doc_id", col("doc_id") * reps + col("rep"))
+      .drop("rep")
+  }
+
+  /** One flagship job: full parse -> enrich -> route with per-sink counts
+    * (forces every row through tokenize + dissect + join + all predicates).
+    */
+  private def pipelineJob(spark: SparkSession, input: DataFrame): Long = {
+    val pipe = StandardPipeline.over(spark, input)
+    // counts query materializes every stage for every row in one pass
+    pipe.counts.collect().map(_.getLong(1)).max
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1600").toInt
+
+    // ---- part 1: scaling experiment FIRST — the sandbox host visibly
+    // degrades under sustained load, so measure parallelism scaling while
+    // the machine is freshest; per-query timings follow. ----
+    // Alternate local[8]/local[32] sessions so pairs share ambient
+    // conditions; efficiency from per-level minima (best-window estimate,
+    // robust to ambient-load bursts), all pairs reported raw.
+    var rowsMeasured = 0L
+    def runAt(n: Int): Double = {
+      val s = session(n)
+      try {
+        // no cache: the job under test includes the scan+amplify map, all
+        // deterministic and identical at both parallelism levels
+        val input = amplified(s, sfDir, reps, 128)
+        rowsMeasured = input.count()
+        pipelineJob(s, input)    // warmup (codegen/JIT)
+        time(pipelineJob(s, input))._2
+      } finally s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val pairs = (1 to 3).map(_ => (runAt(8), runAt(32)))
+    val t8 = pairs.map(_._1).min
+    val t32 = pairs.map(_._2).min
+    val eff = (t8 / t32) / 4.0
+    val rows32 = rowsMeasured
+    val thr8 = rows32 / t8
+    val thr32 = rows32 / t32
+
+    // ---- part 2: registered queries at the requested parallelism ----
+    val spark = session(cpus)
+    pipelineJob(spark, spark.read.parquet(s"$sfDir/documents.parquet")) // warmup (JIT, codegen)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // min of 2 runs, cache cleared between: ambient host load is bursty,
+      // min is the standard noise-robust estimator of true cost
+      val secs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        }._2
+      }
+      name -> secs.min
+    }
+    val total = results.map(_._2).sum
     spark.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val pairsJson = pairs.map(p => f"""[${p._1}%.3f,${p._2}%.3f]""").mkString("[", ",", "]")
+    val pipeline = f"""{"rows":$rows32,"local8_sec":$t8%.3f,"local32_sec":$t32%.3f,""" +
+      f""""local8_rows_per_sec":${thr8.toLong},"local32_rows_per_sec":${thr32.toLong},""" +
+      f""""scaling_pairs_sec":$pairsJson%s,""" +
+      f""""scaling_efficiency_8_to_32":$eff%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline":$pipeline%s}""")
   }
 }

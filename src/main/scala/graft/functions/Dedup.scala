@@ -37,6 +37,8 @@ object Dedup {
     val withSig = df
       .withColumn("_shingles", array_distinct(Text.shingleIds(col(tokensCol), shingleK)))
       .withColumn("_sig", Text.minhashSignature(col("_shingles"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both join sides
+    withSig.count() // eager cache population (see jaccardPairs)
     // band key: (band index, canonical string of the band's signature slice)
     // — a portable key (no engine-specific hash function), still uniform
     // because minhash values are themselves uniform
@@ -49,10 +51,16 @@ object Dedup {
       .select(col("id"), col("_shingles"), col("bk.band"), col("bk.bh"))
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("_shingles").as("sh_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("_shingles").as("sh_b"))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      // dedup candidate pairs across bands BEFORE the exact-jaccard verify
+      // (one verification per pair, not per matching band), then spread:
+      // pairs are byte-small but verify is CPU-heavy, and AQE would coalesce
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .repartition(parallelism, col("id_a"), col("id_b"))
       .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
@@ -65,25 +73,63 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col(idCol))).as("doc_ids"))
       .filter(col("n_docs") > 1)
 
-  /** Exact n-gram Jaccard pairs via shingle inverted index (no LSH
-    * approximation): explode shingles, join on shingle, count shared,
-    * compute |A∩B| / (|A|+|B|-|A∩B|). Quadratic only within a shingle's
-    * posting list — safe for corpora where no shingle is ubiquitous; for
-    * web-scale corpora prefer [[minhashCandidates]].
+  /** Exact n-gram Jaccard pairs via prefix-filtered inverted index
+    * (PPJoin-style set-similarity join; see Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08 — public
+    * literature, no code ported):
+    *
+    *  1. order every document's shingle set by GLOBAL ASCENDING FREQUENCY
+    *     (rarest first) — one groupBy(shingle).count + one join;
+    *  2. index only each set's prefix of length |S| - ceil(t*|S|) + 1: any
+    *     pair with jaccard >= t MUST share a prefix shingle under a common
+    *     global order (prefix-filter theorem), so candidate generation joins
+    *     rare-shingle posting lists instead of ubiquitous ones;
+    *  3. verify candidates with the exact Jaccard over the full sets.
+    *
+    * Same output as a naive inverted-index join, but candidate volume is
+    * bounded by rare-shingle co-occurrence — the property that keeps this
+    * plan alive on web-scale corpora where hot shingles appear in millions
+    * of documents. Hot-key residue in step 2 is handled by AQE skew splits.
     */
   def jaccardPairs(df: DataFrame, tokensCol: String, idCol: String,
                    shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // persist the shingle table: it feeds BOTH sides of the candidate
+    // self-join and both verify joins — Catalyst does not CSE across
+    // self-join branches, so without this the tokenize+shingle stage runs
+    // 4x (at petabyte scale this would be a materialized intermediate table)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(Text.shingleIds(col(tokensCol), shingleK)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager: populate the cache once, BEFORE the self-join branches
+    // race to compute it concurrently (cache population is not synchronized
+    // across stages of one job)
     val posting = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val p2 = posting.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_sh_b"))
-    posting.join(p2, "s")
-      .filter(col("id") < col("id_b"))
-      .groupBy(col("id").as("id_a"), col("id_b"), col("n_sh"), col("n_sh_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_sh") + col("n_sh_b") - col("inter")))
+    val freq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    // rarest-first rank of each shingle within its document
+    val ranked = posting.join(freq, "s")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("df"), col("s"))))
+      // prefix length = |S| - ceil(t*|S|) + 1
+      .filter(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("id"), col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count() // eager for the same reason (feeds both self-join sides)
+    // candidate pairs: both prefixes share a shingle (prefix-filter theorem)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val cand = ranked.select(col("s"), col("id").as("id_a"))
+      .join(ranked.select(col("s"), col("id").as("id_b")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      // candidates are tiny in BYTES but the verify below is CPU-heavy per
+      // row — AQE would coalesce them onto one core; spread them explicitly
+      .repartition(parallelism, col("id_a"), col("id_b"))
+    val sets = sh.select(col("id"), col("sh"), col("n_sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -135,8 +135,16 @@ object Text {
     (0 until 16).map(j => shiftright(x, j) % 2).reduce(_ + _).cast("int")
   }
 
-  /** Jaccard similarity of two arrays (as distinct sets). */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(
-      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double"))
+  /** Jaccard similarity of two DISTINCT-element array<long> columns (sets).
+    * Uses |A∪B| = |A|+|B|-|A∩B| with a single specialized intersect-count
+    * kernel (graft.plans.LongSetIntersectCount) — profiling showed the
+    * built-in array_union/array_intersect composition at ~1ms+/row on
+    * 90-element bigint arrays, dominating dedup verify stages. Callers must
+    * array_distinct their inputs.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = graft.plans.SetExprs.setIntersectCount(a, b)
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
 }

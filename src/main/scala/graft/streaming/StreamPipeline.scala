@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.operators.Route
+
+/** Streaming execution of the same pipeline plans — Logstash's micro-batch
+  * worker loop maps 1:1 onto Structured Streaming (SURVEY.md §2.7):
+  * queue read -> readStream, worker batch -> trigger micro-batch, output
+  * fan-out -> foreachBatch multi-sink writes, aggregate-filter timeout
+  * flush -> flatMapGroupsWithState with ProcessingTimeTimeout.
+  *
+  * Scale stance: foreachBatch persists each micro-batch once and writes all
+  * sinks from it (same single-materialization policy as the batch Route.run);
+  * per-sink counts accumulate via the streaming metrics table rather than
+  * per-sink count() jobs.
+  */
+object StreamPipeline {
+
+  /** Run a transform + fan-out over a file-source stream; each micro-batch is
+    * persisted once, every sink appended, per-batch counts appended to a
+    * `_counts` table (sink, n, batch_id). Returns the running query.
+    */
+  def run(spark: SparkSession, source: DataFrame,
+          transform: DataFrame => DataFrame,
+          sinks: Seq[Route.SinkSpec], outDir: String,
+          checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val flagged = Route.withSinkFlags(transform(batch), sinks)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sinks.foreach { s =>
+            Route.sinkFrame(flagged, s).write.mode("append").parquet(s"$outDir/${s.name}")
+          }
+          Route.sinkCounts(flagged, sinks)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$outDir/_counts")
+          ()
+        } finally { flagged.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** aggregate-filter analogue with timeout flush: correlate events per key,
+    * emit one summary row when the key goes quiet for `timeoutMs` (reference:
+    * the aggregate filter's per-task_id map + periodic flush; here exact via
+    * flatMapGroupsWithState + ProcessingTimeTimeout).
+    */
+  final case class TaskAgg(key: Long, nEvents: Long, totalValue: Double)
+
+  def aggregateWithTimeout(spark: SparkSession, events: DataFrame,
+                           keyCol: String, valueCol: String,
+                           timeoutMs: Long): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col(keyCol).cast("long").as("k"), col(valueCol).cast("double").as("v"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), TaskAgg](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, tot) = state.get
+            state.remove()
+            Iterator(TaskAgg(key, n, tot))
+          } else {
+            val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var t = t0
+            rows.foreach { r => n += 1; t += r._2 }
+            state.update((n, t))
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
+  /** metrics-filter analogue: rolling windowed counters with watermarked
+    * event time (strictly more capable than the reference's wall-clock
+    * flush — Logstash has no event-time reasoning).
+    */
+  def windowedMetrics(events: DataFrame, tsCol: String, nameCol: String,
+                      windowInterval: String = "5 minutes",
+                      watermark: String = "10 minutes"): DataFrame =
+    events
+      // watermarks require TIMESTAMP (with zone); sources often infer NTZ
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowInterval), col(nameCol).as("name"))
+      .agg(count(lit(1)).as("events"))
+}

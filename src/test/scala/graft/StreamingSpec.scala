@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.Tok
+import graft.streaming.StreamPipeline
+
+/** Streaming-mode specs: the same pipeline over a file-source stream must
+  * produce exactly the batch pipeline's per-sink routed rows and counts
+  * (Logstash's micro-batch loop == Structured Streaming micro-batches).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming foreachBatch fan-out == batch fan-out (rows and counts)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // stream source: the documents parquet split into 2 files to force >=1 batch
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.repartition(2).write.parquet(s"$tmp/in")
+
+    val source = spark.readStream.schema(docs.schema).parquet(s"$tmp/in")
+    val q = StreamPipeline.run(
+      spark, source,
+      batch => StandardPipeline.over(spark, batch).trunk,
+      StandardPipeline.sinks.toIndexedSeq,
+      s"$tmp/out", s"$tmp/chk", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val batchCounts = StandardPipeline.over(spark, docs).counts
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamCounts = spark.read.parquet(s"$tmp/out/_counts")
+      .groupBy("sink").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamCounts == batchCounts)
+
+    // routed-row equality for one sink (byte-exact tokens)
+    val batchRows = StandardPipeline.over(spark, docs).sinkFrame("sink_errors")
+      .select(col("doc_id"), Tok.tokStr(col("tokens")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val streamRows = spark.read.parquet(s"$tmp/out/sink_errors")
+      .select(col("doc_id"), Tok.tokStr(col("tokens")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamRows == batchRows)
+  }
+
+  test("aggregate filter with processing-time timeout flushes per-key summaries") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_aggst").toString
+    import spark.implicits._
+    Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDF("user_id", "value")
+      .write.parquet(s"$tmp/in")
+    val src = spark.readStream
+      .schema("user_id LONG, value DOUBLE").parquet(s"$tmp/in")
+    val agg = StreamPipeline.aggregateWithTimeout(spark, src, "user_id", "value", timeoutMs = 10)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("agg_out")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // first batch ingests, later empty batches fire the timeout flush
+      val deadline = System.currentTimeMillis() + 60000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        done = spark.table("agg_out").count() == 2
+      }
+      val rows = spark.table("agg_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows == Map(1L -> (2L, 5.0), 2L -> (1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("windowed metrics with watermark compile and aggregate in streaming mode") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winm").toString
+    spark.read.parquet(s"$sfDir/events.parquet").write.parquet(s"$tmp/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+    val m = StreamPipeline.windowedMetrics(src, "ts", "event_type", "1 hour", "2 hours")
+    val q = m.writeStream.outputMode("append").format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits windows closed by the watermark; with a bounded
+    // file source the final watermark closes all but the tail windows
+    val streamed = spark.table("win_out").agg(sum("events")).collect()(0).getLong(0)
+    val total = spark.read.parquet(s"$tmp/in").count()
+    assert(streamed > 0 && streamed <= total)
+  }
+}
