@@ -62,7 +62,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1600").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3200").toInt
 
     // ---- part 1: scaling experiment FIRST — the sandbox host visibly
     // degrades under sustained load, so measure parallelism scaling while

@@ -35,7 +35,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.EventQueries.queries ++ registry.TextQueries.queries ++ Map(
+    registry.EventQueries.queries ++ registry.TextQueries.queries ++
+      registry.OpsQueries.queries ++ Map(
     // -- sanity: classic aggregation over lineitem (scan + groupBy) --
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -98,7 +99,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    registry.EventQueries.oracleSql ++ registry.TextQueries.oracleSql ++ Map(
+    registry.EventQueries.oracleSql ++ registry.TextQueries.oracleSql ++
+      registry.OpsQueries.oracleSql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,128 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.StandardPipeline
+import graft.conditions._
+import graft.operators.Mutate
+
+/** Queries pinning the conditional-operator semantics (SURVEY.md §2.6) and
+  * the remaining small mutate/codec operators, each with a DuckDB oracle that
+  * spells out the same reference semantics explicitly.
+  */
+object OpsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // every conditional operator class evaluated per-row over the trunk
+    // (nulls present via dict-miss sources) — the EventConditionTest analogue
+    "cond_ops" -> ((s, dir) => {
+      val trunk = StandardPipeline.fromDir(s, dir).trunk
+      def f(c: Cond) = Cond.predicateFor(trunk, c).cast("int")
+      trunk.select(col("doc_id"),
+        f(Eq("tier", "prod")).as("f_eq"),
+        f(Neq("tier", "prod")).as("f_neq_null_true"),     // null tier => TRUE
+        f(Gt("n_tok", 64)).as("f_gt"),
+        f(InConstStr("team", "team-0 and team-1")).as("f_in_substr"),
+        f(ConstInField("rc1", "source")).as("f_const_in_field"),
+        f(InList("n_tok", Seq(64, 65))).as("f_in_list_stringified"),
+        f(Truthy("team")).as("f_truthy"),
+        f(RegexMatch("severity", "^ERR")).as("f_regex"),
+        f(Xor(Eq("severity", "ERROR"), Gt("n_tok", 64))).as("f_xor"),
+        f(Nand(Truthy("team"), Eq("tier", "prod"))).as("f_nand"))
+        .orderBy("doc_id")
+    }),
+
+    // prune: whitelist projection by column-name regex
+    "mut_prune" -> ((s, dir) => {
+      Mutate.prune(StandardPipeline.fromDir(s, dir).trunk,
+        whitelist = Some("doc_id|severity|team"))
+        .orderBy("doc_id")
+    }),
+
+    // sprintf decorator: add_field with %{field} interpolation
+    "mut_sprintf" -> ((s, dir) => {
+      val trunk = StandardPipeline.fromDir(s, dir).trunk
+      Mutate.Decorator(addField = Seq("greeting" -> "sev=%{severity} team=%{team}!"))(trunk)
+        .select(col("doc_id"), col("greeting"))
+        .orderBy("doc_id")
+    }),
+
+    // drop with percentage: deterministic hash-mod sampling (md5 so the
+    // oracle reproduces it bit-for-bit; the operator default is xxhash64)
+    "evt_drop_pct" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      ev.filter(!(col("event_type") === "view" && bucket < 50))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // json codec: parse the props JSON string into typed fields
+    "evt_json" -> ((s, dir) => {
+      graft.operators.Parse.json(
+        s.read.parquet(s"$dir/events.parquet"), "props", "j", "k INT")
+        .select(col("event_id"), col("j.k").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // pipeline-to-pipeline: stage 1 routes to sink_errors, stage 2 consumes
+    // that sink as its input (the reference's pipeline bus re-expressed as
+    // chained plans over an intermediate frame)
+    "pipe_chain" -> ((s, dir) => {
+      val stage1 = StandardPipeline.fromDir(s, dir).sinkFrame("sink_errors")
+      graft.LogPipeline.read(stage1)
+        .mutate(df => df.withColumn("big", (col("n_tok") > 64).cast("int")))
+        .trunk
+        .groupBy("team", "big").agg(count(lit(1)).as("n"))
+        .orderBy("team", "big")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cond_ops" ->
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT doc_id,
+         |  CAST(coalesce(tier = 'prod', FALSE) AS INTEGER) AS f_eq,
+         |  CAST(tier IS DISTINCT FROM 'prod' AS INTEGER) AS f_neq_null_true,
+         |  CAST(coalesce(n_tok > 64, FALSE) AS INTEGER) AS f_gt,
+         |  CAST(coalesce(position(team IN 'team-0 and team-1') > 0, FALSE) AS INTEGER) AS f_in_substr,
+         |  CAST(coalesce(position('rc1' IN source) > 0, FALSE) AS INTEGER) AS f_const_in_field,
+         |  CAST(coalesce(CAST(n_tok AS VARCHAR) IN ('64','65'), FALSE) AS INTEGER) AS f_in_list_stringified,
+         |  CAST((team IS NOT NULL AND team <> '' AND team <> 'false') AS INTEGER) AS f_truthy,
+         |  CAST(coalesce(regexp_matches(severity, '^ERR'), FALSE) AS INTEGER) AS f_regex,
+         |  CAST((coalesce(severity = 'ERROR', FALSE) <> coalesce(n_tok > 64, FALSE)) AS INTEGER) AS f_xor,
+         |  CAST(NOT ((team IS NOT NULL AND team <> '' AND team <> 'false')
+         |            AND coalesce(tier = 'prod', FALSE)) AS INTEGER) AS f_nand
+         |FROM trunk ORDER BY doc_id""".stripMargin,
+
+    "mut_prune" ->
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT doc_id, severity, team FROM trunk ORDER BY doc_id""".stripMargin,
+
+    "mut_sprintf" ->
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT doc_id,
+         |       'sev=' || coalesce(severity, '') || ' team=' || coalesce(team, '') || '!' AS greeting
+         |FROM trunk ORDER BY doc_id""".stripMargin,
+
+    "evt_drop_pct" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events
+        |WHERE NOT (event_type = 'view'
+        |           AND CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 50)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "evt_json" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "pipe_chain" -> {
+      val errPred = StandardPipeline.sqlSinkPreds.head._2
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT team, CAST(n_tok > 64 AS INTEGER) AS big, COUNT(*) AS n
+         |FROM trunk WHERE $errPred
+         |GROUP BY team, big ORDER BY team, big""".stripMargin
+    },
+  )
+}
