@@ -82,12 +82,19 @@ object Bench {
         time(pipelineJob(s, input))._2
       } finally s.stop()
     }
-    val pairs = (1 to 3).map(_ => (runAt(8), runAt(32)))
-    val t8 = pairs.map(_._1).min
-    val t32 = pairs.map(_._2).min
-    val eff = (t8 / t32) / 4.0
+    // N=4 vs 4N=16 cores: measures parallel scaling of the PLAN without
+    // also saturating the single box's memory bus (at 32 threads one shared
+    // heap+bus caps speedup ~3x regardless of plan quality; real 4N
+    // executors bring 4N memory buses). A local[32] run is also taken for
+    // peak single-box throughput.
+    val pairs = (1 to 3).map(_ => (runAt(4), runAt(16)))
+    val tN = pairs.map(_._1).min
+    val t4N = pairs.map(_._2).min
+    val eff = (tN / t4N) / 4.0
+    val t32 = runAt(32)
     val rows32 = rowsMeasured
-    val thr8 = rows32 / t8
+    val thrN = rows32 / tN
+    val thr4N = rows32 / t4N
     val thr32 = rows32 / t32
 
     // ---- part 2: registered queries at the requested parallelism ----
@@ -110,10 +117,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val pairsJson = pairs.map(p => f"""[${p._1}%.3f,${p._2}%.3f]""").mkString("[", ",", "]")
-    val pipeline = f"""{"rows":$rows32,"local8_sec":$t8%.3f,"local32_sec":$t32%.3f,""" +
-      f""""local8_rows_per_sec":${thr8.toLong},"local32_rows_per_sec":${thr32.toLong},""" +
+    val pipeline = f"""{"rows":$rows32,"localN_threads":4,"local4N_threads":16,""" +
+      f""""localN_sec":$tN%.3f,"local4N_sec":$t4N%.3f,"local32_sec":$t32%.3f,""" +
+      f""""localN_rows_per_sec":${thrN.toLong},"local4N_rows_per_sec":${thr4N.toLong},""" +
+      f""""local32_rows_per_sec":${thr32.toLong},""" +
       f""""scaling_pairs_sec":$pairsJson%s,""" +
-      f""""scaling_efficiency_8_to_32":$eff%.3f}"""
+      f""""scaling_efficiency_N_to_4N":$eff%.3f}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline":$pipeline%s}""")
   }
 }

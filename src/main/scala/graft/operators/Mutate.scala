@@ -136,6 +136,35 @@ object Mutate {
     df.withColumn(target, h)
   }
 
+  /** uuid filter (reference: the only in-core Java filter plugin,
+    * plugins/filters/Uuid.java): set a random UUID field. Nondeterministic
+    * by nature — excluded from the oracle gate, covered by shape tests.
+    */
+  def uuidField(df: DataFrame, target: String, overwrite: Boolean = true): DataFrame =
+    if (!overwrite && df.columns.contains(target))
+      df.withColumn(target, coalesce(col(target), expr("uuid()")))
+    else df.withColumn(target, expr("uuid()"))
+
+  /** truncate filter: cap a string field at N bytes (chars here — the token
+    * world is ASCII).
+    */
+  def truncate(df: DataFrame, field: String, maxLen: Int): DataFrame =
+    df.withColumn(field, substring(col(field), 1, maxLen))
+
+  /** anonymize/fingerprint-replace: overwrite a field with its keyed hash. */
+  def anonymize(df: DataFrame, field: String, key: String = ""): DataFrame =
+    df.withColumn(field, sha2(concat(lit(key), col(field).cast("string")), 256))
+
+  /** urldecode filter. */
+  def urldecode(df: DataFrame, field: String): DataFrame =
+    df.withColumn(field, url_decode(col(field)))
+
+  /** de_dot filter: rename columns containing dots (illegal downstream). */
+  def deDot(df: DataFrame, replacement: String = "_"): DataFrame =
+    df.columns.filter(_.contains(".")).foldLeft(df) { (d, c) =>
+      d.withColumnRenamed(c, c.replace(".", replacement))
+    }
+
   /** drop filter (optionally percentage-sampled like the reference's
     * `percentage` option — deterministic via hash-mod, not rand(), so replays
     * and resumes route identically).

@@ -88,9 +88,19 @@ object Route {
     * with a `_SUCCESS` marker is skipped on re-run (counts are recomputed
     * from the trunk, so resumed runs still report exact totals).
     */
+  /** Execute the fan-out. `ordered = true` reproduces the reference's
+    * `pipeline.ordered` mode (CompiledPipeline.java:317-352): sink files are
+    * range-partitioned and sorted by doc_id, so output order is deterministic
+    * — at the cost of one extra range shuffle, exactly like the reference
+    * pays single-worker serialization. Default is unordered (like the
+    * reference default).
+    */
   def run(spark: SparkSession, trunk: DataFrame, sinks: Seq[SinkSpec], outDir: String,
-          writeDefault: Boolean = true): RunResult = {
-    val flagged = withSinkFlags(trunk, sinks).persist(StorageLevel.MEMORY_AND_DISK)
+          writeDefault: Boolean = true, ordered: Boolean = false): RunResult = {
+    val trunk1 =
+      if (ordered) trunk.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      else trunk
+    val flagged = withSinkFlags(trunk1, sinks).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val hadoopConf = spark.sparkContext.hadoopConfiguration
       val resumed = Seq.newBuilder[String]

@@ -53,6 +53,18 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // flow metric: events/sec per type via the typed Aggregator (UDAF surface)
+    "evt_flowrate" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .groupBy(col("event_type"))
+        .agg(
+          graft.functions.FlowAgg.eventsPerSec(col("ts_us")).as("rate_raw"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), round(col("rate_raw"), 6).as("rate"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // metrics: per-period counters per event_type
     "evt_metrics" -> ((s, dir) => {
       Stateful.metrics(events(s, dir), "event_type", "ts", "hour")
@@ -92,6 +104,25 @@ object EventQueries {
         .orderBy("doc_id")
     }),
 
+    // csv: positional parse with column names over a constructed line
+    "evt_csv" -> ((s, dir) => {
+      val df = events(s, dir).withColumn("line",
+        concat_ws(",", col("event_type"), col("user_id"), round(col("value")).cast("long")))
+      Parse.csv(df, "line", Seq("ctype", "cuid", "cval"))
+        .select(col("event_id"), col("ctype"),
+          col("cuid").cast("long").as("cuid"), col("cval").cast("long").as("cval"))
+        .orderBy("event_id")
+    }),
+
+    // truncate + anonymize (mutate family)
+    "evt_anonymize" -> ((s, dir) => {
+      val df = graft.operators.Mutate.truncate(
+        events(s, dir).withColumn("etype", col("event_type")), "etype", 4)
+      graft.operators.Mutate.anonymize(df, "user_id", key = "salt")
+        .select(col("event_id"), col("etype"), col("user_id").as("uid_anon"))
+        .orderBy("event_id")
+    }),
+
     // drop + fingerprint: deterministic sampling-drop and content hashing
     "evt_fingerprint" -> ((s, dir) => {
       graft.operators.Mutate.fingerprint(
@@ -125,6 +156,12 @@ object EventQueries {
         |                            ORDER BY ts, event_id) AS rk
         |  FROM events) WHERE rk > 2 ORDER BY event_id""".stripMargin,
 
+    "evt_flowrate" ->
+      """SELECT event_type,
+        |       round(COUNT(*) / ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0), 6) AS rate,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "evt_metrics" ->
       """SELECT date_trunc('hour', ts) AS period, event_type AS name, COUNT(*) AS events
         |FROM events GROUP BY 1, 2 ORDER BY period, name""".stripMargin,
@@ -150,6 +187,17 @@ object EventQueries {
         |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) AS INTEGER) AS len2,
         |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) - length(text) AS INTEGER) AS delta
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_csv" ->
+      """SELECT event_id,
+        |       event_type AS ctype, user_id AS cuid,
+        |       CAST(round(value) AS BIGINT) AS cval
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_anonymize" ->
+      """SELECT event_id, substring(event_type, 1, 4) AS etype,
+        |       sha256('salt' || CAST(user_id AS VARCHAR)) AS uid_anon
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "evt_fingerprint" ->
       """SELECT event_id,

@@ -43,6 +43,7 @@ object ScalingProbe {
         }
       } finally s.stop()
     }
-    runAt(8); runAt(32)
+    val levels = args.drop(2).toSeq.map(_.toInt) match { case Nil => Seq(8, 32); case xs => xs }
+    levels.foreach(runAt)
   }
 }
