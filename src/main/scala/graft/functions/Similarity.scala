@@ -58,6 +58,97 @@ object Similarity {
       embCol, idCol, query, k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path. A coarse quantizer of
+  // C centroids partitions vectors into inverted lists (list_id = nearest
+  // centroid); a query probes only the nprobe nearest lists. At cluster
+  // scale the lists are the partition key of the index table, so a query
+  // scans nprobe/C of the data; the assignment itself is a narrow
+  // broadcast-centroids map (no shuffle).
+  // ------------------------------------------------------------------
+
+  /** Deterministic coarse centroids: the embeddings of the first `c` ids.
+    * (Lloyd refinement via [[ivfTrain]] is optional — IVF correctness only
+    * needs SOME fixed quantizer; recall improves with training.)
+    */
+  def ivfCentroids(embeddings: DataFrame, embCol: String, idCol: String, c: Int): Seq[(Long, Array[Float])] =
+    embeddings.filter(col(idCol) >= 1 && col(idCol) <= c)
+      .select(col(idCol).cast("long"), col(embCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+
+  private def cosSeq(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** Assign each vector its inverted-list id = argmax-cosine centroid
+    * (ties -> lowest centroid id). One narrow projection over broadcast
+    * centroid literals; sims rounded to 6dp so assignment is reproducible
+    * across engines.
+    */
+  def ivfAssign(embeddings: DataFrame, embCol: String,
+                centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (cid, cv) =>
+      struct(round(cosine(col(embCol), typedLit(cv.toSeq)), 6).as("s"),
+        lit(-cid).as("negc"))
+    }
+    embeddings.withColumn("list_id", (-greatest(scored: _*).getField("negc")).cast("long"))
+  }
+
+  /** IVF query: rank centroids vs the query on the driver (same fold, same
+    * 6dp rounding), probe the top `nprobe` lists, exact cosine top-k within.
+    */
+  def ivfTopK(embeddings: DataFrame, embCol: String, idCol: String,
+              centroids: Seq[(Long, Array[Float])], query: Array[Float],
+              k: Int, nprobe: Int): DataFrame = {
+    val probed = centroids
+      .map { case (cid, cv) => (cid, math.rint(cosSeq(cv, query) * 1e6) / 1e6) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+    val assigned = ivfAssign(embeddings, embCol, centroids)
+      .filter(col("list_id").isin(probed: _*))
+    assigned.select(col(idCol), col("list_id"),
+        round(cosine(col(embCol), typedLit(query.toSeq)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Build a partitioned IVF index table: assign + write partitioned by
+    * `list_id`, so probe filters prune partitions at the source. Returns the
+    * reader frame.
+    */
+  def ivfBuild(embeddings: DataFrame, embCol: String,
+               centroids: Seq[(Long, Array[Float])], path: String): Unit =
+    ivfAssign(embeddings, embCol, centroids)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Lloyd refinement of the coarse quantizer (k-means, `iters` rounds):
+    * assign -> per-list per-dimension mean -> new centroids. Runs on a
+    * sample at scale (training is offline); each round is one posexplode +
+    * groupBy over rows x dims.
+    */
+  def ivfTrain(embeddings: DataFrame, embCol: String,
+               init: Seq[(Long, Array[Float])], iters: Int): Seq[(Long, Array[Float])] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val updated = ivfAssign(embeddings, embCol, cents)
+        .select(col("list_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("list_id", "pos").agg(avg("v").as("mean"))
+        .groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("ps"))
+        .select(col("list_id"), transform(col("ps"), p => p.getField("mean").cast("float")).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      // empty lists keep their previous centroid (standard Lloyd convention)
+      cents = cents.map { case (cid, cv) => (cid, updated.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
   /** All-pairs candidate generation within sign buckets (ANN join for
     * embedding near-dup detection): bucket -> self-join -> exact cosine.
     */

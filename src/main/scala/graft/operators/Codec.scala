@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Codec stage — byte/line framing re-expressed over columns (SURVEY.md
+  * §2.1: codecs line / json_lines / multiline). In the reference a codec
+  * turns a byte stream into events before the queue; here the durable table
+  * is already framed, so codecs are narrow transforms that re-frame a text
+  * column (split / parse / reassemble).
+  */
+object Codec {
+
+  /** line codec (reference plugins/codecs/Line.java:53-140 semantics): split
+    * a blob on the delimiter, one event per line, trailing delimiter
+    * stripped (split drops no inner empties; a trailing empty element is the
+    * trailing-delimiter artifact and is filtered like the reference does).
+    */
+  def lines(df: DataFrame, source: String, target: String = "line",
+            delimiter: String = "\n"): DataFrame = {
+    val parts = split(col(source), java.util.regex.Pattern.quote(delimiter), -1)
+    // strip the empty tail produced by a trailing delimiter, keep inner empties
+    val trimmed = when(element_at(parts, -1) === "", slice(parts, lit(1), size(parts) - 1))
+      .otherwise(parts)
+    df.withColumn(target, explode(trimmed))
+  }
+
+  /** json_lines codec: one JSON document per line -> one parsed event per
+    * line (line framing + json codec composed, like the reference).
+    */
+  def jsonLines(df: DataFrame, source: String, schemaDdl: String,
+                target: String = "parsed", delimiter: String = "\n"): DataFrame =
+    lines(df, source, "_jl_line", delimiter)
+      .withColumn(target,
+        from_json(col("_jl_line"), org.apache.spark.sql.types.DataType.fromDDL(schemaDdl)))
+      .drop("_jl_line")
+
+  /** multiline codec: reassemble continuation lines into their head line's
+    * event (reference multiline codec `what => previous` mode: a line
+    * matching the continuation predicate belongs to the previous event).
+    *
+    * One window pass assigns group ids (running count of head lines per
+    * stream), one grouped aggregation reassembles — both shuffle on the
+    * stream key, the natural partitioning; reassembly order inside a group
+    * is pinned by `orderCol` via sorted structs, not collect order.
+    */
+  def multiline(df: DataFrame, lineCol: String, orderCol: String,
+                streamCol: String, isContinuation: Column): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+    df.withColumn("_head", when(isContinuation, lit(0)).otherwise(lit(1)))
+      .withColumn("event_group", sum(col("_head")).over(w))
+      .groupBy(col(streamCol), col("event_group"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("o"), col(lineCol).as("l")))),
+            s => s.getField("l")),
+          "\n").as("msg"),
+        count(lit(1)).as("n_lines"))
+      .drop("_head")
+  }
+}

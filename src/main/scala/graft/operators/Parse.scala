@@ -67,8 +67,24 @@ object Parse {
     "DATA" -> ".*?",
     "GREEDYDATA" -> ".*",
     "INT" -> "[+-]?\\d+",
+    "POSINT" -> "[1-9]\\d*",
+    "NONNEGINT" -> "\\d+",
     "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "BASE10NUM" -> "[+-]?(?:\\d+(?:\\.\\d+)?|\\.\\d+)",
+    "BASE16NUM" -> "(?:0[xX])?[0-9a-fA-F]+",
     "IP" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "HOSTNAME" -> "[a-zA-Z0-9](?:[a-zA-Z0-9_-]*[a-zA-Z0-9])?(?:\\.[a-zA-Z0-9](?:[a-zA-Z0-9_-]*[a-zA-Z0-9])?)*",
+    "IPORHOST" -> "(?:\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}|[a-zA-Z0-9][a-zA-Z0-9._-]*)",
+    "USERNAME" -> "[a-zA-Z0-9._-]+",
+    "USER" -> "[a-zA-Z0-9._-]+",
+    "EMAILADDRESS" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+",
+    "UUID" -> "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "MAC" -> "(?:[0-9a-fA-F]{2}[:-]){5}[0-9a-fA-F]{2}",
+    "QUOTEDSTRING" -> "\"[^\"]*\"|'[^']*'",
+    "URIPATH" -> "(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_&-]*)+",
+    "PROG" -> "[a-zA-Z0-9._/%-]+",
+    "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2}",
+    "HTTPDATE" -> "\\d{2}/[A-Z][a-z]{2}/\\d{4}:\\d{2}:\\d{2}:\\d{2} [+-]\\d{4}",
     "LOGLEVEL" -> "INFO|WARN|ERROR|DEBUG|TRACE|FATAL",
     "TIMESTAMP_ISO8601" -> "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?")
 
@@ -103,6 +119,12 @@ object Parse {
     GrokSpec(sb.toString, fields.result())
   }
 
+  private def coerce(raw: Column, typ: Option[String]): Column = typ match {
+    case Some("int")   => raw.cast("long")
+    case Some("float") => raw.cast("double")
+    case _             => raw
+  }
+
   /** Apply a grok match to a string column: one `regexp_extract` per capture
     * (all codegen'd; the regex is compiled once per task by Catalyst), empty
     * match => null fields + `_grokparsefailure` appended to `tags`.
@@ -111,15 +133,36 @@ object Parse {
     val spec = compileGrok(pattern)
     val matched = coalesce(col(source).rlike(spec.regex), lit(false))
     val withFields = spec.fields.foldLeft(df) { case (d, f) =>
-      val raw = regexp_extract(col(source), spec.regex, f.group)
-      val v = f.typ match {
-        case Some("int")   => raw.cast("long")
-        case Some("float") => raw.cast("double")
-        case _             => raw
-      }
-      d.withColumn(f.name, when(matched, v))
+      d.withColumn(f.name,
+        when(matched, coerce(regexp_extract(col(source), spec.regex, f.group), f.typ)))
     }
     Mutate.addTagWhen(withFields, !matched, "_grokparsefailure")
+  }
+
+  /** Multi-pattern grok (reference `match => { field => [p1, p2, ...] }`
+    * with default `break_on_match => true`): patterns tried in order, the
+    * FIRST match wins and only its captures are applied; `_grokparsefailure`
+    * only when none match. Still one narrow codegen'd projection — the
+    * "winner" logic is a boolean cascade, not N passes over the data.
+    */
+  def grokMulti(df: DataFrame, source: String, patterns: Seq[String]): DataFrame = {
+    val specs = patterns.map(compileGrok)
+    val matches = specs.map(s => coalesce(col(source).rlike(s.regex), lit(false)))
+    val anyMatch = matches.reduce(_ || _)
+    // isWinner(i) = pattern i matches and no earlier pattern does
+    val isWinner = matches.zipWithIndex.map { case (m, i) =>
+      matches.take(i).foldLeft(m)((acc, prev) => acc && !prev)
+    }
+    val fieldNames = specs.flatMap(_.fields.map(_.name)).distinct
+    val withFields = fieldNames.foldLeft(df) { (d, fname) =>
+      val cases = specs.zipWithIndex.flatMap { case (s, i) =>
+        s.fields.find(_.name == fname).map { f =>
+          when(isWinner(i), coerce(regexp_extract(col(source), s.regex, f.group), f.typ))
+        }
+      }
+      d.withColumn(fname, coalesce(cases: _*))
+    }
+    Mutate.addTagWhen(withFields, !anyMatch, "_grokparsefailure")
   }
 
   // ------------------------------------------------------------------

@@ -81,7 +81,47 @@ object Route {
   }
 
   final case class RunResult(counts: Map[String, Long], sinkPaths: Map[String, String],
-                             resumedSinks: Seq[String])
+                             resumedSinks: Seq[String], manifestPath: String = "")
+
+  /** Iceberg-snapshot-style manifest chain: every run() appends
+    * `_manifests/manifest-<k>.json` (k monotonically increasing, parent = k-1)
+    * recording per-sink counts, sink paths and which sinks were resumed
+    * (skipped because already committed). The latest manifest is the commit
+    * point; a resumed run is auditable as a child snapshot whose `resumed`
+    * list explains what it did NOT rewrite. Driver-side, one tiny file —
+    * no data-path cost.
+    */
+  private def writeManifest(spark: SparkSession, outDir: String,
+                            counts: Map[String, Long], paths: Map[String, String],
+                            resumed: Seq[String]): String = {
+    val dir = new org.apache.hadoop.fs.Path(outDir, "_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val Id = "manifest-(\\d+)\\.json".r
+    val prev = fs.listStatus(dir).map(_.getPath.getName).collect { case Id(n) => n.toLong }
+    val next = if (prev.isEmpty) 0L else prev.max + 1
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json =
+      s"""{"snapshot_id":$next,"parent_id":${if (next == 0) "null" else next - 1},
+         |"counts":{${counts.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")}},
+         |"sinks":{${paths.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")}},
+         |"resumed":[${resumed.sorted.map(jstr).mkString(",")}]}""".stripMargin
+    val p = new org.apache.hadoop.fs.Path(dir, f"manifest-$next%06d.json")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    p.toString
+  }
+
+  /** Latest committed manifest JSON for an output dir, if any run completed. */
+  def latestManifest(spark: SparkSession, outDir: String): Option[String] = {
+    val dir = new org.apache.hadoop.fs.Path(outDir, "_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath).sortBy(_.getName).lastOption.map { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+  }
 
   /** Execute the fan-out: persist trunk, write every sink + default + dlq +
     * lineage + counts to `outDir`. Idempotent/resumable: a sink directory
@@ -119,7 +159,8 @@ object Route {
       val countsDf = sinkCounts(flagged, sinks)
       countsDf.write.mode("overwrite").parquet(s"$outDir/_counts")
       val counts = countsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      RunResult(counts, paths, resumed.result())
+      val manifest = writeManifest(spark, outDir, counts, paths, resumed.result())
+      RunResult(counts, paths, resumed.result(), manifest)
     } finally flagged.unpersist()
   }
 }

@@ -23,6 +23,22 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // grok multi-match: two line shapes + a no-match shape; first pattern
+    // wins (break_on_match), misses tagged _grokparsefailure
+    "evt_grok_multi" -> ((s, dir) => {
+      val df = events(s, dir).withColumn("line",
+        when(col("event_id") % 7 === 0, lit("~~~"))
+          .when(col("event_id") % 2 === 0,
+            concat(lit("uid="), col("user_id"), lit(" act="), col("event_type")))
+          .otherwise(concat(col("event_type"), lit("/"), col("user_id"))))
+      Parse.grokMulti(df, "line", Seq(
+          "uid=%{INT:uid:int} act=%{WORD:act}",
+          "%{WORD:act}/%{INT:uid:int}"))
+        .select(col("event_id"), col("act"), col("uid"),
+          array_contains(col("tags"), "_grokparsefailure").as("grokfail"))
+        .orderBy("event_id")
+    }),
+
     // kv: k=v pair extraction into a map, then field access
     "evt_kv" -> ((s, dir) => {
       val df = events(s, dir).withColumn("kvline",
@@ -104,6 +120,15 @@ object EventQueries {
         .orderBy("doc_id")
     }),
 
+    // multiline codec: continuation lines (event_type=click) reassembled
+    // into the previous event, per user stream
+    "evt_multiline" -> ((s, dir) => {
+      graft.operators.Codec.multiline(events(s, dir), "props", "event_id", "user_id",
+          col("event_type") === "click")
+        .select(col("user_id"), col("event_group"), col("msg"), col("n_lines"))
+        .orderBy("user_id", "event_group")
+    }),
+
     // csv: positional parse with column names over a constructed line
     "evt_csv" -> ((s, dir) => {
       val df = events(s, dir).withColumn("line",
@@ -138,6 +163,13 @@ object EventQueries {
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1) AS BIGINT) AS k,
         |       CASE WHEN regexp_matches(props, '"k": [+-]?\d+') THEN 0 ELSE 1 END AS n_tags
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_grok_multi" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS act,
+        |       CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid,
+        |       event_id % 7 = 0 AS grokfail
         |FROM events ORDER BY event_id""".stripMargin,
 
     "evt_kv" ->
@@ -187,6 +219,18 @@ object EventQueries {
         |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) AS INTEGER) AS len2,
         |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) - length(text) AS INTEGER) AS delta
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_multiline" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, props,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)
+        |           OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS event_group
+        |  FROM events)
+        |SELECT user_id, event_group,
+        |       string_agg(props, chr(10) ORDER BY event_id) AS msg,
+        |       COUNT(*) AS n_lines
+        |FROM g GROUP BY user_id, event_group
+        |ORDER BY user_id, event_group""".stripMargin,
 
     "evt_csv" ->
       """SELECT event_id,

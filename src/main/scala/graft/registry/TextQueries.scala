@@ -118,6 +118,17 @@ object TextQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // IVF ANN: 8 coarse centroids (vec_id 1..8), probe 2 lists, top-10
+    "sim_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      Similarity.ivfTopK(e.filter(col("vec_id") > 8), "embedding", "vec_id",
+          cents, q, k = 10, nprobe = 2)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // sign-LSH bucket histogram (the ANN partition key)
     "sim_buckets" -> ((s, dir) => {
       embs(s, dir)
@@ -235,6 +246,32 @@ object TextQueries {
         |                sqrt(list_dot_product(qv, qv))), 6) AS sim
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "sim_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |         FROM embeddings WHERE vec_id > 8),
+        |asg AS (
+        |  SELECT vec_id, ev, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY
+        |           round(list_dot_product(ev, cv) /
+        |                 (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+        |           cid) AS rk
+        |  FROM base, cent),
+        |lists AS (SELECT vec_id, ev, cid AS list_id FROM asg WHERE rk = 1),
+        |probes AS (
+        |  SELECT cid FROM cent, q
+        |  ORDER BY round(list_dot_product(cv, qv) /
+        |                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC, cid
+        |  LIMIT 2)
+        |SELECT vec_id, list_id,
+        |       round(list_dot_product(ev, qv) /
+        |             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        |FROM lists, q WHERE list_id IN (SELECT cid FROM probes)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_buckets" -> {
       val bits = (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")

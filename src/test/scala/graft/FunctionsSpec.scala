@@ -93,4 +93,50 @@ class FunctionsSpec extends SparkSpec {
       .agg(min("q"), max("q")).collect()(0)
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
+
+  test("IVF: assignment total, probe subset of brute-force, index partition-pruned") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(embs, "embedding", "vec_id", 8)
+    assert(cents.map(_._1) == (1L to 8L))
+    // every vector lands in exactly one list
+    val assigned = Similarity.ivfAssign(embs, "embedding", cents)
+    assert(assigned.filter(col("list_id").isNull).count() == 0)
+    assert(assigned.count() == embs.count())
+    // ivf results: each returned row's exact sim appears in brute-force order
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val db = embs.filter(col("vec_id") > 8)
+    val ivf = Similarity.ivfTopK(db, "embedding", "vec_id", cents, q, 10, nprobe = 2).collect()
+    val brute = Similarity.topK(db, "embedding", "vec_id", q.toSeq, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.length == 10)
+    ivf.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(2))) // same exact sims
+    // probing ALL lists == brute force exactly (IVF is exact at nprobe=C)
+    val full = Similarity.ivfTopK(db, "embedding", "vec_id", cents, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val bruteIds = Similarity.topK(db, "embedding", "vec_id", q.toSeq, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == bruteIds)
+    // partitioned index: probe filter prunes partitions at the scan
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfBuild(embs, "embedding", cents, idx)
+    val reader = spark.read.parquet(idx).filter(col("list_id") === cents.head._1)
+    val scan = reader.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(list_id"), scan.take(500))
+  }
+
+  test("IVF Lloyd training keeps centroid count and improves/holds distortion") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val init = Similarity.ivfCentroids(embs, "embedding", "vec_id", 4)
+    val trained = Similarity.ivfTrain(embs, "embedding", init, iters = 2)
+    assert(trained.map(_._1) == init.map(_._1))
+    assert(trained.forall(_._2.length == 64))
+    // mean best-cosine (higher = tighter lists) should not degrade
+    def meanBest(cs: Seq[(Long, Array[Float])]): Double = {
+      val scored = cs.map { case (_, cv) =>
+        Similarity.cosine(col("embedding"), typedLit(cv.toSeq)) }
+      embs.select(greatest(scored: _*).as("best")).agg(avg("best")).collect()(0).getDouble(0)
+    }
+    assert(meanBest(trained) >= meanBest(init) - 1e-9)
+  }
 }

@@ -50,6 +50,89 @@ class MiscOpsSpec extends SparkSpec {
     assert(one.agg(graft.functions.FlowAgg.eventsPerSec(col("ts_us"))).collect()(0).getDouble(0) == 0.0)
   }
 
+  test("grokMulti: break_on_match — first matching pattern wins, no-match tags") {
+    import spark.implicits._
+    // line 1 matches BOTH patterns with different captures -> p1 must win;
+    // line 2 matches only p2; line 3 matches neither.
+    val df = Seq("code=42 name=alpha", "beta 7", "???").toDF("line")
+    val out = graft.operators.Parse.grokMulti(df, "line", Seq(
+      "code=%{INT:num:int} name=%{WORD:name}",
+      "%{WORD:name} %{INT:num:int}")).collect()
+    assert(out(0).getAs[String]("name") == "alpha" && out(0).getAs[Long]("num") == 42L)
+    assert(out(1).getAs[String]("name") == "beta" && out(1).getAs[Long]("num") == 7L)
+    assert(out(2).getAs[String]("name") == null)
+    def tags(r: org.apache.spark.sql.Row) = r.getSeq[String](r.fieldIndex("tags")).toList
+    assert(tags(out(2)) == List("_grokparsefailure"))
+    assert(tags(out(0)).isEmpty)
+  }
+
+  test("expanded grok pattern library entries compile and match") {
+    import spark.implicits._
+    val df = Seq("host web-01.prod.example.com user bob_1 id 550e8400-e29b-41d4-a716-446655440000 path /api/v2/x").toDF("line")
+    val out = graft.operators.Parse.grok(df, "line",
+      "host %{HOSTNAME:h} user %{USERNAME:u} id %{UUID:id} path %{URIPATH:p}").collect()(0)
+    assert(out.getAs[String]("h") == "web-01.prod.example.com")
+    assert(out.getAs[String]("u") == "bob_1")
+    assert(out.getAs[String]("id").startsWith("550e8400"))
+    assert(out.getAs[String]("p") == "/api/v2/x")
+  }
+
+  test("manifest chain: each run appends a snapshot; resumed run records skips") {
+    val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val pipe = StandardPipeline.fromDir(spark, sfDir)
+    val r1 = Route.run(spark, pipe.trunk, StandardPipeline.sinks.toIndexedSeq, out)
+    assert(r1.resumedSinks.isEmpty && r1.manifestPath.contains("manifest-000000"))
+    val r2 = Route.run(spark, pipe.trunk, StandardPipeline.sinks.toIndexedSeq, out)
+    assert(r2.manifestPath.contains("manifest-000001"))
+    assert(r2.resumedSinks.nonEmpty) // all sinks already committed
+    assert(r2.counts == r1.counts)   // counts recomputed, identical
+    val latest = Route.latestManifest(spark, out).get
+    assert(latest.contains("\"snapshot_id\":1") && latest.contains("\"parent_id\":0"))
+    assert(latest.contains("sink_teamA"))
+  }
+
+  test("line codec: trailing delimiter stripped, inner empties kept; json_lines parses per line") {
+    import spark.implicits._
+    val df = Seq("a\nb\n\nc\n", "x").toDF("blob")
+    val got = graft.operators.Codec.lines(df, "blob").select("line")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a", "b", "", "c", "x"))
+    val jl = Seq("""{"k":1}""" + "\n" + """{"k":2}""").toDF("blob")
+    val ks = graft.operators.Codec.jsonLines(jl, "blob", "k INT")
+      .select("parsed.k").collect().map(_.getInt(0)).toSeq
+    assert(ks == Seq(1, 2))
+  }
+
+  test("multiline codec: continuation lines fold into previous event in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "head1", false), (1L, 2L, " cont", true), (1L, 3L, " more", true),
+      (1L, 4L, "head2", false), (2L, 5L, "other", false))
+      .toDF("stream", "line_no", "line", "cont")
+    val out = graft.operators.Codec.multiline(df, "line", "line_no", "stream", col("cont"))
+      .orderBy("stream", "event_group").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[String]("msg"), r.getLong(3))).toSeq == Seq(
+      (1L, "head1\n cont\n more", 3L), (1L, "head2", 1L), (2L, "other", 1L)))
+  }
+
+  test("salted lookup == broadcast lookup on a planted-skew key (F1 fixture)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // plant skew: 60% of rows forced onto one hot source value
+    val skewed = docs.withColumn("source",
+      when(pmod(xxhash64(col("doc_id")), lit(10)) < 6, lit("src0")).otherwise(col("source")))
+    val dict = StandardPipeline.dictDf(spark)
+    val a = graft.operators.Enrich.lookup(skewed, dict, "source")
+      .select("doc_id", "team", "tier")
+    val b = graft.operators.Enrich.saltedLookup(skewed, dict, "source", salt = 8)
+      .select("doc_id", "team", "tier")
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // the hot key really is hot (fixture sanity)
+    val hot = skewed.filter(col("source") === "src0").count().toDouble / docs.count()
+    assert(hot > 0.5)
+  }
+
   test("VocabTokenize kernel is byte-identical to the built-in composition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(
