@@ -26,6 +26,17 @@ object Enrich {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** translate's file-backed dictionary forms (reference: dictionary_path =>
+    * CSV/JSON/YAML): load the dimension table from a file. CSV expects a
+    * header row; JSON expects one object per line (json_lines). YAML is out
+    * of scope (no parser in the stock Spark classpath) — pre-convert.
+    */
+  def dictFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  def dictFromJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** translate filter: left broadcast lookup; miss => null enrich columns
     * (or `fallback` literals when provided).
     */

@@ -17,17 +17,33 @@ object Mutate {
   // Reference: StringInterpolation.java:66-137. v0 scope: %{field} and
   // literals (SURVEY.md §7.3); unresolved refs stay literal like the reference.
 
-  private val Ref = "%\\{(\\w+)\\}".r
+  // %{{java-format}} | %{+%s} | %{field}  (StringInterpolation.java:66-137:
+  // java.time pattern on @timestamp, epoch seconds, field ref)
+  private val Ref = "%\\{\\{([^}]+)\\}\\}|%\\{\\+%s\\}|%\\{(\\w+)\\}".r
 
-  def sprintf(template: String, columns: Set[String]): Column = {
+  def sprintf(template: String, columns: Set[String],
+              tsCol: Option[String] = None): Column = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
     var last = 0
     for (m <- Ref.findAllMatchIn(template)) {
       if (m.start > last) parts += lit(template.substring(last, m.start))
-      val f = m.group(1)
-      // unresolved (unknown column) refs are left literal, like the reference
-      parts += (if (columns.contains(f)) coalesce(col(f).cast("string"), lit(""))
-                else lit(m.matched))
+      parts += (Option(m.group(1)) match {
+        case Some(javaFmt) => // %{{pattern}}: java.time format of the event timestamp
+          tsCol match {
+            case Some(ts) => coalesce(date_format(col(ts), javaFmt), lit(""))
+            case None     => lit(m.matched) // no timestamp column -> literal
+          }
+        case None if m.matched == "%{+%s}" => // epoch seconds
+          tsCol match {
+            case Some(ts) => coalesce(unix_timestamp(col(ts)).cast("string"), lit(""))
+            case None     => lit(m.matched)
+          }
+        case None =>
+          val f = m.group(2)
+          // unresolved (unknown column) refs are left literal, like the reference
+          if (columns.contains(f)) coalesce(col(f).cast("string"), lit(""))
+          else lit(m.matched)
+      })
       last = m.end
     }
     if (last < template.length) parts += lit(template.substring(last))

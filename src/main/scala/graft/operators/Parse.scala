@@ -46,11 +46,22 @@ object Parse {
     when(m === 0, "INFO").when(m === 1, "WARN").otherwise("ERROR")
   }
 
-  /** String-side dissect: `%{a} %{b} %{rest}`-style positional split. */
+  /** String-side dissect: `%{a} %{b} %{rest}`-style positional split.
+    * Name forms follow the reference dissect key syntax: `_` (or empty) is a
+    * skip key (`%{}`), a `+`-prefixed name is an append key (`%{+ts}` —
+    * value joined onto the existing field with the separator).
+    */
   def dissectString(df: DataFrame, source: String, sep: String, names: Seq[String]): DataFrame = {
     val parts = split(col(source), java.util.regex.Pattern.quote(sep))
     names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
-      if (n == "_") d else d.withColumn(n, element_at(parts, i + 1))
+      val part = element_at(parts, i + 1)
+      if (n == "_" || n.isEmpty) d
+      else if (n.startsWith("+")) {
+        val base = n.drop(1)
+        d.withColumn(base,
+          if (d.columns.contains(base)) concat_ws(sep, col(base), part) else part)
+      }
+      else d.withColumn(n, part)
     }
   }
 

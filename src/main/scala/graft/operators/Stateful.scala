@@ -28,6 +28,23 @@ object Stateful {
       .drop("_rank_in_period")
   }
 
+  /** throttle with the reference's full before/after window: events ranked
+    * within (key, period); throttled when rank < `beforeCount` (still warming
+    * up) or rank > `afterCount` (rate exceeded) — the reference tags both
+    * edges so downstream can pass only the [before, after] band.
+    */
+  def throttleRange(df: DataFrame, keyCol: String, tsCol: String,
+                    period: String, beforeCount: Int, afterCount: Int,
+                    orderCols: Seq[String] = Nil): DataFrame = {
+    val periodCol = date_trunc(period, col(tsCol))
+    val order = (col(tsCol) +: orderCols.map(col)).toIndexedSeq
+    val w = Window.partitionBy(col(keyCol), periodCol).orderBy(order: _*)
+    df.withColumn("_rank_in_period", row_number().over(w))
+      .withColumn("throttled",
+        col("_rank_in_period") < beforeCount || col("_rank_in_period") > afterCount)
+      .drop("_rank_in_period")
+  }
+
   /** metrics filter: rolling per-period counters per named field value —
     * flushed as synthetic (period, name, count, rate) rows.
     */

@@ -120,6 +120,21 @@ object EventQueries {
         .orderBy("doc_id")
     }),
 
+    // syslog_pri decompose + cidr block membership over synthesized pri/ip
+    "evt_net" -> ((s, dir) => {
+      val df = events(s, dir)
+        .withColumn("pri", col("user_id") % 192)
+        .withColumn("ip", concat_ws(".", lit("10"),
+          (col("user_id") % 100).cast("string"),
+          (col("event_id") % 256).cast("string"),
+          (col("user_id") % 256).cast("string")))
+      df.select(col("event_id"),
+          graft.operators.Net.syslogSeverity(col("pri")).as("sev"),
+          graft.operators.Net.syslogFacility(col("pri")).as("fac"),
+          graft.operators.Net.cidrContains(col("ip"), "10.50.0.0/16").as("in_block"))
+        .orderBy("event_id")
+    }),
+
     // multiline codec: continuation lines (event_type=click) reassembled
     // into the previous event, per user stream
     "evt_multiline" -> ((s, dir) => {
@@ -219,6 +234,13 @@ object EventQueries {
         |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) AS INTEGER) AS len2,
         |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) - length(text) AS INTEGER) AS delta
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_net" ->
+      """SELECT event_id,
+        |       CAST((user_id % 192) % 8 AS INTEGER) AS sev,
+        |       CAST((user_id % 192) // 8 AS INTEGER) AS fac,
+        |       (user_id % 100) = 50 AS in_block
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "evt_multiline" ->
       """WITH g AS (

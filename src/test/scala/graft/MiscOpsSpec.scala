@@ -133,6 +133,66 @@ class MiscOpsSpec extends SparkSpec {
     assert(hot > 0.5)
   }
 
+  test("sprintf: %{+%s} epoch, %{{java-format}}, unresolved refs stay literal") {
+    import spark.implicits._
+    val df = Seq("2024-01-02 03:04:05").toDF("tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = df.select(Mutate.sprintf(
+      "at=%{+%s} day=%{{yyyy-MM-dd}} who=%{missing}", Set("ts"), Some("ts")).as("s"))
+      .collect()(0).getString(0)
+    assert(got.matches("at=\\d+ day=2024-01-02 who=%\\{missing\\}"), got)
+    // without a tsCol the time forms stay literal (reference leaves unresolvable refs)
+    val lit0 = df.select(Mutate.sprintf("x=%{+%s}", Set.empty).as("s")).collect()(0).getString(0)
+    assert(lit0 == "x=%{+%s}")
+  }
+
+  test("dissect append (+key) and skip (_) keys") {
+    import spark.implicits._
+    val df = Seq("Jan 02 host hello").toDF("line")
+    val out = graft.operators.Parse.dissectString(df, "line", " ",
+      Seq("ts", "+ts", "_", "msg")).collect()(0)
+    assert(out.getAs[String]("ts") == "Jan 02")
+    assert(out.getAs[String]("msg") == "hello")
+    assert(!out.schema.fieldNames.contains("_"))
+  }
+
+  test("throttleRange: only the [before, after] rank band passes") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => ("k", s"2024-01-01 00:00:0$i"))
+      .toDF("key", "tss").withColumn("ts", col("tss").cast("timestamp"))
+    val got = graft.operators.Stateful.throttleRange(df, "key", "ts", "hour",
+        beforeCount = 2, afterCount = 4)
+      .orderBy("ts").collect().map(_.getAs[Boolean]("throttled")).toSeq
+    assert(got == Seq(true, false, false, false, true))
+  }
+
+  test("file-backed dictionary: csv loader feeds the broadcast lookup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dict")
+    val f = dir.resolve("dict.csv")
+    java.nio.file.Files.write(f, "source,team\nsrc0,alpha\nsrc1,beta\n".getBytes)
+    val dict = graft.operators.Enrich.dictFromCsv(spark, f.toString)
+    val events = Seq("src0", "src1", "srcX").toDF("source")
+    val got = graft.operators.Enrich.lookup(events, dict, "source")
+      .orderBy("source").collect().map(r => (r.getString(0), r.getAs[String]("team"))).toSeq
+    assert(got == Seq(("src0", "alpha"), ("src1", "beta"), ("srcX", null)))
+  }
+
+  test("cidr membership across prefix widths; syslog pri decompose") {
+    import spark.implicits._
+    val df = Seq("10.50.1.2", "10.51.0.0", "192.168.1.1").toDF("ip")
+    def hits(block: String) =
+      df.select(graft.operators.Net.cidrContains(col("ip"), block)).collect().map(_.getBoolean(0)).toSeq
+    assert(hits("10.50.0.0/16") == Seq(true, false, false))
+    assert(hits("10.0.0.0/8") == Seq(true, true, false))
+    assert(hits("0.0.0.0/0") == Seq(true, true, true))
+    assert(hits("10.50.1.2/32") == Seq(true, false, false))
+    val pri = Seq(165L).toDF("pri") // facility 20, severity 5
+    val r = pri.select(graft.operators.Net.syslogFacility(col("pri")),
+      graft.operators.Net.syslogSeverity(col("pri"))).collect()(0)
+    assert((r.getInt(0), r.getInt(1)) == ((20, 5)))
+  }
+
   test("VocabTokenize kernel is byte-identical to the built-in composition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(
