@@ -93,6 +93,23 @@ object SparkEntry {
         .select(col("doc_id"), lit("_dissectfailure").as("reason"))
         .orderBy("doc_id")
     }),
+
+    // -- dlq reader input: replay the side channel through a recovery parse --
+    "pipe_dlq_replay" -> ((s, dir) => {
+      StandardPipeline.fromDir(s, dir).trunk
+        .filter(col("delim_pos") === 0)
+        .withColumn("severity", lit("UNKNOWN"))
+        .groupBy("source", "severity").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
+    // -- codec encode side: event -> JSON line (JavaCodecDelegator.encode) --
+    "evt_encode" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("enc"))
+        .orderBy("event_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +164,15 @@ object SparkEntry {
       s"""${StandardPipeline.sqlTrunk}
          |SELECT doc_id, '_dissectfailure' AS reason
          |FROM trunk WHERE delim_pos = 0 ORDER BY doc_id""".stripMargin,
+
+    "pipe_dlq_replay" ->
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT source, 'UNKNOWN' AS severity, COUNT(*) AS n
+         |FROM trunk WHERE delim_pos = 0 GROUP BY source ORDER BY source""".stripMargin,
+
+    "evt_encode" ->
+      """SELECT event_id,
+        |       CAST(to_json(struct_pack(t := event_type, u := user_id)) AS VARCHAR) AS enc
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

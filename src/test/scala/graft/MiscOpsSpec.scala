@@ -193,6 +193,23 @@ class MiscOpsSpec extends SparkSpec {
     assert((r.getInt(0), r.getInt(1)) == ((20, 5)))
   }
 
+  test("field references: strict tokenizer + metadata mapping + nested access") {
+    import spark.implicits._
+    import graft.model.FieldRef
+    assert(FieldRef.parse("foo") == FieldRef.Ref(Seq("foo"), meta = false))
+    assert(FieldRef.parse("[foo]") == FieldRef.Ref(Seq("foo"), meta = false))
+    assert(FieldRef.parse("[a][b]") == FieldRef.Ref(Seq("a", "b"), meta = false))
+    assert(FieldRef.parse("[@metadata][x]") == FieldRef.Ref(Seq("x"), meta = true))
+    for (bad <- Seq("", "[a]b", "a[b]", "[a][", "[]", "[a", "]a["))
+      assertThrows[IllegalArgumentException](FieldRef.parse(bad))
+    // nested struct access + metadata column resolution work end-to-end
+    val df = Seq((1, (2, "z"), "m")).toDF("a", "s", "_meta_x")
+    val r = df.select(
+      FieldRef.column("[s][_2]").as("v"),
+      FieldRef.column("[@metadata][x]").as("mx")).collect()(0)
+    assert(r.getString(0) == "z" && r.getString(1) == "m")
+  }
+
   test("VocabTokenize kernel is byte-identical to the built-in composition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(
