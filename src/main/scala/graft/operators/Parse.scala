@@ -176,6 +176,18 @@ object Parse {
     Mutate.addTagWhen(withFields, !anyMatch, "_grokparsefailure")
   }
 
+  /** useragent filter (lite): browser family + version from a UA string —
+    * the reference's useragent enrichment without the external regexes.yaml
+    * DB (a fixed family list covers the benchmark-case semantics,
+    * tools/benchmark-cli cases/apache.cfg:17-24). No match => empty string,
+    * matching regexp_extract's contract on both engines.
+    */
+  def useragent(df: DataFrame, source: String, prefix: String = "ua"): DataFrame =
+    df.withColumn(s"${prefix}_name",
+        regexp_extract(col(source), "(Chrome|Firefox|Safari|Edge|curl|bot)", 1))
+      .withColumn(s"${prefix}_version",
+        regexp_extract(col(source), "(?:Chrome|Firefox|Safari|Edge|curl|bot)/([0-9][0-9.]*)", 1))
+
   // ------------------------------------------------------------------
   // kv / json / csv / date
   // ------------------------------------------------------------------

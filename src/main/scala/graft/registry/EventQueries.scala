@@ -120,6 +120,36 @@ object EventQueries {
         .orderBy("doc_id")
     }),
 
+    // the reference's "apache" benchmark case: combined-log line -> grok
+    // (IP/verb/path/status/bytes) -> useragent enrich (benchmark-cli
+    // cases/apache.cfg re-expressed over a deterministically synthesized line)
+    "evt_apache" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ua = when(col("user_id") % 3 === 0,
+          concat(lit("Mozilla/5.0 Chrome/"), (col("user_id") % 50).cast("string"), lit(".0")))
+        .when(col("user_id") % 3 === 1,
+          concat(lit("Mozilla/5.0 Firefox/"), (col("user_id") % 50).cast("string"), lit(".0")))
+        .otherwise(concat(lit("curl/8."), (col("user_id") % 10).cast("string")))
+      val line = concat(
+        lit("10."), (col("user_id") % 100).cast("string"), lit("."),
+        (col("event_id") % 256).cast("string"), lit(".1 - - ["),
+        date_format(col("ts").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss"),
+        lit(" +0000] \""),
+        when(col("event_type") === "purchase", "POST").otherwise("GET"),
+        lit(" /"), col("event_type"), lit(" HTTP/1.1\" "),
+        (lit(200) + (col("event_id") % 3) * 100).cast("string"), lit(" "),
+        round(col("value")).cast("long").cast("string"),
+        lit(" \""), ua, lit("\""))
+      val groked = Parse.grok(e.withColumn("line", line),
+        "line",
+        "%{IP:client} - - [%{HTTPDATE:tstamp}] \"%{WORD:verb} %{URIPATH:path} " +
+          "HTTP/%{NUMBER:httpv}\" %{INT:status:int} %{INT:bytes:int} \"%{DATA:uastr}\"")
+      Parse.useragent(groked, "uastr")
+        .select(col("event_id"), col("client"), col("verb"), col("status"),
+          col("bytes"), col("ua_name"), col("ua_version"))
+        .orderBy("event_id")
+    }),
+
     // syslog_pri decompose + cidr block membership over synthesized pri/ip
     "evt_net" -> ((s, dir) => {
       val df = events(s, dir)
@@ -234,6 +264,18 @@ object EventQueries {
         |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) AS INTEGER) AS len2,
         |       CAST(length(regexp_replace(text, 'spark', 'SPARK', 'g')) - length(text) AS INTEGER) AS delta
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_apache" ->
+      """SELECT event_id,
+        |       '10.' || (user_id % 100) || '.' || (event_id % 256) || '.1' AS client,
+        |       CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END AS verb,
+        |       CAST(200 + (event_id % 3) * 100 AS BIGINT) AS status,
+        |       CAST(round(value) AS BIGINT) AS bytes,
+        |       CASE WHEN user_id % 3 = 0 THEN 'Chrome'
+        |            WHEN user_id % 3 = 1 THEN 'Firefox' ELSE 'curl' END AS ua_name,
+        |       CASE WHEN user_id % 3 = 2 THEN '8.' || (user_id % 10)
+        |            ELSE (user_id % 50) || '.0' END AS ua_version
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "evt_net" ->
       """SELECT event_id,
