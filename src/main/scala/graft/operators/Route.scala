@@ -135,8 +135,18 @@ object Route {
     * pays single-worker serialization. Default is unordered (like the
     * reference default).
     */
+  /** `buckets > 0` adds partition-level idempotent overwrite: every sink is
+    * written `partitionBy(_bucket)` (deterministic hash of doc_id) with
+    * dynamic partition overwrite, so a retried run after a partial failure
+    * rewrites exactly the bucket directories it produces — never appends
+    * duplicates — while untouched buckets of other sinks survive. This is
+    * the per-partition idempotence the reference gets from PQ acked-batch
+    * checkpoints (ackedqueue/Queue.java:200-335), on top of the sink-level
+    * `_SUCCESS` skip.
+    */
   def run(spark: SparkSession, trunk: DataFrame, sinks: Seq[SinkSpec], outDir: String,
-          writeDefault: Boolean = true, ordered: Boolean = false): RunResult = {
+          writeDefault: Boolean = true, ordered: Boolean = false,
+          buckets: Int = 0): RunResult = {
     val trunk1 =
       if (ordered) trunk.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       else trunk
@@ -149,7 +159,15 @@ object Route {
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
         if (fs.exists(success)) { resumed += name }
-        else df.write.mode("overwrite").parquet(path)
+        else {
+          val d = df
+          if (buckets > 0 && d.columns.contains("doc_id"))
+            d.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_bucket").parquet(path)
+          else d.write.mode("overwrite").parquet(path)
+        }
         path
       }
       val paths = sinks.map { s => s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s)) }.toMap ++

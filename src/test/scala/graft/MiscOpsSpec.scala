@@ -210,6 +210,25 @@ class MiscOpsSpec extends SparkSpec {
     assert(r.getString(0) == "z" && r.getString(1) == "m")
   }
 
+  test("bucketed sinks: partial-failure rerun is idempotent at partition level") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val pipe = StandardPipeline.fromDir(spark, sfDir)
+    val r1 = Route.run(spark, pipe.trunk, StandardPipeline.sinks.toIndexedSeq, out, buckets = 8)
+    val sinkDir = new java.io.File(s"$out/sink_teamA")
+    assert(sinkDir.listFiles().count(_.getName.startsWith("_bucket=")) > 0)
+    // simulate a partial failure: delete the commit marker and one bucket
+    new java.io.File(sinkDir, "_SUCCESS").delete()
+    val someBucket = sinkDir.listFiles().filter(_.getName.startsWith("_bucket=")).head
+    someBucket.listFiles().foreach(_.delete()); someBucket.delete()
+    // rerun: sink rewritten (no _SUCCESS), dynamic overwrite -> NO duplicates
+    val r2 = Route.run(spark, pipe.trunk, StandardPipeline.sinks.toIndexedSeq, out, buckets = 8)
+    assert(r2.counts == r1.counts)
+    assert(!r2.resumedSinks.contains("sink_teamA"))
+    val rows = spark.read.parquet(s"$out/sink_teamA")
+    assert(rows.count() == r1.counts("sink_teamA"))
+    assert(rows.select("doc_id").distinct().count() == rows.count())
+  }
+
   test("VocabTokenize kernel is byte-identical to the built-in composition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(
