@@ -58,6 +58,22 @@ final case class LogPipeline(
 
 object LogPipeline {
   def read(input: DataFrame): LogPipeline = LogPipeline(input)
+
+  /** Production session defaults for the 100 TB plan shape (SCALE.md): AQE
+    * with skew-join splitting and partition coalescing, shuffle parallelism
+    * sized by the caller (≈2-3x total cores; AQE coalesces down), 128 MB
+    * input splits, dynamic partition overwrite so bucketed sink retries are
+    * idempotent (Route.run(buckets > 0)).
+    */
+  def session(appName: String, master: String, shufflePartitions: Int): SparkSession =
+    SparkSession.builder().appName(appName).master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .getOrCreate()
 }
 
 /** The flagship fixture pipeline (FIXTURES.md F1–F4): documents -> tokenize ->

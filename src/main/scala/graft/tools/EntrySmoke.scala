@@ -8,13 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // production session factory (AQE + skew join + dynamic overwrite)
+    System.setProperty("spark.sql.session.timeZone", "UTC")
+    System.setProperty("spark.ui.enabled", "false")
+    val spark = graft.LogPipeline.session("entry-smoke", "local[8]", shufflePartitions = 8)
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.entry(spark)
     val rows = df.collect()
