@@ -118,6 +118,22 @@ object TextQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // embedding-cosine near-dup pairs via sign-LSH bucket self-join
+    "dedup_embed" -> ((s, dir) => {
+      Similarity.bucketedPairs(embs(s, dir), "embedding", "vec_id",
+          nbits = 8, minSim = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // multimodal: binary payload + typed metadata + size-bucketed layout
+    "mm_meta" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.withSizeBucket(
+        graft.operators.Multimodal.mediaTable(docs(s, dir), "doc_id", "text"))
+      media.select(col("doc_id"), col("media_type"),
+          length(col("payload")).as("n_bytes"), col("size_bucket"))
+        .orderBy("doc_id")
+    }),
+
     // IVF ANN: 8 coarse centroids (vec_id 1..8), probe 2 lists, top-10
     "sim_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -246,6 +262,30 @@ object TextQueries {
         |                sqrt(list_dot_product(qv, qv))), 6) AS sim
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "dedup_embed" -> {
+      val bits = (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      val cos = "round(list_dot_product(a.ev, b2.ev) / " +
+        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b2.ev, b2.ev))), 6)"
+      s"""WITH b AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |         ${bits.mkString(" + ")} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b, $cos AS sim
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE $cos >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "mm_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CASE CAST(doc_id AS BIGINT) % 3 WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |       CAST(CASE WHEN strlen(text) <= 1024 THEN 0
+        |            WHEN strlen(text) <= 65536 THEN 1
+        |            WHEN strlen(text) <= 1048576 THEN 2 ELSE 3 END AS INTEGER) AS size_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sim_ivf" ->
       """WITH cent AS (
