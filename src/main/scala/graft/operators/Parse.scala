@@ -136,11 +136,32 @@ object Parse {
     case _             => raw
   }
 
-  /** Apply a grok match to a string column: one `regexp_extract` per capture
-    * (all codegen'd; the regex is compiled once per task by Catalyst), empty
-    * match => null fields + `_grokparsefailure` appended to `tags`.
+  /** Apply a grok match to a string column. One-pass: the whole pattern is
+    * matched ONCE per row via the RegexExtractStruct kernel (plans/
+    * RegexExprs.scala) and every capture read from the resulting struct —
+    * vs rlike + one regexp_extract per capture (= k+1 full regex matches).
+    * No match (or null input) => null fields + `_grokparsefailure` tag.
     */
   def grok(df: DataFrame, source: String, pattern: String): DataFrame = {
+    val spec = compileGrok(pattern)
+    if (spec.fields.isEmpty) {
+      val matched = coalesce(col(source).rlike(spec.regex), lit(false))
+      Mutate.addTagWhen(df, !matched, "_grokparsefailure")
+    } else {
+      val withG = df.withColumn("_grok_m",
+        graft.plans.RegexExprs.extractStruct(col(source), spec.regex, spec.fields.size))
+      val withFields = spec.fields.foldLeft(withG) { (d, f) =>
+        d.withColumn(f.name, coerce(col("_grok_m").getField(s"g${f.group}"), f.typ))
+      }
+      Mutate.addTagWhen(withFields, col("_grok_m").isNull, "_grokparsefailure")
+        .drop("_grok_m")
+    }
+  }
+
+  /** The composed-built-ins grok (rlike + per-capture regexp_extract), kept
+    * for cross-checking the one-pass kernel byte-for-byte.
+    */
+  def grokComposed(df: DataFrame, source: String, pattern: String): DataFrame = {
     val spec = compileGrok(pattern)
     val matched = coalesce(col(source).rlike(spec.regex), lit(false))
     val withFields = spec.fields.foldLeft(df) { case (d, f) =>
@@ -153,27 +174,32 @@ object Parse {
   /** Multi-pattern grok (reference `match => { field => [p1, p2, ...] }`
     * with default `break_on_match => true`): patterns tried in order, the
     * FIRST match wins and only its captures are applied; `_grokparsefailure`
-    * only when none match. Still one narrow codegen'd projection — the
-    * "winner" logic is a boolean cascade, not N passes over the data.
+    * only when none match. One regex pass per pattern (not per capture);
+    * the winner logic is a boolean cascade over the match structs.
     */
   def grokMulti(df: DataFrame, source: String, patterns: Seq[String]): DataFrame = {
     val specs = patterns.map(compileGrok)
-    val matches = specs.map(s => coalesce(col(source).rlike(s.regex), lit(false)))
+    val withGs = specs.zipWithIndex.foldLeft(df) { case (d, (s, i)) =>
+      d.withColumn(s"_gm_$i",
+        graft.plans.RegexExprs.extractStruct(col(source), s.regex, s.fields.size))
+    }
+    val matches = specs.indices.map(i => col(s"_gm_$i").isNotNull)
     val anyMatch = matches.reduce(_ || _)
     // isWinner(i) = pattern i matches and no earlier pattern does
     val isWinner = matches.zipWithIndex.map { case (m, i) =>
       matches.take(i).foldLeft(m)((acc, prev) => acc && !prev)
     }
     val fieldNames = specs.flatMap(_.fields.map(_.name)).distinct
-    val withFields = fieldNames.foldLeft(df) { (d, fname) =>
+    val withFields = fieldNames.foldLeft(withGs) { (d, fname) =>
       val cases = specs.zipWithIndex.flatMap { case (s, i) =>
         s.fields.find(_.name == fname).map { f =>
-          when(isWinner(i), coerce(regexp_extract(col(source), s.regex, f.group), f.typ))
+          when(isWinner(i), coerce(col(s"_gm_$i").getField(s"g${f.group}"), f.typ))
         }
       }
       d.withColumn(fname, coalesce(cases: _*))
     }
     Mutate.addTagWhen(withFields, !anyMatch, "_grokparsefailure")
+      .drop(specs.indices.map(i => s"_gm_$i"): _*)
   }
 
   /** useragent filter (lite): browser family + version from a UA string —

@@ -229,6 +229,25 @@ class MiscOpsSpec extends SparkSpec {
     assert(rows.select("doc_id").distinct().count() == rows.count())
   }
 
+  test("one-pass grok kernel is byte-identical to the composed built-ins") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val lines = events.withColumn("line",
+      when(col("event_id") % 5 === 0, lit("no match here"))
+        .otherwise(concat(lit("uid="), col("user_id"), lit(" act="), col("event_type"),
+          lit(" v="), round(col("value"), 1))))
+    val pat = "uid=%{INT:uid:int} act=%{WORD:act} v=%{NUMBER:v:float}"
+    val a = graft.operators.Parse.grok(lines, "line", pat)
+      .select(col("event_id"), col("uid"), col("act"), col("v"), col("tags"))
+    val b = graft.operators.Parse.grokComposed(lines, "line", pat)
+      .select(col("event_id"), col("uid"), col("act"), col("v"), col("tags"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // null input parity
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("event_id", "line")
+    val an = graft.operators.Parse.grok(n, "line", pat).select("uid", "tags").collect()(0)
+    assert(an.isNullAt(0) && an.getSeq[String](1) == Seq("_grokparsefailure"))
+  }
+
   test("VocabTokenize kernel is byte-identical to the built-in composition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(
