@@ -51,6 +51,11 @@ final case class InList(field: String, values: Seq[Any]) extends Cond
 final case class InConstStr(field: String, const: String) extends Cond
 /** "const" in [f] — string field: substring; list field: element equality. */
 final case class ConstInField(const: String, field: String, fieldIsList: Boolean = false) extends Cond
+/** [l] in [r] — field in field (EventCondition.java:614-640 FieldInField):
+  * left list/map => false; right list => element equality; both strings =>
+  * substring (right contains left); else scalar equality.
+  */
+final case class InField(left: String, right: String) extends Cond
 /** if [f] — truthiness. */
 final case class Truthy(field: String) extends Cond
 final case class And(a: Cond, b: Cond) extends Cond
@@ -104,6 +109,22 @@ object Cond {
       litOf(c0).contains(col(f).cast(StringType))
     case ConstInField(c0, f, isList) =>
       if (isList) array_contains(col(f), c0) else col(f).cast(StringType).contains(litOf(c0))
+    case InField(lf, rf) => (ft(lf), ft(rf)) match {
+      // left list/map => false (EventCondition.java:616-618)
+      case (Some(_: ArrayType), _) | (Some(_: MapType), _) => lit(false)
+      // right list => element equality
+      case (_, Some(_: ArrayType)) => array_contains(col(rf), col(lf))
+      // both strings => substring (right contains left)
+      case (Some(StringType), Some(StringType)) => col(rf).contains(col(lf))
+      // numeric cross-type equality is Ruby ==
+      case (Some(a: NumericType), Some(b: NumericType)) =>
+        col(lf).cast(DoubleType) <=> col(rf).cast(DoubleType)
+      // differing scalar types never equal under Ruby equals
+      case (Some(a), Some(b)) if a != b => lit(false)
+      case (Some(_), Some(_)) => col(lf) <=> col(rf)
+      // untyped fallback (map-extracted string fields): substring semantics
+      case _ => col(rf).cast(StringType).contains(col(lf).cast(StringType))
+    }
     case Truthy(f) =>
       col(f).isNotNull &&
         col(f).cast(StringType) =!= "" && col(f).cast(StringType) =!= "false"
@@ -180,6 +201,13 @@ object RowOracle {
       case xs: Seq[_] => xs.exists(x => str(x) == c0)
       case s: String => s.contains(c0)
       case v => str(v) == c0
+    }
+    case InField(lf, rf) => (row.getOrElse(lf, null), row.getOrElse(rf, null)) match {
+      case (null, _) | (_, null) => false
+      case (_: Seq[_], _) | (_: Map[_, _], _) => false
+      case (l, xs: Seq[_]) => xs.exists(x => deepEq(x, l))
+      case (l: String, r: String) => r.contains(l)
+      case (l, r) => deepEq(l, r)
     }
     case Truthy(f) => row.getOrElse(f, null) match {
       case null => false

@@ -16,9 +16,13 @@ object OpsQueries {
     // every conditional operator class evaluated per-row over the trunk
     // (nulls present via dict-miss sources) — the EventConditionTest analogue
     "cond_ops" -> ((s, dir) => {
+      // sev_text makes field-in-field non-degenerate: severity ⊂ sev_text
       val trunk = StandardPipeline.fromDir(s, dir).trunk
+        .withColumn("sev_text", concat(col("severity"), lit("-suffix")))
       def f(c: Cond) = Cond.predicateFor(trunk, c).cast("int")
       trunk.select(col("doc_id"),
+        f(InField("severity", "sev_text")).as("f_in_field_hit"),
+        f(InField("team", "sev_text")).as("f_in_field_miss"),
         f(Eq("tier", "prod")).as("f_eq"),
         f(Neq("tier", "prod")).as("f_neq_null_true"),     // null tier => TRUE
         f(Gt("n_tok", 64)).as("f_gt"),
@@ -83,6 +87,8 @@ object OpsQueries {
     "cond_ops" ->
       s"""${StandardPipeline.sqlTrunk}
          |SELECT doc_id,
+         |  CAST(coalesce(position(severity IN severity || '-suffix') > 0, FALSE) AS INTEGER) AS f_in_field_hit,
+         |  CAST(coalesce(position(team IN severity || '-suffix') > 0, FALSE) AS INTEGER) AS f_in_field_miss,
          |  CAST(coalesce(tier = 'prod', FALSE) AS INTEGER) AS f_eq,
          |  CAST(tier IS DISTINCT FROM 'prod' AS INTEGER) AS f_neq_null_true,
          |  CAST(coalesce(n_tok > 64, FALSE) AS INTEGER) AS f_gt,

@@ -26,7 +26,8 @@ class CondPropertySpec extends SparkSpec {
     for (f <- fieldS) yield RegexMatch(f, "[AB]"),
     for (f <- fieldS; vs <- Gen.listOfN(2, Gen.oneOf("A", "B", "1"))) yield InList(f, vs),
     for (f <- fieldS) yield InConstStr(f, "XABY"),
-    for (f <- fieldS) yield ConstInField("A", f))
+    for (f <- fieldS) yield ConstInField("A", f),
+    for (l <- fieldS; r <- fieldS) yield InField(l, r))
 
   private def tree(depth: Int): Gen[Cond] =
     if (depth == 0) leaf
