@@ -54,6 +54,22 @@ object Enrich {
   def lookupBig(events: DataFrame, dim: DataFrame, on: String): DataFrame =
     events.join(dim.hint("shuffle_hash"), Seq(on), "left")
 
+  /** geoip-style range lookup: enrich rows whose ip falls inside a CIDR-range
+    * dimension row (lo <= ip_long <= hi). The dimension is broadcast (geo DBs
+    * are config-sized like the reference's mmdb), so the range join plans as
+    * BroadcastNestedLoopJoin with the range predicate — no shuffle, probe
+    * side streams. Overlapping ranges: most-specific (narrowest) wins, like
+    * longest-prefix match.
+    */
+  def geoLookup(events: DataFrame, ipCol: String, ranges: DataFrame): DataFrame = {
+    // ranges must be non-overlapping (geo DBs are, by construction) so the
+    // left range-join is 1:0/1 and needs no narrowest-wins resolution —
+    // keeping the whole enrich shuffle-free.
+    val ipL = Net.ipToLong(col(ipCol))
+    events.join(broadcast(ranges), ipL >= col("ip_lo") && ipL <= col("ip_hi"), "left")
+      .drop("ip_lo", "ip_hi")
+  }
+
   /** Salted join for a known-skewed key: explodes the dimension side K ways
     * and salts the fact side, bounding any single reducer's share of a hot key
     * to 1/K. Use when AQE's skew split alone is insufficient (e.g. one source

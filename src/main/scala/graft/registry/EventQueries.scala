@@ -150,6 +150,24 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // geoip-style enrichment: broadcast CIDR-range lookup on a synthesized ip
+    "evt_geoip" -> ((s, dir) => {
+      import s.implicits._
+      def ip(a: Long, b: Long, c: Long, d: Long): Long = ((a * 256 + b) * 256 + c) * 256 + d
+      val ranges = Seq(
+        (ip(10, 0, 0, 0), ip(10, 33, 255, 255), "us"),
+        (ip(10, 34, 0, 0), ip(10, 66, 255, 255), "eu"),
+        (ip(10, 67, 0, 0), ip(10, 99, 255, 255), "apac"))
+        .toDF("ip_lo", "ip_hi", "region")
+      val df = events(s, dir).withColumn("ip", concat_ws(".", lit("10"),
+        (col("user_id") % 100).cast("string"),
+        (col("event_id") % 256).cast("string"),
+        (col("user_id") % 256).cast("string")))
+      graft.operators.Enrich.geoLookup(df, "ip", ranges)
+        .select(col("event_id"), col("region"))
+        .orderBy("event_id")
+    }),
+
     // syslog_pri decompose + cidr block membership over synthesized pri/ip
     "evt_net" -> ((s, dir) => {
       val df = events(s, dir)
@@ -275,6 +293,12 @@ object EventQueries {
         |            WHEN user_id % 3 = 1 THEN 'Firefox' ELSE 'curl' END AS ua_name,
         |       CASE WHEN user_id % 3 = 2 THEN '8.' || (user_id % 10)
         |            ELSE (user_id % 50) || '.0' END AS ua_version
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_geoip" ->
+      """SELECT event_id,
+        |       CASE WHEN user_id % 100 <= 33 THEN 'us'
+        |            WHEN user_id % 100 <= 66 THEN 'eu' ELSE 'apac' END AS region
         |FROM events ORDER BY event_id""".stripMargin,
 
     "evt_net" ->
