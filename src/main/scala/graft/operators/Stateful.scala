@@ -64,6 +64,25 @@ object Stateful {
         max(col(tsCol)).as("last_ts"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /** aggregate filter `push_previous_map_as_event` analogue: in the
+    * reference's single-worker mode the per-task map is flushed when the
+    * task key CHANGES between consecutive events. Batch-exact form:
+    * change-point sessionization — lag marks key changes per stream, a
+    * running sum numbers the runs, one summary row per run. Two window
+    * passes + the grouped agg all share ONE hash partitioning on the stream
+    * key (single exchange, like Codec.multiline).
+    */
+  def sessionRuns(df: DataFrame, streamCol: String, orderCol: String,
+                  taskCol: String): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+    df.withColumn("_chg",
+        when(lag(col(taskCol), 1).over(w) <=> col(taskCol), 0).otherwise(1))
+      .withColumn("run_id", sum(col("_chg")).over(w))
+      .groupBy(col(streamCol), col("run_id"), col(taskCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(orderCol)).as("first_o"), max(col(orderCol)).as("last_o"))
+  }
+
   /** clone filter: emit one copy per requested `types` value, each tagged
     * with its clone type (plus the original when keepOriginal).
     */

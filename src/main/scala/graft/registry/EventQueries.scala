@@ -81,6 +81,13 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // aggregate push_previous_map_as_event: flush on task-key change
+    // (change-point sessionization per user stream)
+    "evt_sessions" -> ((s, dir) => {
+      Stateful.sessionRuns(events(s, dir), "user_id", "event_id", "event_type")
+        .orderBy("user_id", "run_id")
+    }),
+
     // metrics: per-period counters per event_type
     "evt_metrics" -> ((s, dir) => {
       Stateful.metrics(events(s, dir), "event_type", "ts", "hour")
@@ -256,6 +263,21 @@ object EventQueries {
         |       round(COUNT(*) / ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0), 6) AS rate,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "evt_sessions" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |                   IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+        |  FROM c)
+        |SELECT user_id, run_id, event_type, COUNT(*) AS n_events,
+        |       MIN(event_id) AS first_o, MAX(event_id) AS last_o
+        |FROM g GROUP BY user_id, run_id, event_type
+        |ORDER BY user_id, run_id""".stripMargin,
 
     "evt_metrics" ->
       """SELECT date_trunc('hour', ts) AS period, event_type AS name, COUNT(*) AS events
