@@ -53,6 +53,19 @@ object Bench {
     pipe.counts.collect().map(_.getLong(1)).max
   }
 
+  /** One shuffle-bearing job: grouped aggregation over the amplified rows
+    * (exchange on the group key) — evidences scaling of the exchange path,
+    * complementing the shuffle-free flagship.
+    */
+  private def shuffleJob(spark: SparkSession, input: DataFrame): Long = {
+    // 4M-group key keeps map-side combine from collapsing the exchange —
+    // the shuffle carries real volume at every parallelism level
+    input
+      .groupBy(pmod(xxhash64(col("doc_id")), lit(4000000)).as("k"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text")).cast("long")).as("bytes"))
+      .agg(count(lit(1)), sum("n")).collect()(0).getLong(1)
+  }
+
   private def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -71,7 +84,7 @@ object Bench {
     // conditions; efficiency from per-level minima (best-window estimate,
     // robust to ambient-load bursts), all pairs reported raw.
     var rowsMeasured = 0L
-    def runAt(n: Int): Double = {
+    def runAt(n: Int): (Double, Double) = {
       val s = session(n)
       try {
         // no cache: the job under test includes the scan+amplify map, all
@@ -79,7 +92,10 @@ object Bench {
         val input = amplified(s, sfDir, reps, 128)
         rowsMeasured = input.count()
         pipelineJob(s, input)    // warmup (codegen/JIT)
-        time(pipelineJob(s, input))._2
+        val tPipe = time(pipelineJob(s, input))._2
+        shuffleJob(s, input)     // warmup
+        val tShuf = time(shuffleJob(s, input))._2
+        (tPipe, tShuf)
       } finally s.stop()
     }
     // N=4 vs 4N=16 cores: measures parallel scaling of the PLAN without
@@ -88,10 +104,13 @@ object Bench {
     // executors bring 4N memory buses). A local[32] run is also taken for
     // peak single-box throughput.
     val pairs = (1 to 3).map(_ => (runAt(4), runAt(16)))
-    val tN = pairs.map(_._1).min
-    val t4N = pairs.map(_._2).min
+    val tN = pairs.map(_._1._1).min
+    val t4N = pairs.map(_._2._1).min
     val eff = (tN / t4N) / 4.0
-    val t32 = runAt(32)
+    val tNSh = pairs.map(_._1._2).min
+    val t4NSh = pairs.map(_._2._2).min
+    val effSh = (tNSh / t4NSh) / 4.0
+    val t32 = runAt(32)._1
     val rows32 = rowsMeasured
     val thrN = rows32 / tN
     val thr4N = rows32 / t4N
@@ -116,13 +135,17 @@ object Bench {
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val pairsJson = pairs.map(p => f"""[${p._1}%.3f,${p._2}%.3f]""").mkString("[", ",", "]")
+    val pairsJson = pairs.map(p => f"""[${p._1._1}%.3f,${p._2._1}%.3f]""").mkString("[", ",", "]")
+    val shPairsJson = pairs.map(p => f"""[${p._1._2}%.3f,${p._2._2}%.3f]""").mkString("[", ",", "]")
     val pipeline = f"""{"rows":$rows32,"localN_threads":4,"local4N_threads":16,""" +
       f""""localN_sec":$tN%.3f,"local4N_sec":$t4N%.3f,"local32_sec":$t32%.3f,""" +
       f""""localN_rows_per_sec":${thrN.toLong},"local4N_rows_per_sec":${thr4N.toLong},""" +
       f""""local32_rows_per_sec":${thr32.toLong},""" +
       f""""scaling_pairs_sec":$pairsJson%s,""" +
-      f""""scaling_efficiency_N_to_4N":$eff%.3f}"""
+      f""""scaling_efficiency_N_to_4N":$eff%.3f,""" +
+      f""""shuffle_localN_sec":$tNSh%.3f,"shuffle_local4N_sec":$t4NSh%.3f,""" +
+      f""""shuffle_pairs_sec":$shPairsJson%s,""" +
+      f""""shuffle_scaling_efficiency_N_to_4N":$effSh%.3f}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline":$pipeline%s}""")
   }
 }
