@@ -112,6 +112,30 @@ object Route {
     p.toString
   }
 
+  /** Flow-metrics table (reference FlowMetric.java:31-50 analogue at job
+    * granularity): events in/out per sink, wall duration, throughput —
+    * persisted to `outDir/_metrics` next to the per-partition `_lineage`
+    * rows. Together they are the "metric accumulators persisted" surface:
+    * job totals here, per-partition detail in _lineage.
+    */
+  def runWithMetrics(spark: SparkSession, trunk: DataFrame, sinks: Seq[SinkSpec],
+                     outDir: String, writeDefault: Boolean = true,
+                     ordered: Boolean = false, buckets: Int = 0): RunResult = {
+    val t0 = System.nanoTime()
+    val r = run(spark, trunk, sinks, outDir, writeDefault, ordered, buckets)
+    val durSec = (System.nanoTime() - t0) / 1e9
+    val total = r.counts.getOrElse("_total", 0L)
+    import spark.implicits._
+    val rows = Seq(
+      "events_in" -> total.toDouble,
+      "duration_sec" -> durSec,
+      "input_throughput_eps" -> (if (durSec > 0) total / durSec else 0.0)) ++
+      r.counts.toSeq.sortBy(_._1).map { case (k, v) => s"events_out_$k" -> v.toDouble }
+    rows.toDF("metric", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_metrics")
+    r
+  }
+
   /** Latest committed manifest JSON for an output dir, if any run completed. */
   def latestManifest(spark: SparkSession, outDir: String): Option[String] = {
     val dir = new org.apache.hadoop.fs.Path(outDir, "_manifests")

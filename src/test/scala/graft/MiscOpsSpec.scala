@@ -248,6 +248,17 @@ class MiscOpsSpec extends SparkSpec {
     assert(an.isNullAt(0) && an.getSeq[String](1) == Seq("_grokparsefailure"))
   }
 
+  test("runWithMetrics persists the flow-metrics table consistent with counts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    val pipe = StandardPipeline.fromDir(spark, sfDir)
+    val r = Route.runWithMetrics(spark, pipe.trunk, StandardPipeline.sinks.toIndexedSeq, out)
+    val m = spark.read.parquet(s"$out/_metrics")
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(m("events_in") == r.counts("_total").toDouble)
+    assert(m("events_out_sink_teamA") == r.counts("sink_teamA").toDouble)
+    assert(m("duration_sec") > 0 && m("input_throughput_eps") > 0)
+  }
+
   test("VocabTokenize kernel is byte-identical to the built-in composition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(
