@@ -77,6 +77,29 @@ object StreamPipeline {
       }.toDF()
   }
 
+  /** throttle-filter streaming analogue: pass at most `maxPerPeriod` events
+    * per key per processing-time period (reference throttle is wall-clock
+    * based, exactly this). State = (periodStart, passedCount); resets when
+    * the period rolls over.
+    */
+  def throttleStream(spark: SparkSession, events: DataFrame,
+                     keyCol: String, periodMs: Long, maxPerPeriod: Int): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col(keyCol).cast("string").as("k")).as[String]
+    typed.groupByKey(identity)
+      .flatMapGroupsWithState[(Long, Long), (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          val now = state.getCurrentProcessingTimeMs()
+          val (pStart0, n0) = state.getOption.getOrElse((now, 0L))
+          val (pStart, n) = if (now - pStart0 >= periodMs) (now, 0L) else (pStart0, n0)
+          val incoming = rows.size
+          val passed = math.min(incoming.toLong, math.max(0L, maxPerPeriod - n))
+          state.update((pStart, n + incoming))
+          if (passed > 0) Iterator((key, passed)) else Iterator.empty
+      }.toDF("key", "passed")
+  }
+
   /** metrics-filter analogue: rolling windowed counters with watermarked
     * event time (strictly more capable than the reference's wall-clock
     * flush — Logstash has no event-time reasoning).

@@ -101,6 +101,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming throttle passes at most maxPerPeriod events per key") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_thr").toString
+    import spark.implicits._
+    (Seq.fill(5)("hot") ++ Seq("cold")).toDF("key").write.parquet(s"$tmp/in")
+    val src = spark.readStream.schema("key STRING").parquet(s"$tmp/in")
+    val out = StreamPipeline.throttleStream(spark, src, "key", periodMs = 60000, maxPerPeriod = 2)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("thr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("thr_out").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 2L, "cold" -> 1L))
+  }
+
   test("windowed metrics with watermark compile and aggregate in streaming mode") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_winm").toString
     spark.read.parquet(s"$sfDir/events.parquet").write.parquet(s"$tmp/in")
