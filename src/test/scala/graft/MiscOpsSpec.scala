@@ -259,6 +259,31 @@ class MiscOpsSpec extends SparkSpec {
     assert(m("duration_sec") > 0 && m("input_throughput_eps") > 0)
   }
 
+  test("property: dissectString round-trips random joined values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val seps = Seq(" ", ",", "|", "::")
+    (1 to 20).foreach { _ =>
+      val sep = seps(rnd.nextInt(seps.length))
+      val vals = (1 to 3).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      val line = vals.mkString(sep)
+      val out = graft.operators.Parse.dissectString(
+        Seq(line).toDF("line"), "line", sep, Seq("a", "b", "c")).collect()(0)
+      assert(Seq("a", "b", "c").map(out.getAs[String]) == vals, s"sep=$sep line=$line")
+    }
+  }
+
+  test("property: grok literal segments with regex metacharacters are quoted") {
+    import spark.implicits._
+    val nasty = Seq("a.b", "x(y)", "q[1]", "p+q", "u*v", "c^d$", "m{2}")
+    nasty.foreach { litSeg =>
+      val df = Seq(s"${litSeg}42").toDF("line")
+      val out = graft.operators.Parse.grok(df, "line", s"$litSeg%{INT:n:int}").collect()(0)
+      assert(out.getAs[Long]("n") == 42L, litSeg)
+      assert(out.getSeq[String](out.fieldIndex("tags")).isEmpty, litSeg)
+    }
+  }
+
   test("VocabTokenize kernel is byte-identical to the built-in composition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(
