@@ -84,15 +84,32 @@ object Cond {
     */
   def compile(c: Cond): Column = compile(c, NoSchema)
 
+  /** Ordering comparisons on mixed types THROW in the reference, cancelling
+    * the event (EventCondition.java:252-291 + Utils.java:47-66) — a
+    * cancelled event reaches no sink, which for routing equals a false
+    * predicate. With a typed schema we detect this statically and compile
+    * to constant false instead of letting Spark's implicit casts invent a
+    * comparison the reference would never perform.
+    */
+  private def orderable(ft: FieldTypes, f: String, v: Any): Boolean =
+    (ft(f), v) match {
+      case (Some(StringType), _: String) => true
+      case (Some(_: NumericType), _: Number) => true
+      case (Some(StringType), _) => false
+      case (Some(_: NumericType), _) => false
+      case (Some(_), _) => false // arrays/maps/bools are not Comparable pairs here
+      case (None, _) => true     // untyped: defer to runtime casts
+    }
+
   def compile(c: Cond, ft: FieldTypes): Column = c match {
     // null-safe: reference eq of a missing/null field vs a literal is FALSE
     // (so != is TRUE), not SQL-NULL — EventCondition.java:376-412.
     case Eq(f, v)   => col(f) <=> litOf(v)
     case Neq(f, v)  => !(col(f) <=> litOf(v))
-    case Gt(f, v)   => col(f) > litOf(v)
-    case Gte(f, v)  => col(f) >= litOf(v)
-    case Lt(f, v)   => col(f) < litOf(v)
-    case Lte(f, v)  => col(f) <= litOf(v)
+    case Gt(f, v)   => if (orderable(ft, f, v)) col(f) > litOf(v) else lit(false)
+    case Gte(f, v)  => if (orderable(ft, f, v)) col(f) >= litOf(v) else lit(false)
+    case Lt(f, v)   => if (orderable(ft, f, v)) col(f) < litOf(v) else lit(false)
+    case Lte(f, v)  => if (orderable(ft, f, v)) col(f) <= litOf(v) else lit(false)
     // =~ / !~ on a non-string field is FALSE, not an error
     // (EventCondition.java:232-250): with a typed schema this is statically
     // known; without one, only string-typed columns can match anyway in our

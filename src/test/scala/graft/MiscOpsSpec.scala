@@ -284,6 +284,19 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixed-type ordering comparison routes false (reference: event cancelled)") {
+    import spark.implicits._
+    import graft.conditions._
+    val df = Seq(("x", 3), ("y", 9)).toDF("s", "n")
+    def count(c: Cond) = df.filter(Cond.predicateFor(df, c)).count()
+    assert(count(Gt("s", 5)) == 0)       // string field vs number -> cancelled
+    assert(count(Lt("n", "zzz")) == 0)   // numeric field vs string -> cancelled
+    assert(count(Gt("n", 5)) == 1)       // well-typed still works
+    // row oracle agrees
+    assert(!RowOracle.eval(Gt("s", 5), Map("s" -> "x")))
+    assert(!RowOracle.eval(Lt("n", "zzz"), Map("n" -> 3)))
+  }
+
   test("VocabTokenize kernel is byte-identical to the built-in composition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(
