@@ -64,6 +64,39 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** The end-to-end dedup DECISION for a corpus — what a 100 TB training-
+    * data pipeline actually materializes: which doc_ids survive.
+    *
+    *  1. collapse exact duplicates to the lowest-id representative (hash
+    *     groupBy — at scale this step removes the pathological pair
+    *     explosion identical docs would cause in LSH buckets);
+    *  2. MinHash-LSH + exact-Jaccard near-dup pairs among representatives;
+    *  3. drop every doc that is a near-dup of a LOWER-id doc (canonical-
+    *     lowest-id policy — single deterministic pass, no transitive
+    *     closure; chains collapse in subsequent epochs, the standard
+    *     trade-off in corpus dedup at scale).
+    *
+    * Returns the kept doc_ids (numeric).
+    */
+  def keepSet(df: DataFrame, tokensCol: String, idCol: String,
+              shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+              jaccardThreshold: Double = 0.5): DataFrame = {
+    val ids = df.withColumn("_id", col(idCol).cast("long"))
+    // 1. exact collapse on the token sequence
+    val w = Window.partitionBy("_tok_str").orderBy(col("_id"))
+    val reps = ids
+      .withColumn("_tok_str", array_join(col(tokensCol).cast("array<string>"), ","))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "_tok_str")
+    // 2. near-dup pairs among representatives
+    val pairs = minhashCandidates(reps, tokensCol, "_id",
+      shingleK, bands, rowsPerBand, jaccardThreshold)
+    // 3. keep reps that are not the higher side of any pair
+    reps.join(pairs.select(col("id_b")), reps("_id") === col("id_b"), "left_anti")
+      .select(col("_id").as("doc_id"))
+  }
+
   /** SimHash near-dup candidates: identical 16-bit simhash -> candidate
     * bucket (cheap first pass; callers verify with hamming/jaccard).
     */

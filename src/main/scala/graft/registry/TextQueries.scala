@@ -102,6 +102,14 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the dedup DECISION: exact-collapse -> near-dup pairs among reps ->
+    // drop higher-id side; output = kept doc_ids
+    "dedup_keep" -> ((s, dir) => {
+      Dedup.keepSet(Tok.rawSequences(docs(s, dir)), "tokens", "doc_id",
+          shingleK = 3, bands = 8, rowsPerBand = 2, jaccardThreshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // SimHash bucket histogram (near-dup candidate buckets)
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashBuckets(Tok.rawSequences(docs(s, dir)), "tokens", "doc_id")
@@ -244,6 +252,34 @@ object TextQueries {
          |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
          |SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_keep" -> {
+      val bands = 8; val rpb = 2
+      val bandKeys = (0 until bands).map { b =>
+        val slice = (0 until rpb).map(r => s"CAST(sig[${b * rpb + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+        s"SELECT id, shset, $b AS band, $slice AS bh FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""${Tok.sqlRawSequences},
+         |idd AS (SELECT CAST(doc_id AS BIGINT) AS id, tokens, n_tok FROM raw),
+         |reps AS (
+         |  SELECT id, tokens, n_tok FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY array_to_string(tokens, ',') ORDER BY id) AS rk
+         |    FROM idd) WHERE rk = 1),
+         |sigs AS (
+         |  SELECT id,
+         |         list_distinct(${sqlShingles(3)}) AS shset,
+         |         ${sqlMinhashSig(s"list_distinct(${sqlShingles(3)})", bands * rpb)} AS sig
+         |  FROM reps),
+         |banded AS (
+         |  $bandKeys
+         |), pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+         |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5)
+         |SELECT id AS doc_id FROM reps WHERE id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dedup_simhash" ->
