@@ -101,11 +101,30 @@ object Cond {
       case (None, _) => true     // untyped: defer to runtime casts
     }
 
+  /** Ruby equality is type-strict across string/number/boolean: "64" == 64 is
+    * FALSE (EventCondition.java:118-141 routes to ValueCompare.eq over the
+    * Valuefied runtime types; RubyString never equals RubyFixnum). With a
+    * typed schema we detect the impossible pairs statically and compile Eq to
+    * constant false (Neq to true) instead of letting Spark's implicit casts
+    * invent an equality the reference would never produce. Numeric-vs-numeric
+    * cross-width equality IS Ruby == (1 == 1.0), which Spark's numeric
+    * promotion already matches.
+    */
+  private def eqPossible(ft: FieldTypes, f: String, v: Any): Boolean =
+    (ft(f), v) match {
+      case (Some(StringType), _: String) => true
+      case (Some(_: NumericType), _: Number) => true
+      case (Some(BooleanType), _: Boolean) => true
+      case (Some(StringType) | Some(_: NumericType) | Some(BooleanType), _) => false
+      case (Some(_: ArrayType), _) | (Some(_: MapType), _) => false // vs scalar literal
+      case _ => true // untyped: defer to runtime casts
+    }
+
   def compile(c: Cond, ft: FieldTypes): Column = c match {
     // null-safe: reference eq of a missing/null field vs a literal is FALSE
     // (so != is TRUE), not SQL-NULL — EventCondition.java:376-412.
-    case Eq(f, v)   => col(f) <=> litOf(v)
-    case Neq(f, v)  => !(col(f) <=> litOf(v))
+    case Eq(f, v)   => if (eqPossible(ft, f, v)) col(f) <=> litOf(v) else lit(false)
+    case Neq(f, v)  => if (eqPossible(ft, f, v)) !(col(f) <=> litOf(v)) else lit(true)
     case Gt(f, v)   => if (orderable(ft, f, v)) col(f) > litOf(v) else lit(false)
     case Gte(f, v)  => if (orderable(ft, f, v)) col(f) >= litOf(v) else lit(false)
     case Lt(f, v)   => if (orderable(ft, f, v)) col(f) < litOf(v) else lit(false)
@@ -122,10 +141,25 @@ object Cond {
     case RegexNoMatch(f, p) => !compile(RegexMatch(f, p), ft)
     case InList(f, vs) =>
       col(f).cast(StringType).isin(vs.map(String.valueOf(_)): _*)
-    case InConstStr(f, c0) =>
-      litOf(c0).contains(col(f).cast(StringType))
+    // [f] in "const" requires the FIELD to be a string at runtime
+    // (EventCondition.java:595-612 FieldInConstantString checks RubyString
+    // and returns false otherwise) — a numeric field never substring-matches,
+    // even when its decimal rendering appears in the constant.
+    case InConstStr(f, c0) => ft(f) match {
+      case Some(t) if t != StringType => lit(false)
+      case _ => litOf(c0).contains(col(f).cast(StringType))
+    }
+    // "const" in [f]: list field => element equality; string field =>
+    // substring; any other runtime type => false
+    // (EventCondition.java:553-574 ConstantStringInField).
     case ConstInField(c0, f, isList) =>
-      if (isList) array_contains(col(f), c0) else col(f).cast(StringType).contains(litOf(c0))
+      if (isList) array_contains(col(f), c0)
+      else ft(f) match {
+        case Some(ArrayType(StringType, _)) => array_contains(col(f), c0)
+        case Some(_: ArrayType) => lit(false) // non-string elements never Ruby-equal a string
+        case Some(t) if t != StringType => lit(false)
+        case _ => col(f).cast(StringType).contains(litOf(c0))
+      }
     case InField(lf, rf) => (ft(lf), ft(rf)) match {
       // left list/map => false (EventCondition.java:616-618)
       case (Some(_: ArrayType), _) | (Some(_: MapType), _) => lit(false)
@@ -209,15 +243,17 @@ object RowOracle {
       case null => false
       case v => vs.exists(x => str(x) == str(v))
     }
+    // type-strict like the reference: only STRING field values participate
+    // in substring membership (FieldInConstantString / ConstantStringInField
+    // check RubyString); numeric/boolean fields are false, never stringified.
     case InConstStr(f, c0) => row.getOrElse(f, null) match {
-      case null => false
-      case v => c0.contains(str(v))
+      case s: String => c0.contains(s)
+      case _ => false
     }
     case ConstInField(c0, f, _) => row.getOrElse(f, null) match {
-      case null => false
-      case xs: Seq[_] => xs.exists(x => str(x) == c0)
+      case xs: Seq[_] => xs.exists(x => x.isInstanceOf[String] && x == c0)
       case s: String => s.contains(c0)
-      case v => str(v) == c0
+      case _ => false
     }
     case InField(lf, rf) => (row.getOrElse(lf, null), row.getOrElse(rf, null)) match {
       case (null, _) | (_, null) => false

@@ -82,13 +82,18 @@ object Dedup {
               shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
               jaccardThreshold: Double = 0.5): DataFrame = {
     val ids = df.withColumn("_id", col(idCol).cast("long"))
-    // 1. exact collapse on the token sequence
-    val w = Window.partitionBy("_tok_str").orderBy(col("_id"))
+    // 1. exact collapse on the token sequence, keyed by its 256-bit content
+    //    hash — NOT the full joined token string: the window's exchange then
+    //    shuffles 64 B of key per row instead of the whole document (at
+    //    100 TB the content-string key would shuffle every byte of the
+    //    corpus twice). Same equivalence classes, same keeper per class.
+    val w = Window.partitionBy("_tok_hash").orderBy(col("_id"))
     val reps = ids
-      .withColumn("_tok_str", array_join(col(tokensCol).cast("array<string>"), ","))
+      .withColumn("_tok_hash",
+        sha2(array_join(col(tokensCol).cast("array<string>"), ","), 256))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
-      .drop("_rk", "_tok_str")
+      .drop("_rk", "_tok_hash")
     // 2. near-dup pairs among representatives
     val pairs = minhashCandidates(reps, tokensCol, "_id",
       shingleK, bands, rowsPerBand, jaccardThreshold)

@@ -113,18 +113,48 @@ object Similarity {
     embeddings.withColumn("list_id", (-greatest(scored: _*).getField("negc")).cast("long"))
   }
 
+  /** Driver-side probe ranking: top-`nprobe` centroid ids by cosine vs the
+    * query, rounded HALF_UP to 6dp — the SAME rounding as the engine path's
+    * round(x, 6) and the DuckDB oracle, so a similarity landing exactly on a
+    * 0.5e-6 boundary probes the same lists everywhere.
+    */
+  private[graft] def probeLists(centroids: Seq[(Long, Array[Float])],
+                                query: Array[Float], nprobe: Int): Seq[Long] =
+    centroids
+      .map { case (cid, cv) =>
+        (cid, BigDecimal(cosSeq(cv, query))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+
   /** IVF query: rank centroids vs the query on the driver (same fold, same
     * 6dp rounding), probe the top `nprobe` lists, exact cosine top-k within.
     */
   def ivfTopK(embeddings: DataFrame, embCol: String, idCol: String,
               centroids: Seq[(Long, Array[Float])], query: Array[Float],
               k: Int, nprobe: Int): DataFrame = {
-    val probed = centroids
-      .map { case (cid, cv) => (cid, math.rint(cosSeq(cv, query) * 1e6) / 1e6) }
-      .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+    val probed = probeLists(centroids, query, nprobe)
     val assigned = ivfAssign(embeddings, embCol, centroids)
       .filter(col("list_id").isin(probed: _*))
     assigned.select(col(idCol), col("list_id"),
+        round(cosineToConst(col(embCol), query.toSeq), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF query over a PRE-BUILT partitioned index (the [[ivfBuild]] output):
+    * the probe filter is a partition-column predicate, so the scan reads only
+    * the nprobe list directories — query cost O(N * nprobe / C) instead of
+    * the O(N * C) a full re-assignment pays. This is the 100 TB query path;
+    * [[ivfTopK]] (assign-on-the-fly) remains for index-less one-shot use.
+    */
+  def ivfTopKIndexed(index: DataFrame, embCol: String, idCol: String,
+                     centroids: Seq[(Long, Array[Float])], query: Array[Float],
+                     k: Int, nprobe: Int): DataFrame = {
+    val probed = probeLists(centroids, query, nprobe)
+    index
+      .filter(col("list_id").isin(probed: _*)) // partition pruning at the scan
+      .select(col(idCol), col("list_id").cast("long").as("list_id"),
         round(cosineToConst(col(embCol), query.toSeq), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
@@ -161,18 +191,44 @@ object Similarity {
     cents
   }
 
-  /** All-pairs candidate generation within sign buckets (ANN join for
-    * embedding near-dup detection): bucket -> self-join -> exact cosine.
+  /** Sign-LSH band bucket id for band `b`: bit i = (emb[b*bitsPerBand+i] > 0).
+    * Each band is a SEPARATE, narrow bucket key — 2^bitsPerBand buckets per
+    * band — so per-bucket population shrinks exponentially with bitsPerBand
+    * while `bands` independent attempts keep recall.
     */
-  def bucketedPairs(embeddings: DataFrame, embCol: String, idCol: String,
-                    nbits: Int = 8, minSim: Double = 0.9): DataFrame = {
-    val b = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"),
-      signBucket(col(embCol), nbits).as("bucket"))
-    val b2 = b.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
-    b.join(b2, "bucket")
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        round(cosine(col("emb"), col("emb_b")), 6).as("sim"))
+  private def bandBucket(emb: Column, band: Int, bitsPerBand: Int): Column =
+    (0 until bitsPerBand).map(i =>
+      when(element_at(emb, band * bitsPerBand + i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Embedding near-dup candidate pairs via BANDED sign-LSH (the MinHash-band
+    * construction over hyperplane sign bits): a pair is a candidate iff it
+    * collides in ANY band's bucket. Unlike a single wide bucket key (which is
+    * all-pairs over N/2^nbits rows — quadratic at corpus scale), every band
+    * here has 2^bitsPerBand buckets, so bucket population is N/2^bitsPerBand
+    * per band and `bands` bands recover recall; scale bitsPerBand with corpus
+    * size to bound the per-bucket self-join. Pairs are deduplicated across
+    * bands BEFORE the CPU-heavy exact-cosine verify, then spread explicitly
+    * (AQE coalesces byte-small candidate partitions onto one core otherwise).
+    */
+  def bandedPairs(embeddings: DataFrame, embCol: String, idCol: String,
+                  bands: Int = 5, bitsPerBand: Int = 12,
+                  minSim: Double = 0.9): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val banded = base.select(col("id"), col("emb"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandBucket(col("emb"), b, bitsPerBand).as("bk"))): _*)).as("bb"))
+      .select(col("id"), col("emb"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = banded.select(col("band"), col("bk"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b2 = banded.select(col("band"), col("bk"), col("id").as("id_b"), col("emb").as("emb_b"))
+    val parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    a.join(b2, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+      .repartition(parallelism, col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

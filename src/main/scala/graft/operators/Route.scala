@@ -57,10 +57,12 @@ object Route {
     * Logstash's per-output events.out counters). One narrow aggregate job.
     */
   def sinkCounts(flagged: DataFrame, sinks: Seq[SinkSpec], withDefault: Boolean = true): DataFrame = {
+    // sums coalesced to 0: on an EMPTY trunk sum() is SQL NULL, which would
+    // NPE run()'s counts collection — empty inputs must report zeros.
     val sums: Seq[Column] = sinks.map(s =>
-      sum(col(flagCol(s.name)).cast("long")).as(s.name)) ++
+      coalesce(sum(col(flagCol(s.name)).cast("long")), lit(0L)).as(s.name)) ++
       (if (withDefault)
-        Seq(sum((!sinks.map(s => col(flagCol(s.name))).reduce(_ || _)).cast("long")).as("_default"),
+        Seq(coalesce(sum((!sinks.map(s => col(flagCol(s.name))).reduce(_ || _)).cast("long")), lit(0L)).as("_default"),
             count(lit(1)).as("_total"))
       else Seq(count(lit(1)).as("_total")))
     val wide = flagged.agg(sums.head, sums.tail: _*)

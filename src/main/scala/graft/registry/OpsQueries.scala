@@ -32,7 +32,14 @@ object OpsQueries {
         f(Truthy("team")).as("f_truthy"),
         f(RegexMatch("severity", "^ERR")).as("f_regex"),
         f(Xor(Eq("severity", "ERROR"), Gt("n_tok", 64))).as("f_xor"),
-        f(Nand(Truthy("team"), Eq("tier", "prod"))).as("f_nand"))
+        f(Nand(Truthy("team"), Eq("tier", "prod"))).as("f_nand"),
+        // type-strict cross-type semantics (Ruby equality / RubyString-only
+        // membership): a numeric field never equals or substring-matches a
+        // string literal, even when its decimal rendering would
+        f(Eq("n_tok", "64")).as("f_eq_str_vs_int"),
+        f(Neq("n_tok", "64")).as("f_neq_str_vs_int"),
+        f(InConstStr("n_tok", "64 65")).as("f_substr_nonstr"),
+        f(ConstInField("64", "n_tok")).as("f_cif_nonstr"))
         .orderBy("doc_id")
     }),
 
@@ -99,7 +106,11 @@ object OpsQueries {
          |  CAST(coalesce(regexp_matches(severity, '^ERR'), FALSE) AS INTEGER) AS f_regex,
          |  CAST((coalesce(severity = 'ERROR', FALSE) <> coalesce(n_tok > 64, FALSE)) AS INTEGER) AS f_xor,
          |  CAST(NOT ((team IS NOT NULL AND team <> '' AND team <> 'false')
-         |            AND coalesce(tier = 'prod', FALSE)) AS INTEGER) AS f_nand
+         |            AND coalesce(tier = 'prod', FALSE)) AS INTEGER) AS f_nand,
+         |  CAST(FALSE AS INTEGER) AS f_eq_str_vs_int,
+         |  CAST(TRUE AS INTEGER) AS f_neq_str_vs_int,
+         |  CAST(FALSE AS INTEGER) AS f_substr_nonstr,
+         |  CAST(FALSE AS INTEGER) AS f_cif_nonstr
          |FROM trunk ORDER BY doc_id""".stripMargin,
 
     "mut_prune" ->

@@ -126,10 +126,11 @@ object TextQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
-    // embedding-cosine near-dup pairs via sign-LSH bucket self-join
+    // embedding-cosine near-dup pairs via BANDED sign-LSH (5 bands x 12 bits
+    // = 4096 buckets/band; per-bucket population N/4096, never all-pairs)
     "dedup_embed" -> ((s, dir) => {
-      Similarity.bucketedPairs(embs(s, dir), "embedding", "vec_id",
-          nbits = 8, minSim = 0.3)
+      Similarity.bandedPairs(embs(s, dir), "embedding", "vec_id",
+          bands = 5, bitsPerBand = 12, minSim = 0.3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -142,13 +143,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // IVF ANN: 8 coarse centroids (vec_id 1..8), probe 2 lists, top-10
+    // IVF ANN through the PARTITIONED INDEX: build (assign + write
+    // partitionBy(list_id)) once, then query via a partition-pruned read —
+    // the scan touches only the nprobe probed list directories, so query
+    // cost is O(N * nprobe / C), not the O(N * C) of per-query re-assignment.
     "sim_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
-      Similarity.ivfTopK(e.filter(col("vec_id") > 8), "embedding", "vec_id",
+      val idxPath = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Similarity.ivfBuild(e.filter(col("vec_id") > 8), "embedding", cents, idxPath)
+      Similarity.ivfTopKIndexed(s.read.parquet(idxPath), "embedding", "vec_id",
           cents, q, k = 10, nprobe = 2)
         .orderBy(col("sim").desc, col("vec_id"))
     }),
@@ -300,16 +308,20 @@ object TextQueries {
         |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
 
     "dedup_embed" -> {
-      val bits = (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      val bands = 5; val bpb = 12
+      val bandSelects = (0 until bands).map { b =>
+        val bits = (0 until bpb).map(i =>
+          s"(CASE WHEN embedding[${b * bpb + i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+        s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, $b AS band, ${bits.mkString(" + ")} AS bk FROM embeddings"
+      }.mkString("\n  UNION ALL\n  ")
       val cos = "round(list_dot_product(a.ev, b2.ev) / " +
         "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b2.ev, b2.ev))), 6)"
-      s"""WITH b AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
-         |         ${bits.mkString(" + ")} AS bucket
-         |  FROM embeddings)
-         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b, $cos AS sim
-         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         |WHERE $cos >= 0.3
+      s"""WITH banded AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, $cos AS sim
+         |  FROM banded a JOIN banded b2 ON a.band = b2.band AND a.bk = b2.bk AND a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, sim FROM cand WHERE sim >= 0.3
          |ORDER BY id_a, id_b""".stripMargin
     },
 

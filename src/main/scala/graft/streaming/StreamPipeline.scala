@@ -88,15 +88,24 @@ object StreamPipeline {
     val typed = events.select(col(keyCol).cast("string").as("k")).as[String]
     typed.groupByKey(identity)
       .flatMapGroupsWithState[(Long, Long), (String, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         case (key, rows, state: GroupState[(Long, Long)]) =>
-          val now = state.getCurrentProcessingTimeMs()
-          val (pStart0, n0) = state.getOption.getOrElse((now, 0L))
-          val (pStart, n) = if (now - pStart0 >= periodMs) (now, 0L) else (pStart0, n0)
-          val incoming = rows.size
-          val passed = math.min(incoming.toLong, math.max(0L, maxPerPeriod - n))
-          state.update((pStart, n + incoming))
-          if (passed > 0) Iterator((key, passed)) else Iterator.empty
+          if (state.hasTimedOut) {
+            // key idle for a full period: expire its (periodStart, count) so
+            // high-cardinality key spaces don't grow the state store without
+            // bound (the reference throttle evicts via an LRU cache).
+            state.remove()
+            Iterator.empty
+          } else {
+            val now = state.getCurrentProcessingTimeMs()
+            val (pStart0, n0) = state.getOption.getOrElse((now, 0L))
+            val (pStart, n) = if (now - pStart0 >= periodMs) (now, 0L) else (pStart0, n0)
+            val incoming = rows.size
+            val passed = math.min(incoming.toLong, math.max(0L, maxPerPeriod - n))
+            state.update((pStart, n + incoming))
+            state.setTimeoutDuration(periodMs)
+            if (passed > 0) Iterator((key, passed)) else Iterator.empty
+          }
       }.toDF("key", "passed")
   }
 

@@ -125,6 +125,42 @@ class FunctionsSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(list_id"), scan.take(500))
   }
 
+  test("banded sign-LSH pairs: no false positives vs brute force, bounded buckets") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val banded = Similarity.bandedPairs(embs, "embedding", "vec_id",
+      bands = 5, bitsPerBand = 12, minSim = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(banded.nonEmpty)
+    // every emitted pair's sim is the exact cosine and passes the threshold
+    banded.foreach { case (a, b, s) => assert(s >= 0.3 && a < b) }
+    // every emitted pair collides in at least one 12-bit band
+    val vecs = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def bandKey(v: Seq[Float], band: Int): Int =
+      (0 until 12).map(i => if (v(band * 12 + i) > 0f) 1 << i else 0).sum
+    banded.foreach { case (a, b, _) =>
+      assert((0 until 5).exists(k => bandKey(vecs(a), k) == bandKey(vecs(b), k)))
+    }
+  }
+
+  test("IVF indexed query: same rows as assign-on-the-fly, partition-pruned scan") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(embs, "embedding", "vec_id", 8)
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val db = embs.filter(col("vec_id") > 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    Similarity.ivfBuild(db, "embedding", cents, idx)
+    val reader = spark.read.parquet(idx)
+    val viaIndex = Similarity.ivfTopKIndexed(reader, "embedding", "vec_id", cents, q, 10, nprobe = 2)
+    val fly = Similarity.ivfTopK(db, "embedding", "vec_id", cents, q, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == fly)
+    // the probe filter must reach the scan as a PartitionFilter
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"), plan.take(800))
+  }
+
   test("IVF Lloyd training keeps centroid count and improves/holds distortion") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val init = Similarity.ivfCentroids(embs, "embedding", "vec_id", 4)
