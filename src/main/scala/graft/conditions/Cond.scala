@@ -56,6 +56,12 @@ final case class ConstInField(const: String, field: String, fieldIsList: Boolean
   * substring (right contains left); else scalar equality.
   */
 final case class InField(left: String, right: String) extends Cond
+/** [l] == [r] — deep equality of two fields (EventCondition field/field eq). */
+final case class EqFields(left: String, right: String) extends Cond
+/** [l] <op> [r] ordering between two fields; mixed runtime types cancel the
+  * event (=> false), like the field/literal ordering comparisons.
+  */
+final case class OrderFields(op: String, left: String, right: String) extends Cond
 /** if [f] — truthiness. */
 final case class Truthy(field: String) extends Cond
 final case class And(a: Cond, b: Cond) extends Cond
@@ -176,6 +182,29 @@ object Cond {
       // untyped fallback (map-extracted string fields): substring semantics
       case _ => col(rf).cast(StringType).contains(col(lf).cast(StringType))
     }
+    // field == field is Objects.equals of the two raw values
+    // (EventCondition.java:402-411): both-missing/null compares TRUE.
+    case EqFields(l, r) => (ft(l), ft(r)) match {
+      case (Some(a: NumericType), Some(b: NumericType)) =>
+        col(l).cast(DoubleType) <=> col(r).cast(DoubleType) // Ruby 1 == 1.0
+      case (Some(a), Some(b)) if a != b =>
+        col(l).isNull && col(r).isNull // non-null values of differing types never equal
+      case _ => col(l) <=> col(r)
+    }
+    case OrderFields(op, l, r) =>
+      val comparable = (ft(l), ft(r)) match {
+        case (Some(StringType), Some(StringType)) => true
+        case (Some(_: NumericType), Some(_: NumericType)) => true
+        case (Some(_), Some(_)) => false // mixed => reference throws => cancel
+        case _ => true // untyped: defer to runtime casts
+      }
+      if (!comparable) lit(false)
+      else op match {
+        case ">"  => col(l) > col(r)
+        case ">=" => col(l) >= col(r)
+        case "<"  => col(l) < col(r)
+        case _    => col(l) <= col(r)
+      }
     case Truthy(f) =>
       col(f).isNotNull &&
         col(f).cast(StringType) =!= "" && col(f).cast(StringType) =!= "false"
@@ -262,6 +291,14 @@ object RowOracle {
       case (l: String, r: String) => r.contains(l)
       case (l, r) => deepEq(l, r)
     }
+    case EqFields(l, r) => (row.getOrElse(l, null), row.getOrElse(r, null)) match {
+      case (null, null) => true // Objects.equals(null, null)
+      case (a, b) => deepEq(a, b)
+    }
+    case OrderFields(op, l, r) =>
+      cmp(row.getOrElse(l, null), row.getOrElse(r, null)).exists(c => op match {
+        case ">" => c > 0; case ">=" => c >= 0; case "<" => c < 0; case _ => c <= 0
+      })
     case Truthy(f) => row.getOrElse(f, null) match {
       case null => false
       case s =>

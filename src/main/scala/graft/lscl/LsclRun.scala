@@ -1,0 +1,397 @@
+package graft.lscl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.conditions._
+import graft.model.FieldRef
+import graft.operators.{Enrich, Mutate, Parse, Route}
+import graft.lscl.Lscl._
+
+/** Lowers parsed LSCL to the engine: condition AST -> [[graft.conditions.Cond]],
+  * filter sections -> conditional DataFrame transforms, output sections ->
+  * [[graft.operators.Route.SinkSpec]]s.
+  *
+  * Reference semantics: each branch arm applies to rows satisfying its
+  * condition AND none of the preceding arms' conditions (the two-valued
+  * SplitDataset/Complement pair, DatasetCompiler.java); literal-vs-literal
+  * conditions fold to constants at compile time exactly like the reference's
+  * `compareConstants`/`constant(...)` (EventCondition.java:396,422-425); an
+  * invalid regex pattern compiles to constant false (condition error =>
+  * cancelled event => false branch).
+  */
+object LsclRun {
+
+  // ---------------- condition lowering ----------------
+
+  private def fieldName(ref: String): String = {
+    val r = FieldRef.parse(ref)
+    if (r.meta) "_meta_" + r.path.mkString("_") else r.path.mkString(".")
+  }
+
+  private def litVal(v: Value): Any = v match {
+    case VString(s) => s
+    case VNumber(d, true) => d.toLong
+    case VNumber(d, false) => d
+    case VBool(b) => b
+    case other => throw new IllegalArgumentException(s"not a scalar literal: $other")
+  }
+
+  private def str(v: Any): String = String.valueOf(v)
+
+  /** Ruby-semantics static equality of two condition constants. */
+  private def staticEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Number, y: Number) => x.doubleValue == y.doubleValue
+    case _ => a == b // type-strict otherwise: "100" != 100
+  }
+
+  /** Ruby-semantics static ordering; None = incomparable (event cancel). */
+  private def staticCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) => Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private def constCond(b: Boolean): Cond = if (b) True else False
+
+  private def mkCompare(op: String, f: String, v: Any): Cond = op match {
+    case "==" => Eq(f, v)
+    case "!=" => Neq(f, v)
+    case ">"  => Gt(f, v)
+    case ">=" => Gte(f, v)
+    case "<"  => Lt(f, v)
+    case "<=" => Lte(f, v)
+  }
+
+  private def flip(op: String): String = op match {
+    case ">" => "<"
+    case ">=" => "<="
+    case "<" => ">"
+    case "<=" => ">="
+    case other => other // == and != are symmetric
+  }
+
+  private def regexCompiles(p: String): Boolean =
+    try { java.util.regex.Pattern.compile(p); true }
+    catch { case _: java.util.regex.PatternSyntaxException => false }
+
+  /** Lower the parsed condition AST to the verified Cond algebra. */
+  def lowerCond(e: Expr): Cond = e match {
+    case EBool("and", a, b)  => And(lowerCond(a), lowerCond(b))
+    case EBool("or", a, b)   => Or(lowerCond(a), lowerCond(b))
+    case EBool("xor", a, b)  => Xor(lowerCond(a), lowerCond(b))
+    case EBool("nand", a, b) => Nand(lowerCond(a), lowerCond(b))
+    case EBool(op, _, _)     => throw new IllegalArgumentException(s"bad bool op $op")
+    case ENot(a) => Not(lowerCond(a))
+
+    case ETruthy(OSelector(ref)) => Truthy(fieldName(ref))
+    case ETruthy(OLiteral(v)) => v match {
+      case VString(s) => constCond(s.nonEmpty && s != "false")
+      case VBool(b)   => constCond(b)
+      case VNumber(_, _) => True // any number is truthy in Ruby (even 0)
+      case _ => True
+    }
+    case ETruthy(OList(_)) => True
+
+    case ECompare(l, op, r) => (l, r) match {
+      case (OSelector(f), OLiteral(v)) => mkCompare(op, fieldName(f), litVal(v))
+      case (OLiteral(v), OSelector(f)) => mkCompare(flip(op), fieldName(f), litVal(v))
+      case (OLiteral(a), OLiteral(b)) =>
+        val (x, y) = (litVal(a), litVal(b))
+        op match {
+          case "==" => constCond(staticEq(x, y))
+          case "!=" => constCond(!staticEq(x, y))
+          case _ => constCond(staticCmp(x, y).exists(c => op match {
+            case ">" => c > 0; case ">=" => c >= 0; case "<" => c < 0; case _ => c <= 0
+          }))
+        }
+      case (OSelector(lf), OSelector(rf)) =>
+        val (a, b) = (fieldName(lf), fieldName(rf))
+        op match {
+          case "==" => EqFields(a, b)
+          case "!=" => Not(EqFields(a, b))
+          case other => OrderFields(other, a, b)
+        }
+      case _ => False // list literals are not comparable operands
+    }
+
+    case ERegex(l, pat, negate) =>
+      val base: Cond = l match {
+        case OSelector(f) =>
+          // a pattern the engine cannot compile = condition error = cancel
+          // (false) — for BOTH =~ and !~ (the error happens before negation)
+          if (!regexCompiles(pat)) return False
+          if (negate) RegexNoMatch(fieldName(f), pat) else RegexMatch(fieldName(f), pat)
+        case OLiteral(VString(s)) =>
+          if (!regexCompiles(pat)) return False
+          val m = java.util.regex.Pattern.compile(pat).matcher(s).find()
+          constCond(if (negate) !m else m)
+        case _ => if (negate) True else False
+      }
+      base
+
+    case EIn(l, r, negate) =>
+      val base: Cond = (l, r) match {
+        case (OSelector(f), OLiteral(VString(s))) => InConstStr(fieldName(f), s)
+        case (OSelector(f), OList(vs)) => InList(fieldName(f), vs.map(litVal))
+        case (OSelector(lf), OSelector(rf)) => InField(fieldName(lf), fieldName(rf))
+        case (OLiteral(VString(s)), OSelector(f)) => ConstInField(s, fieldName(f))
+        case (OLiteral(a), OSelector(f)) => ConstInField(str(litVal(a)), fieldName(f))
+        case (OLiteral(a), OLiteral(VString(s))) => litVal(a) match {
+          case x: String => constCond(s.contains(x))
+          case _ => False // type-strict: non-string never substring-matches
+        }
+        case (OLiteral(a), OList(vs)) =>
+          constCond(vs.map(litVal).exists(v => str(v) == str(litVal(a))))
+        case _ => False
+      }
+      if (negate) Not(base) else base
+  }
+
+  // ---------------- filter interpreter ----------------
+
+  /** Apply a parsed `filter` section to a frame. Row-wise value plugins
+    * (mutate/drop/json/translate) apply CONDITIONALLY under branch
+    * predicates; schema-shaping plugins (grok/dissect/kv/csv/date/rename/
+    * convert) are supported at the top level (condition True) — a
+    * conditional schema change has no DataFrame analogue.
+    */
+  def applyFilters(df: DataFrame, items: Seq[Item]): DataFrame =
+    applyItems(df, items, True)
+
+  private def applyItems(df0: DataFrame, items: Seq[Item], path: Cond): DataFrame =
+    items.foldLeft(df0) {
+      case (df, PluginItem(p)) => applyPlugin(df, p, path)
+      case (df, Branch(arms, otherwise)) =>
+        val lowered = arms.map { case (e, body) => (lowerCond(e), body) }
+        var acc = df
+        var prev = Vector.empty[Cond]
+        for ((c, body) <- lowered) {
+          val eff = prev.foldLeft(And(path, c): Cond)((a, p) => And(a, Not(p)))
+          acc = applyItems(acc, body, eff)
+          prev :+= c
+        }
+        if (otherwise.nonEmpty) {
+          val eff = prev.foldLeft(path)((a, p) => And(a, Not(p)))
+          acc = applyItems(acc, otherwise, eff)
+        }
+        acc
+    }
+
+  private def strAttr(p: Plugin, name: String): Option[String] =
+    p.attr(name).map {
+      case VString(s) => s
+      case VNumber(d, true) => d.toLong.toString
+      case VNumber(d, false) => d.toString
+      case VBool(b) => b.toString
+      case other => throw new IllegalArgumentException(s"$name: expected scalar, got $other")
+    }
+
+  private def strList(v: Value): Seq[String] = v match {
+    case VList(items) => items.map { case VString(s) => s; case other => str(litVal(other)) }
+    case VString(s) => Seq(s)
+    case other => Seq(str(litVal(other)))
+  }
+
+  private def isTrue(c: Cond): Boolean = c == True
+
+  private def requireTopLevel(p: Plugin, cond: Cond): Unit =
+    if (!isTrue(cond)) throw new UnsupportedOperationException(
+      s"plugin `${p.name}` reshapes the schema and is only supported outside conditionals")
+
+  private def applyPlugin(df: DataFrame, p: Plugin, cond: Cond): DataFrame = {
+    lazy val m: Column = Cond.predicateFor(df, cond)
+    p.name match {
+      case "mutate" => applyMutate(df, p, cond)
+
+      case "drop" =>
+        val pct = strAttr(p, "percentage").map(_.toDouble).getOrElse(100.0)
+        Mutate.drop(df, m, pct,
+          keyCol = if (df.columns.contains("doc_id")) "doc_id" else df.columns.head)
+
+      case "json" =>
+        val source = strAttr(p, "source").getOrElse(
+          throw new IllegalArgumentException("json: source required"))
+        // schema inferred from the data, like the reference's schemaless
+        // parse (at 100 TB you pass an explicit schema; inference is one
+        // sampling pass by Spark's own json reader)
+        val spark = df.sparkSession
+        import spark.implicits._
+        val schema = spark.read.json(
+          df.select(col(source)).na.drop.as[String]).schema
+        strAttr(p, "target") match {
+          case Some(t) =>
+            df.withColumn(t, when(m, from_json(col(source), schema)))
+          case None =>
+            val parsed = df.withColumn("_json_tmp", from_json(col(source), schema))
+            val expanded = schema.fields.foldLeft(parsed) { (d, f) =>
+              val v = when(m, col("_json_tmp").getField(f.name))
+                .otherwise(if (d.columns.contains(f.name)) col(f.name) else lit(null))
+              d.withColumn(f.name, v)
+            }
+            expanded.drop("_json_tmp")
+        }
+
+      case "translate" =>
+        val source = strAttr(p, "source").orElse(strAttr(p, "field")).getOrElse(
+          throw new IllegalArgumentException("translate: source required"))
+        val target = strAttr(p, "target").getOrElse("translation")
+        val dict = p.attr("dictionary") match {
+          case Some(VHash(entries)) => entries.map { case (k, v) => k -> str(litVal(v)) }
+          case _ => throw new IllegalArgumentException("translate: inline dictionary required here")
+        }
+        val regexMode = strAttr(p, "regex").contains("true")
+        val exact = !strAttr(p, "exact").contains("false")
+        val fallback = strAttr(p, "fallback")
+        val base: Column = dict.foldRight(
+          fallback.map(lit(_): Column).getOrElse(lit(null))) { case ((k, v), acc) =>
+          val hit =
+            if (regexMode) col(source).cast("string").rlike(k)
+            else if (exact) col(source).cast("string") === k
+            else col(source).cast("string").contains(k) // exact=false: key searched within field
+          when(hit, lit(v)).otherwise(acc)
+        }
+        df.withColumn(target,
+          when(m, base).otherwise(if (df.columns.contains(target)) col(target) else lit(null)))
+
+      case "grok" =>
+        requireTopLevel(p, cond)
+        p.attr("match") match {
+          case Some(VHash(Seq((field, VString(pattern))))) => Parse.grok(df, field, pattern)
+          case Some(VHash(Seq((field, VList(pats))))) =>
+            Parse.grokMulti(df, field, pats.map { case VString(s) => s; case o => str(litVal(o)) })
+          case other => throw new IllegalArgumentException(s"grok: unsupported match $other")
+        }
+
+      case "dissect" =>
+        requireTopLevel(p, cond)
+        p.attr("mapping") match {
+          case Some(VHash(Seq((field, VString(pattern))))) =>
+            // %{a} %{b} ... over a single separator — delegate to dissectString
+            val names = "%\\{\\+?(\\w+)(?:/\\d+)?\\}".r.findAllMatchIn(pattern).map(_.group(1)).toSeq
+            val seps = pattern.split("%\\{[^}]*\\}").filter(_.nonEmpty).distinct
+            val sep = if (seps.isEmpty) " " else seps.head
+            Parse.dissectString(df, field, sep, names)
+          case other => throw new IllegalArgumentException(s"dissect: unsupported mapping $other")
+        }
+
+      case "kv" =>
+        requireTopLevel(p, cond)
+        val source = strAttr(p, "source").getOrElse("message")
+        Parse.kv(df, source, strAttr(p, "target").getOrElse("kv"))
+
+      case "csv" =>
+        requireTopLevel(p, cond)
+        val source = strAttr(p, "source").getOrElse("message")
+        val names = p.attr("columns").map(strList).getOrElse(
+          throw new IllegalArgumentException("csv: columns required"))
+        Parse.csv(df, source, names, strAttr(p, "separator").getOrElse(","))
+
+      case "date" =>
+        requireTopLevel(p, cond)
+        p.attr("match") match {
+          case Some(v) =>
+            val parts = strList(v)
+            Parse.date(df, parts.head, strAttr(p, "target").getOrElse("@timestamp"), parts.tail)
+          case None => throw new IllegalArgumentException("date: match required")
+        }
+
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported filter plugin `$other`")
+    }
+  }
+
+  /** mutate, with reference apply order: rename -> update -> replace ->
+    * convert -> gsub -> uppercase -> lowercase -> strip -> split -> join,
+    * then the decorator (add_field -> remove_field -> add_tag -> remove_tag).
+    */
+  private def applyMutate(df0: DataFrame, p: Plugin, cond: Cond): DataFrame = {
+    var df = df0
+    def m: Column = Cond.predicateFor(df, cond)
+    def hash(name: String): Seq[(String, String)] = p.attr(name) match {
+      case Some(VHash(entries)) => entries.map { case (k, v) => k -> str(litVal(v)) }
+      case Some(other) => throw new IllegalArgumentException(s"$name: expected hash, got $other")
+      case None => Nil
+    }
+    hash("rename").foreach { case (from, to) =>
+      requireTopLevel(p, cond); df = Mutate.rename(df, from, to)
+    }
+    hash("update").foreach { case (f, tpl) =>
+      if (df.columns.contains(f))
+        df = df.withColumn(f,
+          when(m && col(f).isNotNull, Mutate.sprintf(tpl, df.columns.toSet)).otherwise(col(f)))
+    }
+    hash("replace").foreach { case (f, tpl) =>
+      val v = Mutate.sprintf(tpl, df.columns.toSet)
+      df = df.withColumn(f,
+        if (df.columns.contains(f)) when(m, v).otherwise(col(f)) else when(m, v))
+    }
+    hash("convert").foreach { case (f, typ) =>
+      requireTopLevel(p, cond)
+      df = Mutate.convert(df, f, typ match {
+        case "integer" => "long"; case "float" => "double"; case t => t
+      })
+    }
+    p.attr("gsub").foreach { v =>
+      val items = strList(v)
+      require(items.length % 3 == 0, "gsub: [field, pattern, replacement]+")
+      items.grouped(3).foreach { case Seq(f, pat, rep) =>
+        df = df.withColumn(f, when(m, regexp_replace(col(f), pat, rep)).otherwise(col(f)))
+      }
+    }
+    p.attr("uppercase").foreach(v => strList(v).foreach { f =>
+      df = df.withColumn(f, when(m, upper(col(f))).otherwise(col(f)))
+    })
+    p.attr("lowercase").foreach(v => strList(v).foreach { f =>
+      df = df.withColumn(f, when(m, lower(col(f))).otherwise(col(f)))
+    })
+    p.attr("strip").foreach(v => strList(v).foreach { f =>
+      df = df.withColumn(f, when(m, trim(col(f))).otherwise(col(f)))
+    })
+    hash("split").foreach { case (f, sep) =>
+      requireTopLevel(p, cond); df = Mutate.splitField(df, f, sep)
+    }
+    hash("join").foreach { case (f, sep) =>
+      requireTopLevel(p, cond); df = Mutate.joinField(df, f, sep)
+    }
+    // decorator tail, in the fixed reference order
+    val dec = Mutate.Decorator(
+      addField = hash("add_field"),
+      removeField = p.attr("remove_field").map(strList).getOrElse(Nil),
+      addTag = p.attr("add_tag").map(strList).getOrElse(Nil),
+      removeTag = p.attr("remove_tag").map(strList).getOrElse(Nil))
+    dec.applyWhen(df, Cond.predicateFor(df, cond))
+  }
+
+  // ---------------- output lowering ----------------
+
+  /** Lower a parsed `output` section to SinkSpecs: every output plugin
+    * becomes a named sink gated by its branch-path condition. The sink name
+    * is the plugin's `id` attribute when present (reference plugin ids),
+    * else `<plugin>_<k>`.
+    */
+  def sinkSpecs(items: Seq[Item]): Seq[Route.SinkSpec] = {
+    val out = Seq.newBuilder[Route.SinkSpec]
+    var k = 0
+    def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
+      case PluginItem(p) =>
+        val name = strAttr(p, "id").getOrElse { k += 1; s"${p.name}_$k" }
+        val dec = Mutate.Decorator(
+          addField = p.attr("add_field") match {
+            case Some(VHash(entries)) => entries.map { case (a, v) => a -> str(litVal(v)) }
+            case _ => Nil
+          })
+        out += Route.SinkSpec(name, path, dec)
+      case Branch(arms, otherwise) =>
+        var prev = Vector.empty[Cond]
+        arms.foreach { case (e, body) =>
+          val c = lowerCond(e)
+          walk(body, prev.foldLeft(And(path, c): Cond)((a, x) => And(a, Not(x))))
+          prev :+= c
+        }
+        if (otherwise.nonEmpty)
+          walk(otherwise, prev.foldLeft(path)((a, x) => And(a, Not(x))))
+    }
+    walk(items, True)
+    out.result()
+  }
+}

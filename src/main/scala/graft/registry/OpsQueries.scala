@@ -12,7 +12,54 @@ import graft.operators.Mutate
   */
 object OpsQueries {
 
+  /** LSCL config text for the lscl_route gate: the whole pipeline — branch
+    * chain, tag/field decorators, regex condition, env-var default, and an
+    * if/else-gated output section — is declared as CONFIG TEXT and must
+    * reproduce the handwritten oracle SQL below exactly.
+    */
+  val LsclRouteConfig: String =
+    """# graft lscl_route gate pipeline
+      |filter {
+      |  if [severity] == "ERROR" and [tier] == "${LSCL_TIER:prod}" {
+      |    mutate { add_tag => ["err_prod"] }
+      |  } else if [severity] == "WARN" and [n_tok] > 64 {
+      |    mutate { add_tag => ["warn_big"] }
+      |  } else {
+      |    mutate { add_tag => ["other"] }
+      |  }
+      |  if [team] in ["team-0", "team-1"] {
+      |    mutate { add_tag => ["teamA"] }
+      |  }
+      |  if [source] =~ /[13579]$/ {
+      |    mutate { add_field => { "odd_src" => "%{source}-odd" } }
+      |  }
+      |}
+      |output {
+      |  if "err_prod" in [tags] { sink { id => "lscl_errors" } }
+      |  else if "warn_big" in [tags] { sink { id => "lscl_warn" } }
+      |  else { sink { id => "lscl_rest" } }
+      |}
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the LSCL text frontend end-to-end: parse config text -> compile
+    // conditions -> conditional decorators -> output-section sink routing,
+    // all from LsclRouteConfig above
+    "lscl_route" -> ((s, dir) => {
+      val cfg = graft.lscl.Lscl.parse(LsclRouteConfig, Map.empty) // ${LSCL_TIER:prod} -> default
+      val trunk = StandardPipeline.fromDir(s, dir).trunk
+      val filtered = graft.lscl.LsclRun.applyFilters(trunk, cfg.filters)
+      val sinks = graft.lscl.LsclRun.sinkSpecs(cfg.outputs)
+      val flagged = graft.operators.Route.withSinkFlags(filtered, sinks)
+      flagged.select(col("doc_id"),
+          array_join(col("tags"), ",").as("tags_str"),
+          col("odd_src"),
+          col("_m_lscl_errors").cast("int").as("m_errors"),
+          col("_m_lscl_warn").cast("int").as("m_warn"),
+          col("_m_lscl_rest").cast("int").as("m_rest"))
+        .orderBy("doc_id")
+    }),
+
     // every conditional operator class evaluated per-row over the trunk
     // (nulls present via dict-miss sources) — the EventConditionTest analogue
     "cond_ops" -> ((s, dir) => {
@@ -91,6 +138,29 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mirrors LsclRouteConfig clause by clause: the branch chain adds exactly
+    // one of err_prod/warn_big/other; teamA appends; odd_src is the sprintf'd
+    // add_field; sink flags follow the output section's if/else-if/else
+    "lscl_route" ->
+      s"""${StandardPipeline.sqlTrunk},
+         |flags AS (
+         |  SELECT doc_id, source,
+         |         delim_pos = 0 AS f_fail,
+         |         coalesce(severity = 'ERROR' AND tier = 'prod', FALSE) AS f_err,
+         |         coalesce(severity = 'WARN' AND n_tok > 64, FALSE) AS f_warn,
+         |         coalesce(team IN ('team-0','team-1'), FALSE) AS f_team,
+         |         coalesce(regexp_matches(source, '[13579]$$'), FALSE) AS f_odd
+         |  FROM trunk)
+         |SELECT doc_id,
+         |       (CASE WHEN f_fail THEN '_dissectfailure,' ELSE '' END)
+         |         || (CASE WHEN f_err THEN 'err_prod' WHEN f_warn THEN 'warn_big' ELSE 'other' END)
+         |         || (CASE WHEN f_team THEN ',teamA' ELSE '' END) AS tags_str,
+         |       CASE WHEN f_odd THEN source || '-odd' ELSE NULL END AS odd_src,
+         |       CAST(f_err AS INTEGER) AS m_errors,
+         |       CAST(NOT f_err AND f_warn AS INTEGER) AS m_warn,
+         |       CAST(NOT f_err AND NOT f_warn AS INTEGER) AS m_rest
+         |FROM flags ORDER BY doc_id""".stripMargin,
+
     "cond_ops" ->
       s"""${StandardPipeline.sqlTrunk}
          |SELECT doc_id,

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.conditions._
+import graft.lscl.{Lscl, LsclRun}
+
+/** LSCL config-text frontend specs. The flagship case is the reference's
+  * `qa/integration/fixtures/env_variables_condition_spec.yml` pipeline,
+  * embedded VERBATIM: its filter section exercises every condition operator
+  * with env-var substitution, and the consuming spec
+  * (env_variables_condition_spec.rb:74) pins the exact expected tag list —
+  * including that `wrong_regex_substitution` is ABSENT (no `${VAR}`
+  * substitution inside regexp literals).
+  */
+class LsclSpec extends SparkSpec {
+
+  private val fixtureEnv = Map(
+    "APP" -> "foobar", "BIG" -> "100", "SMALL" -> "1", "TAG1" -> "mytag1",
+    "TEST_ENV_PATH" -> "/tmp/lscl_fixture")
+
+  // verbatim from qa/integration/fixtures/env_variables_condition_spec.yml
+  private val fixtureConfig = """input {
+    generator {
+      lines => ['{"app": "foobar", "amount": "100", "version": 1, "tag1": "mytag1"}']
+      count => 1
+    }
+  }
+  filter {
+    json {
+       source => "message"
+    }
+
+    if ("${APP}") {
+       mutate { add_tag => ["Truthy"] }
+    }
+    if !([version] == "${BIG}") {
+       mutate { add_tag => ["Not"] }
+    }
+    if "${BIG}" > "${SMALL}" {
+       mutate { add_tag => [">"] }
+    }
+    if "${BIG}" >= "100" {
+       mutate { add_tag => [">="] }
+    }
+    if "${SMALL}" < "${BIG}" {
+       mutate { add_tag => ["<"] }
+    }
+    if "${SMALL}" <= "1" {
+       mutate { add_tag => ["<="] }
+    }
+    if [app] == "${APP}" {
+       mutate { add_tag => ["=="] }
+    }
+    if "${SMALL}" != "${BIG}" {
+       mutate { add_tag => ["!="] }
+    }
+    if [amount] in ["${SMALL}", "${BIG}"] {
+       mutate { add_tag => ["in"] }
+    }
+    if [amount] not in ["${SMALL}", "2", "3"] {
+       mutate { add_tag => ["not in"] }
+    }
+    if [amount] =~ /\d+/ {
+       mutate { add_tag => ["=~"] }
+    }
+    if [amount] =~ /${BIG}/ {
+       mutate { add_tag => ["wrong_regex_substitution"] }
+    }
+    if [amount] !~ /[a-z]+/ {
+       mutate { add_tag => ["!~"] }
+    }
+    if ([app] == "${APP}") and ([app] == "foobar") {
+       mutate { add_tag => ["and"] }
+    }
+    if ([app] == "${APP}") and ([amount] == "${BIG}") and ([version] == 1) and [tag1] == "${TAG1}" {
+       mutate { add_tag => ["more_and"] }
+    }
+    if (1 > 2) or ([app] == "${APP}") {
+       mutate { add_tag => ["or"] }
+    }
+    if ([app] == "${APP}") nand (1 > 2) {
+       mutate { add_tag => ["nand"] }
+    }
+    if (1 > 2) xor ([app] == "${APP}") {
+       mutate { add_tag => ["xor"] }
+    }
+  }
+  output {
+    file {
+      path => "${TEST_ENV_PATH}/env_variables_condition_output.log"
+      flush_interval => 0
+      codec => line { format => "%{message} %{tags}" }
+    }
+  }"""
+
+  test("fixture pipeline reproduces the reference's exact tag list") {
+    import spark.implicits._
+    val cfg = Lscl.parse(fixtureConfig, fixtureEnv)
+    assert(cfg.inputs.nonEmpty && cfg.filters.nonEmpty && cfg.outputs.nonEmpty)
+    // the generator event from the fixture's input section
+    val df = Seq("""{"app": "foobar", "amount": "100", "version": 1, "tag1": "mytag1"}""")
+      .toDF("message")
+    val out = LsclRun.applyFilters(df, cfg.filters)
+    val tags = out.select("tags").collect()(0).getSeq[String](0)
+    // env_variables_condition_spec.rb:74 — and NO wrong_regex_substitution
+    assert(tags == Seq("Truthy", "Not", ">", ">=", "<", "<=", "==", "!=",
+      "in", "not in", "=~", "!~", "and", "more_and", "or", "nand", "xor"),
+      tags.mkString(","))
+  }
+
+  test("undefined env var without default aborts the parse (reference compile error)") {
+    val e = intercept[IllegalArgumentException] {
+      Lscl.parse("""filter { if "${NOT_EXIST}" { mutate { add_tag => ["x"] } } }""",
+        Map.empty)
+    }
+    assert(e.getMessage.contains("Cannot evaluate `${NOT_EXIST}`"))
+  }
+
+  test("${VAR:default} falls back; set var wins") {
+    val c1 = Lscl.parse("""filter { mutate { add_field => { "t" => "${V:dflt}" } } }""", Map.empty)
+    val Lscl.PluginItem(p1) = c1.filters.head: @unchecked
+    assert(p1.attr("add_field").contains(Lscl.VHash(Seq("t" -> Lscl.VString("dflt")))))
+    val c2 = Lscl.parse("""filter { mutate { add_field => { "t" => "${V:dflt}" } } }""",
+      Map("V" -> "real"))
+    val Lscl.PluginItem(p2) = c2.filters.head: @unchecked
+    assert(p2.attr("add_field").contains(Lscl.VHash(Seq("t" -> Lscl.VString("real")))))
+  }
+
+  test("if/else-if/else lowers to exclusive sink conditions") {
+    val cfg = Lscl.parse(
+      """output {
+        |  if [sev] == "ERROR" { s { id => "a" } }
+        |  else if [sev] == "WARN" { s { id => "b" } }
+        |  else { s { id => "c" } }
+        |}""".stripMargin, Map.empty)
+    val specs = LsclRun.sinkSpecs(cfg.outputs)
+    assert(specs.map(_.name) == Seq("a", "b", "c"))
+    // exactly one of the three conditions holds for any sev value
+    for (sev <- Seq("ERROR", "WARN", "INFO", null)) {
+      val row = Map[String, Any]("sev" -> sev)
+      val hits = specs.map(s => RowOracle.eval(s.cond, row)).count(identity)
+      assert(hits == 1, s"sev=$sev hits=$hits")
+    }
+  }
+
+  test("branch semantics over a frame: else-if arm sees NOT(prior arms)") {
+    import spark.implicits._
+    val df = Seq(("ERROR", 10), ("WARN", 99), ("WARN", 1), ("INFO", 5))
+      .toDF("sev", "n")
+    val cfg = Lscl.parse(
+      """filter {
+        |  if [sev] == "ERROR" { mutate { add_tag => ["e"] } }
+        |  else if [n] > 50 { mutate { add_tag => ["big"] } }
+        |  else { mutate { add_tag => ["rest"] } }
+        |}""".stripMargin, Map.empty)
+    val got = LsclRun.applyFilters(df, cfg.filters)
+      .select(col("sev"), col("n"), array_join(col("tags"), ",").as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("ERROR", 10, "e"), ("WARN", 99, "big"),
+      ("WARN", 1, "rest"), ("INFO", 5, "rest")))
+  }
+
+  test("conditional value mutations: gsub/lowercase/translate under a branch") {
+    import spark.implicits._
+    val df = Seq(("A", "Hello-World"), ("B", "Hello-World")).toDF("k", "v")
+    val cfg = Lscl.parse(
+      """filter {
+        |  if [k] == "A" {
+        |    mutate { gsub => ["v", "-", "_"] lowercase => ["v"] }
+        |    translate { source => "k" target => "t" dictionary => { "A" => "alpha" } }
+        |  }
+        |}""".stripMargin, Map.empty)
+    val got = LsclRun.applyFilters(df, cfg.filters)
+      .select("k", "v", "t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("A", "hello_world", "alpha"), ("B", "Hello-World", null)))
+  }
+
+  test("parse errors carry position; schema plugins refuse conditional use") {
+    val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
+    assert(e.getMessage.contains("line 1"))
+    val cfg = Lscl.parse(
+      """filter { if [a] == "x" { mutate { rename => { "a" => "b" } } } }""", Map.empty)
+    import spark.implicits._
+    val df = Seq("x").toDF("a")
+    intercept[UnsupportedOperationException](LsclRun.applyFilters(df, cfg.filters))
+  }
+}
