@@ -318,10 +318,10 @@ object LsclRun {
     hash("update").foreach { case (f, tpl) =>
       if (df.columns.contains(f))
         df = df.withColumn(f,
-          when(m && col(f).isNotNull, Mutate.sprintf(tpl, df.columns.toSet)).otherwise(col(f)))
+          when(m && col(f).isNotNull, Mutate.sprintfFor(df, tpl)).otherwise(col(f)))
     }
     hash("replace").foreach { case (f, tpl) =>
-      val v = Mutate.sprintf(tpl, df.columns.toSet)
+      val v = Mutate.sprintfFor(df, tpl)
       df = df.withColumn(f,
         if (df.columns.contains(f)) when(m, v).otherwise(col(f)) else when(m, v))
     }

@@ -1,7 +1,8 @@
 package graft.model
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Logstash field references (`foo`, `[foo]`, `[a][b]`, `[@metadata][x]`)
   * mapped onto the Spark column model (SURVEY.md §1.1/§1.2).
@@ -56,4 +57,93 @@ object FieldRef {
   }
 
   def column(s: String): Column = column(parse(s))
+
+  // ------------------------------------------------------------------
+  // Nested field WRITE semantics (Accessors.java:63-120):
+  //  - `set` auto-creates missing intermediate containers
+  //    (findCreateTarget, Accessors.java:102-120; the reference creates
+  //    maps — here structs, the typed equivalent);
+  //  - list elements are addressed by integer string keys, negative
+  //    indices count from the end (listIndex), and setting past the end
+  //    pads with nulls (appendAtIndex, Accessors.java:79-89);
+  //  - setting through a NULL struct value creates a fresh container for
+  //    that row (the per-event map creation the reference does).
+  // ------------------------------------------------------------------
+
+  private val IndexSeg = "(-?\\d+)".r
+
+  /** Set `refStr` (e.g. `[a][b]`, `[lst][0]`, `[lst][-1]`, `[@metadata][x]`)
+    * to `value` over the frame, creating intermediate structs as needed.
+    */
+  def set(df: DataFrame, refStr: String, value: Column): DataFrame = {
+    val ref = parse(refStr)
+    if (ref.meta) {
+      require(ref.path.nonEmpty, "bare [@metadata] is not writable")
+      df.withColumn("_meta_" + ref.path.mkString("_"), value)
+    } else {
+      val head = ref.path.head
+      if (ref.path.tail.isEmpty) df.withColumn(head, value)
+      else if (!df.columns.contains(head))
+        df.withColumn(head, createNested(ref.path.tail, value))
+      else df.withColumn(head,
+        setIn(col(head), df.schema(head).dataType, ref.path.tail, value))
+    }
+  }
+
+  /** Missing intermediate path -> fresh nested structs (findCreateTarget). */
+  private def createNested(path: Seq[String], value: Column): Column =
+    path.foldRight(value)((seg, v) => struct(v.as(seg)))
+
+  private def setIn(parent: Column, t: DataType, path: Seq[String], value: Column): Column = {
+    val seg = path.head
+    (t, seg) match {
+      case (at: ArrayType, IndexSeg(_)) =>
+        val raw = seg.toInt
+        val n = size(coalesce(parent, array().cast(at)))
+        val idx: Column = if (raw < 0) n + raw else lit(raw)
+        val newChild = path.tail match {
+          case Seq() => value
+          case rest => setIn(get(parent, idx), at.elementType, rest, value)
+        }
+        // grow-by-nulls append when idx >= size (appendAtIndex); replace
+        // in place otherwise; an out-of-range negative index is a no-op
+        // (the reference throws out of the setter — no write happens)
+        val newLen = greatest(n, idx + 1)
+        val rebuilt = transform(sequence(lit(0), newLen - 1), j =>
+          when(j === idx, newChild.cast(at.elementType)).otherwise(get(parent, j)))
+        when(idx < 0, parent).otherwise(rebuilt)
+
+      case (st: StructType, _) =>
+        val existing = st.fields.find(_.name == seg)
+        val newChild: Column = path.tail match {
+          case Seq() => value
+          case rest => existing match {
+            case Some(f) => setIn(parent.getField(seg), f.dataType, rest, value)
+            case None => createNested(rest, value)
+          }
+        }
+        // null struct value -> fresh struct for that row (auto-create)
+        val freshFields: Seq[Column] =
+          st.fields.toSeq.map(f =>
+            (if (f.name == seg) newChild else lit(null).cast(f.dataType)).as(f.name)) ++
+            (if (existing.isEmpty) Seq(newChild.as(seg)) else Nil)
+        when(parent.isNull, struct(freshFields: _*))
+          .otherwise(parent.withField(seg, newChild))
+
+      case (mt: MapType, _) =>
+        val newChild: Column = path.tail match {
+          case Seq() => value
+          case rest => setIn(try_element_at(parent, lit(seg)), mt.valueType, rest, value)
+        }
+        val base = coalesce(parent, map().cast(mt))
+        map_concat(
+          map_filter(base, (k, _) => k =!= lit(seg)),
+          map(lit(seg).cast(mt.keyType), newChild.cast(mt.valueType)))
+
+      case _ =>
+        // non-container intermediate: the reference replaces it with a fresh
+        // map (setChild over the created ConvertedMap) — here a fresh struct
+        createNested(path, value)
+    }
+  }
 }

@@ -13,36 +13,107 @@ import org.apache.spark.sql.functions._
   */
 object Mutate {
 
-  // ---- sprintf-lite: "%{field}" refs + literals -> concat of columns ----
-  // Reference: StringInterpolation.java:66-137. v0 scope: %{field} and
-  // literals (SURVEY.md §7.3); unresolved refs stay literal like the reference.
+  // ---- sprintf: full reference template semantics ----
+  // StringInterpolation.java:66-137:
+  //  %{+%s}        epoch seconds of @timestamp ("" when null)
+  //  %{{java}}     java.time pattern of @timestamp at UTC ("" when null);
+  //                %{{TIME_NOW}} renders the current time
+  //  %{+joda}      Joda pattern of @timestamp at UTC ("" when null)
+  //  %{field} / %{[a][b]}  field value; LIST joins with ",", MAP renders as
+  //                JSON, NULL/unknown leaves the literal %{...} in place
 
-  // %{{java-format}} | %{+%s} | %{field}  (StringInterpolation.java:66-137:
-  // java.time pattern on @timestamp, epoch seconds, field ref)
-  private val Ref = "%\\{\\{([^}]+)\\}\\}|%\\{\\+%s\\}|%\\{(\\w+)\\}".r
+  private val Ref =
+    "%\\{\\{([^}]+)\\}\\}|%\\{\\+%s\\}|%\\{\\+([^}]+)\\}|%\\{((?:\\[[^\\]]+\\])+|[\\w@.]+)\\}".r
 
+  /** Joda-Time pattern -> java.time pattern for the token letters whose
+    * meaning differs (quoted literals pass through untouched):
+    * Joda Y (year of era) -> y; Joda x (weekyear) -> Y (week-based-year).
+    * The shared letters (M d H h K k m s S E e a w D G z Z) agree.
+    */
+  private[graft] def jodaToJava(p: String): String = {
+    val sb = new StringBuilder
+    var inQuote = false
+    p.foreach { c =>
+      if (c == '\'') { inQuote = !inQuote; sb += c }
+      else if (inQuote) sb += c
+      else sb += (c match { case 'Y' => 'y'; case 'x' => 'Y'; case o => o })
+    }
+    sb.toString
+  }
+
+  /** Typed sprintf over a concrete frame: dispatches on each referenced
+    * column's data type (array -> join ",", map/struct -> JSON), resolves
+    * nested `[a][b]` refs, and uses the frame's `@timestamp` column (or
+    * `tsCol`) for the time formats.
+    */
+  def sprintfFor(df: DataFrame, template: String, tsCol: Option[String] = None): Column =
+    sprintfImpl(template, f => resolveField(df, f), tsCol.orElse(
+      Seq("@timestamp", "ts", "timestamp").find(df.columns.contains)))
+
+  /** Untyped legacy form (column-name set only): scalar refs cast to string. */
   def sprintf(template: String, columns: Set[String],
-              tsCol: Option[String] = None): Column = {
+              tsCol: Option[String] = None): Column =
+    sprintfImpl(template,
+      f => if (columns.contains(f)) Some((col(f), None)) else None, tsCol)
+
+  private def resolveField(df: DataFrame, fieldRef: String): Option[(Column, Option[org.apache.spark.sql.types.DataType])] = {
+    val ref = graft.model.FieldRef.parse(fieldRef)
+    val name = if (ref.meta) "_meta_" + ref.path.mkString("_") else ref.path.head
+    if (!df.columns.contains(name)) None
+    else {
+      var c = col(name)
+      var t: org.apache.spark.sql.types.DataType = df.schema(name).dataType
+      if (!ref.meta) ref.path.tail.foreach { seg =>
+        c = c.getField(seg)
+        t = t match {
+          case s: org.apache.spark.sql.types.StructType => s(seg).dataType
+          case m: org.apache.spark.sql.types.MapType => m.valueType
+          case o => o
+        }
+      }
+      Some((c, Some(t)))
+    }
+  }
+
+  private def sprintfImpl(template: String,
+                          resolve: String => Option[(Column, Option[org.apache.spark.sql.types.DataType])],
+                          tsCol: Option[String]): Column = {
+    import org.apache.spark.sql.types._
     val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
     var last = 0
     for (m <- Ref.findAllMatchIn(template)) {
       if (m.start > last) parts += lit(template.substring(last, m.start))
       parts += (Option(m.group(1)) match {
-        case Some(javaFmt) => // %{{pattern}}: java.time format of the event timestamp
+        case Some("TIME_NOW") => date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        case Some(javaFmt) => // %{{pattern}}
           tsCol match {
             case Some(ts) => coalesce(date_format(col(ts), javaFmt), lit(""))
-            case None     => lit(m.matched) // no timestamp column -> literal
+            case None     => lit(m.matched)
           }
         case None if m.matched == "%{+%s}" => // epoch seconds
           tsCol match {
             case Some(ts) => coalesce(unix_timestamp(col(ts)).cast("string"), lit(""))
             case None     => lit(m.matched)
           }
+        case None if m.group(2) != null => // %{+joda}
+          tsCol match {
+            case Some(ts) => coalesce(date_format(col(ts), jodaToJava(m.group(2))), lit(""))
+            case None     => lit(m.matched)
+          }
         case None =>
-          val f = m.group(2)
-          // unresolved (unknown column) refs are left literal, like the reference
-          if (columns.contains(f)) coalesce(col(f).cast("string"), lit(""))
-          else lit(m.matched)
+          val f = m.group(3)
+          resolve(f) match {
+            case Some((c, t)) =>
+              val rendered = t match {
+                case Some(_: ArrayType) => array_join(c.cast("array<string>"), ",")
+                case Some(_: MapType) | Some(_: StructType) => to_json(c)
+                case _ => c.cast("string")
+              }
+              // a NULL field leaves the literal %{...} in place, exactly like
+              // the unresolved-reference case (StringInterpolation.java:126)
+              coalesce(rendered, lit(m.matched))
+            case None => lit(m.matched)
+          }
       })
       last = m.end
     }
@@ -83,10 +154,14 @@ object Mutate {
       * fixed reference order.
       */
     def applyWhen(df0: DataFrame, matched: Column): DataFrame = {
-      val cols = df0.columns.toSet
       val afterAdd = addField.foldLeft(df0) { case (d, (name, tpl)) =>
-        val v = sprintf(tpl, cols)
-        d.withColumn(name,
+        val v = sprintfFor(d, tpl)
+        if (name.startsWith("[")) {
+          // nested target `[a][b]`: conditional write through FieldRef.set,
+          // unmatched rows keep the current value (null when absent)
+          val cur = resolveField(d, name).map(_._1).getOrElse(lit(null))
+          graft.model.FieldRef.set(d, name, when(matched, v).otherwise(cur))
+        } else d.withColumn(name,
           if (d.columns.contains(name)) when(matched, v).otherwise(col(name))
           else when(matched, v))
       }
@@ -123,9 +198,9 @@ object Mutate {
   def update(df: DataFrame, field: String, tpl: String): DataFrame =
     if (!df.columns.contains(field)) df
     else df.withColumn(field,
-      when(col(field).isNotNull, sprintf(tpl, df.columns.toSet)).otherwise(col(field)))
+      when(col(field).isNotNull, sprintfFor(df, tpl)).otherwise(col(field)))
   def replace(df: DataFrame, field: String, tpl: String): DataFrame =
-    df.withColumn(field, sprintf(tpl, df.columns.toSet))
+    df.withColumn(field, sprintfFor(df, tpl))
   def coalesceField(df: DataFrame, field: String, fallbacks: Seq[String]): DataFrame =
     df.withColumn(field, coalesce((field +: fallbacks).map(col): _*))
 

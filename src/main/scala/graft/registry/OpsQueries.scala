@@ -90,6 +90,35 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // nested field WRITE semantics (Accessors.java:63-120): struct field
+    // add/overwrite, list index set, negative index, pad-past-end with
+    // nulls, auto-created intermediate containers
+    "evt_fieldwrite" -> ((s, dir) => {
+      import graft.model.FieldRef
+      val base = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          struct(col("user_id").as("uid")).as("ctx"),
+          array(lit("a"), lit("b"), col("event_type")).as("lst"))
+        .withColumn("lst0", col("lst"))
+        .withColumn("lstm1", col("lst"))
+        .withColumn("lst5", col("lst"))
+      val written = Seq[(String, org.apache.spark.sql.Column)](
+        "[ctx][etype]" -> col("event_type"),   // struct: add new field
+        "[ctx][uid]" -> col("user_id") * 2,    // struct: overwrite in place
+        "[lst0][0]" -> lit("z"),               // list: set by index
+        "[lstm1][-1]" -> lit("y"),             // list: negative index
+        "[lst5][4]" -> lit("p"),               // list: pad-with-null append
+        "[fresh][deep][k]" -> lit("v"))        // auto-create intermediates
+        .foldLeft(base) { case (d, (ref, v)) => FieldRef.set(d, ref, v) }
+      written.select(col("event_id"),
+          to_json(col("ctx")).as("ctx_json"),
+          array_join(col("lst0"), ",", "NUL").as("lst0_str"),
+          array_join(col("lstm1"), ",", "NUL").as("lstm1_str"),
+          array_join(col("lst5"), ",", "NUL").as("lst5_str"),
+          to_json(col("fresh")).as("fresh_json"))
+        .orderBy("event_id")
+    }),
+
     // prune: whitelist projection by column-name regex
     "mut_prune" -> ((s, dir) => {
       Mutate.prune(StandardPipeline.fromDir(s, dir).trunk,
@@ -97,12 +126,36 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
-    // sprintf decorator: add_field with %{field} interpolation
+    // sprintf decorator: add_field with %{field} interpolation; a NULL field
+    // leaves the literal %{...} in place (StringInterpolation.java:126 — the
+    // same rendering as an unresolved reference)
     "mut_sprintf" -> ((s, dir) => {
       val trunk = StandardPipeline.fromDir(s, dir).trunk
       Mutate.Decorator(addField = Seq("greeting" -> "sev=%{severity} team=%{team}!"))(trunk)
         .select(col("doc_id"), col("greeting"))
         .orderBy("doc_id")
+    }),
+
+    // full sprintf surface: %{+joda}, %{+%s} epoch, %{{java}}, list-join-","
+    // map-as-JSON, nested [a][b] refs, unresolved-literal
+    "mut_sprintf2" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("lst", split(col("props"), " "))
+        .withColumn("mp", map(lit("t"), col("event_type")))
+        .withColumn("nested", struct(col("user_id").as("uid")))
+      Mutate.Decorator(addField = Seq(
+        "day_joda" -> "d=%{+YYYY.MM.dd}",
+        "hms_joda" -> "t=%{+HH:mm:ss}",
+        "epoch"    -> "e=%{+%s}",
+        "java_fmt" -> "j=%{{yyyy/MM/dd HH}}",
+        "joined"   -> "L=%{lst}",
+        "as_json"  -> "M=%{mp}",
+        "deep"     -> "u=%{[nested][uid]}",
+        "missing"  -> "x=%{nope}"))(ev)
+        .select(col("event_id"), col("day_joda"), col("hms_joda"), col("epoch"),
+          col("java_fmt"), col("joined"), col("as_json"), col("deep"), col("missing"))
+        .orderBy("event_id")
     }),
 
     // drop with percentage: deterministic hash-mod sampling (md5 so the
@@ -183,6 +236,16 @@ object OpsQueries {
          |  CAST(FALSE AS INTEGER) AS f_cif_nonstr
          |FROM trunk ORDER BY doc_id""".stripMargin,
 
+    "evt_fieldwrite" ->
+      """SELECT event_id,
+        |       '{"uid":' || CAST(user_id * 2 AS VARCHAR)
+        |         || ',"etype":"' || event_type || '"}' AS ctx_json,
+        |       'z,b,' || event_type AS lst0_str,
+        |       'a,b,y' AS lstm1_str,
+        |       'a,b,' || event_type || ',NUL,p' AS lst5_str,
+        |       '{"deep":{"k":"v"}}' AS fresh_json
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "mut_prune" ->
       s"""${StandardPipeline.sqlTrunk}
          |SELECT doc_id, severity, team FROM trunk ORDER BY doc_id""".stripMargin,
@@ -190,8 +253,21 @@ object OpsQueries {
     "mut_sprintf" ->
       s"""${StandardPipeline.sqlTrunk}
          |SELECT doc_id,
-         |       'sev=' || coalesce(severity, '') || ' team=' || coalesce(team, '') || '!' AS greeting
+         |       'sev=' || coalesce(severity, '%{severity}')
+         |         || ' team=' || coalesce(team, '%{team}') || '!' AS greeting
          |FROM trunk ORDER BY doc_id""".stripMargin,
+
+    "mut_sprintf2" ->
+      """SELECT event_id,
+        |       'd=' || strftime(ts, '%Y.%m.%d') AS day_joda,
+        |       't=' || strftime(ts, '%H:%M:%S') AS hms_joda,
+        |       'e=' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS epoch,
+        |       'j=' || strftime(ts, '%Y/%m/%d %H') AS java_fmt,
+        |       'L=' || array_to_string(string_split(props, ' '), ',') AS joined,
+        |       'M=' || to_json(MAP(['t'],[event_type])) AS as_json,
+        |       'u=' || CAST(user_id AS VARCHAR) AS deep,
+        |       'x=%{nope}' AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "evt_drop_pct" ->
       """SELECT event_type, COUNT(*) AS n
