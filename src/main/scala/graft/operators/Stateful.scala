@@ -28,6 +28,52 @@ object Stateful {
       .drop("_rank_in_period")
   }
 
+  /** Hot-key-hardened throttle — identical output to [[throttle]], but no
+    * single reducer ever sees a whole flooded (key, period):
+    *
+    *  1. salt events into `salt` buckets by a hash of the order tuple and
+    *     rank WITHIN (key, period, bucket). An event's global rank is >= its
+    *     bucket rank, so bucket-rank > max is already a proven throttle —
+    *     those rows never enter a wide window. Each phase-1 window partition
+    *     holds ~1/salt of even the hottest key.
+    *  2. the survivors (<= salt*max rows per (key, period), by construction)
+    *     get the exact verdict: survivor-rank > max throttles, and so does
+    *     having ANY proven-throttled event earlier in the order — because a
+    *     bucket-rank-(max+1) event has max earlier events in its own bucket,
+    *     all of which precede the candidate too.
+    *
+    * The phase-2 window is bounded at salt*max rows per partition regardless
+    * of skew; the phase-1 windows are bounded by the salt fan-out. One key
+    * flooding one period can therefore never pin a reducer.
+    */
+  def throttleTwoPhase(df: DataFrame, keyCol: String, tsCol: String,
+                       period: String, maxPerPeriod: Int,
+                       orderCols: Seq[String] = Nil, salt: Int = 16): DataFrame = {
+    val order = (col(tsCol) +: orderCols.map(col)).toIndexedSeq
+    val base = df
+      .withColumn("_tp", date_trunc(period, col(tsCol)))
+      .withColumn("_ord", struct(order: _*))
+      .withColumn("_sb", pmod(xxhash64(order.map(_.cast("string")): _*), lit(salt)))
+    val w1 = Window.partitionBy(col(keyCol), col("_tp"), col("_sb"))
+      .orderBy(order: _*)
+    val marked = base.withColumn("_rk1", row_number().over(w1))
+    val proven = marked.filter(col("_rk1") > maxPerPeriod) // throttled for sure
+    val cand = marked.filter(col("_rk1") <= maxPerPeriod)
+    // earliest proven-throttled order tuple per (key, period)
+    val firstProven = proven.groupBy(col(keyCol), col("_tp"))
+      .agg(min(col("_ord")).as("_xmin"))
+    val w2 = Window.partitionBy(col(keyCol), col("_tp")).orderBy(order: _*)
+    val candOut = cand
+      .join(firstProven, Seq(keyCol, "_tp"), "left")
+      .withColumn("_rkc", row_number().over(w2))
+      .withColumn("throttled",
+        col("_rkc") > maxPerPeriod ||
+          (col("_xmin").isNotNull && col("_ord") > col("_xmin")))
+      .drop("_rkc", "_xmin")
+    candOut.unionByName(proven.withColumn("throttled", lit(true)))
+      .drop("_tp", "_ord", "_sb", "_rk1")
+  }
+
   /** throttle with the reference's full before/after window: events ranked
     * within (key, period); throttled when rank < `beforeCount` (still warming
     * up) or rank > `afterCount` (rate exceeded) — the reference tags both

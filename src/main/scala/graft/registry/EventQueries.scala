@@ -63,7 +63,7 @@ object EventQueries {
 
     // throttle: at most 2 events per user per hour pass; list the throttled
     "evt_throttle" -> ((s, dir) => {
-      Stateful.throttle(events(s, dir), "user_id", "ts", "hour", 2, Seq("event_id"))
+      Stateful.throttleTwoPhase(events(s, dir), "user_id", "ts", "hour", 2, Seq("event_id"))
         .filter(col("throttled"))
         .select(col("event_id"))
         .orderBy("event_id")

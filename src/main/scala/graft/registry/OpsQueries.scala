@@ -119,6 +119,20 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // rolling flow-metric windows (FlowMetric.java current/last_Nm/lifetime):
+    // cumulative per-type counter captures per minute -> windowed rates
+    "evt_flowwin" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val caps = graft.operators.Flow.captures(ev, "event_type", "ts", "minute")
+      graft.operators.Flow.rollingRates(caps, "event_type", "capture_ts", "counter")
+        .select(col("event_type"),
+          date_format(col("capture_ts"), "yyyy-MM-dd HH:mm:ss").as("cap_ts"),
+          col("counter"), col("current"), col("last_1_minute"),
+          col("last_5_minutes"), col("last_15_minutes"), col("lifetime"))
+        .orderBy("event_type", "cap_ts")
+    }),
+
     // prune: whitelist projection by column-name regex
     "mut_prune" -> ((s, dir) => {
       Mutate.prune(StandardPipeline.fromDir(s, dir).trunk,
@@ -235,6 +249,36 @@ object OpsQueries {
          |  CAST(FALSE AS INTEGER) AS f_substr_nonstr,
          |  CAST(FALSE AS INTEGER) AS f_cif_nonstr
          |FROM trunk ORDER BY doc_id""".stripMargin,
+
+    "evt_flowwin" -> {
+      def winRate(frame: String): String =
+        s"round(CASE WHEN ep - first_value(ep) OVER $frame > 0 THEN " +
+          s"(counter - first_value(counter) OVER $frame) / CAST(ep - first_value(ep) OVER $frame AS DOUBLE) END, 6)"
+      """WITH caps AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS capture_ts, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT event_type, capture_ts,
+        |         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY capture_ts) AS BIGINT) AS counter,
+        |         CAST(floor(epoch(capture_ts)) AS BIGINT) AS ep
+        |  FROM caps)
+        |SELECT event_type, strftime(capture_ts, '%Y-%m-%d %H:%M:%S') AS cap_ts,
+        |       counter,
+        |       round(CASE WHEN ep - lag(ep) OVER wo > 0 THEN
+        |         (counter - lag(counter) OVER wo) / CAST(ep - lag(ep) OVER wo AS DOUBLE) END, 6) AS current,
+        |""".stripMargin +
+        s"       ${winRate("w1")} AS last_1_minute,\n" +
+        s"       ${winRate("w5")} AS last_5_minutes,\n" +
+        s"       ${winRate("w15")} AS last_15_minutes,\n" +
+        s"       ${winRate("wl")} AS lifetime\n" +
+        """|FROM c2
+        |WINDOW wo AS (PARTITION BY event_type ORDER BY ep),
+        |       w1 AS (PARTITION BY event_type ORDER BY ep RANGE BETWEEN 60 PRECEDING AND CURRENT ROW),
+        |       w5 AS (PARTITION BY event_type ORDER BY ep RANGE BETWEEN 300 PRECEDING AND CURRENT ROW),
+        |       w15 AS (PARTITION BY event_type ORDER BY ep RANGE BETWEEN 900 PRECEDING AND CURRENT ROW),
+        |       wl AS (PARTITION BY event_type ORDER BY ep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, cap_ts""".stripMargin
+    },
 
     "evt_fieldwrite" ->
       """SELECT event_id,

@@ -166,6 +166,43 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == Seq(true, false, false, false, true))
   }
 
+  test("throttleTwoPhase == throttle on a flooded-key fixture (60% one key, one period)") {
+    import spark.implicits._
+    // one key floods one hour with 60% of all events — the exact scenario a
+    // single (key, period) window reducer would be pinned by
+    val rows = (1 to 600).map(i => ("hot", f"2024-01-01 00:${i % 60}%02d:${i % 60}%02d", i)) ++
+      (1 to 400).map(i => (s"k${i % 37}", f"2024-01-01 01:${i % 60}%02d:${i % 60}%02d", 1000 + i))
+    val df = rows.toDF("key", "tss", "eid")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.select("eid", "throttled").collect()
+        .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    val single = res(graft.operators.Stateful.throttle(df, "key", "ts", "hour", 5, Seq("eid")))
+    val two = res(graft.operators.Stateful.throttleTwoPhase(df, "key", "ts", "hour", 5, Seq("eid"), salt = 8))
+    assert(two == single)
+    assert(single.values.count(identity) > 0 && single.values.count(!_) > 0)
+  }
+
+  test("rolling flow rates: current/last_1m/last_5m/lifetime window semantics") {
+    import spark.implicits._
+    // synthetic counter captures: 0, 60, 180, 360 at minutes 0..3
+    val caps = Seq((0, 0L), (1, 60L), (2, 180L), (3, 360L))
+      .map { case (minute, c) => ("k", f"2024-01-01 00:0$minute%d:00", c) }
+      .toDF("key", "tss", "counter")
+      .withColumn("capture_ts", col("tss").cast("timestamp")).drop("tss")
+    val got = graft.operators.Flow.rollingRates(caps, "key", "capture_ts", "counter")
+      .orderBy("capture_ts")
+      .select("current", "last_1_minute", "last_5_minutes", "lifetime")
+      .collect().map(r => (0 until 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Double])))
+    // t0: no prior capture anywhere -> all null
+    assert(got(0).forall(_.isEmpty))
+    // current == last_1m (the 1m window holds exactly the previous capture)
+    assert(got(1) == Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0)))
+    assert(got(2).head.contains(2.0) && got(2)(1).contains(2.0))
+    // t3: current (360-180)/60=3; 5m window reaches t0: (360-0)/180=2
+    assert(got(3) == Seq(Some(3.0), Some(3.0), Some(2.0), Some(2.0)))
+  }
+
   test("file-backed dictionary: csv loader feeds the broadcast lookup") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dict")
