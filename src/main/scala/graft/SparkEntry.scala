@@ -28,6 +28,16 @@ object SparkEntry {
       .select(col("doc_id"), Tok.tokStr(col("tokens")).as("tok_str"))
       .orderBy("doc_id")
 
+  /** DLQ side channel over the standard pipeline's dissect failures, with a
+    * deterministic entry clock (epoch 2024-01-01Z + doc_id seconds).
+    */
+  private def dlqEntries(s: SparkSession, dir: String): DataFrame =
+    operators.Dlq.entries(
+      StandardPipeline.fromDir(s, dir).trunk.filter(col("delim_pos") === 0),
+      reason = lit("_dissectfailure"),
+      pluginType = "filter", pluginId = "dissect_tokens",
+      entryTime = timestamp_seconds(lit(1704067200L) + col("doc_id").cast("long")))
+
   private def sqlRoutedRows(pred: String): String =
     s"""${StandardPipeline.sqlTrunk}
        |SELECT doc_id, array_to_string(tokens, ',') AS tok_str
@@ -86,18 +96,21 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
-    // -- dlq: parse-failure side channel --
+    // -- dlq: parse-failure side channel with full entry metadata
+    //    (DLQEntry.java:49-65: reason/plugin_type/plugin_id/entry_time;
+    //    deterministic clock = 2024-01-01T00:00:00Z + doc_id seconds) --
     "pipe_dlq" -> ((s, dir) => {
-      StandardPipeline.fromDir(s, dir).trunk
-        .filter(col("delim_pos") === 0)
-        .select(col("doc_id"), lit("_dissectfailure").as("reason"))
+      dlqEntries(s, dir)
+        .select(col("doc_id"), col("reason"), col("plugin_type"), col("plugin_id"),
+          date_format(col("entry_time"), "yyyy-MM-dd HH:mm:ss").as("entry_ts"))
         .orderBy("doc_id")
     }),
 
-    // -- dlq reader input: replay the side channel through a recovery parse --
+    // -- dlq reader input: age-filtered replay (start-from-timestamp seek)
+    //    through a recovery parse --
     "pipe_dlq_replay" -> ((s, dir) => {
-      StandardPipeline.fromDir(s, dir).trunk
-        .filter(col("delim_pos") === 0)
+      operators.Dlq.replayable(dlqEntries(s, dir),
+          to_timestamp(lit("2024-01-01 00:02:00")))
         .withColumn("severity", lit("UNKNOWN"))
         .groupBy("source", "severity").agg(count(lit(1)).as("n"))
         .orderBy("source")
@@ -162,13 +175,20 @@ object SparkEntry {
 
     "pipe_dlq" ->
       s"""${StandardPipeline.sqlTrunk}
-         |SELECT doc_id, '_dissectfailure' AS reason
+         |SELECT doc_id, '_dissectfailure' AS reason,
+         |       'filter' AS plugin_type, 'dissect_tokens' AS plugin_id,
+         |       strftime(make_timestamp((1704067200 + CAST(doc_id AS BIGINT)) * 1000000),
+         |                '%Y-%m-%d %H:%M:%S') AS entry_ts
          |FROM trunk WHERE delim_pos = 0 ORDER BY doc_id""".stripMargin,
 
     "pipe_dlq_replay" ->
       s"""${StandardPipeline.sqlTrunk}
          |SELECT source, 'UNKNOWN' AS severity, COUNT(*) AS n
-         |FROM trunk WHERE delim_pos = 0 GROUP BY source ORDER BY source""".stripMargin,
+         |FROM trunk
+         |WHERE delim_pos = 0
+         |  AND make_timestamp((1704067200 + CAST(doc_id AS BIGINT)) * 1000000)
+         |      >= TIMESTAMP '2024-01-01 00:02:00'
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "evt_encode" ->
       """SELECT event_id,

@@ -239,17 +239,10 @@ object LsclRun {
           case Some(VHash(entries)) => entries.map { case (k, v) => k -> str(litVal(v)) }
           case _ => throw new IllegalArgumentException("translate: inline dictionary required here")
         }
-        val regexMode = strAttr(p, "regex").contains("true")
-        val exact = !strAttr(p, "exact").contains("false")
-        val fallback = strAttr(p, "fallback")
-        val base: Column = dict.foldRight(
-          fallback.map(lit(_): Column).getOrElse(lit(null))) { case ((k, v), acc) =>
-          val hit =
-            if (regexMode) col(source).cast("string").rlike(k)
-            else if (exact) col(source).cast("string") === k
-            else col(source).cast("string").contains(k) // exact=false: key searched within field
-          when(hit, lit(v)).otherwise(acc)
-        }
+        val base: Column = Enrich.translateColumn(col(source), dict,
+          regex = strAttr(p, "regex").contains("true"),
+          exact = !strAttr(p, "exact").contains("false"),
+          fallback = strAttr(p, "fallback"))
         df.withColumn(target,
           when(m, base).otherwise(if (df.columns.contains(target)) col(target) else lit(null)))
 

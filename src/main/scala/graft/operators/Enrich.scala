@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Enrich stage: translate-filter-style dictionary lookups as broadcast hash
@@ -36,6 +36,61 @@ object Enrich {
 
   def dictFromJsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** translate's YAML dictionary form (`dictionary_path => *.yml` — docs
+    * transforming-data.asciidoc:588-596): a FLAT `key: value` map, parsed
+    * with a minimal reader (comments/blank lines skipped, optional quotes
+    * stripped). Declaration ORDER is preserved — regex dictionaries are
+    * first-match-wins chains, so order is semantic.
+    */
+  def yamlDict(path: String): Seq[(String, String)] = {
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(':')
+        require(i > 0, s"not a flat `key: value` YAML line: `$l`")
+        unquote(l.substring(0, i)) -> unquote(l.substring(i + 1))
+      }.toList
+    finally src.close()
+  }
+
+  /** The translate lookup column for the three key modes
+    * (docs/static/transforming-data.asciidoc:588-596):
+    *  - default: exact key equality;
+    *  - `regex = true`: keys are regexes, FIRST match wins (declaration
+    *    order — hence Seq, not Map);
+    *  - `exact = false`: the key is searched WITHIN the field value.
+    * Miss -> `fallback` (or null). The dictionary is config-sized, so this
+    * compiles to a codegen'd when-chain — a zero-shuffle narrow map, the
+    * same plan shape as the broadcast lookup.
+    */
+  def translateColumn(source: Column, dict: Seq[(String, String)],
+                      regex: Boolean = false, exact: Boolean = true,
+                      fallback: Option[String] = None): Column = {
+    val src = source.cast("string")
+    dict.foldRight(fallback.map(lit(_): Column).getOrElse(lit(null))) {
+      case ((k, v), acc) =>
+        val hit =
+          if (regex) src.rlike(k)
+          else if (exact) src === k
+          else src.contains(k)
+        when(hit, lit(v)).otherwise(acc)
+    }
+  }
+
+  /** translate filter over a frame with regex/substring/exact key modes. */
+  def translateChain(events: DataFrame, source: String, target: String,
+                     dict: Seq[(String, String)], regex: Boolean = false,
+                     exact: Boolean = true, fallback: Option[String] = None): DataFrame =
+    events.withColumn(target, translateColumn(col(source), dict, regex, exact, fallback))
 
   /** translate filter: left broadcast lookup; miss => null enrich columns
     * (or `fallback` literals when provided).

@@ -46,8 +46,65 @@ object Multimodal {
       lit(-1).as("sample_rate"), lit(-1).as("n_frames"))
 
   // =====================================================================
-  // STUB DECODER — deterministic fake. Replace the body with a real codec;
-  // signature and batching stay unchanged.
+  // REAL DECODER SEAM — pure-JVM header parsers for the three public image
+  // container formats (PNG: IHDR big-endian dims at offset 16/20 after the
+  // 8-byte magic; GIF: little-endian u16 logical-screen dims at 6/8; BMP:
+  // BITMAPINFOHEADER little-endian i32 dims at 18/22, height negative for
+  // top-down rows). decodeMeta dispatches here first and falls back to the
+  // deterministic stub for unknown payloads, so the pipeline is total.
+  // =====================================================================
+
+  /** Parse (format, width, height) from real image container bytes. */
+  def decodeImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      val w = (u8(16) << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)
+      val h = (u8(20) << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)
+      Some(("png", w, h))
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+      Some(("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val w = u8(18) | (u8(19) << 8) | (u8(20) << 16) | (u8(21) << 24)
+      val h = u8(22) | (u8(23) << 8) | (u8(24) << 16) | (u8(25) << 24)
+      Some(("bmp", w, math.abs(h)))
+    } else None
+  }
+
+  /** Deterministic minimal container bytes for fixtures: a valid PNG/GIF/BMP
+    * header carrying dims derived from the id (format = id mod 3). The GATE
+    * decodes these with [[decodeImageHeader]] — real byte parsing, synthetic
+    * payload.
+    */
+  def syntheticImagePayload(id: Long): Array[Byte] = {
+    val w = (100 + id % 900).toInt
+    val h = (50 + id % 500).toInt
+    (id % 3) match {
+      case 0 => // PNG: magic + IHDR length/type + w/h big-endian
+        val b = new Array[Byte](24)
+        val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        magic.zipWithIndex.foreach { case (v, i) => b(i) = v.toByte }
+        b(8) = 0; b(9) = 0; b(10) = 0; b(11) = 13
+        b(12) = 'I'; b(13) = 'H'; b(14) = 'D'; b(15) = 'R'
+        for (i <- 0 until 4) { b(16 + i) = (w >>> (24 - 8 * i)).toByte; b(20 + i) = (h >>> (24 - 8 * i)).toByte }
+        b
+      case 1 => // GIF89a: little-endian u16 dims
+        val b = new Array[Byte](10)
+        "GIF89a".getBytes.copyToArray(b)
+        b(6) = w.toByte; b(7) = (w >>> 8).toByte
+        b(8) = h.toByte; b(9) = (h >>> 8).toByte
+        b
+      case _ => // BMP: "BM" + BITMAPINFOHEADER dims at 18/22 (LE)
+        val b = new Array[Byte](26)
+        b(0) = 'B'; b(1) = 'M'
+        for (i <- 0 until 4) { b(18 + i) = (w >>> (8 * i)).toByte; b(22 + i) = (h >>> (8 * i)).toByte }
+        b
+    }
+  }
+
+  // =====================================================================
+  // STUB DECODER — deterministic fake for payloads that are not real image
+  // containers (this sandbox ships no full codec libs); the header parsers
+  // above are the real seam.
   // =====================================================================
   private[graft] def decodeStub(payload: Array[Byte]): (Int, Int) = {
     // ??? <- real image decode goes here; deterministic fake for plumbing:
@@ -78,12 +135,31 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init: a real impl would open its codec context here
       rows.map { r =>
-        val (w, h) = decodeStub(r.payload)
+        val (w, h) = decodeImageHeader(r.payload)
+          .map { case (_, dw, dh) => (dw, dh) }
+          .getOrElse(decodeStub(r.payload))
         r.copy(width = w, height = h,
           sample_rate = if (r.media_type == "audio") 16000 else -1,
           n_frames = if (r.media_type == "video") 1 + (w % 300) else -1)
       }
     }
+  }
+
+  /** Decode (doc_id, fmt, width, height) from real image container bytes,
+    * partition-batched like [[decodeMeta]]; unknown payloads yield nulls.
+    */
+  def decodeImages(spark: SparkSession, df: DataFrame,
+                   idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeImageHeader(payload) match {
+          case Some((fmt, w, h)) => (id, fmt, Some(w), Some(h))
+          case None => (id, null: String, None: Option[Int], None: Option[Int])
+        }
+      })
+      .toDF(idCol, "fmt", "width", "height")
   }
 
   /** Feature extraction: fixed-dim float vector per asset, partition-batched. */

@@ -133,6 +133,33 @@ object OpsQueries {
         .orderBy("event_type", "cap_ts")
     }),
 
+    // translate key modes (transforming-data.asciidoc:588-596): regex-keyed
+    // first-match-wins dictionary LOADED FROM A YAML FILE, plus the
+    // exact=>false substring mode and the default exact mode with fallback
+    "pipe_translate2" -> ((s, dir) => {
+      import graft.operators.Enrich
+      // regex dictionary round-tripped through the YAML loader (order kept)
+      val yml = java.nio.file.Files.createTempFile("graft_translate", ".yml")
+      java.nio.file.Files.writeString(yml,
+        """# regex-keyed severity classes
+          |"^src1[0-9]$": teen
+          |'^src[0-9]$': single
+          |""".stripMargin)
+      val regexDict = Enrich.yamlDict(yml.toString)
+      val subDict = Seq("19" -> "nineteen", "1" -> "hasone")
+      val exactDict = Seq("src0" -> "zero", "src1" -> "one")
+      val trunk = StandardPipeline.fromDir(s, dir).trunk
+      trunk
+        .transform(Enrich.translateChain(_, "source", "t_regex", regexDict,
+          regex = true, fallback = Some("other")))
+        .transform(Enrich.translateChain(_, "source", "t_substr", subDict,
+          exact = false))
+        .transform(Enrich.translateChain(_, "source", "t_exact", exactDict,
+          fallback = Some("miss")))
+        .select(col("doc_id"), col("source"), col("t_regex"), col("t_substr"), col("t_exact"))
+        .orderBy("doc_id")
+    }),
+
     // prune: whitelist projection by column-name regex
     "mut_prune" -> ((s, dir) => {
       Mutate.prune(StandardPipeline.fromDir(s, dir).trunk,
@@ -279,6 +306,20 @@ object OpsQueries {
         |       wl AS (PARTITION BY event_type ORDER BY ep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, cap_ts""".stripMargin
     },
+
+    "pipe_translate2" ->
+      s"""${StandardPipeline.sqlTrunk}
+         |SELECT doc_id, source,
+         |       CASE WHEN regexp_matches(source, '^src1[0-9]$$') THEN 'teen'
+         |            WHEN regexp_matches(source, '^src[0-9]$$') THEN 'single'
+         |            ELSE 'other' END AS t_regex,
+         |       CASE WHEN position('19' IN source) > 0 THEN 'nineteen'
+         |            WHEN position('1' IN source) > 0 THEN 'hasone'
+         |            ELSE NULL END AS t_substr,
+         |       CASE WHEN source = 'src0' THEN 'zero'
+         |            WHEN source = 'src1' THEN 'one'
+         |            ELSE 'miss' END AS t_exact
+         |FROM trunk ORDER BY doc_id""".stripMargin,
 
     "evt_fieldwrite" ->
       """SELECT event_id,

@@ -143,6 +143,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL image decode through the multimodal seam: synthetic-but-valid
+    // PNG/GIF/BMP container bytes (format = doc_id mod 3) parsed by the
+    // pure-JVM header decoders — real byte parsing, oracle'd dims
+    "mm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      val media = ids.map(id => (id, graft.operators.Multimodal.syntheticImagePayload(id)))
+        .toDF("doc_id", "payload")
+      graft.operators.Multimodal.decodeImages(s, media)
+        .orderBy("doc_id")
+    }),
+
     // IVF ANN through the PARTITIONED INDEX: build (assign + write
     // partitionBy(list_id)) once, then query via a partition-pruned read —
     // the scan touches only the nprobe probed list directories, so query
@@ -333,6 +345,14 @@ object TextQueries {
         |       CAST(CASE WHEN strlen(text) <= 1024 THEN 0
         |            WHEN strlen(text) <= 65536 THEN 1
         |            WHEN strlen(text) <= 1048576 THEN 2 ELSE 3 END AS INTEGER) AS size_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CASE CAST(doc_id AS BIGINT) % 3 WHEN 0 THEN 'png'
+        |            WHEN 1 THEN 'gif' ELSE 'bmp' END AS fmt,
+        |       CAST(100 + CAST(doc_id AS BIGINT) % 900 AS INTEGER) AS width,
+        |       CAST(50 + CAST(doc_id AS BIGINT) % 500 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sim_ivf" ->

@@ -70,4 +70,18 @@ class MultimodalSpec extends SparkSpec {
       assert(bucket == want)
     }
   }
+
+  test("image header decoders round-trip the synthetic PNG/GIF/BMP payloads") {
+    import graft.operators.Multimodal
+    for (id <- Seq(0L, 1L, 2L, 123L, 899L, 1234L)) {
+      val expW = (100 + id % 900).toInt
+      val expH = (50 + id % 500).toInt
+      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "bmp" }
+      assert(Multimodal.decodeImageHeader(Multimodal.syntheticImagePayload(id))
+        .contains((expFmt, expW, expH)), s"id=$id")
+    }
+    // unknown payloads are not mis-detected
+    assert(Multimodal.decodeImageHeader("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.decodeImageHeader(Array[Byte]()).isEmpty)
+  }
 }
