@@ -26,6 +26,41 @@ object Codec {
     df.withColumn(target, explode(trimmed))
   }
 
+  /** Charset-tolerant text decode for binary inputs (reference
+    * plugins/codecs/Line.java:53-140: a CharsetDecoder with REPLACE on
+    * malformed input and unmappable characters — a bad byte becomes U+FFFD,
+    * never an exception). One decoder instance per PARTITION (the
+    * reference's per-stream decoder), iterator-batched like a real codec.
+    */
+  def decodeLenient(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                    bytesCol: String, target: String = "text",
+                    charset: String = "UTF-8"): DataFrame = {
+    import spark.implicits._
+    val others = df.columns.filter(_ != bytesCol)
+    val decoded = df.select(col(bytesCol).cast("binary"), struct(others.map(col): _*).as("_rest"))
+      .as[(Array[Byte], org.apache.spark.sql.Row)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.BINARY,
+          org.apache.spark.sql.Encoders.row(
+            org.apache.spark.sql.types.StructType(df.schema.filter(_.name != bytesCol)))))
+      .mapPartitions { rows =>
+        val dec = java.nio.charset.Charset.forName(charset).newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        rows.map { case (bytes, rest) =>
+          val s =
+            if (bytes == null) null
+            else dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          (s, rest)
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.row(
+          org.apache.spark.sql.types.StructType(df.schema.filter(_.name != bytesCol)))))
+      .toDF(target, "_rest")
+    others.foldLeft(decoded)((d, c) => d.withColumn(c, col(s"_rest.$c"))).drop("_rest")
+  }
+
   /** json_lines codec: one JSON document per line -> one parsed event per
     * line (line framing + json codec composed, like the reference).
     */

@@ -195,6 +195,24 @@ object Mutate {
     df.withColumn(field, array_join(col(field), sep))
   def mergeField(df: DataFrame, dst: String, src: String): DataFrame =
     df.withColumn(dst, array_union(coalesce(col(dst), array()), coalesce(col(src), array())))
+
+  /** Event `append` deep map-merge (Event.java:363-407 -> Util.mapMerge):
+    * missing key takes the added value; colliding values merge as an
+    * order-preserving UNION (target's elements first, then the added ones
+    * not already present). In the reference a scalar collision promotes to
+    * a list — the typed-column equivalent is `map<string, array<string>>`
+    * values throughout (a scalar is a 1-element list), which makes the
+    * union total. `overwrite` (Event.java:377) is a plain column replace.
+    */
+  def appendMaps(target: Column, add: Column): Column = {
+    val t = coalesce(target, map().cast("map<string,array<string>>"))
+    val a = coalesce(add, map().cast("map<string,array<string>>"))
+    val keys = array_union(map_keys(t), map_keys(a))
+    map_from_arrays(keys, transform(keys, k =>
+      array_union(
+        coalesce(try_element_at(t, k), array().cast("array<string>")),
+        coalesce(try_element_at(a, k), array().cast("array<string>")))))
+  }
   def update(df: DataFrame, field: String, tpl: String): DataFrame =
     if (!df.columns.contains(field)) df
     else df.withColumn(field,

@@ -214,6 +214,80 @@ object Parse {
       .withColumn(s"${prefix}_version",
         regexp_extract(col(source), "(?:Chrome|Firefox|Safari|Edge|curl|bot)/([0-9][0-9.]*)", 1))
 
+  /** One entry of a uap-core-style `regexes.yaml` user-agent database
+    * (public format: `user_agent_parsers:` list of `regex` +
+    * optional `family_replacement` / `v1_replacement`).
+    */
+  final case class UaParser(regex: String,
+                            familyReplacement: Option[String] = None,
+                            v1Replacement: Option[String] = None)
+
+  /** Load the `user_agent_parsers` section of a regexes.yaml-format file
+    * (minimal reader for the public format: a top-level key, `- key: value`
+    * list items, single/double-quoted values). Declaration order preserved —
+    * the UA database is first-match-wins.
+    */
+  def uaParsersFromYaml(path: String): Seq[UaParser] = {
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val out = Seq.newBuilder[UaParser]
+      var inSection = false
+      var cur: Option[UaParser] = None
+      for (raw <- src.getLines(); if raw.trim.nonEmpty && !raw.trim.startsWith("#")) {
+        val line = raw.replaceAll("\\s+$", "")
+        if (!line.startsWith(" ") && !line.startsWith("-")) {
+          cur.foreach(out += _); cur = None
+          inSection = line.trim == "user_agent_parsers:"
+        } else if (inSection) {
+          val t = line.trim
+          val (isNew, body) = if (t.startsWith("- ")) (true, t.substring(2)) else (false, t)
+          if (isNew) { cur.foreach(out += _); cur = Some(UaParser("")) }
+          val i = body.indexOf(':')
+          if (i > 0 && cur.isDefined) {
+            val (k, v) = (body.substring(0, i).trim, unquote(body.substring(i + 1)))
+            cur = cur.map { p =>
+              k match {
+                case "regex" => p.copy(regex = v)
+                case "family_replacement" => p.copy(familyReplacement = Some(v))
+                case "v1_replacement" => p.copy(v1Replacement = Some(v))
+                case _ => p
+              }
+            }
+          }
+        }
+      }
+      cur.foreach(out += _)
+      out.result().filter(_.regex.nonEmpty)
+    } finally src.close()
+  }
+
+  /** useragent filter over a parser database: FIRST matching parser wins
+    * (the uap contract); family = family_replacement or capture group 1,
+    * major version = v1_replacement or capture group 2. No match => empty
+    * strings (regexp_extract's miss contract, same as [[useragent]]).
+    */
+  def useragentWith(df: DataFrame, source: String, parsers: Seq[UaParser],
+                    prefix: String = "ua"): DataFrame = {
+    val src = col(source)
+    def firstMatch(render: UaParser => Column): Column =
+      parsers.foldRight(lit(""): Column) { (p, acc) =>
+        when(src.rlike(p.regex), render(p)).otherwise(acc)
+      }
+    df.withColumn(s"${prefix}_family", firstMatch(p =>
+        p.familyReplacement.map(lit(_): Column)
+          .getOrElse(regexp_extract(src, p.regex, 1))))
+      .withColumn(s"${prefix}_major", firstMatch(p =>
+        p.v1Replacement.map(lit(_): Column)
+          .getOrElse(regexp_extract(src, p.regex,
+            if (p.familyReplacement.isDefined) 1 else 2))))
+  }
+
   // ------------------------------------------------------------------
   // kv / json / csv / date
   // ------------------------------------------------------------------

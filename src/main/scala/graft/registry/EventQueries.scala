@@ -15,6 +15,43 @@ object EventQueries {
     s.read.parquet(s"$dir/events.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // useragent through a regexes.yaml-format parser DATABASE (uap-core
+    // public format): first-match-wins family + major version, loaded from
+    // a fixture file written in the gate
+    "evt_ua2" -> ((s, dir) => {
+      val yml = java.nio.file.Files.createTempFile("graft_ua", ".yml")
+      java.nio.file.Files.writeString(yml,
+        """# uap-core-format fixture (own patterns, not the uap DB)
+          |user_agent_parsers:
+          |  - regex: 'TestBrowser/(\d+)'
+          |    family_replacement: 'TB'
+          |  - regex: '(FetchLib)/(\d+)'
+          |  - regex: 'OldAgent'
+          |    family_replacement: 'Legacy'
+          |    v1_replacement: '0'
+          |""".stripMargin)
+      val parsers = Parse.uaParsersFromYaml(yml.toString)
+      val ev = events(s, dir).withColumn("ua",
+        when(col("event_type") === "view", lit("Mozilla/5.0 TestBrowser/12.3"))
+          .when(col("event_type") === "click", lit("FetchLib/2.0 (bot)"))
+          .when(col("event_type") === "error", lit("OldAgent 1.0"))
+          .otherwise(lit("unknown thing")))
+      Parse.useragentWith(ev, "ua", parsers)
+        .select(col("event_id"), col("ua_family"), col("ua_major"))
+        .orderBy("event_id")
+    }),
+
+    // event append deep map-merge (Event.append -> Util.mapMerge): union
+    // per key, target order first, missing keys taken
+    "evt_append" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("m_a", map(lit("k"), array(col("event_type")), lit("s"), array(lit("x"))))
+        .withColumn("m_b", map(lit("k"), array(lit("view"), col("event_type")), lit("n"), array(lit("z"))))
+      ev.select(col("event_id"),
+          to_json(graft.operators.Mutate.appendMaps(col("m_a"), col("m_b"))).as("merged"))
+        .orderBy("event_id")
+    }),
+
     // grok: named-pattern extraction with :int coercion over the props string
     "evt_grok" -> ((s, dir) => {
       Parse.grok(events(s, dir), "props", "\"k\": %{INT:k:int}")
@@ -229,6 +266,21 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "evt_ua2" ->
+      """SELECT event_id,
+        |       CASE event_type WHEN 'view' THEN 'TB' WHEN 'click' THEN 'FetchLib'
+        |            WHEN 'error' THEN 'Legacy' ELSE '' END AS ua_family,
+        |       CASE event_type WHEN 'view' THEN '12' WHEN 'click' THEN '2'
+        |            WHEN 'error' THEN '0' ELSE '' END AS ua_major
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_append" ->
+      """SELECT event_id,
+        |       '{"k":["' || event_type || '"'
+        |         || CASE WHEN event_type = 'view' THEN '' ELSE ',"view"' END
+        |         || '],"s":["x"],"n":["z"]}' AS merged
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "evt_grok" ->
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1) AS BIGINT) AS k,

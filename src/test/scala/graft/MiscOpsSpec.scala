@@ -203,6 +203,41 @@ class MiscOpsSpec extends SparkSpec {
     assert(got(3) == Seq(Some(3.0), Some(3.0), Some(2.0), Some(2.0)))
   }
 
+  test("lenient charset decode: malformed bytes become U+FFFD, never an error") {
+    import spark.implicits._
+    val good = "hello".getBytes("UTF-8")
+    val bad = Array[Byte]('h', 'i', 0xC3.toByte, 0x28.toByte, '!') // invalid UTF-8 pair
+    val truncated = Array[Byte]('o', 'k', 0xE2.toByte) // cut-off 3-byte sequence
+    val df = Seq((1, good), (2, bad), (3, truncated)).toDF("id", "raw")
+    val out = graft.operators.Codec.decodeLenient(spark, df, "raw")
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("text")).toMap
+    assert(out(1) == "hello")
+    assert(out(2) == "hi�(!")
+    assert(out(3) == "ok�")
+  }
+
+  test("uap-format yaml loader: order, replacements, first-match-wins") {
+    val yml = java.nio.file.Files.createTempFile("graft_ua_spec", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """user_agent_parsers:
+        |  - regex: 'AAA/(\d+)'
+        |    family_replacement: 'A'
+        |  - regex: '(BBB)/(\d+)\.(\d+)'
+        |os_parsers:
+        |  - regex: 'ignored'
+        |""".stripMargin)
+    val ps = graft.operators.Parse.uaParsersFromYaml(yml.toString)
+    assert(ps == Seq(
+      graft.operators.Parse.UaParser("AAA/(\\d+)", Some("A")),
+      graft.operators.Parse.UaParser("(BBB)/(\\d+)\\.(\\d+)")))
+    import spark.implicits._
+    val df = Seq("x AAA/7", "BBB/2.9", "neither").toDF("ua")
+    val got = graft.operators.Parse.useragentWith(df, "ua", ps)
+      .select("ua_family", "ua_major").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("A", "7"), ("BBB", "2"), ("", "")))
+  }
+
   test("file-backed dictionary: csv loader feeds the broadcast lookup") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dict")
