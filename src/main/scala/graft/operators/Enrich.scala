@@ -125,6 +125,35 @@ object Enrich {
       .drop("ip_lo", "ip_hi")
   }
 
+  /** Materialize an mmdb database (the reference geoip filter's DB format —
+    * public MaxMind DB file format) into the broadcastable
+    * `(ip_lo, ip_hi, <as>)` ranges frame [[geoLookup]] consumes: decode once
+    * on the driver (geo DBs are config-sized), broadcast range join on the
+    * executors — no per-row tree walk in the scan.
+    *
+    * `field` is the path into each leaf's nested value map
+    * (e.g. Seq("country", "iso_code")).
+    */
+  def geoRangesFromMmdb(spark: SparkSession, path: String,
+                        field: Seq[String] = Seq("country", "iso_code"),
+                        as: String = "geo_value"): DataFrame = {
+    val reader = Mmdb.read(path)
+    def dig(v: Any, p: Seq[String]): Option[String] = (v, p) match {
+      case (m: Map[_, _], head +: rest) =>
+        m.asInstanceOf[Map[String, Any]].get(head).flatMap(dig(_, rest))
+      case (leaf, Seq()) => Option(leaf).map(_.toString)
+      case _ => None
+    }
+    val rows = reader.leafRanges4().map { case (lo, hi, v) =>
+      org.apache.spark.sql.Row(lo, hi, dig(v, field).orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ip_lo", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ip_hi", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(as, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Salted join for a known-skewed key: explodes the dimension side K ways
     * and salts the fact side, bounding any single reducer's share of a hot key
     * to 1/K. Use when AQE's skew split alone is insufficient (e.g. one source

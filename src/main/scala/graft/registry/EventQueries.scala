@@ -212,6 +212,26 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // geoip through a REAL mmdb-format database: fixture written in the
+    // public MaxMind DB binary format, decoded by the mmdb reader into the
+    // broadcast range join (the reference geoip filter's DB path)
+    "evt_geoip2" -> ((s, dir) => {
+      val db = java.nio.file.Files.createTempFile("graft_geo", ".mmdb").toString
+      graft.operators.Mmdb.writeFixture(db, Seq(
+        "10.0.0.0/11"  -> Map("country" -> Map("iso_code" -> "us")),
+        "10.32.0.0/11" -> Map("country" -> Map("iso_code" -> "eu")),
+        "10.64.0.0/11" -> Map("country" -> Map("iso_code" -> "apac"))))
+      val ranges = graft.operators.Enrich.geoRangesFromMmdb(s, db,
+        Seq("country", "iso_code"), as = "country_iso")
+      val df = events(s, dir).withColumn("ip", concat_ws(".", lit("10"),
+        (col("user_id") % 100).cast("string"),
+        (col("event_id") % 256).cast("string"),
+        (col("user_id") % 256).cast("string")))
+      graft.operators.Enrich.geoLookup(df, "ip", ranges)
+        .select(col("event_id"), col("country_iso"))
+        .orderBy("event_id")
+    }),
+
     // syslog_pri decompose + cidr block membership over synthesized pri/ip
     "evt_net" -> ((s, dir) => {
       val df = events(s, dir)
@@ -373,6 +393,14 @@ object EventQueries {
       """SELECT event_id,
         |       CASE WHEN user_id % 100 <= 33 THEN 'us'
         |            WHEN user_id % 100 <= 66 THEN 'eu' ELSE 'apac' END AS region
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_geoip2" ->
+      """SELECT event_id,
+        |       CASE WHEN user_id % 100 <= 31 THEN 'us'
+        |            WHEN user_id % 100 <= 63 THEN 'eu'
+        |            WHEN user_id % 100 <= 95 THEN 'apac'
+        |            ELSE NULL END AS country_iso
         |FROM events ORDER BY event_id""".stripMargin,
 
     "evt_net" ->
