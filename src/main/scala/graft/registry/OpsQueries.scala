@@ -160,6 +160,15 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // generator input as a native DataSourceV2 batch source (rows emitted
+    // in executors, contiguous per-partition ranges, no shuffle)
+    "gen_source" -> ((s, dir) => {
+      s.read.format("graft.sources.GeneratorSource")
+        .option("count", 10000).option("partitions", 8)
+        .option("lines", "alpha|beta|gamma").load()
+        .orderBy("seq")
+    }),
+
     // prune: whitelist projection by column-name regex
     "mut_prune" -> ((s, dir) => {
       Mutate.prune(StandardPipeline.fromDir(s, dir).trunk,
@@ -320,6 +329,12 @@ object OpsQueries {
          |            WHEN source = 'src1' THEN 'one'
          |            ELSE 'miss' END AS t_exact
          |FROM trunk ORDER BY doc_id""".stripMargin,
+
+    "gen_source" ->
+      """SELECT range AS seq,
+        |       CASE range % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+        |            ELSE 'gamma' END AS message
+        |FROM range(10000) ORDER BY seq""".stripMargin,
 
     "evt_fieldwrite" ->
       """SELECT event_id,

@@ -27,7 +27,13 @@ class CondPropertySpec extends SparkSpec {
     for (f <- fieldS; vs <- Gen.listOfN(2, Gen.oneOf("A", "B", "1"))) yield InList(f, vs),
     for (f <- fieldS) yield InConstStr(f, "XABY"),
     for (f <- fieldS) yield ConstInField("A", f),
-    for (l <- fieldS; r <- fieldS) yield InField(l, r))
+    for (l <- fieldS; r <- fieldS) yield InField(l, r),
+    for (l <- fieldS; r <- fieldS) yield EqFields(l, r),
+    for (l <- fieldN; r <- fieldN) yield EqFields(l, r),
+    for (l <- fieldN; r <- fieldN; op <- Gen.oneOf(">", ">=", "<", "<="))
+      yield OrderFields(op, l, r),
+    for (l <- fieldS; r <- fieldS; op <- Gen.oneOf(">", ">=", "<", "<="))
+      yield OrderFields(op, l, r))
 
   private def tree(depth: Int): Gen[Cond] =
     if (depth == 0) leaf
@@ -63,11 +69,17 @@ class CondPropertySpec extends SparkSpec {
       schema).cache()
     for (seed <- 0 until 30) {
       val c = sample(tree(3), seed)
-      val got = df.withColumn("_p", Cond.predicate(c)).collect()
-        .map(r => (r.getString(0), r.getString(1), r.get(2), r.get(3)) -> r.getBoolean(4)).toMap
+      // both compile paths: untyped (NoSchema) and typed (predicateFor —
+      // the path every gate uses) must agree with the row oracle
+      val got = df
+        .withColumn("_p", Cond.predicate(c))
+        .withColumn("_pt", Cond.predicateFor(df, c))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.get(2), r.get(3)) ->
+          (r.getBoolean(4), r.getBoolean(5))).toMap
       rows.foreach { case t @ (a, b, x, y) =>
         val want = RowOracle.eval(c, Map("s1" -> a, "s2" -> b, "n1" -> x, "n2" -> y))
-        assert(got(t) == want, s"seed=$seed cond=$c row=$t")
+        assert(got(t) == ((want, want)), s"seed=$seed cond=$c row=$t")
       }
     }
     df.unpersist()

@@ -238,6 +238,17 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == Seq(("A", "7"), ("BBB", "2"), ("", "")))
   }
 
+  test("DataSourceV2 generator: executor-side ranges, requested partitioning, line cycling") {
+    val df = spark.read.format("graft.sources.GeneratorSource")
+      .option("count", 1000).option("partitions", 8)
+      .option("lines", "x|y").load()
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 1000)
+    val head = df.orderBy("seq").limit(4).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(head == Seq((0L, "x"), (1L, "y"), (2L, "x"), (3L, "y")))
+  }
+
   test("file-backed dictionary: csv loader feeds the broadcast lookup") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dict")
