@@ -387,4 +387,56 @@ object LsclRun {
     walk(items, True)
     out.result()
   }
+
+  // ---------------- input lowering + end-to-end runner ----------------
+
+  /** Lower the `input` section to a source frame. Supported inputs:
+    *  - `generator { count => N lines => [...] }` — the native DataSourceV2
+    *    generator ([[graft.sources.GeneratorSource]]); lines become the
+    *    cycled `message`, `seq` is the sequence number;
+    *  - `file { path => ... codec => json/parquet }` — lake reads (parquet
+    *    default; `codec => line`/text reads one line per event).
+    * Multiple inputs union (the reference runs them concurrently into one
+    * queue; order within the union is not part of the contract).
+    */
+  def source(spark: org.apache.spark.sql.SparkSession, items: Seq[Item]): DataFrame = {
+    val frames = items.collect {
+      case PluginItem(p) if p.name == "generator" =>
+        val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
+        val lines = p.attr("lines").map(strList).getOrElse(Seq("hello world"))
+        spark.read.format("graft.sources.GeneratorSource")
+          .option("count", count)
+          .option("partitions", spark.sparkContext.defaultParallelism)
+          .option("lines", lines.mkString("|"))
+          .load()
+      case PluginItem(p) if p.name == "file" =>
+        val path = strAttr(p, "path").getOrElse(
+          throw new IllegalArgumentException("file input: path required"))
+        val codec = p.attr("codec") match {
+          case Some(VPlugin(c)) => c.name
+          case Some(VString(c)) => c
+          case _ => "parquet"
+        }
+        codec match {
+          case "line" | "plain" => spark.read.text(path).withColumnRenamed("value", "message")
+          case "json" | "json_lines" => spark.read.json(path)
+          case _ => spark.read.parquet(path)
+        }
+      case PluginItem(p) =>
+        throw new UnsupportedOperationException(s"unsupported input plugin `${p.name}`")
+    }
+    require(frames.nonEmpty, "config has no supported input")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Execute a complete config text: input -> filter -> routed outputs
+    * (persist-once fan-out via [[Route.run]]). The full reference entry
+    * path — `bin/logstash -f pipeline.conf` — as one call.
+    */
+  def runConfig(spark: org.apache.spark.sql.SparkSession, configText: String,
+                outDir: String, env: Map[String, String] = sys.env): Route.RunResult = {
+    val cfg = Lscl.parse(configText, env)
+    val trunk = applyFilters(source(spark, cfg.inputs), cfg.filters)
+    Route.run(spark, trunk, sinkSpecs(cfg.outputs), outDir)
+  }
 }

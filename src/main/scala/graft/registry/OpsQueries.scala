@@ -41,7 +41,41 @@ object OpsQueries {
       |}
       |""".stripMargin
 
+  /** Complete config for the lscl_e2e gate: generator INPUT (DSv2 source),
+    * json filter, branch decorators, if/else-gated outputs — the whole
+    * `bin/logstash -f pipeline.conf` surface as text.
+    */
+  val LsclE2eConfig: String =
+    """input {
+      |  generator {
+      |    count => 9000
+      |    lines => ['{"lvl": "ERROR", "n": 80}', '{"lvl": "WARN", "n": 99}', '{"lvl": "INFO", "n": 5}']
+      |  }
+      |}
+      |filter {
+      |  json { source => "message" }
+      |  if [lvl] == "ERROR" { mutate { add_tag => ["bad"] } }
+      |  else if [n] > 50 { mutate { add_tag => ["big"] } }
+      |}
+      |output {
+      |  if "bad" in [tags] { sink { id => "errors" } }
+      |  else if "big" in [tags] { sink { id => "warnbig" } }
+      |  else { sink { id => "rest" } }
+      |}
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // a COMPLETE config text executed end-to-end: generator input ->
+    // json parse -> branch decorators -> gated outputs -> single-pass counts
+    "lscl_e2e" -> ((s, dir) => {
+      import graft.lscl.{Lscl, LsclRun}
+      import graft.operators.Route
+      val cfg = Lscl.parse(LsclE2eConfig, Map.empty)
+      val trunk = LsclRun.applyFilters(LsclRun.source(s, cfg.inputs), cfg.filters)
+      val specs = LsclRun.sinkSpecs(cfg.outputs)
+      Route.sinkCounts(Route.withSinkFlags(trunk, specs), specs).orderBy("sink")
+    }),
+
     // the LSCL text frontend end-to-end: parse config text -> compile
     // conditions -> conditional decorators -> output-section sink routing,
     // all from LsclRouteConfig above
@@ -241,6 +275,15 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // generator emits seq 0..8999 cycling the 3 lines: seq%3=0 -> ERROR ->
+    // errors; 1 -> WARN n=99 -> warnbig; 2 -> INFO -> rest; no row is
+    // unrouted
+    "lscl_e2e" ->
+      """SELECT sink, CAST(n AS BIGINT) AS n FROM (VALUES
+        |  ('_default', 0), ('_total', 9000),
+        |  ('errors', 3000), ('rest', 3000), ('warnbig', 3000)) t(sink, n)
+        |ORDER BY sink""".stripMargin,
+
     // mirrors LsclRouteConfig clause by clause: the branch chain adds exactly
     // one of err_prod/warn_big/other; teamA appends; odd_src is the sprintf'd
     // add_field; sink flags follow the output section's if/else-if/else

@@ -176,6 +176,55 @@ class LsclSpec extends SparkSpec {
     assert(got == Set(("A", "hello_world", "alpha"), ("B", "Hello-World", null)))
   }
 
+  test("LSCL pipeline runs in STREAMING mode: micro-batch fan-out == batch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lscl_stream").toString
+    val rows = Seq(("ERROR", 10, "s1"), ("WARN", 99, "s2"), ("WARN", 1, "s1"),
+      ("INFO", 5, "s2"), ("ERROR", 70, "s2"))
+    rows.toDF("sev", "n", "src").repartition(2).write.parquet(s"$tmp/in")
+    val cfg = Lscl.parse(
+      """filter {
+        |  if [sev] == "ERROR" { mutate { add_tag => ["e"] } }
+        |  else if [n] > 50 { mutate { add_tag => ["big"] } }
+        |}
+        |output {
+        |  if "e" in [tags] { s { id => "errors" } }
+        |  else { s { id => "rest" } }
+        |}""".stripMargin, Map.empty)
+    val batch = spark.read.parquet(s"$tmp/in")
+    val source = spark.readStream.schema(batch.schema).parquet(s"$tmp/in")
+    val q = graft.streaming.StreamPipeline.run(
+      spark, source,
+      b => LsclRun.applyFilters(b, cfg.filters),
+      LsclRun.sinkSpecs(cfg.outputs).toIndexedSeq,
+      s"$tmp/out", s"$tmp/chk",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out/errors")
+      .select("sev", "n").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(streamed == Set(("ERROR", 10), ("ERROR", 70)))
+    val rest = spark.read.parquet(s"$tmp/out/rest")
+      .select("sev", "n").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rest == Set(("WARN", 99), ("WARN", 1), ("INFO", 5)))
+  }
+
+  test("runConfig executes a complete config text: input -> filter -> sinks on disk") {
+    val out = java.nio.file.Files.createTempDirectory("lscl_run").toString
+    val r = LsclRun.runConfig(spark,
+      """input { generator { count => 600 lines => ["a err", "b ok"] } }
+        |filter {
+        |  if [message] =~ /err/ { mutate { add_tag => ["bad"] } }
+        |}
+        |output {
+        |  if "bad" in [tags] { sink { id => "bad_rows" } }
+        |  else { sink { id => "good_rows" } }
+        |}""".stripMargin, out, Map.empty)
+    assert(r.counts("bad_rows") == 300 && r.counts("good_rows") == 300
+      && r.counts("_total") == 600)
+    assert(spark.read.parquet(s"$out/bad_rows").count() == 300)
+    assert(r.manifestPath.nonEmpty) // snapshot-chain commit point written
+  }
+
   test("parse errors carry position; schema plugins refuse conditional use") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))
