@@ -138,6 +138,35 @@ object Route {
     r
   }
 
+  /** `GET /_node/stats` analogue (SURVEY §3.3; reference
+    * NodeStatsAction/metrics API): one JSON document over a completed run's
+    * persisted surfaces — per-sink out counters + totals (`_counts`), flow
+    * metrics (`_metrics`, when runWithMetrics wrote them), per-partition
+    * lineage row counts (`_lineage`), and the latest manifest snapshot id.
+    * Driver-side reads of driver-sized tables only.
+    */
+  def nodeStats(spark: SparkSession, outDir: String): String = {
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val counts = spark.read.parquet(s"$outDir/_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val metrics: Seq[(String, Double)] =
+      try spark.read.parquet(s"$outDir/_metrics")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+      catch { case _: Throwable => Nil }
+    val lineageParts =
+      try spark.read.parquet(s"$outDir/_lineage").count()
+      catch { case _: Throwable => 0L }
+    val snapshot = latestManifest(spark, outDir)
+      .flatMap("\"snapshot_id\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1)).getOrElse("null")
+    val total = counts.toMap.getOrElse("_total", 0L)
+    val out = counts.filter(!_._1.startsWith("_"))
+      .map { case (k, v) => s"${jstr(k)}:{${jstr("events_out")}:$v}" }.mkString(",")
+    s"""{"events":{"in":$total,"out":${counts.toMap.getOrElse("_total", 0L) - counts.toMap.getOrElse("_default", 0L)}},""" +
+      s""""pipelines":{"main":{"plugins":{"outputs":{$out}},""" +
+      s""""flow":{${metrics.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")}},""" +
+      s""""lineage_partitions":$lineageParts,"snapshot_id":$snapshot}}}"""
+  }
+
   /** Latest committed manifest JSON for an output dir, if any run completed. */
   def latestManifest(spark: SparkSession, outDir: String): Option[String] = {
     val dir = new org.apache.hadoop.fs.Path(outDir, "_manifests")

@@ -56,7 +56,15 @@ object Stateful {
       .withColumn("_sb", pmod(xxhash64(order.map(_.cast("string")): _*), lit(salt)))
     val w1 = Window.partitionBy(col(keyCol), col("_tp"), col("_sb"))
       .orderBy(order: _*)
+    // persist phase 1: it feeds THREE consumers (proven branch, candidate
+    // branch, earliest-proven aggregate) — without this the scan + salt
+    // window shuffle would run three times. Eager count populates the cache
+    // BEFORE the union job materializes both branches (cache population is
+    // not synchronized across branches of one job). Same one-real-
+    // materialization policy as Route.run's trunk persist.
     val marked = base.withColumn("_rk1", row_number().over(w1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    marked.count()
     val proven = marked.filter(col("_rk1") > maxPerPeriod) // throttled for sure
     val cand = marked.filter(col("_rk1") <= maxPerPeriod)
     // earliest proven-throttled order tuple per (key, period)

@@ -225,6 +225,22 @@ class LsclSpec extends SparkSpec {
     assert(r.manifestPath.nonEmpty) // snapshot-chain commit point written
   }
 
+  test("nodeStats: /_node/stats JSON over a completed run's surfaces") {
+    val out = java.nio.file.Files.createTempDirectory("lscl_stats").toString
+    LsclRun.runConfig(spark,
+      """input { generator { count => 100 lines => ["a err", "b ok"] } }
+        |filter { if [message] =~ /err/ { mutate { add_tag => ["bad"] } } }
+        |output {
+        |  if "bad" in [tags] { sink { id => "bad_rows" } }
+        |  else { sink { id => "good_rows" } }
+        |}""".stripMargin, out, Map.empty)
+    val json = graft.operators.Route.nodeStats(spark, out)
+    assert(json.contains("\"events\":{\"in\":100,\"out\":100}"), json)
+    assert(json.contains("\"bad_rows\":{\"events_out\":50}"), json)
+    assert(json.contains("\"good_rows\":{\"events_out\":50}"), json)
+    assert(json.contains("\"snapshot_id\":0"), json)
+  }
+
   test("parse errors carry position; schema plugins refuse conditional use") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))
