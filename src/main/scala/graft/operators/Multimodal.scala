@@ -70,6 +70,32 @@ object Multimodal {
     } else None
   }
 
+  /** Parse (sample_rate, n_channels) from a WAV (RIFF) container header —
+    * "RIFF"...."WAVE" magic, "fmt " chunk: channels u16 LE at 22, sample
+    * rate u32 LE at 24. Public container format, pure-JVM.
+    */
+  def decodeWavHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    if (b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't') {
+      val channels = u8(22) | (u8(23) << 8)
+      val rate = u8(24) | (u8(25) << 8) | (u8(26) << 16) | (u8(27) << 24)
+      Some((rate, channels))
+    } else None
+  }
+
+  /** Deterministic minimal WAV header bytes for fixtures. */
+  def syntheticWavPayload(sampleRate: Int, channels: Int): Array[Byte] = {
+    val b = new Array[Byte](28)
+    "RIFF".getBytes.copyToArray(b, 0)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "fmt ".getBytes.copyToArray(b, 12)
+    b(22) = channels.toByte; b(23) = (channels >>> 8).toByte
+    for (i <- 0 until 4) b(24 + i) = (sampleRate >>> (8 * i)).toByte
+    b
+  }
+
   /** Deterministic minimal container bytes for fixtures: a valid PNG/GIF/BMP
     * header carrying dims derived from the id (format = id mod 3). The GATE
     * decodes these with [[decodeImageHeader]] — real byte parsing, synthetic
@@ -138,8 +164,10 @@ object Multimodal {
         val (w, h) = decodeImageHeader(r.payload)
           .map { case (_, dw, dh) => (dw, dh) }
           .getOrElse(decodeStub(r.payload))
+        val rate = decodeWavHeader(r.payload).map(_._1)
+          .getOrElse(if (r.media_type == "audio") 16000 else -1)
         r.copy(width = w, height = h,
-          sample_rate = if (r.media_type == "audio") 16000 else -1,
+          sample_rate = rate,
           n_frames = if (r.media_type == "video") 1 + (w % 300) else -1)
       }
     }

@@ -84,4 +84,13 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageHeader("not an image at all".getBytes).isEmpty)
     assert(Multimodal.decodeImageHeader(Array[Byte]()).isEmpty)
   }
+
+  test("WAV header decoder round-trips sample rate and channels") {
+    import graft.operators.Multimodal
+    for ((rate, ch) <- Seq((16000, 1), (44100, 2), (48000, 6))) {
+      assert(Multimodal.decodeWavHeader(Multimodal.syntheticWavPayload(rate, ch))
+        .contains((rate, ch)))
+    }
+    assert(Multimodal.decodeWavHeader("RIFFxxxx not wave".getBytes).isEmpty)
+  }
 }
