@@ -111,6 +111,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col(idCol))).as("doc_ids"))
       .filter(col("n_docs") > 1)
 
+  /** Cross-corpus contamination pairs — the DECONTAMINATION pass an LLM
+    * data pipeline runs before training: (train_id, eval_id, jaccard) for
+    * every training document sharing >= `threshold` shingle-Jaccard with an
+    * eval/benchmark document. Prefix-filtered like [[jaccardPairs]], but
+    * across TWO corpora: the global shingle order (document frequency) is
+    * computed over the UNION so the prefix-filter theorem holds for cross
+    * pairs, and candidate generation joins train prefixes to eval prefixes
+    * (never a self-join — candidate volume is bounded by rare-shingle
+    * co-occurrence ACROSS the corpora, which is exactly the contamination
+    * signal).
+    */
+  def crossJaccard(train: DataFrame, eval0: DataFrame, tokensCol: String,
+                   idCol: String, shingleK: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        array_distinct(Text.shingleIds(col(tokensCol), shingleK)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shT = shingled(train); shT.count() // eager: feeds posting + verify
+    val shE = shingled(eval0); shE.count()
+    def posting(sh: DataFrame): DataFrame =
+      sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // COMMON global order: df over the union of both corpora
+    val freq = posting(shT).unionByName(posting(shE))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    def prefixes(sh: DataFrame): DataFrame =
+      posting(sh).join(freq, "s")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("id").orderBy(col("df"), col("s"))))
+        .filter(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+        .select(col("id"), col("s"))
+    val parallelism = train.sparkSession.sparkContext.defaultParallelism
+    val cand = prefixes(shT).withColumnRenamed("id", "train_id")
+      .join(prefixes(shE).withColumnRenamed("id", "eval_id"), "s")
+      .select("train_id", "eval_id").distinct()
+      .repartition(parallelism, col("train_id"), col("eval_id"))
+    cand
+      .join(shT.select(col("id").as("train_id"), col("sh").as("sh_t")), Seq("train_id"))
+      .join(shE.select(col("id").as("eval_id"), col("sh").as("sh_e")), Seq("eval_id"))
+      .withColumn("jaccard", Text.jaccard(col("sh_t"), col("sh_e")))
+      .filter(col("jaccard") >= threshold)
+      .select("train_id", "eval_id", "jaccard")
+  }
+
   /** Exact n-gram Jaccard pairs via prefix-filtered inverted index
     * (PPJoin-style set-similarity join; see Xiao et al., "Efficient
     * Similarity Joins for Near Duplicate Detection", WWW'08 — public

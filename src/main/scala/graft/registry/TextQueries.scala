@@ -39,6 +39,36 @@ object TextQueries {
     mins.mkString("[", ", ", "]")
   }
 
+  /** Shared keep-set CTE chain (raw -> exact collapse -> banded LSH pairs)
+    * used by the dedup_keep AND doc_curate oracles — one source of truth.
+    */
+  private def sqlKeepCtes: String = {
+    val bands = 8; val rpb = 2
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until rpb).map(r => s"CAST(sig[${b * rpb + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+      s"SELECT id, shset, $b AS band, $slice AS bh FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${Tok.sqlRawSequences},
+       |idd AS (SELECT CAST(doc_id AS BIGINT) AS id, tokens, n_tok FROM raw),
+       |reps AS (
+       |  SELECT id, tokens, n_tok FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY array_to_string(tokens, ',') ORDER BY id) AS rk
+       |    FROM idd) WHERE rk = 1),
+       |sigs AS (
+       |  SELECT id,
+       |         list_distinct(${sqlShingles(3)}) AS shset,
+       |         ${sqlMinhashSig(s"list_distinct(${sqlShingles(3)})", bands * rpb)} AS sig
+       |  FROM reps),
+       |banded AS (
+       |  $bandKeys
+       |), pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+       |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5),
+       |keep AS (SELECT id FROM reps WHERE id NOT IN (SELECT id_b FROM pairs))""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID heuristic (marker stopwords, first-max-wins)
     "txt_langid" -> ((s, dir) => {
@@ -107,6 +137,37 @@ object TextQueries {
     "dedup_keep" -> ((s, dir) => {
       Dedup.keepSet(Tok.rawSequences(docs(s, dir)), "tokens", "doc_id",
           shingleK = 3, bands = 8, rowsPerBand = 2, jaccardThreshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // DECONTAMINATION: training-vs-eval n-gram overlap (cross-corpus
+    // prefix-filtered jaccard; eval = even doc_ids, train = odd)
+    "dedup_decontam" -> ((s, dir) => {
+      val raw = Tok.rawSequences(docs(s, dir)).withColumn("doc_id", col("doc_id").cast("long"))
+      val train = raw.filter(col("doc_id") % 2 === 1)
+      val eval0 = raw.filter(col("doc_id") % 2 === 0)
+      Dedup.crossJaccard(train, eval0, "tokens", "doc_id", shingleK = 3, threshold = 0.5)
+        .select(col("train_id"), col("eval_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("train_id", "eval_id")
+    }),
+
+    // the CURATION decision a training-data pipeline materializes: keep a
+    // doc iff it survives dedup AND passes quality AND language gates —
+    // one composed boolean per document
+    "doc_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val raw = Tok.rawSequences(d)
+      val keep = Dedup.keepSet(raw, "tokens", "doc_id",
+          shingleK = 3, bands = 8, rowsPerBand = 2, jaccardThreshold = 0.5)
+        .withColumn("in_keep", lit(true))
+      d.select(col("doc_id").cast("long").as("doc_id"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.langId(col("text")).as("lang_guess"))
+        .join(keep, Seq("doc_id"), "left")
+        .withColumn("kept",
+          (coalesce(col("in_keep"), lit(false)) &&
+            col("quality") >= 0.5 && col("lang_guess") === "en").cast("int"))
+        .select(col("doc_id"), col("quality"), col("lang_guess"), col("kept"))
         .orderBy("doc_id")
     }),
 
@@ -274,31 +335,52 @@ object TextQueries {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
-    "dedup_keep" -> {
-      val bands = 8; val rpb = 2
-      val bandKeys = (0 until bands).map { b =>
-        val slice = (0 until rpb).map(r => s"CAST(sig[${b * rpb + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
-        s"SELECT id, shset, $b AS band, $slice AS bh FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
+    "dedup_keep" ->
+      s"""$sqlKeepCtes
+         |SELECT id AS doc_id FROM keep ORDER BY doc_id""".stripMargin,
+
+    "dedup_decontam" ->
       s"""${Tok.sqlRawSequences},
-         |idd AS (SELECT CAST(doc_id AS BIGINT) AS id, tokens, n_tok FROM raw),
-         |reps AS (
-         |  SELECT id, tokens, n_tok FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY array_to_string(tokens, ',') ORDER BY id) AS rk
-         |    FROM idd) WHERE rk = 1),
-         |sigs AS (
-         |  SELECT id,
-         |         list_distinct(${sqlShingles(3)}) AS shset,
-         |         ${sqlMinhashSig(s"list_distinct(${sqlShingles(3)})", bands * rpb)} AS sig
-         |  FROM reps),
-         |banded AS (
-         |  $bandKeys
+         |sh AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |         list_distinct(${sqlShingles(3)}) AS shset
+         |  FROM raw
+         |), posting AS (
+         |  SELECT id, len(shset) AS n_sh, unnest(shset) AS s FROM sh
          |), pairs AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-         |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5)
-         |SELECT id AS doc_id FROM reps WHERE id NOT IN (SELECT id_b FROM pairs)
+         |  SELECT a.id AS train_id, b.id AS eval_id, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+         |  FROM posting a JOIN posting b ON a.s = b.s
+         |  WHERE a.id % 2 = 1 AND b.id % 2 = 0
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT train_id, eval_id,
+         |       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+         |FROM pairs WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
+         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "doc_curate" -> {
+      val hits = Text.LangMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString("(", ",", ")")
+        s"len(list_filter(string_split(text,' '), w -> w IN $inList)) AS h_$lang"
+      }.mkString(",\n         ")
+      val best = Text.LangMarkers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
+      val pick = Text.LangMarkers.foldRight("'und'") { case ((lang, _), acc) =>
+        s"CASE WHEN h_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+      }
+      s"""$sqlKeepCtes,
+         |scored AS (SELECT doc_id, $hits FROM documents),
+         |best_t AS (SELECT *, $best AS best FROM scored),
+         |lang AS (SELECT doc_id, $pick AS lang_guess FROM best_t),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |         round(least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.4
+         |           + (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.4
+         |           + (1.0 - CAST(len(list_filter(words, x -> x IN ('the','a'))) AS DOUBLE) / len(words)) * 0.2, 6) AS quality
+         |  FROM w)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, q.quality, lang.lang_guess,
+         |       CAST((CAST(d.doc_id AS BIGINT) IN (SELECT id FROM keep)
+         |             AND q.quality >= 0.5 AND lang.lang_guess = 'en') AS INTEGER) AS kept
+         |FROM documents d JOIN q USING (doc_id) JOIN lang USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
 

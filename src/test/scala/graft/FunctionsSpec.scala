@@ -143,6 +143,46 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("banded LSH finds ALL planted near-duplicates (exact + one-band-broken)") {
+    import spark.implicits._
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = embs.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val planted = base.flatMap { case (id, v) =>
+      val flipped = v.clone(); flipped(0) = -flipped(0) // breaks band 0 only
+      Seq((id, v.toSeq), (id + 10000L, v.toSeq), (id + 20000L, flipped.toSeq))
+    }
+    val df = planted.toSeq.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val found = graft.functions.Similarity.bandedPairs(df, "embedding", "vec_id",
+        bands = 5, bitsPerBand = 12, minSim = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { case (id, _) =>
+      assert(found.contains((id, id + 10000L)), s"exact dup of $id missed")
+      assert(found.contains((id, id + 20000L)), s"one-flip dup of $id missed")
+    }
+  }
+
+  test("cross-corpus decontamination: pairs match brute-force cross jaccard") {
+    val raw = Tok.rawSequences(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    val train = raw.filter(col("doc_id") % 2 === 1)
+    val eval0 = raw.filter(col("doc_id") % 2 === 0)
+    val got = Dedup.crossJaccard(train, eval0, "tokens", "doc_id", 3, 0.5)
+      .select("train_id", "eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all near-dup pairs (from jaccardPairs) with opposite parity
+    val all = Dedup.jaccardPairs(raw, "tokens", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = all.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("IVF indexed query: same rows as assign-on-the-fly, partition-pruned scan") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = Similarity.ivfCentroids(embs, "embedding", "vec_id", 8)
