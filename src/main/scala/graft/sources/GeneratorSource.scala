@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -46,7 +47,7 @@ private class GeneratorTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_generator"
   override def schema(): StructType = GeneratorSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
@@ -66,6 +67,15 @@ private class GeneratorScan(options: CaseInsensitiveStringMap)
   override def build(): Scan = this
   override def readSchema(): StructType = GeneratorSource.Schema
   override def toBatch: Batch = this
+
+  /** Streaming form: the generator as a bounded MicroBatchStream — the
+    * whole `count` range is available immediately (the reference generator
+    * input pushes its events and finishes), so an AvailableNow/Once stream
+    * emits everything exactly once and checkpoint offsets are plain row
+    * sequence numbers.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GeneratorMicroBatch(count, partitions, lines)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (count + partitions - 1) / partitions)
@@ -93,3 +103,34 @@ private class GeneratorReaderFactory(lines: Array[String])
 }
 
 private case class GeneratorPartition(start: Long, end: Long) extends InputPartition
+
+private case class SeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+private class GeneratorMicroBatch(count: Long, partitions: Int, lines: Array[String])
+  extends MicroBatchStream {
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+  override def latestOffset(): Offset = SeqOffset(count)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val e = end.asInstanceOf[SeqOffset].seq
+    val n = e - s
+    if (n <= 0) Array.empty
+    else {
+      val per = math.max(1L, (n + partitions - 1) / partitions)
+      (s until e by per)
+        .map(a => GeneratorPartition(a, math.min(a + per, e)): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeneratorReaderFactory(lines)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

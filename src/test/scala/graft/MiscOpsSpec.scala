@@ -249,6 +249,22 @@ class MiscOpsSpec extends SparkSpec {
     assert(head == Seq((0L, "x"), (1L, "y"), (2L, "x"), (3L, "y")))
   }
 
+  test("generator as a STREAMING source: exactly-once bounded emission") {
+    val tmp = java.nio.file.Files.createTempDirectory("gen_stream").toString
+    val src = spark.readStream.format("graft.sources.GeneratorSource")
+      .option("count", 500).option("partitions", 4)
+      .option("lines", "x|y").load()
+    val q = src.writeStream
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 500)
+    assert(out.agg(org.apache.spark.sql.functions.countDistinct("seq"))
+      .collect()(0).getLong(0) == 500) // every seq exactly once
+  }
+
   test("file-backed dictionary: csv loader feeds the broadcast lookup") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dict")
