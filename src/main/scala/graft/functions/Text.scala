@@ -135,6 +135,71 @@ object Text {
     (0 until 16).map(j => shiftright(x, j) % 2).reduce(_ + _).cast("int")
   }
 
+  /** Sequence PACKING for LLM training: documents are concatenated in id
+    * order and chunked every `seqLen` tokens (the standard concat-and-chunk
+    * packing), so a document's pack assignment is a pure function of the
+    * exclusive running token count before it: `pack_id = floor(cum_before /
+    * seqLen)`, `pack_offset = cum_before % seqLen`.
+    *
+    * The global running sum is computed in TWO PHASES — a global
+    * `Window.orderBy` would drag the whole corpus onto one reducer:
+    *  1. range-partition by id, per-partition token totals -> driver
+    *     (one row per partition) -> broadcast exclusive prefix offsets;
+    *  2. per-partition running sum over the 16-byte (id, n_tok) projection
+    *     seeded with the partition's offset.
+    * Output: (doc_id, pack_id, pack_offset) — join back to payloads by id.
+    */
+  def packAssignments(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      nTokCol: String, seqLen: Int,
+                      partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val sorted = df
+      .select(col(idCol).cast("long").as("doc_id"), col(nTokCol).cast("long").as("_n"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val rdd = sorted.queryExecution.toRdd // InternalRow (doc_id, _n)
+      .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1))), preservesPartitioning = true)
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+    }.collect().sortBy(_._1)
+    val prefix: Map[Int, Long] = {
+      var acc = 0L
+      totals.map { case (pid, s) => val before = acc; acc += s; pid -> before }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(prefix)
+    val assigned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { case (id, n) =>
+        val before = cum; cum += n
+        org.apache.spark.sql.Row(id, before / seqLen, before % seqLen)
+      }
+    }
+    spark.createDataFrame(assigned, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pack_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pack_offset", org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Long-document CHUNKING: split each token sequence into windows of at
+    * most `maxLen` tokens advancing by `stride` (overlap = maxLen - stride).
+    * Pure plan surgery — sequence + explode + slice, a narrow map whose
+    * output rows are the training units.
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, tokensCol: String,
+            maxLen: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && stride <= maxLen)
+    val n = size(col(tokensCol))
+    // window starts: 0, stride, 2*stride, ... while start < n (empty docs
+    // yield no chunks); the LAST window may be shorter than maxLen
+    val starts = when(n <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), n - 1, lit(stride)))
+    df.withColumn("chunk_idx", explode(starts))
+      .withColumn("chunk", slice(col(tokensCol), col("chunk_idx") + 1, lit(maxLen)))
+      .withColumn("chunk_idx", (col("chunk_idx") / stride).cast("int"))
+      .withColumn("chunk_len", size(col("chunk")))
+  }
+
   /** Jaccard similarity of two DISTINCT-element array<long> columns (sets).
     * Uses |A∪B| = |A|+|B|-|A∩B| with a single specialized intersect-count
     * kernel (graft.plans.LongSetIntersectCount) — profiling showed the

@@ -140,6 +140,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // sequence PACKING: concat-and-chunk assignment (pack_id, pack_offset)
+    // via the two-phase distributed cumsum (no global window)
+    "doc_pack" -> ((s, dir) => {
+      Text.packAssignments(Tok.rawSequences(docs(s, dir)), "doc_id", "n_tok",
+          seqLen = 2048)
+        .orderBy("doc_id")
+    }),
+
+    // long-document CHUNKING: max-48-token windows, stride 32; contents
+    // pinned by the rolling fingerprint of each chunk
+    "doc_chunk" -> ((s, dir) => {
+      Text.chunk(Tok.rawSequences(docs(s, dir))
+          .withColumn("doc_id", col("doc_id").cast("long")),
+          "tokens", maxLen = 48, stride = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
+          Text.rollingFingerprint(col("chunk")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // DECONTAMINATION: training-vs-eval n-gram overlap (cross-corpus
     // prefix-filtered jaccard; eval = even doc_ids, train = odd)
     "dedup_decontam" -> ((s, dir) => {
@@ -338,6 +357,32 @@ object TextQueries {
     "dedup_keep" ->
       s"""$sqlKeepCtes
          |SELECT id AS doc_id FROM keep ORDER BY doc_id""".stripMargin,
+
+    "doc_pack" ->
+      s"""${Tok.sqlRawSequences},
+         |cum AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         coalesce(SUM(n_tok) OVER (ORDER BY CAST(doc_id AS BIGINT)
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM raw)
+         |SELECT doc_id, CAST(before // 2048 AS BIGINT) AS pack_id,
+         |       CAST(before % 2048 AS BIGINT) AS pack_offset
+         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "doc_chunk" ->
+      s"""${Tok.sqlRawSequences},
+         |st AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, tokens, n_tok,
+         |         unnest(CASE WHEN n_tok <= 0 THEN [] ELSE generate_series(0, n_tok - 1, 32) END) AS start
+         |  FROM raw),
+         |ch AS (
+         |  SELECT doc_id, CAST(start // 32 AS INTEGER) AS chunk_idx,
+         |         tokens[start + 1 : least(start + 48, n_tok)] AS chunk
+         |  FROM st)
+         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS chunk_len,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(chunk, t -> CAST(t AS BIGINT))),
+         |                   (h, t) -> (h * ${Text.FpBase} + t) % $P) AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "dedup_decontam" ->
       s"""${Tok.sqlRawSequences},
