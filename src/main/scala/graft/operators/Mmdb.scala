@@ -186,7 +186,12 @@ object Mmdb {
   // through pointers, which also exercises the reader's pointer decode.
   // ===================================================================
 
-  def writeFixture(path: String, entries: Seq[(String, Map[String, Any])]): Unit = {
+  def writeFixture(path: String, entries: Seq[(String, Map[String, Any])]): Unit =
+    writeFixture(path, entries, recordSize = 24)
+
+  def writeFixture(path: String, entries: Seq[(String, Map[String, Any])],
+                   recordSize: Int): Unit = {
+    require(recordSize == 24 || recordSize == 28, s"fixture supports 24/28, got $recordSize")
     // ---- data section ----
     val data = mutable.ArrayBuffer.empty[Byte]
     val seen = mutable.HashMap.empty[Any, Int] // value -> data-section offset
@@ -254,15 +259,28 @@ object Mmdb {
     index(root)
     val ids = nodes.zipWithIndex.toMap
     val nodeCount = nodes.length
-    val tree = new Array[Byte](nodeCount * 6)
+    val nodeBytes = recordSize * 2 / 8
+    val tree = new Array[Byte](nodeCount * nodeBytes)
     def recValue(e: Either[Node, Option[Int]]): Int = e match {
       case Left(c) => ids(c)
       case Right(None) => nodeCount
       case Right(Some(dataOff)) => nodeCount + 16 + dataOff
     }
-    for ((n, i) <- nodes.zipWithIndex; side <- 0 to 1) {
-      val r = recValue(if (side == 0) n.left else n.right)
-      for (j <- 0 until 3) tree(i * 6 + side * 3 + j) = ((r >>> (8 * (2 - j))) & 0xff).toByte
+    for ((n, i) <- nodes.zipWithIndex) {
+      val l = recValue(n.left); val r = recValue(n.right)
+      val base = i * nodeBytes
+      if (recordSize == 24) {
+        for (j <- 0 until 3) {
+          tree(base + j) = ((l >>> (8 * (2 - j))) & 0xff).toByte
+          tree(base + 3 + j) = ((r >>> (8 * (2 - j))) & 0xff).toByte
+        }
+      } else { // 28: [left 23..0][left 27..24 | right 27..24][right 23..0]
+        for (j <- 0 until 3) {
+          tree(base + j) = ((l >>> (8 * (2 - j))) & 0xff).toByte
+          tree(base + 4 + j) = ((r >>> (8 * (2 - j))) & 0xff).toByte
+        }
+        tree(base + 3) = ((((l >>> 24) & 0x0f) << 4) | ((r >>> 24) & 0x0f)).toByte
+      }
     }
     // ---- metadata ----
     val meta = mutable.ArrayBuffer.empty[Byte]
@@ -278,7 +296,7 @@ object Mmdb {
     mStr("binary_format_major_version"); mUInt(2, 5)
     mStr("binary_format_minor_version"); mUInt(0, 5)
     mStr("node_count"); mUInt(nodeCount.toLong, 6)
-    mStr("record_size"); mUInt(24, 5)
+    mStr("record_size"); mUInt(recordSize.toLong, 5)
     mStr("ip_version"); mUInt(4, 5)
     mStr("database_type"); mStr("graft-fixture")
     // ---- assemble ----

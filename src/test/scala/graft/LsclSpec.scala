@@ -241,6 +241,29 @@ class LsclSpec extends SparkSpec {
     assert(json.contains("\"snapshot_id\":0"), json)
   }
 
+  test("parser plugins from config text: grok, dissect, csv, kv, date, drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("id=7 lvl=ERROR", "a,b,c", "2024-03-05 10:00:00", "GET /x 200"),
+      ("id=9 lvl=WARN", "d,e,f", "2024-03-06 11:30:00", "POST /y 500"))
+      .toDF("kvline", "csvline", "when", "reqline")
+    val cfg = Lscl.parse(
+      """filter {
+        |  grok { match => { "reqline" => "%{WORD:verb} %{NOTSPACE:path} %{INT:code:int}" } }
+        |  kv { source => "kvline" target => "kvs" }
+        |  csv { source => "csvline" columns => ["c1", "c2", "c3"] }
+        |  date { match => ["when", "yyyy-MM-dd HH:mm:ss"] target => "ts" }
+        |  if [code] >= 500 { drop { } }
+        |}""".stripMargin, Map.empty)
+    val out = LsclRun.applyFilters(df, cfg.filters)
+    val rows = out.select(col("verb"), col("code"), col("kvs")("lvl"),
+        col("c2"), year(col("ts"))).collect()
+    assert(rows.length == 1) // the 500 row dropped by the conditional drop
+    val r = rows(0)
+    assert(r.getString(0) == "GET" && r.getLong(1) == 200L) // grok :int -> long
+    assert(r.getString(2) == "ERROR" && r.getString(3) == "b" && r.getInt(4) == 2024)
+  }
+
   test("parse errors carry position; schema plugins refuse conditional use") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))

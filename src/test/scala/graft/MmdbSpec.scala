@@ -53,6 +53,21 @@ class MmdbSpec extends SparkSpec {
       (ip(192, 168, 0, 0), ip(192, 168, 255, 255), 64512L)))
   }
 
+  test("28-bit record size: same lookups and ranges as 24-bit") {
+    val p = java.nio.file.Files.createTempFile("mmdb_28", ".mmdb").toString
+    Mmdb.writeFixture(p, Seq(
+      "10.0.0.0/11"  -> Map("country" -> Map("iso_code" -> "us")),
+      "10.32.0.0/11" -> Map("country" -> Map("iso_code" -> "eu"))), recordSize = 28)
+    val r = Mmdb.read(p)
+    assert(r.metadata.recordSize == 28)
+    def iso(v: Any): String = v.asInstanceOf[Map[String, Any]]("country")
+      .asInstanceOf[Map[String, Any]]("iso_code").toString
+    assert(r.lookup4(ip(10, 5, 5, 5)).map(iso).contains("us"))
+    assert(r.lookup4(ip(10, 40, 0, 1)).map(iso).contains("eu"))
+    assert(r.lookup4(ip(11, 0, 0, 0)).isEmpty)
+    assert(r.leafRanges4().size == 2)
+  }
+
   test("geoRangesFromMmdb feeds the broadcast range join") {
     import spark.implicits._
     val ranges = graft.operators.Enrich.geoRangesFromMmdb(spark, fixture(),
