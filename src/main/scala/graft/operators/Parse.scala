@@ -92,6 +92,7 @@ object Parse {
     "UUID" -> "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
     "MAC" -> "(?:[0-9a-fA-F]{2}[:-]){5}[0-9a-fA-F]{2}",
     "QUOTEDSTRING" -> "\"[^\"]*\"|'[^']*'",
+    "QS" -> "\"[^\"]*\"|'[^']*'", // stock alias for QUOTEDSTRING
     "URIPATH" -> "(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_&-]*)+",
     "PROG" -> "[a-zA-Z0-9._/%-]+",
     "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2}",
@@ -106,14 +107,37 @@ object Parse {
 
   /** Expand a grok pattern into (full regex, capture fields). Named refs
     * without a field name match but don't capture.
+    *
+    * Grok patterns ARE regexes in the reference (Grok.java compiles the
+    * expanded pattern with joni) — text between %{...} refs passes through
+    * RAW, so users can embed alternations/classes (e.g. the stock
+    * `(?:-|%{NUMBER:bytes})` in COMBINEDAPACHELOG) and must escape literal
+    * metacharacters (`\[`), exactly as in stock grok configs. Because our
+    * kernel captures by GROUP INDEX, user-written capturing groups in the
+    * raw segments are rewritten to non-capturing so field group numbers
+    * stay stable.
     */
   def compileGrok(pattern: String): GrokSpec = {
+    // `(` not followed by `?` and not escaped -> `(?:` (neutralize user
+    // capture groups; named %{} refs provide the captures)
+    def neutralize(seg: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < seg.length) {
+        val c = seg.charAt(i)
+        if (c == '\\' && i + 1 < seg.length) { sb.append(c).append(seg.charAt(i + 1)); i += 2 }
+        else if (c == '(' && (i + 1 >= seg.length || seg.charAt(i + 1) != '?')) {
+          sb.append("(?:"); i += 1
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     val sb = new StringBuilder
     val fields = Seq.newBuilder[GrokField]
     var last = 0
     var group = 0
     for (m <- GrokRef.findAllMatchIn(pattern)) {
-      sb.append(java.util.regex.Pattern.quote(pattern.substring(last, m.start)))
+      sb.append(neutralize(pattern.substring(last, m.start)))
       val base = GrokPatterns.getOrElse(m.group(1),
         throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
       Option(m.group(2)) match {
@@ -126,13 +150,16 @@ object Parse {
       }
       last = m.end
     }
-    sb.append(java.util.regex.Pattern.quote(pattern.substring(last)))
+    sb.append(neutralize(pattern.substring(last)))
     GrokSpec(sb.toString, fields.result())
   }
 
   private def coerce(raw: Column, typ: Option[String]): Column = typ match {
-    case Some("int")   => raw.cast("long")
-    case Some("float") => raw.cast("double")
+    // a non-participating optional capture (e.g. `(?:-|%{INT:bytes:int})`)
+    // surfaces as "" — the reference leaves the field UNSET, so coerce it
+    // to null rather than failing the numeric cast
+    case Some("int")   => nullif(raw, lit("")).cast("long")
+    case Some("float") => nullif(raw, lit("")).cast("double")
     case _             => raw
   }
 

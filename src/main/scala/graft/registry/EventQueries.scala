@@ -186,7 +186,7 @@ object EventQueries {
         lit(" \""), ua, lit("\""))
       val groked = Parse.grok(e.withColumn("line", line),
         "line",
-        "%{IP:client} - - [%{HTTPDATE:tstamp}] \"%{WORD:verb} %{URIPATH:path} " +
+        "%{IP:client} - - \\[%{HTTPDATE:tstamp}\\] \"%{WORD:verb} %{URIPATH:path} " +
           "HTTP/%{NUMBER:httpv}\" %{INT:status:int} %{INT:bytes:int} \"%{DATA:uastr}\"")
       Parse.useragent(groked, "uastr")
         .select(col("event_id"), col("client"), col("verb"), col("status"),

@@ -264,6 +264,28 @@ class LsclSpec extends SparkSpec {
     assert(r.getString(2) == "ERROR" && r.getString(3) == "b" && r.getInt(4) == 2024)
   }
 
+  test("reference reload_config fixture's apache grok runs verbatim from config text") {
+    import spark.implicits._
+    // the `reload` filter section of qa/integration/fixtures/reload_config_spec.yml
+    val cfg = Lscl.parse(
+      """filter {
+        |  grok {
+        |    match => {
+        |      "message" => "%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] \"%{WORD:verb} %{DATA:request} HTTP/%{NUMBER:httpversion}\" %{NUMBER:response:int} (?:-|%{NUMBER:bytes:int}) %{QS:referrer} %{QS:agent}"
+        |    }
+        |  }
+        |}""".stripMargin, Map.empty)
+    val df = Seq(
+      """127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326 "http://ref" "Mozilla/4.08"""",
+      """10.1.2.3 - - [11/Oct/2000:00:01:02 +0000] "POST /submit HTTP/1.1" 500 - "-" "curl/7.1"""")
+      .toDF("message")
+    val out = LsclRun.applyFilters(df, cfg.filters)
+      .select("clientip", "verb", "response", "bytes", "agent").collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2), r.get(3), r.getString(4)))
+    assert(out(0) == (("127.0.0.1", "GET", 200L, 2326L, "\"Mozilla/4.08\"")))
+    assert(out(1) == (("10.1.2.3", "POST", 500L, null, "\"curl/7.1\"")))
+  }
+
   test("parse errors carry position; schema plugins refuse conditional use") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))

@@ -372,15 +372,24 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
-  test("property: grok literal segments with regex metacharacters are quoted") {
+  test("property: grok segments are RAW regex (reference Grok.java) — escaped literals + live constructs") {
     import spark.implicits._
-    val nasty = Seq("a.b", "x(y)", "q[1]", "p+q", "u*v", "c^d$", "m{2}")
-    nasty.foreach { litSeg =>
-      val df = Seq(s"${litSeg}42").toDF("line")
-      val out = graft.operators.Parse.grok(df, "line", s"$litSeg%{INT:n:int}").collect()(0)
-      assert(out.getAs[Long]("n") == 42L, litSeg)
-      assert(out.getSeq[String](out.fieldIndex("tags")).isEmpty, litSeg)
+    // escaped metacharacters match literally (how stock grok configs write them)
+    val nasty = Seq("a\\.b" -> "a.b", "x\\(y\\)" -> "x(y)", "q\\[1\\]" -> "q[1]",
+      "p\\+q" -> "p+q", "u\\*v" -> "u*v", "c\\^d\\$" -> "c^d$")
+    nasty.foreach { case (seg, raw) =>
+      val df = Seq(s"${raw}42").toDF("line")
+      val out = graft.operators.Parse.grok(df, "line", s"$seg%{INT:n:int}").collect()(0)
+      assert(out.getAs[Long]("n") == 42L, seg)
+      assert(out.getSeq[String](out.fieldIndex("tags")).isEmpty, seg)
     }
+    // raw regex constructs WORK between refs: the COMBINEDAPACHELOG-style
+    // optional alternation, including a user (...) group that must not
+    // shift the %{} capture indices
+    val df = Seq("bytes: 123 end", "bytes: - end").toDF("line")
+    val out = graft.operators.Parse.grok(df, "line", "bytes: (-|%{INT:b:int}) %{WORD:w}")
+      .select("b", "w").collect().map(r => (r.get(0), r.getString(1))).toSeq
+    assert(out == Seq((123L, "end"), (null, "end")))
   }
 
   test("mixed-type ordering comparison routes false (reference: event cancelled)") {
