@@ -198,6 +198,29 @@ object LsclRun {
     if (!isTrue(cond)) throw new UnsupportedOperationException(
       s"plugin `${p.name}` reshapes the schema and is only supported outside conditionals")
 
+  /** json parse with data-inferred schema (the reference's schemaless parse;
+    * at 100 TB you pass an explicit schema — inference is one sampling pass
+    * by Spark's own json reader). No target -> fields expand to top level.
+    */
+  private def jsonParse(df: DataFrame, source: String, target: Option[String],
+                        m: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = spark.read.json(df.select(col(source)).na.drop.as[String]).schema
+    target match {
+      case Some(t) =>
+        df.withColumn(t, when(m, from_json(col(source), schema)))
+      case None =>
+        val parsed = df.withColumn("_json_tmp", from_json(col(source), schema))
+        val expanded = schema.fields.foldLeft(parsed) { (d, f) =>
+          val v = when(m, col("_json_tmp").getField(f.name))
+            .otherwise(if (d.columns.contains(f.name)) col(f.name) else lit(null))
+          d.withColumn(f.name, v)
+        }
+        expanded.drop("_json_tmp")
+    }
+  }
+
   private def applyPlugin(df: DataFrame, p: Plugin, cond: Cond): DataFrame = {
     lazy val m: Column = Cond.predicateFor(df, cond)
     p.name match {
@@ -211,25 +234,7 @@ object LsclRun {
       case "json" =>
         val source = strAttr(p, "source").getOrElse(
           throw new IllegalArgumentException("json: source required"))
-        // schema inferred from the data, like the reference's schemaless
-        // parse (at 100 TB you pass an explicit schema; inference is one
-        // sampling pass by Spark's own json reader)
-        val spark = df.sparkSession
-        import spark.implicits._
-        val schema = spark.read.json(
-          df.select(col(source)).na.drop.as[String]).schema
-        strAttr(p, "target") match {
-          case Some(t) =>
-            df.withColumn(t, when(m, from_json(col(source), schema)))
-          case None =>
-            val parsed = df.withColumn("_json_tmp", from_json(col(source), schema))
-            val expanded = schema.fields.foldLeft(parsed) { (d, f) =>
-              val v = when(m, col("_json_tmp").getField(f.name))
-                .otherwise(if (d.columns.contains(f.name)) col(f.name) else lit(null))
-              d.withColumn(f.name, v)
-            }
-            expanded.drop("_json_tmp")
-        }
+        jsonParse(df, source, strAttr(p, "target"), m)
 
       case "translate" =>
         val source = strAttr(p, "source").orElse(strAttr(p, "field")).getOrElse(
@@ -367,7 +372,10 @@ object LsclRun {
     var k = 0
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) =>
-        val name = strAttr(p, "id").getOrElse { k += 1; s"${p.name}_$k" }
+        // sink naming: explicit id, else the elasticsearch output's index
+        // (the reference's routing key), else <plugin>_<k>
+        val name = strAttr(p, "id").orElse(strAttr(p, "index"))
+          .getOrElse { k += 1; s"${p.name}_$k" }
         val dec = Mutate.Decorator(
           addField = p.attr("add_field") match {
             case Some(VHash(entries)) => entries.map { case (a, v) => a -> str(litVal(v)) }
@@ -403,12 +411,25 @@ object LsclRun {
     val frames = items.collect {
       case PluginItem(p) if p.name == "generator" =>
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
-        val lines = p.attr("lines").map(strList).getOrElse(Seq("hello world"))
-        spark.read.format("graft.sources.GeneratorSource")
+        val lines = p.attr("lines").map(strList)
+          .orElse(strAttr(p, "message").map(Seq(_))) // generator's single-message form
+          .getOrElse(Seq("hello world"))
+        val gen = spark.read.format("graft.sources.GeneratorSource")
           .option("count", count)
           .option("partitions", spark.sparkContext.defaultParallelism)
           .option("lines", lines.mkString("|"))
           .load()
+        p.attr("codec") match { // codec => "json": parse message at the source
+          case Some(VString("json")) | Some(VPlugin(Plugin("json", _))) =>
+            jsonParse(gen, "message", None, lit(true))
+          case _ => gen
+        }
+      case PluginItem(p) if p.name == "dead_letter_queue" =>
+        // the DLQ input: replay a persisted DLQ side-channel table
+        // (graft.operators.Dlq.entries shape), oldest-first by entry_time
+        val path = strAttr(p, "path").getOrElse(
+          throw new IllegalArgumentException("dead_letter_queue input: path required"))
+        spark.read.parquet(path)
       case PluginItem(p) if p.name == "file" =>
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("file input: path required"))

@@ -286,6 +286,50 @@ class LsclSpec extends SparkSpec {
     assert(out(1) == (("10.1.2.3", "POST", 500L, null, "\"curl/7.1\"")))
   }
 
+  test("reference dlq_spec fixture config runs near-verbatim: generator+DLQ inputs, json codec") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lscl_dlq").toString
+    // a persisted DLQ side-channel table to replay (one failed event)
+    graft.operators.Dlq.entries(
+        Seq((2L, """{"ip":2}""")).toDF("ip", "message"),
+        lit("_jsonfail"), "filter", "json",
+        to_timestamp(lit("2024-01-01 00:00:00")))
+      .write.parquet(s"$tmp/dlq")
+    // qa/integration/fixtures/dlq_spec.yml config, ERB path substituted
+    val config =
+      s"""input {
+         |    generator{
+         |      message => '{"ip":1}'
+         |      codec => "json"
+         |      count => 1000
+         |    }
+         |
+         |    dead_letter_queue {
+         |      path => "$tmp/dlq"
+         |      commit_offsets => true
+         |    }
+         |  }
+         |
+         |  filter {
+         |    if ([ip]) {
+         |        mutate {
+         |            remove_field => ["ip"]
+         |            add_field => {
+         |              "mutated" => "true"
+         |            }
+         |        }
+         |    }
+         |  }
+         |  output {
+         |    elasticsearch { index => "test-index" }
+         |  }""".stripMargin
+    val r = LsclRun.runConfig(spark, config, s"$tmp/out", Map.empty)
+    assert(r.counts("test-index") == 1001) // 1000 generated + 1 replayed
+    val sink = spark.read.parquet(s"$tmp/out/test-index")
+    assert(sink.filter(col("mutated") === "true").count() == 1001)
+    assert(sink.filter(col("ip").isNotNull).count() == 0) // removed everywhere
+  }
+
   test("parse errors carry position; schema plugins refuse conditional use") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))
