@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.conditions._
 import graft.model.FieldRef
-import graft.operators.{Enrich, Mutate, Parse, Route}
+import graft.operators.{Enrich, Mutate, Parse, Route, Stateful}
 import graft.lscl.Lscl._
 
 /** Lowers parsed LSCL to the engine: condition AST -> [[graft.conditions.Cond]],
@@ -242,7 +242,17 @@ object LsclRun {
         val target = strAttr(p, "target").getOrElse("translation")
         val dict = p.attr("dictionary") match {
           case Some(VHash(entries)) => entries.map { case (k, v) => k -> str(litVal(v)) }
-          case _ => throw new IllegalArgumentException("translate: inline dictionary required here")
+          case _ => strAttr(p, "dictionary_path") match {
+            case Some(path) if path.endsWith(".yml") || path.endsWith(".yaml") =>
+              Enrich.yamlDict(path)
+            case Some(path) if path.endsWith(".csv") => // 2-column, no header
+              val src = scala.io.Source.fromFile(path, "UTF-8")
+              try src.getLines().filter(_.nonEmpty).map { l =>
+                val i = l.indexOf(','); l.substring(0, i) -> l.substring(i + 1)
+              }.toList finally src.close()
+            case other => throw new IllegalArgumentException(
+              s"translate: inline dictionary or .yml/.csv dictionary_path required, got $other")
+          }
         }
         val base: Column = Enrich.translateColumn(col(source), dict,
           regex = strAttr(p, "regex").contains("true"),
@@ -291,6 +301,73 @@ object LsclRun {
             val parts = strList(v)
             Parse.date(df, parts.head, strAttr(p, "target").getOrElse("@timestamp"), parts.tail)
           case None => throw new IllegalArgumentException("date: match required")
+        }
+
+      case "fingerprint" =>
+        requireTopLevel(p, cond)
+        val fields = p.attr("source").map(strList).getOrElse(
+          throw new IllegalArgumentException("fingerprint: source required"))
+        Mutate.fingerprint(df, fields,
+          strAttr(p, "target").getOrElse("fingerprint"),
+          strAttr(p, "method").getOrElse("sha256").toLowerCase match {
+            case "md5" => "md5"; case "murmur3" | "murmur" => "murmur"
+            case "xx64" => "xx64"; case _ => "sha256"
+          })
+
+      case "prune" =>
+        requireTopLevel(p, cond)
+        Mutate.prune(df,
+          whitelist = p.attr("whitelist_names").map(strList).map(_.mkString("|")),
+          blacklist = p.attr("blacklist_names").map(strList).map(_.mkString("|")))
+
+      case "truncate" =>
+        val len = strAttr(p, "length_bytes").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("truncate: length_bytes required"))
+        p.attr("fields").map(strList).getOrElse(Nil).foldLeft(df) { (d, f) =>
+          d.withColumn(f, when(m, substring(col(f), 1, len)).otherwise(col(f)))
+        }
+
+      case "uuid" =>
+        requireTopLevel(p, cond)
+        Mutate.uuidField(df, strAttr(p, "target").getOrElse("uuid"),
+          overwrite = strAttr(p, "overwrite").forall(_ == "true"))
+
+      case "clone" =>
+        requireTopLevel(p, cond)
+        Stateful.cloneEvents(df, p.attr("clones").map(strList).getOrElse(Nil))
+
+      case "split" =>
+        requireTopLevel(p, cond)
+        val field = strAttr(p, "field").getOrElse("message")
+        Stateful.splitField(df, field, strAttr(p, "target").getOrElse(field))
+
+      case "urldecode" =>
+        val f = strAttr(p, "field").getOrElse("message")
+        df.withColumn(f, when(m, url_decode(col(f))).otherwise(col(f)))
+
+      case "de_dot" =>
+        requireTopLevel(p, cond)
+        Mutate.deDot(df)
+
+      case "geoip" =>
+        requireTopLevel(p, cond)
+        val source = strAttr(p, "source").getOrElse(
+          throw new IllegalArgumentException("geoip: source required"))
+        val db = strAttr(p, "database").getOrElse(
+          throw new IllegalArgumentException("geoip: database (mmdb path) required here"))
+        val as = strAttr(p, "target").getOrElse("geo") + "_country_iso"
+        Enrich.geoLookup(df, source,
+          Enrich.geoRangesFromMmdb(df.sparkSession, db, Seq("country", "iso_code"), as))
+
+      case "useragent" =>
+        requireTopLevel(p, cond)
+        val source = strAttr(p, "source").getOrElse(
+          throw new IllegalArgumentException("useragent: source required"))
+        strAttr(p, "regexes") match {
+          case Some(path) =>
+            Parse.useragentWith(df, source, Parse.uaParsersFromYaml(path),
+              strAttr(p, "target").getOrElse("ua"))
+          case None => Parse.useragent(df, source, strAttr(p, "target").getOrElse("ua"))
         }
 
       case other =>

@@ -330,6 +330,47 @@ class LsclSpec extends SparkSpec {
     assert(sink.filter(col("ip").isNotNull).count() == 0) // removed everywhere
   }
 
+  test("full filter-plugin surface from config text: fingerprint/prune/truncate/clone/split/geoip/useragent/translate-file") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lscl_plugins").toString
+    graft.operators.Mmdb.writeFixture(s"$tmp/geo.mmdb",
+      Seq("10.0.0.0/8" -> Map("country" -> Map("iso_code" -> "aa"))))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/ua.yml"),
+      "user_agent_parsers:\n  - regex: 'TB/(\\d+)'\n    family_replacement: 'TB'\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/dict.csv"),
+      "alpha,A\nbeta,B\n")
+    val df = Seq(
+      ("alpha", "10.1.2.3", "TB/9 agent", "a b c", "verylongvalue"),
+      ("beta", "11.0.0.1", "other", "d e", "xy"))
+      .toDF("key", "ip", "ua", "words", "big")
+    val cfg = Lscl.parse(
+      s"""filter {
+         |  fingerprint { source => ["key", "ip"] target => "fp" method => "md5" }
+         |  truncate { fields => ["big"] length_bytes => 4 }
+         |  geoip { source => "ip" database => "$tmp/geo.mmdb" }
+         |  useragent { source => "ua" regexes => "$tmp/ua.yml" }
+         |  translate { source => "key" target => "t" dictionary_path => "$tmp/dict.csv" }
+         |  mutate { split => { "words" => " " } }
+         |  split { field => "words" target => "word" }
+         |}""".stripMargin, Map.empty)
+    val out = LsclRun.applyFilters(df, cfg.filters)
+    val a = out.filter(col("key") === "alpha")
+    assert(a.count() == 3) // split: one row per word
+    val r = a.orderBy("word").collect()(0)
+    assert(r.getAs[String]("fp").length == 32) // md5 hex
+    assert(r.getAs[String]("big") == "very")
+    assert(r.getAs[String]("geo_country_iso") == "aa")
+    assert(r.getAs[String]("ua_family") == "TB" && r.getAs[String]("ua_major") == "9")
+    assert(r.getAs[String]("t") == "A")
+    val b = out.filter(col("key") === "beta").collect()(0)
+    assert(b.getAs[String]("geo_country_iso") == null) // 11.x outside range
+    assert(b.getAs[String]("ua_family") == "")
+    // prune keeps only whitelisted columns (top-level schema op)
+    val pruned = LsclRun.applyFilters(df,
+      Lscl.parse("""filter { prune { whitelist_names => ["key", "ip"] } }""", Map.empty).filters)
+    assert(pruned.columns.toSet == Set("key", "ip"))
+  }
+
   test("parse errors carry position; schema plugins refuse conditional use") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))
