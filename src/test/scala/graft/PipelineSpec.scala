@@ -131,4 +131,19 @@ class PipelineSpec extends SparkSpec {
     val tagged = pipe.trunk.filter(array_contains(col("tags"), "_dissectfailure"))
     assert(dlq.count() == tagged.count())
   }
+
+  test("plan invariants: pruned scan, broadcast enrich, whole-stage codegen spans") {
+    val flagged = StandardPipeline.fromDir(spark, sfDir).flagged
+    flagged.collect() // finalize THIS QueryExecution's adaptive plan
+    val plan = flagged.queryExecution.executedPlan.toString
+    // the scan reads only the three columns the pipeline consumes
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      plan.take(400))
+    // the dictionary enrich must stay a broadcast join (no shuffle)
+    assert(plan.contains("BroadcastHashJoin"), "enrich fell off the broadcast path")
+    assert(!plan.contains("SortMergeJoin"), "unexpected shuffle join in the flagship plan")
+    // the parse+flag projection runs inside whole-stage codegen
+    // (final-plan operators carry the `*(n)` codegen markers)
+    assert(plan.contains("*("), "flagship plan lost whole-stage codegen:\n" + plan.take(400))
+  }
 }
