@@ -200,6 +200,24 @@ object Text {
       .withColumn("chunk_len", size(col("chunk")))
   }
 
+  /** Deterministic dataset SPLIT assignment (train/val/test): hash-bucket
+    * the id into [0,100) and cut at the cumulative percentages. Hash-based
+    * (not rand()) so replays, resumes, and re-runs assign identically —
+    * the same determinism policy as Mutate.drop's percentage sampling.
+    * `hashed` defaults to md5-prefix buckets (engine-portable; xxhash64 is
+    * faster but DuckDB-unverifiable).
+    */
+  def splitAssign(id: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.map(_._2).sum == 100, "split percentages must total 100")
+    val bucket = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val (expr, _) = cuts.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, cum), (name, pct)) =>
+        (when(bucket >= cum && bucket < cum + pct, lit(name)).otherwise(acc), cum + pct)
+    }
+    expr
+  }
+
   /** Jaccard similarity of two DISTINCT-element array<long> columns (sets).
     * Uses |A∪B| = |A|+|B|-|A∩B| with a single specialized intersect-count
     * kernel (graft.plans.LongSetIntersectCount) — profiling showed the

@@ -140,6 +140,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic train/val/test split assignment (hash buckets, replay-
+    // identical) + per-split counts in one pass
+    "doc_splitsets" -> ((s, dir) => {
+      val assigned = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        Text.splitAssign(col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      assigned.groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")
+    }),
+
     // sequence PACKING: concat-and-chunk assignment (pack_id, pack_offset)
     // via the two-phase distributed cumsum (no global window)
     "doc_pack" -> ((s, dir) => {
@@ -357,6 +365,15 @@ object TextQueries {
     "dedup_keep" ->
       s"""$sqlKeepCtes
          |SELECT id AS doc_id FROM keep ORDER BY doc_id""".stripMargin,
+
+    "doc_splitsets" ->
+      """WITH b AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     "doc_pack" ->
       s"""${Tok.sqlRawSequences},
