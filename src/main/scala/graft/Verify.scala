@@ -21,10 +21,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release any frames a query persisted (dedup/jaccard intermediates):
-      // CacheManager otherwise accumulates them — and can silently REUSE a
-      // canonically-identical plan's cache across queries in one session.
-      finally spark.catalog.clearCache()
+      // release any frames a query persisted (dedup/jaccard intermediates
+      // register in CacheScope): CacheManager otherwise accumulates them —
+      // and can silently REUSE a canonically-identical plan's cache across
+      // queries in one session (hence the belt-and-braces clearCache).
+      finally {
+        graft.plans.CacheScope.release()
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

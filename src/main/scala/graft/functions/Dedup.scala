@@ -34,11 +34,11 @@ object Dedup {
                         shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                         jaccardThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df
+    // persisted via CacheScope: feeds both join sides, eagerly populated
+    // (see jaccardPairs); released by the caller's CacheScope.scoped/release
+    val withSig = graft.plans.CacheScope.persist(df
       .withColumn("_shingles", array_distinct(Text.shingleIds(col(tokensCol), shingleK)))
-      .withColumn("_sig", Text.minhashSignature(col("_shingles"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both join sides
-    withSig.count() // eager cache population (see jaccardPairs)
+      .withColumn("_sig", Text.minhashSignature(col("_shingles"), numHashes)))
     // band key: (band index, canonical string of the band's signature slice)
     // — a portable key (no engine-specific hash function), still uniform
     // because minhash values are themselves uniform
@@ -125,13 +125,12 @@ object Dedup {
   def crossJaccard(train: DataFrame, eval0: DataFrame, tokensCol: String,
                    idCol: String, shingleK: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    def shingled(df: DataFrame): DataFrame = df
+    def shingled(df: DataFrame): DataFrame = graft.plans.CacheScope.persist(df
       .select(col(idCol).as("id"),
         array_distinct(Text.shingleIds(col(tokensCol), shingleK)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shT = shingled(train); shT.count() // eager: feeds posting + verify
-    val shE = shingled(eval0); shE.count()
+      .withColumn("n_sh", size(col("sh")))) // eager: feeds posting + verify
+    val shT = shingled(train)
+    val shE = shingled(eval0)
     def posting(sh: DataFrame): DataFrame =
       sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     // COMMON global order: df over the union of both corpora
@@ -180,13 +179,12 @@ object Dedup {
     // self-join and both verify joins — Catalyst does not CSE across
     // self-join branches, so without this the tokenize+shingle stage runs
     // 4x (at petabyte scale this would be a materialized intermediate table)
-    val sh = df.select(col(idCol).as("id"),
+    val sh = graft.plans.CacheScope.persist(df.select(col(idCol).as("id"),
       array_distinct(Text.shingleIds(col(tokensCol), shingleK)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // eager: populate the cache once, BEFORE the self-join branches
-    // race to compute it concurrently (cache population is not synchronized
-    // across stages of one job)
+      .withColumn("n_sh", size(col("sh"))))
+    // (CacheScope.persist populates the cache eagerly, BEFORE the self-join
+    // branches race to compute it concurrently — cache population is not
+    // synchronized across stages of one job)
     val posting = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val freq = posting.groupBy("s").agg(count(lit(1)).as("df"))
     // rarest-first rank of each shingle within its document
@@ -197,12 +195,11 @@ object Dedup {
       // prefix length = |S| - ceil(t*|S|) + 1
       .filter(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("id"), col("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranked.count() // eager for the same reason (feeds both self-join sides)
+    val rankedP = graft.plans.CacheScope.persist(ranked) // feeds both self-join sides
     // candidate pairs: both prefixes share a shingle (prefix-filter theorem)
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val cand = ranked.select(col("s"), col("id").as("id_a"))
-      .join(ranked.select(col("s"), col("id").as("id_b")), "s")
+    val cand = rankedP.select(col("s"), col("id").as("id_a"))
+      .join(rankedP.select(col("s"), col("id").as("id_b")), "s")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       // candidates are tiny in BYTES but the verify below is CPU-heavy per

@@ -214,6 +214,19 @@ object Similarity {
   def bandedPairs(embeddings: DataFrame, embCol: String, idCol: String,
                   bands: Int = 5, bitsPerBand: Int = 12,
                   minSim: Double = 0.9): DataFrame = {
+    // guard: past the embedding dimension element_at yields null, which would
+    // silently collapse the overflow bands' buckets to a constant — the exact
+    // all-pairs blowup this construction exists to prevent
+    embeddings.schema(embCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, _) => ()
+      case t => throw new IllegalArgumentException(s"bandedPairs: $embCol is $t, need array")
+    }
+    embeddings.select(size(col(embCol))).limit(1).collect().headOption.foreach { r =>
+      val dim = r.getInt(0)
+      require(dim >= bands * bitsPerBand,
+        s"bandedPairs: bands*bitsPerBand = ${bands * bitsPerBand} exceeds embedding dim $dim — " +
+          "lower bands or bitsPerBand (hash bits must come from real coordinates)")
+    }
     val base = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
     val banded = base.select(col("id"), col("emb"),
       explode(array((0 until bands).map(b =>

@@ -68,6 +68,52 @@ object Lscl {
   def parse(text: String, env: Map[String, String] = sys.env): Config =
     new Parser(text, env).parseConfig()
 
+  /** Operator precedence, exactly the reference's `precedence` method
+    * (lscl.rb:355-364): `and` = 2 binds tighter than `or` = 1, and ANY other
+    * operator (`nand`/`xor`) raises — the reference only ever calls this when
+    * two or more boolean operators meet, so a lone nand/xor is legal but one
+    * mixed into a longer chain aborts the compile.
+    */
+  private[lscl] def precedenceOf(op: String): Int = op match {
+    case "and" => 2
+    case "or"  => 1
+    case other => throw new IllegalArgumentException(s"Unexpected operator $other")
+  }
+
+  /** Join a flat `expr (op expr)*` sequence into a tree with the reference's
+    * Dijkstra shunting-yard (lscl.rb:393-427 `join_conditions`), reproducing
+    * its exact quirks: at most ONE operator is popped per incoming operator,
+    * and popping happens only on STRICTLY greater precedence (so equal-
+    * precedence chains associate to the right — semantically identical for
+    * and/or, which are associative). `a or b and c` therefore parses as
+    * `a or (b and c)`.
+    */
+  private[lscl] def joinConditions(exprs: Seq[Expr], ops: Seq[String]): Expr = {
+    require(exprs.length == ops.length + 1, "malformed condition chain")
+    if (ops.isEmpty) return exprs.head
+    if (ops.length == 1) return EBool(ops.head, exprs(0), exprs(1)) // lone nand/xor legal
+    val out = scala.collection.mutable.ArrayBuffer.empty[Either[String, Expr]]
+    val operators = scala.collection.mutable.ArrayBuffer.empty[String]
+    out += Right(exprs.head)
+    ops.zip(exprs.tail).foreach { case (op, e) =>
+      if (operators.nonEmpty && precedenceOf(operators.last) > precedenceOf(op))
+        out += Left(operators.remove(operators.length - 1))
+      operators += op
+      out += Right(e)
+    }
+    operators.reverseIterator.foreach(o => out += Left(o))
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Expr]
+    out.foreach {
+      case Right(e) => stack += e
+      case Left(op) =>
+        val r = stack.remove(stack.length - 1)
+        val l = stack.remove(stack.length - 1)
+        stack += EBool(op, l, r)
+    }
+    require(stack.length == 1, "shunting-yard did not reduce to one expression")
+    stack.head
+  }
+
   final class ParseError(msg: String, pos: Int, text: String)
     extends IllegalArgumentException({
       val upTo = text.substring(0, math.min(pos, text.length))
@@ -127,6 +173,15 @@ object Lscl {
 
     private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
+    /** Current char, or a positioned ParseError at EOF — truncated configs
+      * must diagnose like any other malformed input, never throw
+      * StringIndexOutOfBoundsException.
+      */
+    private def cur(): Char = {
+      if (i >= text.length) fail("unexpected end of config")
+      text.charAt(i)
+    }
+
     private def bareword(): String = {
       skipWs()
       val start = i
@@ -137,7 +192,7 @@ object Lscl {
 
     private def stringLit(): String = {
       skipWs()
-      val quote = text.charAt(i)
+      val quote = cur()
       if (quote != '"' && quote != '\'') fail("expected string")
       i += 1
       val sb = new StringBuilder
@@ -187,7 +242,7 @@ object Lscl {
       */
     private def selector(): String = {
       skipWs()
-      if (text.charAt(i) != '[') return bareword()
+      if (cur() != '[') return bareword()
       val sb = new StringBuilder
       while (i < text.length && text.charAt(i) == '[') {
         val close = text.indexOf(']', i)
@@ -262,7 +317,7 @@ object Lscl {
       skipWs()
       while (!peekIs("}")) {
         skipWs()
-        val an = if (text.charAt(i) == '"' || text.charAt(i) == '\'') stringLit() else bareword()
+        val an = if (cur() == '"' || cur() == '\'') stringLit() else bareword()
         expect("=>")
         attrs += an -> value()
         skipWs()
@@ -273,7 +328,7 @@ object Lscl {
 
     private def value(): Value = {
       skipWs()
-      text.charAt(i) match {
+      cur() match {
         case '"' | '\'' => VString(stringLit())
         case '[' => VList(valueList())
         case '{' => hashValue()
@@ -295,7 +350,7 @@ object Lscl {
       val attrs = Seq.newBuilder[(String, Value)]
       skipWs()
       while (!peekIs("}")) {
-        val an = if (text.charAt(i) == '"' || text.charAt(i) == '\'') stringLit() else bareword()
+        val an = if (cur() == '"' || cur() == '\'') stringLit() else bareword()
         expect("=>")
         attrs += an -> value()
         skipWs()
@@ -321,7 +376,7 @@ object Lscl {
       val entries = Seq.newBuilder[(String, Value)]
       skipWs()
       while (!peekIs("}")) {
-        val k = if (text.charAt(i) == '"' || text.charAt(i) == '\'') stringLit() else bareword()
+        val k = if (cur() == '"' || cur() == '\'') stringLit() else bareword()
         expect("=>")
         entries += k -> value()
         skipWs()
@@ -333,7 +388,8 @@ object Lscl {
     // ---- conditions ----
 
     private def condition(): Expr = {
-      var e = expression()
+      val exprs = scala.collection.mutable.ArrayBuffer(expression())
+      val ops = scala.collection.mutable.ArrayBuffer.empty[String]
       var go = true
       while (go) {
         skipWs()
@@ -344,9 +400,9 @@ object Lscl {
           else if (peekWord("nand")) "nand"
           else ""
         if (op.isEmpty) go = false
-        else { expect(op); e = EBool(op, e, expression()) }
+        else { expect(op); ops += op; exprs += expression() }
       }
-      e
+      joinConditions(exprs.toSeq, ops.toSeq)
     }
 
     private def expression(): Expr = {
@@ -391,12 +447,12 @@ object Lscl {
       */
     private def regexOperand(): String = {
       skipWs()
-      if (text.charAt(i) == '/') regexpLit() else stringLit()
+      if (cur() == '/') regexpLit() else stringLit()
     }
 
     private def operand(): Operand = {
       skipWs()
-      text.charAt(i) match {
+      cur() match {
         case '"' | '\'' => OLiteral(VString(stringLit()))
         case '[' =>
           // selector ([word]...) vs list literal (["a", 1, ...])

@@ -152,29 +152,47 @@ object LsclRun {
   /** Apply a parsed `filter` section to a frame. Row-wise value plugins
     * (mutate/drop/json/translate) apply CONDITIONALLY under branch
     * predicates; schema-shaping plugins (grok/dissect/kv/csv/date/rename/
-    * convert) are supported at the top level (condition True) — a
+    * convert) are supported at the top level (no enclosing branch) — a
     * conditional schema change has no DataFrame analogue.
+    *
+    * Branch predicates are MATERIALIZED as boolean columns on the frame as
+    * it stands when the branch is entered (reference SplitDataset semantics,
+    * DatasetCompiler.java): each arm condition is evaluated exactly once, so
+    * a body that mutates a field its own condition reads cannot retro-change
+    * the routing, and else-if exclusions always see pre-block values.
     */
   def applyFilters(df: DataFrame, items: Seq[Item]): DataFrame =
-    applyItems(df, items, True)
+    applyItems(df, items, None, new java.util.concurrent.atomic.AtomicInteger(0))
 
-  private def applyItems(df0: DataFrame, items: Seq[Item], path: Cond): DataFrame =
+  private def applyItems(df0: DataFrame, items: Seq[Item], pathCol: Option[String],
+                         ctr: java.util.concurrent.atomic.AtomicInteger): DataFrame =
     items.foldLeft(df0) {
-      case (df, PluginItem(p)) => applyPlugin(df, p, path)
+      case (df, PluginItem(p)) => applyPlugin(df, p, pathCol)
       case (df, Branch(arms, otherwise)) =>
         val lowered = arms.map { case (e, body) => (lowerCond(e), body) }
-        var acc = df
-        var prev = Vector.empty[Cond]
-        for ((c, body) <- lowered) {
-          val eff = prev.foldLeft(And(path, c): Cond)((a, p) => And(a, Not(p)))
-          acc = applyItems(acc, body, eff)
-          prev :+= c
+        // constant-folded always-true single arm stays top-level (schema
+        // plugins remain legal inside `if 1 == 1 { ... }`)
+        if (pathCol.isEmpty && lowered.size == 1 && otherwise.isEmpty && lowered.head._1 == True)
+          applyItems(df, lowered.head._2, None, ctr)
+        else {
+          val base: Column = pathCol.map(col).getOrElse(lit(true))
+          val id = ctr.getAndIncrement()
+          val armNames = lowered.indices.map(k => s"__lscl_c${id}_$k")
+          var acc = df
+          var taken: Column = lit(false)
+          lowered.zip(armNames).foreach { case ((c, _), n) =>
+            val p = Cond.predicateFor(df, c) // pre-block frame semantics
+            acc = acc.withColumn(n, base && !taken && p)
+            taken = taken || p
+          }
+          val elseName = s"__lscl_c${id}_else"
+          acc = acc.withColumn(elseName, base && !taken)
+          lowered.map(_._2).zip(armNames).foreach { case (body, n) =>
+            acc = applyItems(acc, body, Some(n), ctr)
+          }
+          if (otherwise.nonEmpty) acc = applyItems(acc, otherwise, Some(elseName), ctr)
+          acc.drop(armNames :+ elseName: _*)
         }
-        if (otherwise.nonEmpty) {
-          val eff = prev.foldLeft(path)((a, p) => And(a, Not(p)))
-          acc = applyItems(acc, otherwise, eff)
-        }
-        acc
     }
 
   private def strAttr(p: Plugin, name: String): Option[String] =
@@ -192,21 +210,25 @@ object LsclRun {
     case other => Seq(str(litVal(other)))
   }
 
-  private def isTrue(c: Cond): Boolean = c == True
-
-  private def requireTopLevel(p: Plugin, cond: Cond): Unit =
-    if (!isTrue(cond)) throw new UnsupportedOperationException(
+  private def requireTopLevel(p: Plugin, pathCol: Option[String]): Unit =
+    if (pathCol.nonEmpty) throw new UnsupportedOperationException(
       s"plugin `${p.name}` reshapes the schema and is only supported outside conditionals")
 
-  /** json parse with data-inferred schema (the reference's schemaless parse;
-    * at 100 TB you pass an explicit schema — inference is one sampling pass
-    * by Spark's own json reader). No target -> fields expand to top level.
+  /** json parse. With an explicit `schema` (a Spark DDL string, e.g.
+    * `"lvl STRING, n BIGINT"`) the parse is a single narrow pass — the 100 TB
+    * path. Without one, the schema is INFERRED by a full extra scan (the
+    * reference's schemaless parse) — acceptable only at exploration scale,
+    * so prefer the DDL attribute in any real config. No target -> fields
+    * expand to top level.
     */
   private def jsonParse(df: DataFrame, source: String, target: Option[String],
-                        m: Column): DataFrame = {
+                        m: Column, schemaDdl: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val schema = spark.read.json(df.select(col(source)).na.drop.as[String]).schema
+    val schema = schemaDdl match {
+      case Some(ddl) => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      case None => spark.read.json(df.select(col(source)).na.drop.as[String]).schema
+    }
     target match {
       case Some(t) =>
         df.withColumn(t, when(m, from_json(col(source), schema)))
@@ -221,8 +243,8 @@ object LsclRun {
     }
   }
 
-  private def applyPlugin(df: DataFrame, p: Plugin, cond: Cond): DataFrame = {
-    lazy val m: Column = Cond.predicateFor(df, cond)
+  private def applyPlugin(df: DataFrame, p: Plugin, cond: Option[String]): DataFrame = {
+    lazy val m: Column = cond.map(col).getOrElse(lit(true))
     p.name match {
       case "mutate" => applyMutate(df, p, cond)
 
@@ -234,7 +256,8 @@ object LsclRun {
       case "json" =>
         val source = strAttr(p, "source").getOrElse(
           throw new IllegalArgumentException("json: source required"))
-        jsonParse(df, source, strAttr(p, "target"), m)
+        jsonParse(df, source, strAttr(p, "target"), m,
+          strAttr(p, "schema").orElse(strAttr(p, "target_schema")))
 
       case "translate" =>
         val source = strAttr(p, "source").orElse(strAttr(p, "field")).getOrElse(
@@ -263,22 +286,24 @@ object LsclRun {
 
       case "grok" =>
         requireTopLevel(p, cond)
+        val defs = p.attr("pattern_definitions") match {
+          case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }.toMap
+          case _ => Map.empty[String, String]
+        }
+        val overwrite = p.attr("overwrite").map(strList).getOrElse(Nil).toSet
+        val tagFail = p.attr("tag_on_failure").map(strList)
+          .getOrElse(Seq("_grokparsefailure"))
+        val breakOn = !strAttr(p, "break_on_match").contains("false")
         p.attr("match") match {
-          case Some(VHash(Seq((field, VString(pattern))))) => Parse.grok(df, field, pattern)
-          case Some(VHash(Seq((field, VList(pats))))) =>
-            Parse.grokMulti(df, field, pats.map { case VString(s) => s; case o => str(litVal(o)) })
+          case Some(VHash(Seq((field, v)))) =>
+            Parse.grokFull(df, field, strList(v), defs, overwrite, tagFail, breakOn)
           case other => throw new IllegalArgumentException(s"grok: unsupported match $other")
         }
 
       case "dissect" =>
         requireTopLevel(p, cond)
         p.attr("mapping") match {
-          case Some(VHash(Seq((field, VString(pattern))))) =>
-            // %{a} %{b} ... over a single separator — delegate to dissectString
-            val names = "%\\{\\+?(\\w+)(?:/\\d+)?\\}".r.findAllMatchIn(pattern).map(_.group(1)).toSeq
-            val seps = pattern.split("%\\{[^}]*\\}").filter(_.nonEmpty).distinct
-            val sep = if (seps.isEmpty) " " else seps.head
-            Parse.dissectString(df, field, sep, names)
+          case Some(VHash(Seq((field, VString(pattern))))) => Parse.dissect(df, field, pattern)
           case other => throw new IllegalArgumentException(s"dissect: unsupported mapping $other")
         }
 
@@ -299,7 +324,10 @@ object LsclRun {
         p.attr("match") match {
           case Some(v) =>
             val parts = strList(v)
-            Parse.date(df, parts.head, strAttr(p, "target").getOrElse("@timestamp"), parts.tail)
+            // reference formats are Joda: YYYY is plain year there but
+            // week-based-year in java.time — translate before compiling
+            val formats = parts.tail.map(_.replace("YYYY", "yyyy").replace("ZZ", "XXX"))
+            Parse.date(df, parts.head, strAttr(p, "target").getOrElse("@timestamp"), formats)
           case None => throw new IllegalArgumentException("date: match required")
         }
 
@@ -353,8 +381,12 @@ object LsclRun {
         requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse(
           throw new IllegalArgumentException("geoip: source required"))
-        val db = strAttr(p, "database").getOrElse(
-          throw new IllegalArgumentException("geoip: database (mmdb path) required here"))
+        // no `database` attr: the reference falls back to its bundled GeoLite2
+        // city db; our analogue is the session-level default mmdb path
+        val db = strAttr(p, "database").orElse(sys.props.get("graft.geoip.default_db"))
+          .getOrElse(throw new IllegalArgumentException(
+            "geoip: database (mmdb path) required — set the `database` attribute " +
+              "or the `graft.geoip.default_db` system property"))
         val as = strAttr(p, "target").getOrElse("geo") + "_country_iso"
         Enrich.geoLookup(df, source,
           Enrich.geoRangesFromMmdb(df.sparkSession, db, Seq("country", "iso_code"), as))
@@ -379,9 +411,11 @@ object LsclRun {
     * convert -> gsub -> uppercase -> lowercase -> strip -> split -> join,
     * then the decorator (add_field -> remove_field -> add_tag -> remove_tag).
     */
-  private def applyMutate(df0: DataFrame, p: Plugin, cond: Cond): DataFrame = {
+  private def applyMutate(df0: DataFrame, p: Plugin, cond: Option[String]): DataFrame = {
     var df = df0
-    def m: Column = Cond.predicateFor(df, cond)
+    // the branch predicate is a materialized column — stable across the
+    // plugin's own mutations (reference: condition evaluated once per event)
+    def m: Column = cond.map(col).getOrElse(lit(true))
     def hash(name: String): Seq[(String, String)] = p.attr(name) match {
       case Some(VHash(entries)) => entries.map { case (k, v) => k -> str(litVal(v)) }
       case Some(other) => throw new IllegalArgumentException(s"$name: expected hash, got $other")
@@ -434,7 +468,7 @@ object LsclRun {
       removeField = p.attr("remove_field").map(strList).getOrElse(Nil),
       addTag = p.attr("add_tag").map(strList).getOrElse(Nil),
       removeTag = p.attr("remove_tag").map(strList).getOrElse(Nil))
-    dec.applyWhen(df, Cond.predicateFor(df, cond))
+    dec.applyWhen(df, m)
   }
 
   // ---------------- output lowering ----------------
@@ -497,8 +531,11 @@ object LsclRun {
           .option("lines", lines.mkString("|"))
           .load()
         p.attr("codec") match { // codec => "json": parse message at the source
-          case Some(VString("json")) | Some(VPlugin(Plugin("json", _))) =>
+          case Some(VString("json")) =>
             jsonParse(gen, "message", None, lit(true))
+          case Some(VPlugin(c @ Plugin("json", _))) =>
+            // codec => json { schema => "a STRING, b BIGINT" } skips inference
+            jsonParse(gen, "message", None, lit(true), strAttr(c, "schema"))
           case _ => gen
         }
       case PluginItem(p) if p.name == "dead_letter_queue" =>

@@ -66,6 +66,121 @@ object Parse {
   }
 
   // ------------------------------------------------------------------
+  // full dissect — multi-delimiter positional scanner with the complete
+  // public key-modifier surface: %{} skip, %{?name} named skip, %{&name}
+  // indirect key, %{+name} / %{+name/n} append with ordering, and the `->`
+  // right-padding suffix. The dissect engine itself is NOT in the reference
+  // repo (it ships as the separate org.logstash.dissect gem); semantics here
+  // follow the reference's own documentation example
+  // (docs/static/transforming-data.asciidoc:249-290) and the published
+  // plugin docs. Implementation: the pattern compiles to ONE anchored lazy
+  // regex (`(?s)^lead(.*?)d1(.*?)d2...(.*)\z` — lazy groups reproduce
+  // dissect's find-next-delimiter scan, `->` padding becomes `(?:d)+`)
+  // evaluated by the one-pass RegexExtractStruct kernel, so a k-field
+  // dissect costs one codegen'd scan per row, no UDF.
+  // ------------------------------------------------------------------
+
+  /** One dissect key: `mod` is ' ' (plain), '+' (append), '?' (named skip),
+    * '&' (indirect); `group` is the 1-based regex capture (0 = non-capturing
+    * `%{}` skip); `precedingDelim` is the literal delimiter between the
+    * previous key and this one (the append join separator).
+    */
+  final case class DissectKey(name: String, mod: Char, order: Option[Int],
+                              pad: Boolean, group: Int, precedingDelim: String)
+  final case class DissectSpec(regex: String, keys: Seq[DissectKey], numGroups: Int)
+
+  private val DissectKeyRe = "%\\{([^}]*)\\}".r
+
+  def compileDissect(pattern: String): DissectSpec = {
+    val ms = DissectKeyRe.findAllMatchIn(pattern).toList
+    require(ms.nonEmpty, s"dissect: no %{{...}} keys in `$pattern`")
+    val lead = pattern.substring(0, ms.head.start)
+    val sb = new StringBuilder("(?s)^")
+    sb.append(java.util.regex.Pattern.quote(lead))
+    val keys = Seq.newBuilder[DissectKey]
+    var group = 0
+    var prevDelim = ""
+    ms.zipWithIndex.foreach { case (m, k) =>
+      var body = m.group(1)
+      val pad = body.endsWith("->")
+      if (pad) body = body.dropRight(2)
+      val (mod, rest) =
+        if (body.startsWith("+")) ('+', body.tail)
+        else if (body.startsWith("?")) ('?', body.tail)
+        else if (body.startsWith("&")) ('&', body.tail)
+        else (' ', body)
+      val (name, order) = rest.indexOf('/') match {
+        case -1 => (rest, None)
+        case i =>
+          require(mod == '+', s"dissect: /n ordering only valid on +append keys (`$body`)")
+          (rest.substring(0, i), Some(rest.substring(i + 1).toInt))
+      }
+      val skip = mod == ' ' && name.isEmpty
+      val delimAfter =
+        if (k + 1 < ms.length) pattern.substring(m.end, ms(k + 1).start)
+        else pattern.substring(m.end)
+      val isLast = k + 1 == ms.length
+      if (skip) sb.append(if (isLast && delimAfter.isEmpty) ".*" else ".*?")
+      else {
+        group += 1
+        sb.append(if (isLast && delimAfter.isEmpty) "(.*)" else "(.*?)")
+        keys += DissectKey(name, mod, order, pad, group, prevDelim)
+      }
+      if (delimAfter.nonEmpty) {
+        val q = java.util.regex.Pattern.quote(delimAfter)
+        // `->` padding: ignore repetitions of the delimiter to the right
+        sb.append(if (pad) s"(?:$q)+" else q)
+      }
+      prevDelim = delimAfter
+    }
+    sb.append("\\z")
+    DissectSpec(sb.toString, keys.result(), group)
+  }
+
+  /** Full dissect over a string column. Plain keys become columns; `+` keys
+    * append onto their base key — parts sorted by explicit `/n` order (else
+    * declaration order) and joined with the delimiter preceding the first
+    * `+` key (the reference doc's `%{ts} %{+ts} %{+ts}` example yields
+    * "Apr 26 12:20:02"); `?`/`&` pairs build the `dissect_kv` map column
+    * (the DataFrame analogue of dynamic field names). No match =>
+    * `_dissectfailure` tag, all dissected fields null.
+    */
+  def dissect(df: DataFrame, source: String, pattern: String): DataFrame = {
+    val spec = compileDissect(pattern)
+    val withG = df.withColumn("_dis_m",
+      graft.plans.RegexExprs.extractStruct(col(source), spec.regex, spec.numGroups))
+    def g(k: DissectKey): Column = col("_dis_m").getField(s"g${k.group}")
+    val appendNames = spec.keys.filter(_.mod == '+').map(_.name).distinct
+    // plain keys not participating in an append chain
+    var out = spec.keys
+      .filter(k => k.mod == ' ' && !appendNames.contains(k.name))
+      .foldLeft(withG)((d, k) => d.withColumn(k.name, g(k)))
+    // append chains
+    appendNames.foreach { name =>
+      val parts = spec.keys.zipWithIndex
+        .filter { case (k, _) => (k.mod == ' ' || k.mod == '+') && k.name == name }
+      val sorted = parts.sortBy { case (k, idx) => (k.order.getOrElse(idx), idx) }
+      val joinDelim = spec.keys.filter(k => k.mod == '+' && k.name == name)
+        .map(_.precedingDelim).find(_.nonEmpty).getOrElse(" ")
+      out = out.withColumn(name,
+        when(col("_dis_m").isNotNull, concat_ws(joinDelim, sorted.map(p => g(p._1)): _*)))
+    }
+    // ?/& indirection -> dissect_kv map
+    val indirect = spec.keys.filter(_.mod == '&')
+    if (indirect.nonEmpty) {
+      val entries = indirect.map { v =>
+        val key = spec.keys.find(k => k.mod == '?' && k.name == v.name).getOrElse(
+          throw new IllegalArgumentException(s"dissect: %{&${v.name}} has no matching %{?${v.name}}"))
+        (g(key), g(v))
+      }
+      out = out.withColumn("dissect_kv",
+        when(col("_dis_m").isNotNull,
+          map_from_arrays(array(entries.map(_._1): _*), array(entries.map(_._2): _*))))
+    }
+    Mutate.addTagWhen(out, col("_dis_m").isNull, "_dissectfailure").drop("_dis_m")
+  }
+
+  // ------------------------------------------------------------------
   // grok — named-pattern regex extraction with type coercion and
   // _grokparsefailure tagging. Pattern library is a small public subset of the
   // stock grok patterns; compilation expands %{NAME:field:type} into plain
@@ -98,15 +213,60 @@ object Parse {
     "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2}",
     "HTTPDATE" -> "\\d{2}/[A-Z][a-z]{2}/\\d{4}:\\d{2}:\\d{2}:\\d{2} [+-]\\d{4}",
     "LOGLEVEL" -> "INFO|WARN|ERROR|DEBUG|TRACE|FATAL",
-    "TIMESTAMP_ISO8601" -> "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?")
+    "TIMESTAMP_ISO8601" -> "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?",
+    // ---- extended library (hand-written bodies; composite patterns expand
+    // recursively, and their embedded %{X:field} refs capture exactly like
+    // stock grok — so `%{COMBINEDAPACHELOG}` alone yields clientip/verb/...)
+    "SPACE" -> "\\s*",
+    "IPV4" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "IPV6" -> "(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}(?:%\\w+)?",
+    "MONTH" -> "\\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|June?|July?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\\b",
+    "MONTHNUM" -> "(?:0?[1-9]|1[0-2])",
+    "MONTHDAY" -> "(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "DAY" -> "(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "YEAR" -> "(?:\\d\\d){1,2}",
+    "HOUR" -> "(?:2[0123]|[01]?[0-9])",
+    "MINUTE" -> "[0-5][0-9]",
+    "SECOND" -> "(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME" -> "%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "DATE_US" -> "%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU" -> "%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE" -> "(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP" -> "%{DATE}[- ]%{TIME}",
+    "ISO8601_TIMEZONE" -> "(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "TZ" -> "[A-Z]{3,4}",
+    "HOSTPORT" -> "%{IPORHOST}:%{POSINT}",
+    "URIPROTO" -> "[A-Za-z][A-Za-z0-9+.-]*",
+    "URIHOST" -> "%{IPORHOST}(?::%{POSINT})?",
+    "URIPARAM" -> "\\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\\[\\]<>-]*",
+    "URIPATHPARAM" -> "%{URIPATH}(?:%{URIPARAM})?",
+    "URI" -> "%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    "UNIXPATH" -> "(?:/[\\w_%!$@:.,+~-]*)+",
+    "WINPATH" -> "(?:[A-Za-z]:|\\\\)(?:\\\\[^\\\\?*]*)+",
+    "PATH" -> "(?:%{UNIXPATH}|%{WINPATH})",
+    "SYSLOGHOST" -> "%{IPORHOST}",
+    "SYSLOGFACILITY" -> "<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "SYSLOGPROG" -> "%{PROG:program}(?:\\[%{POSINT:pid}\\])?",
+    "SYSLOGBASE" -> "%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "COMMONAPACHELOG" -> ("%{IPORHOST:clientip} %{USER:ident} %{USER:auth} " +
+      "\\[%{HTTPDATE:timestamp}\\] \"(?:%{WORD:verb} %{NOTSPACE:request}" +
+      "(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" " +
+      "%{NUMBER:response} (?:%{NUMBER:bytes}|-)"),
+    "COMBINEDAPACHELOG" -> "%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    "HTTPD_COMMONLOG" -> "%{COMMONAPACHELOG}",
+    "HTTPD_COMBINEDLOG" -> "%{COMBINEDAPACHELOG}")
 
   final case class GrokField(name: String, group: Int, typ: Option[String])
   final case class GrokSpec(regex: String, fields: Seq[GrokField])
 
-  private val GrokRef = "%\\{(\\w+)(?::(\\w+))?(?::(int|float))?\\}".r
+  private val GrokRef = "%\\{(\\w+)(?::([\\w@.\\[\\]]+?))?(?::(int|float))?\\}".r
 
   /** Expand a grok pattern into (full regex, capture fields). Named refs
-    * without a field name match but don't capture.
+    * without a field name match but don't capture — EXCEPT when their body
+    * itself embeds `%{X:field}` refs (composite patterns like
+    * `%{COMBINEDAPACHELOG}`), which capture recursively, exactly like stock
+    * grok. `defs` supplies per-call `pattern_definitions` (they shadow the
+    * library and may themselves be composites).
     *
     * Grok patterns ARE regexes in the reference (Grok.java compiles the
     * expanded pattern with joni) — text between %{...} refs passes through
@@ -115,9 +275,10 @@ object Parse {
     * metacharacters (`\[`), exactly as in stock grok configs. Because our
     * kernel captures by GROUP INDEX, user-written capturing groups in the
     * raw segments are rewritten to non-capturing so field group numbers
-    * stay stable.
+    * stay stable (group numbers follow paren-open order through the
+    * recursive expansion).
     */
-  def compileGrok(pattern: String): GrokSpec = {
+  def compileGrok(pattern: String, defs: Map[String, String] = Map.empty): GrokSpec = {
     // `(` not followed by `?` and not escaped -> `(?:` (neutralize user
     // capture groups; named %{} refs provide the captures)
     def neutralize(seg: String): String = {
@@ -132,26 +293,34 @@ object Parse {
       }
       sb.toString
     }
-    val sb = new StringBuilder
     val fields = Seq.newBuilder[GrokField]
-    var last = 0
     var group = 0
-    for (m <- GrokRef.findAllMatchIn(pattern)) {
-      sb.append(neutralize(pattern.substring(last, m.start)))
-      val base = GrokPatterns.getOrElse(m.group(1),
-        throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
-      Option(m.group(2)) match {
-        case Some(fieldName) =>
-          group += 1
-          sb.append(s"($base)")
-          fields += GrokField(fieldName, group, Option(m.group(3)))
-        case None =>
-          sb.append(s"(?:$base)")
+    def body(name: String): String = defs.getOrElse(name, GrokPatterns.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown grok pattern %{$name}")))
+    def expand(pat: String, depth: Int): String = {
+      require(depth < 32, s"grok pattern recursion too deep (cycle?) in `$pattern`")
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- GrokRef.findAllMatchIn(pat)) {
+        sb.append(neutralize(pat.substring(last, m.start)))
+        val base = body(m.group(1))
+        def inner: String =
+          if (base.contains("%{")) expand(base, depth + 1) else neutralize(base)
+        Option(m.group(2)) match {
+          case Some(fieldName) =>
+            group += 1
+            fields += GrokField(fieldName, group, Option(m.group(3)))
+            sb.append("(").append(inner).append(")")
+          case None =>
+            sb.append("(?:").append(inner).append(")")
+        }
+        last = m.end
       }
-      last = m.end
+      sb.append(neutralize(pat.substring(last)))
+      sb.toString
     }
-    sb.append(neutralize(pattern.substring(last)))
-    GrokSpec(sb.toString, fields.result())
+    val regex = expand(pattern, 0)
+    GrokSpec(regex, fields.result())
   }
 
   private def coerce(raw: Column, typ: Option[String]): Column = typ match {
@@ -204,17 +373,35 @@ object Parse {
     * only when none match. One regex pass per pattern (not per capture);
     * the winner logic is a boolean cascade over the match structs.
     */
-  def grokMulti(df: DataFrame, source: String, patterns: Seq[String]): DataFrame = {
-    val specs = patterns.map(compileGrok)
+  def grokMulti(df: DataFrame, source: String, patterns: Seq[String]): DataFrame =
+    grokFull(df, source, patterns)
+
+  /** The complete grok config surface (reference grok filter options):
+    * `defs` = pattern_definitions (shadow the library, may be composites);
+    * `overwrite` = fields a capture may REPLACE when the column already
+    * exists — a capture into an existing column NOT listed only fills null
+    * slots (the DataFrame analogue of the reference's append-to-array
+    * behavior: the original value is never lost; we keep it instead of
+    * promoting to an array, which a typed column cannot do);
+    * `tagOnFailure` = tags added when no pattern matches;
+    * `breakOnMatch` false = every matching pattern contributes its captures
+    * (first non-null per field) instead of first-match-wins.
+    */
+  def grokFull(df: DataFrame, source: String, patterns: Seq[String],
+               defs: Map[String, String] = Map.empty,
+               overwrite: Set[String] = Set.empty,
+               tagOnFailure: Seq[String] = Seq("_grokparsefailure"),
+               breakOnMatch: Boolean = true): DataFrame = {
+    val specs = patterns.map(compileGrok(_, defs))
     val withGs = specs.zipWithIndex.foldLeft(df) { case (d, (s, i)) =>
       d.withColumn(s"_gm_$i",
         graft.plans.RegexExprs.extractStruct(col(source), s.regex, s.fields.size))
     }
     val matches = specs.indices.map(i => col(s"_gm_$i").isNotNull)
     val anyMatch = matches.reduce(_ || _)
-    // isWinner(i) = pattern i matches and no earlier pattern does
+    // isWinner(i) = pattern i matches and (break_on_match) no earlier one does
     val isWinner = matches.zipWithIndex.map { case (m, i) =>
-      matches.take(i).foldLeft(m)((acc, prev) => acc && !prev)
+      if (breakOnMatch) matches.take(i).foldLeft(m)((acc, prev) => acc && !prev) else m
     }
     val fieldNames = specs.flatMap(_.fields.map(_.name)).distinct
     val withFields = fieldNames.foldLeft(withGs) { (d, fname) =>
@@ -223,10 +410,22 @@ object Parse {
           when(isWinner(i), coerce(col(s"_gm_$i").getField(s"g${f.group}"), f.typ))
         }
       }
-      d.withColumn(fname, coalesce(cases: _*))
+      val captured = coalesce(cases: _*)
+      val existing = df.columns.contains(fname) && !fname.startsWith("_gm_")
+      val v =
+        if (!existing) captured
+        else if (overwrite.contains(fname)) {
+          // overwrite applies only on a successful capture — a failed match
+          // never touches the event's existing fields
+          coalesce(captured.cast(df.schema(fname).dataType), col(fname))
+        } else {
+          // fill-nulls-only: cast the capture to the existing column's type
+          coalesce(col(fname), captured.cast(df.schema(fname).dataType))
+        }
+      d.withColumn(fname, v)
     }
-    Mutate.addTagWhen(withFields, !anyMatch, "_grokparsefailure")
-      .drop(specs.indices.map(i => s"_gm_$i"): _*)
+    val tagged = tagOnFailure.foldLeft(withFields)((d, t) => Mutate.addTagWhen(d, !anyMatch, t))
+    tagged.drop(specs.indices.map(i => s"_gm_$i"): _*)
   }
 
   /** useragent filter (lite): browser family + version from a UA string —
@@ -295,24 +494,40 @@ object Parse {
   }
 
   /** useragent filter over a parser database: FIRST matching parser wins
-    * (the uap contract); family = family_replacement or capture group 1,
-    * major version = v1_replacement or capture group 2. No match => empty
-    * strings (regexp_extract's miss contract, same as [[useragent]]).
+    * (the uap contract); family = family_replacement (with `$1` group
+    * substitution) or capture group 1; major version = v1_replacement or
+    * capture group 2 — ALWAYS group 2, regardless of family_replacement
+    * (published uap-core semantics), empty when the regex has fewer than 2
+    * groups. No match => empty strings (regexp_extract's miss contract,
+    * same as [[useragent]]).
     */
   def useragentWith(df: DataFrame, source: String, parsers: Seq[UaParser],
                     prefix: String = "ua"): DataFrame = {
     val src = col(source)
+    def groupCount(re: String): Int =
+      java.util.regex.Pattern.compile(re).matcher("").groupCount()
     def firstMatch(render: UaParser => Column): Column =
       parsers.foldRight(lit(""): Column) { (p, acc) =>
         when(src.rlike(p.regex), render(p)).otherwise(acc)
       }
+    // `$1` in a replacement substitutes capture group 1 (uap-core contract)
+    def subst(tpl: String, re: String): Column =
+      if (!tpl.contains("$1")) lit(tpl)
+      else {
+        val parts = tpl.split("\\$1", -1)
+        val g1 = if (groupCount(re) >= 1) regexp_extract(src, re, 1) else lit("")
+        concat(parts.zipWithIndex.flatMap { case (s, i) =>
+          (if (i == 0) Seq.empty[Column] else Seq(g1)) ++
+            (if (s.isEmpty) Seq.empty[Column] else Seq(lit(s)))
+        }: _*)
+      }
     df.withColumn(s"${prefix}_family", firstMatch(p =>
-        p.familyReplacement.map(lit(_): Column)
+        p.familyReplacement.map(subst(_, p.regex))
           .getOrElse(regexp_extract(src, p.regex, 1))))
       .withColumn(s"${prefix}_major", firstMatch(p =>
         p.v1Replacement.map(lit(_): Column)
-          .getOrElse(regexp_extract(src, p.regex,
-            if (p.familyReplacement.isDefined) 1 else 2))))
+          .getOrElse(if (groupCount(p.regex) >= 2) regexp_extract(src, p.regex, 2)
+                     else lit(""))))
   }
 
   // ------------------------------------------------------------------

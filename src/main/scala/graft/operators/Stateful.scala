@@ -62,9 +62,8 @@ object Stateful {
     // BEFORE the union job materializes both branches (cache population is
     // not synchronized across branches of one job). Same one-real-
     // materialization policy as Route.run's trunk persist.
-    val marked = base.withColumn("_rk1", row_number().over(w1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    marked.count()
+    val marked = graft.plans.CacheScope.persist(
+      base.withColumn("_rk1", row_number().over(w1)))
     val proven = marked.filter(col("_rk1") > maxPerPeriod) // throttled for sure
     val cand = marked.filter(col("_rk1") <= maxPerPeriod)
     // earliest proven-throttled order tuple per (key, period)

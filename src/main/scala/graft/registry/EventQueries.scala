@@ -22,9 +22,11 @@ object EventQueries {
       val yml = java.nio.file.Files.createTempFile("graft_ua", ".yml")
       java.nio.file.Files.writeString(yml,
         """# uap-core-format fixture (own patterns, not the uap DB)
+          |# (TestBrowser) pins the published uap contract: major = group 2
+          |# even when family_replacement is set, and $1 substitutes group 1
           |user_agent_parsers:
-          |  - regex: 'TestBrowser/(\d+)'
-          |    family_replacement: 'TB'
+          |  - regex: '(TestBrowser)/(\d+)'
+          |    family_replacement: 'TB $1'
           |  - regex: '(FetchLib)/(\d+)'
           |  - regex: 'OldAgent'
           |    family_replacement: 'Legacy'
@@ -49,6 +51,52 @@ object EventQueries {
         .withColumn("m_b", map(lit("k"), array(lit("view"), col("event_type")), lit("n"), array(lit("z"))))
       ev.select(col("event_id"),
           to_json(graft.operators.Mutate.appendMaps(col("m_a"), col("m_b"))).as("merged"))
+        .orderBy("event_id")
+    }),
+
+    // FULL dissect: multi-separator pattern with append (+key), right-padding
+    // (->), and failure tagging, over a constructed syslog-ish line
+    // (reference doc example shape, transforming-data.asciidoc:249-290)
+    "evt_dissect2" -> ((s, dir) => {
+      val e = events(s, dir)
+      val day = (col("event_id") % 28 + 1).cast("string")
+      val sp = when(col("event_id") % 2 === 0, lit("  ")).otherwise(lit(" "))
+      val line = when(col("event_id") % 11 === 0, lit("nodelimiters"))
+        .otherwise(concat(lit("Aug"), sp, day,
+          lit(" host"), (col("user_id") % 10).cast("string"),
+          lit("["), (col("event_id") % 100).cast("string"), lit("]: m "),
+          col("event_type")))
+      Parse.dissect(e.withColumn("line", line), "line",
+          "%{ts->} %{+ts} %{host}[%{pid}]: %{msg}")
+        .select(col("event_id"), col("ts"), col("host"), col("pid"), col("msg"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("event_id")
+    }),
+
+    // composite grok (%{COMBINEDAPACHELOG} from the library), overwrite
+    // semantics on an existing column, and custom tag_on_failure tags
+    "evt_grok3" -> ((s, dir) => {
+      val e = events(s, dir)
+      val bytesStr = when(col("event_id") % 5 === 0, lit("-"))
+        .otherwise(round(col("value")).cast("long").cast("string"))
+      val line = when(col("event_id") % 13 === 0, lit("garbage"))
+        .otherwise(concat(
+          lit("10."), (col("user_id") % 100).cast("string"), lit("."),
+          (col("event_id") % 256).cast("string"), lit(".1 - frank ["),
+          date_format(col("ts").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss"),
+          lit(" +0000] \""),
+          when(col("event_type") === "purchase", "POST").otherwise("GET"),
+          lit(" /"), col("event_type"), lit(" HTTP/1.1\" "),
+          (lit(200) + (col("event_id") % 3) * 100).cast("string"), lit(" "),
+          bytesStr, lit(" \"-\" \"curl/8."), (col("user_id") % 10).cast("string"),
+          lit("\"")))
+      Parse.grokFull(
+          e.withColumn("line", line).withColumn("verb", lit("PRE")),
+          "line", Seq("%{COMBINEDAPACHELOG}"),
+          overwrite = Set("verb"), tagOnFailure = Seq("_fail", "_nomatch"))
+        .select(col("event_id"), col("clientip"), col("verb"), col("response"),
+          col("bytes"), col("referrer"), col("agent"),
+          array_join(col("tags"), ",").as("tag_str"))
         .orderBy("event_id")
     }),
 
@@ -288,7 +336,7 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "evt_ua2" ->
       """SELECT event_id,
-        |       CASE event_type WHEN 'view' THEN 'TB' WHEN 'click' THEN 'FetchLib'
+        |       CASE event_type WHEN 'view' THEN 'TB TestBrowser' WHEN 'click' THEN 'FetchLib'
         |            WHEN 'error' THEN 'Legacy' ELSE '' END AS ua_family,
         |       CASE event_type WHEN 'view' THEN '12' WHEN 'click' THEN '2'
         |            WHEN 'error' THEN '0' ELSE '' END AS ua_major

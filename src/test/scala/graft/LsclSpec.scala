@@ -336,7 +336,7 @@ class LsclSpec extends SparkSpec {
     graft.operators.Mmdb.writeFixture(s"$tmp/geo.mmdb",
       Seq("10.0.0.0/8" -> Map("country" -> Map("iso_code" -> "aa"))))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/ua.yml"),
-      "user_agent_parsers:\n  - regex: 'TB/(\\d+)'\n    family_replacement: 'TB'\n")
+      "user_agent_parsers:\n  - regex: '(TB)/(\\d+)'\n    family_replacement: 'TB'\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/dict.csv"),
       "alpha,A\nbeta,B\n")
     val df = Seq(

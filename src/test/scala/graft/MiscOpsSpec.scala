@@ -220,22 +220,28 @@ class MiscOpsSpec extends SparkSpec {
     val yml = java.nio.file.Files.createTempFile("graft_ua_spec", ".yml")
     java.nio.file.Files.writeString(yml,
       """user_agent_parsers:
-        |  - regex: 'AAA/(\d+)'
-        |    family_replacement: 'A'
+        |  - regex: '(AAA)/(\d+)'
+        |    family_replacement: 'A-$1'
         |  - regex: '(BBB)/(\d+)\.(\d+)'
+        |  - regex: 'CCC'
+        |    family_replacement: 'C'
         |os_parsers:
         |  - regex: 'ignored'
         |""".stripMargin)
     val ps = graft.operators.Parse.uaParsersFromYaml(yml.toString)
     assert(ps == Seq(
-      graft.operators.Parse.UaParser("AAA/(\\d+)", Some("A")),
-      graft.operators.Parse.UaParser("(BBB)/(\\d+)\\.(\\d+)")))
+      graft.operators.Parse.UaParser("(AAA)/(\\d+)", Some("A-$1")),
+      graft.operators.Parse.UaParser("(BBB)/(\\d+)\\.(\\d+)"),
+      graft.operators.Parse.UaParser("CCC", Some("C"))))
     import spark.implicits._
-    val df = Seq("x AAA/7", "BBB/2.9", "neither").toDF("ua")
+    // published uap contract: family = family_replacement ($1 substitutes
+    // group 1) else group 1; major = v1_replacement else group 2, "" when
+    // the regex has fewer than 2 groups — NEVER group 1
+    val df = Seq("x AAA/7", "BBB/2.9", "CCC agent", "neither").toDF("ua")
     val got = graft.operators.Parse.useragentWith(df, "ua", ps)
       .select("ua_family", "ua_major").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(got == Seq(("A", "7"), ("BBB", "2"), ("", "")))
+    assert(got == Seq(("A-AAA", "7"), ("BBB", "2"), ("C", ""), ("", "")))
   }
 
   test("DataSourceV2 generator: executor-side ranges, requested partitioning, line cycling") {
