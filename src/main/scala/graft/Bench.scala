@@ -76,6 +76,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3200").toInt
+    // the shuffle job runs over a LARGER amplification so it holds >=30 s at
+    // local[4]: a 4-second job cannot out-average the host's co-tenant
+    // bursts, and the round-2 capture showed exactly that instability
+    val shReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE_REPS", (reps * 8).toString).toInt
 
     // ---- part 1: scaling experiment FIRST — the sandbox host visibly
     // degrades under sustained load, so measure parallelism scaling while
@@ -93,8 +97,8 @@ object Bench {
         rowsMeasured = input.count()
         pipelineJob(s, input)    // warmup (codegen/JIT)
         val tPipe = time(pipelineJob(s, input))._2
-        shuffleJob(s, input)     // warmup
-        val tShuf = time(shuffleJob(s, input))._2
+        shuffleJob(s, input)     // warmup at 1/8 scale (JIT only)
+        val tShuf = time(shuffleJob(s, amplified(s, sfDir, shReps, 256)))._2
         (tPipe, tShuf)
       } finally s.stop()
     }
@@ -143,6 +147,7 @@ object Bench {
       f""""local32_rows_per_sec":${thr32.toLong},""" +
       f""""scaling_pairs_sec":$pairsJson%s,""" +
       f""""scaling_efficiency_N_to_4N":$eff%.3f,""" +
+      f""""shuffle_rows":${rows32 / math.max(1, reps) * shReps},""" +
       f""""shuffle_localN_sec":$tNSh%.3f,"shuffle_local4N_sec":$t4NSh%.3f,""" +
       f""""shuffle_pairs_sec":$shPairsJson%s,""" +
       f""""shuffle_scaling_efficiency_N_to_4N":$effSh%.3f}"""

@@ -116,6 +116,24 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // -- dlq retention: max_bytes under BOTH storage policies (drop_newer
+    //    keeps the oldest-first prefix that fits, drop_older the newest
+    //    suffix — DeadLetterQueueWriter.java:489-524), deterministic sizes --
+    "pipe_dlq_bound" -> ((s, dir) => {
+      val e = dlqEntries(s, dir)
+        .withColumn("sz", lit(100) + col("doc_id").cast("long") % 50)
+      val dn = operators.Dlq.bounded(e, col("sz"), "doc_id", 8000L, dropOlder = false)
+        .select(col("doc_id").as("id_dn"))
+      val dOld = operators.Dlq.bounded(e, col("sz"), "doc_id", 8000L, dropOlder = true)
+        .select(col("doc_id").as("id_do"))
+      e.join(dn, col("doc_id") === col("id_dn"), "left")
+        .join(dOld, col("doc_id") === col("id_do"), "left")
+        .select(col("doc_id"), col("sz"),
+          col("id_dn").isNotNull.as("kept_newer"),
+          col("id_do").isNotNull.as("kept_older"))
+        .orderBy("doc_id")
+    }),
+
     // -- codec encode side: event -> JSON line (JavaCodecDelegator.encode) --
     "evt_encode" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
@@ -189,6 +207,21 @@ object SparkEntry {
          |  AND make_timestamp((1704067200 + CAST(doc_id AS BIGINT)) * 1000000)
          |      >= TIMESTAMP '2024-01-01 00:02:00'
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipe_dlq_bound" ->
+      s"""${StandardPipeline.sqlTrunk},
+         |d AS (
+         |  SELECT doc_id, 100 + CAST(doc_id AS BIGINT) % 50 AS sz
+         |  FROM trunk WHERE delim_pos = 0),
+         |c AS (
+         |  SELECT doc_id, sz,
+         |         SUM(sz) OVER (ORDER BY CAST(doc_id AS BIGINT)
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(sz) OVER () AS total
+         |  FROM d)
+         |SELECT doc_id, sz, cum <= 8000 AS kept_newer,
+         |       total - cum + sz <= 8000 AS kept_older
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "evt_encode" ->
       """SELECT event_id,

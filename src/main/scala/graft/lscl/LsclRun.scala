@@ -310,14 +310,35 @@ object LsclRun {
       case "kv" =>
         requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse("message")
-        Parse.kv(df, source, strAttr(p, "target").getOrElse("kv"))
+        Parse.kvFull(df, source, strAttr(p, "target").getOrElse("kv"),
+          pairSep = strAttr(p, "field_split").getOrElse(" "),
+          kvSep = strAttr(p, "value_split").getOrElse("="),
+          includeKeys = p.attr("include_keys").map(strList).getOrElse(Nil),
+          excludeKeys = p.attr("exclude_keys").map(strList).getOrElse(Nil),
+          trimKey = strAttr(p, "trim_key"),
+          trimValue = strAttr(p, "trim_value"),
+          prefix = strAttr(p, "prefix").getOrElse(""))
 
       case "csv" =>
         requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse("message")
-        val names = p.attr("columns").map(strList).getOrElse(
-          throw new IllegalArgumentException("csv: columns required"))
-        Parse.csv(df, source, names, strAttr(p, "separator").getOrElse(","))
+        val sep = strAttr(p, "separator").getOrElse(",")
+        val autodetect = strAttr(p, "autodetect_column_names").contains("true")
+        val names = p.attr("columns").map(strList).getOrElse {
+          if (!autodetect)
+            throw new IllegalArgumentException("csv: columns (or autodetect_column_names) required")
+          // reference autodetect: the first event's values become the column
+          // names (a one-row driver peek, not a scan)
+          df.select(col(source)).limit(1).collect().headOption
+            .map(_.getString(0).split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+            .getOrElse(throw new IllegalArgumentException("csv autodetect: empty input"))
+        }
+        val parsed = Parse.csv(df, source, names, sep)
+        if (autodetect && strAttr(p, "skip_header").forall(_ == "true"))
+          // drop the header event itself (reference skip_header over the
+          // detected header line)
+          parsed.filter(col(source) =!= names.mkString(sep))
+        else parsed
 
       case "date" =>
         requireTopLevel(p, cond)
@@ -327,7 +348,8 @@ object LsclRun {
             // reference formats are Joda: YYYY is plain year there but
             // week-based-year in java.time — translate before compiling
             val formats = parts.tail.map(_.replace("YYYY", "yyyy").replace("ZZ", "XXX"))
-            Parse.date(df, parts.head, strAttr(p, "target").getOrElse("@timestamp"), formats)
+            Parse.date(df, parts.head, strAttr(p, "target").getOrElse("@timestamp"),
+              formats, timezone = strAttr(p, "timezone"))
           case None => throw new IllegalArgumentException("date: match required")
         }
 
@@ -471,6 +493,53 @@ object LsclRun {
     dec.applyWhen(df, m)
   }
 
+  // ---------------- pipeline-to-pipeline address bus ----------------
+
+  /** The pipeline-to-pipeline virtual-address bus
+    * (plugins/pipeline/AbstractPipelineBus.java, PipelineBusV2.java): an
+    * upstream config's `pipeline { send_to => [addr] }` output registers its
+    * routed frame under each address; a downstream config's
+    * `pipeline { address => addr }` input resolves it. DataFrames are
+    * immutable, so the reference's per-downstream event clone is free, and
+    * `ensureDelivery`'s block-until-listener becomes resolve-time failure on
+    * an unregistered address (the batch analogue of a downstream that never
+    * appears). Frames persist across converge passes, so an unchanged
+    * upstream feeds a reloaded downstream without re-running.
+    */
+  final class PipelineBus {
+    private val frames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    def register(address: String, df: DataFrame): Unit = frames.put(address, df)
+    def resolve(address: String): DataFrame = frames.getOrElse(address,
+      throw new IllegalStateException(
+        s"pipeline address `$address` has no registered upstream (ensureDelivery would block)"))
+    def addresses: Set[String] = frames.keySet.toSet
+  }
+
+  /** Collect `pipeline { send_to => [...] }` outputs with their branch-path
+    * conditions (the same walk as [[sinkSpecs]]).
+    */
+  def pipelineSends(items: Seq[Item]): Seq[(Seq[String], Cond)] = {
+    val out = Seq.newBuilder[(Seq[String], Cond)]
+    def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
+      case PluginItem(p) if p.name == "pipeline" =>
+        val addrs = p.attr("send_to").map(strList).getOrElse(
+          throw new IllegalArgumentException("pipeline output: send_to required"))
+        out += addrs -> path
+      case PluginItem(_) => ()
+      case Branch(arms, otherwise) =>
+        var prev = Vector.empty[Cond]
+        arms.foreach { case (e, body) =>
+          val c = lowerCond(e)
+          walk(body, prev.foldLeft(And(path, c): Cond)((a, x) => And(a, Not(x))))
+          prev :+= c
+        }
+        if (otherwise.nonEmpty)
+          walk(otherwise, prev.foldLeft(path)((a, x) => And(a, Not(x))))
+    }
+    walk(items, True)
+    out.result()
+  }
+
   // ---------------- output lowering ----------------
 
   /** Lower a parsed `output` section to SinkSpecs: every output plugin
@@ -482,6 +551,7 @@ object LsclRun {
     val out = Seq.newBuilder[Route.SinkSpec]
     var k = 0
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
+      case PluginItem(p) if p.name == "pipeline" => () // bus send, not a sink
       case PluginItem(p) =>
         // sink naming: explicit id, else the elasticsearch output's index
         // (the reference's routing key), else <plugin>_<k>
@@ -518,8 +588,15 @@ object LsclRun {
     * Multiple inputs union (the reference runs them concurrently into one
     * queue; order within the union is not part of the contract).
     */
-  def source(spark: org.apache.spark.sql.SparkSession, items: Seq[Item]): DataFrame = {
+  def source(spark: org.apache.spark.sql.SparkSession, items: Seq[Item],
+             bus: Option[PipelineBus] = None): DataFrame = {
     val frames = items.collect {
+      case PluginItem(p) if p.name == "pipeline" =>
+        // the address-bus input: resolve the upstream's registered frame
+        val addr = strAttr(p, "address").getOrElse(
+          throw new IllegalArgumentException("pipeline input: address required"))
+        bus.getOrElse(throw new IllegalStateException(
+          "pipeline input used but no PipelineBus supplied")).resolve(addr)
       case PluginItem(p) if p.name == "generator" =>
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val lines = p.attr("lines").map(strList)
@@ -552,10 +629,17 @@ object LsclRun {
           case Some(VString(c)) => c
           case _ => "parquet"
         }
-        codec match {
-          case "line" | "plain" => spark.read.text(path).withColumnRenamed("value", "message")
-          case "json" | "json_lines" => spark.read.json(path)
-          case _ => spark.read.parquet(path)
+        strAttr(p, "mode") match {
+          case Some("tail") =>
+            // the file input's TAIL mode: the offset-tracked DSv2 source
+            // (byte-offset sincedb contract; streaming-capable)
+            spark.read.format("graft.sources.FileTailSource")
+              .option("path", path).load()
+          case _ => codec match {
+            case "line" | "plain" => spark.read.text(path).withColumnRenamed("value", "message")
+            case "json" | "json_lines" => spark.read.json(path)
+            case _ => spark.read.parquet(path)
+          }
         }
       case PluginItem(p) =>
         throw new UnsupportedOperationException(s"unsupported input plugin `${p.name}`")
@@ -569,9 +653,22 @@ object LsclRun {
     * path — `bin/logstash -f pipeline.conf` — as one call.
     */
   def runConfig(spark: org.apache.spark.sql.SparkSession, configText: String,
-                outDir: String, env: Map[String, String] = sys.env): Route.RunResult = {
+                outDir: String, env: Map[String, String] = sys.env,
+                bus: Option[PipelineBus] = None): Route.RunResult = {
     val cfg = Lscl.parse(configText, env)
-    val trunk = applyFilters(source(spark, cfg.inputs), cfg.filters)
+    val trunk = applyFilters(source(spark, cfg.inputs, bus), cfg.filters)
+    // register pipeline-output frames on the bus BEFORE materializing sinks,
+    // so downstream configs in the same converge can resolve them
+    val sends = pipelineSends(cfg.outputs)
+    if (sends.nonEmpty) {
+      val b = bus.getOrElse(throw new IllegalStateException(
+        "pipeline output used but no PipelineBus supplied"))
+      sends.foreach { case (addrs, cond) =>
+        val frame =
+          if (cond == True) trunk else trunk.filter(Cond.predicateFor(trunk, cond))
+        addrs.foreach(a => b.register(a, frame))
+      }
+    }
     Route.run(spark, trunk, sinkSpecs(cfg.outputs), outDir)
   }
 }

@@ -20,10 +20,69 @@ object FieldRef {
 
   final case class Ref(path: Seq[String], meta: Boolean)
 
+  /** `config.field_reference.escape_style` (FieldReference.java:52-70 +
+    * util/EscapeHandler.java): per-segment escape/unescape so field NAMES may
+    * contain literal brackets. `percent` uses URI-style `%5B`/`%5D` pairs
+    * (a bare `%` not followed by two hex digits stays literal); `ampersand`
+    * uses HTML-entity-style `&#91;`/`&#93;` decimal code points.
+    */
+  sealed trait EscapeStyle {
+    def unescape(s: String): String
+    def escape(s: String): String
+  }
+  object EscapeStyle {
+    case object None extends EscapeStyle {
+      def unescape(s: String): String = s
+      def escape(s: String): String = s
+    }
+    case object Percent extends EscapeStyle {
+      private val Encoded = java.util.regex.Pattern.compile("%[0-9A-F]{2}")
+      private val BareLiteral = java.util.regex.Pattern.compile("%(?![0-9A-F]{2})")
+      private val NeedsEscape = java.util.regex.Pattern.compile("%(?=[0-9A-F]{2})")
+      def unescape(s: String): String = {
+        if (!s.contains("%") || !Encoded.matcher(s).find()) return s
+        // protect bare percent-literals before the URI decoder sees them
+        val pre = BareLiteral.matcher(s).replaceAll("%25")
+        java.net.URLDecoder.decode(pre, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      def escape(s: String): String =
+        NeedsEscape.matcher(s).replaceAll("%25").replace("[", "%5B").replace("]", "%5D")
+    }
+    case object Ampersand extends EscapeStyle {
+      private val Encoded = java.util.regex.Pattern.compile("&#([0-9]{2,});")
+      def unescape(s: String): String = {
+        if (!s.contains("&")) return s
+        val m = Encoded.matcher(s)
+        val sb = new java.lang.StringBuilder
+        var last = 0
+        while (m.find()) {
+          sb.append(s, last, m.start())
+          sb.append(Character.toChars(m.group(1).toInt))
+          last = m.end()
+        }
+        sb.append(s.substring(last)).toString
+      }
+      def escape(s: String): String =
+        Encoded.matcher(s).replaceAll("&#38;#$1;").replace("[", "&#91;").replace("]", "&#93;")
+    }
+    def of(name: String): EscapeStyle = name match {
+      case "none" => None
+      case "percent" => Percent
+      case "ampersand" => Ampersand
+      case other => throw new IllegalArgumentException(s"Invalid escape style: `$other`")
+    }
+  }
+
+  /** Session escape style (the reference's global setEscapeStyle). */
+  @volatile private var escapeStyle: EscapeStyle = EscapeStyle.None
+  def setEscapeStyle(style: EscapeStyle): Unit = escapeStyle = style
+  def setEscapeStyle(name: String): Unit = setEscapeStyle(EscapeStyle.of(name))
+
   def parse(s: String): Ref = {
+    val un = escapeStyle.unescape _
     if (s == null || s.isEmpty) fail(s)
     if (!s.contains('[') && !s.contains(']')) {
-      if (s == "@metadata") Ref(Nil, meta = true) else Ref(Seq(s), meta = false)
+      if (s == "@metadata") Ref(Nil, meta = true) else Ref(Seq(un(s)), meta = false)
     } else {
       if (!s.startsWith("[") || !s.endsWith("]")) fail(s)
       val segs = Seq.newBuilder[String]
@@ -34,7 +93,7 @@ object FieldRef {
         if (close < 0) fail(s)
         val seg = s.substring(i + 1, close)
         if (seg.isEmpty || seg.contains('[')) fail(s)
-        segs += seg
+        segs += un(seg)
         i = close + 1
       }
       val path = segs.result()

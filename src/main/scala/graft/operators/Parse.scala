@@ -539,6 +539,38 @@ object Parse {
          pairSep: String = " ", kvSep: String = "="): DataFrame =
     df.withColumn(target, str_to_map(col(source), lit(pairSep), lit(kvSep)))
 
+  /** kv with the full option surface (reference kv filter docs):
+    * `trimKey`/`trimValue` strip any of the given CHARACTERS from both ends
+    * (reference: character-class trim, not substring); `includeKeys`/
+    * `excludeKeys` whitelist/blacklist post-trim key names; `prefix` is
+    * prepended last. All pure map higher-order functions — narrow, codegen'd.
+    */
+  def kvFull(df: DataFrame, source: String, target: String,
+             pairSep: String = " ", kvSep: String = "=",
+             includeKeys: Seq[String] = Nil, excludeKeys: Seq[String] = Nil,
+             trimKey: Option[String] = None, trimValue: Option[String] = None,
+             prefix: String = ""): DataFrame = {
+    def trimClass(chars: String): String =
+      "[" + chars.flatMap(c =>
+        if ("\\^]-[&".contains(c)) "\\" + c else c.toString) + "]+"
+    var m = str_to_map(col(source), lit(pairSep), lit(kvSep))
+    trimKey.foreach { ch =>
+      val re = s"^${trimClass(ch)}|${trimClass(ch)}$$"
+      m = transform_keys(m, (k, _) => regexp_replace(k, re, ""))
+    }
+    trimValue.foreach { ch =>
+      val re = s"^${trimClass(ch)}|${trimClass(ch)}$$"
+      m = transform_values(m, (_, v) => regexp_replace(v, re, ""))
+    }
+    if (includeKeys.nonEmpty)
+      m = map_filter(m, (k, _) => k.isin(includeKeys.map(x => x: Any): _*))
+    if (excludeKeys.nonEmpty)
+      m = map_filter(m, (k, _) => !k.isin(excludeKeys.map(x => x: Any): _*))
+    if (prefix.nonEmpty)
+      m = transform_keys(m, (k, _) => concat(lit(prefix), k))
+    df.withColumn(target, m)
+  }
+
   /** json filter: parse a JSON string field into a struct target. */
   def json(df: DataFrame, source: String, target: String, schemaDdl: String): DataFrame =
     df.withColumn(target,
@@ -549,10 +581,15 @@ object Parse {
     dissectString(df, source, sep, names)
 
   /** date filter: try formats in order, first success wins; failure =>
-    * `_dateparsefailure` tag (reference date-filter contract).
+    * `_dateparsefailure` tag (reference date-filter contract). `timezone`
+    * supplies the zone for formats that carry none (the reference date
+    * filter's `timezone` option): the parsed wall time is interpreted in
+    * that zone and stored as UTC.
     */
-  def date(df: DataFrame, source: String, target: String, formats: Seq[String]): DataFrame = {
-    val parsed = coalesce(formats.map(f => try_to_timestamp(col(source), lit(f))): _*)
+  def date(df: DataFrame, source: String, target: String, formats: Seq[String],
+           timezone: Option[String] = None): DataFrame = {
+    val raw = coalesce(formats.map(f => try_to_timestamp(col(source), lit(f))): _*)
+    val parsed = timezone.fold(raw)(tz => to_utc_timestamp(raw, tz))
     val out = df.withColumn(target, parsed)
     Mutate.addTagWhen(out, parsed.isNull && col(source).isNotNull, "_dateparsefailure")
   }

@@ -349,6 +349,37 @@ object EventQueries {
         |         || '],"s":["x"],"n":["z"]}' AS merged
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "evt_dissect2" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 11 = 0 THEN NULL
+        |            ELSE 'Aug ' || (event_id % 28 + 1) END AS ts,
+        |       CASE WHEN event_id % 11 = 0 THEN NULL
+        |            ELSE 'host' || (user_id % 10) END AS host,
+        |       CASE WHEN event_id % 11 = 0 THEN NULL
+        |            ELSE CAST(event_id % 100 AS VARCHAR) END AS pid,
+        |       CASE WHEN event_id % 11 = 0 THEN NULL
+        |            ELSE 'm ' || event_type END AS msg,
+        |       CASE WHEN event_id % 11 = 0 THEN '_dissectfailure' ELSE '' END AS tag_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_grok3" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 13 = 0 THEN NULL
+        |            ELSE '10.' || (user_id % 100) || '.' || (event_id % 256) || '.1'
+        |            END AS clientip,
+        |       CASE WHEN event_id % 13 = 0 THEN 'PRE'
+        |            WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END AS verb,
+        |       CASE WHEN event_id % 13 = 0 THEN NULL
+        |            ELSE CAST(200 + (event_id % 3) * 100 AS VARCHAR) END AS response,
+        |       CASE WHEN event_id % 13 = 0 THEN NULL
+        |            WHEN event_id % 5 = 0 THEN ''
+        |            ELSE CAST(CAST(round(value) AS BIGINT) AS VARCHAR) END AS bytes,
+        |       CASE WHEN event_id % 13 = 0 THEN NULL ELSE '"-"' END AS referrer,
+        |       CASE WHEN event_id % 13 = 0 THEN NULL
+        |            ELSE '"curl/8.' || (user_id % 10) || '"' END AS agent,
+        |       CASE WHEN event_id % 13 = 0 THEN '_fail,_nomatch' ELSE '' END AS tag_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "evt_grok" ->
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1) AS BIGINT) AS k,

@@ -64,7 +64,168 @@ object OpsQueries {
       |}
       |""".stripMargin
 
+  /** The reference benchmark-cli apache case's FILTER section, byte-for-byte
+    * (tools/benchmark-cli/src/main/resources/org/logstash/benchmark/cli/cases/apache.cfg:5-24):
+    * grok combined-log extraction, Joda-format date parse, geoip without an
+    * explicit database (session default mmdb), useragent with target prefix.
+    */
+  val ApacheCfgFilter: String =
+    """filter {
+      |  grok {
+      |    match => {
+      |      "message" => '%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] "%{WORD:verb} %{DATA:request} HTTP/%{NUMBER:httpversion}" %{NUMBER:response:int} (?:-|%{NUMBER:bytes:int}) %{QS:referrer} %{QS:agent}'
+      |    }
+      |  }
+      |
+      |  date {
+      |    match => [ "timestamp", "dd/MMM/YYYY:HH:mm:ss Z" ]
+      |    locale => en
+      |  }
+      |
+      |  geoip {
+      |    source => "clientip"
+      |  }
+      |
+      |  useragent {
+      |    source => "agent"
+      |    target => "useragent"
+      |  }
+      |}
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // multiple pipelines + reload converge: create two pipelines, converge a
+    // no-op, reload only the changed one (state_resolver.rb semantics); the
+    // gate emits each pipeline's run count and final per-sink counts
+    "lscl_pipelines" -> ((s, dir) => {
+      import graft.lscl.Pipelines
+      val root = java.nio.file.Files.createTempDirectory("graft_pl_gate").toString
+      val reg = new Pipelines.Registry(s, root, Map.empty)
+      val mainV1 = LsclE2eConfig
+      val mainV2 = LsclE2eConfig.replace("[n] > 50", "[n] > 100") // warnbig empties
+      val aux =
+        """input { generator { count => 500 lines => ["x"] } }
+          |output { sink { id => "out" } }
+          |""".stripMargin
+      reg.converge(Seq(Pipelines.PipelineSpec("main", mainV1),
+        Pipelines.PipelineSpec("aux", aux)))
+      reg.converge(Seq(Pipelines.PipelineSpec("main", mainV1),
+        Pipelines.PipelineSpec("aux", aux))) // no-op: nothing re-executes
+      reg.converge(Seq(Pipelines.PipelineSpec("main", mainV2),
+        Pipelines.PipelineSpec("aux", aux))) // reload touches only `main`
+      import s.implicits._
+      reg.running.toSeq.flatMap { case (id, st) =>
+        st.lastResult.get.counts.toSeq.map { case (sink, n) =>
+          (id, st.runs, sink, n)
+        }
+      }.toDF("pipeline", "runs", "sink", "n")
+        .orderBy("pipeline", "sink")
+    }),
+
+    // file input in TAIL mode (offset-tracked DSv2 source) driven from
+    // config text: deterministic log file -> regex-branch tagging -> routed
+    // counts; byte offsets strictly increase with line number
+    "pipe_tail" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_tail_gate", ".log")
+      val lines = (0 until 3000).map { i =>
+        val sev = i % 3 match { case 0 => "ERROR"; case 1 => "WARN"; case _ => "INFO" }
+        s"$sev event-$i"
+      }
+      java.nio.file.Files.writeString(f, lines.mkString("", "\n", "\n"))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { file { path => "$f" mode => "tail" } }
+           |filter {
+           |  if [message] =~ /^ERROR/ { mutate { add_tag => ["err"] } }
+           |  else if [message] =~ /^WARN/ { mutate { add_tag => ["warn"] } }
+           |}
+           |output {
+           |  if "err" in [tags] { sink { id => "t_err" } }
+           |  else if "warn" in [tags] { sink { id => "t_warn" } }
+           |  else { sink { id => "t_rest" } }
+           |}
+           |""".stripMargin, Map.empty)
+      val trunk = graft.lscl.LsclRun.applyFilters(
+        graft.lscl.LsclRun.source(s, cfg.inputs), cfg.filters)
+      val specs = graft.lscl.LsclRun.sinkSpecs(cfg.outputs)
+      graft.operators.Route.sinkCounts(
+          graft.operators.Route.withSinkFlags(trunk, specs), specs)
+        .orderBy("sink")
+    }),
+
+    // pipeline-to-pipeline ADDRESS bus: two config texts connected by a
+    // virtual address (`pipeline { send_to }` output -> `pipeline { address }`
+    // input, AbstractPipelineBus semantics); the downstream spec is listed
+    // FIRST to prove converge topo-orders by address dependency
+    "pipe_addr" -> ((s, dir) => {
+      import graft.lscl.Pipelines
+      val root = java.nio.file.Files.createTempDirectory("graft_addr_gate").toString
+      val reg = new Pipelines.Registry(s, root, Map.empty)
+      val upstream =
+        """input {
+          |  generator {
+          |    count => 6000
+          |    lines => ['{"lvl": "ERROR", "n": 80}', '{"lvl": "WARN", "n": 99}', '{"lvl": "INFO", "n": 5}']
+          |    codec => json { schema => "lvl STRING, n BIGINT" }
+          |  }
+          |}
+          |output {
+          |  if [lvl] == "ERROR" { pipeline { send_to => ["procerr"] } }
+          |  else { sink { id => "up_rest" } }
+          |}
+          |""".stripMargin
+      val downstream =
+        """input { pipeline { address => "procerr" } }
+          |filter { mutate { add_field => { "routed" => "via-bus" } } }
+          |output { sink { id => "down" } }
+          |""".stripMargin
+      reg.converge(Seq(
+        Pipelines.PipelineSpec("down", downstream), // listed first on purpose
+        Pipelines.PipelineSpec("up", upstream)))
+      import s.implicits._
+      val counts = reg.running.toSeq.flatMap { case (id, st) =>
+        st.lastResult.get.counts.toSeq.map { case (sink, n) => (id, sink, n) }
+      }.toDF("pipeline", "sink", "n")
+      // plus the downstream sink's content proof: routed rows carry the field
+      val down = s.read.parquet(s"$root/down/down")
+        .groupBy("lvl", "routed").agg(count(lit(1)).as("n"))
+        .select(lit("down").as("pipeline"), concat_ws(":", col("lvl"), col("routed")).as("sink"), col("n"))
+      counts.unionByName(down).orderBy("pipeline", "sink")
+    }),
+
+    // the apache.cfg filter section run VERBATIM from config text over
+    // synthesized combined-log lines: composite grok + date + geoip
+    // (default-db fallback, real mmdb fixture) + useragent
+    "lscl_apache" -> ((s, dir) => {
+      val db = java.nio.file.Files.createTempFile("graft_apache_geo", ".mmdb").toString
+      graft.operators.Mmdb.writeFixture(db, Seq(
+        "10.0.0.0/11"  -> Map("country" -> Map("iso_code" -> "us")),
+        "10.32.0.0/11" -> Map("country" -> Map("iso_code" -> "eu")),
+        "10.64.0.0/11" -> Map("country" -> Map("iso_code" -> "apac"))))
+      System.setProperty("graft.geoip.default_db", db)
+      try {
+        val e = s.read.parquet(s"$dir/events.parquet")
+        val bytesStr = when(col("event_id") % 5 === 0, lit("-"))
+          .otherwise(round(col("value")).cast("long").cast("string"))
+        val line = concat(
+          lit("10."), (col("user_id") % 100).cast("string"), lit("."),
+          (col("event_id") % 256).cast("string"), lit(".1 - frank ["),
+          date_format(col("ts").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss"),
+          lit(" +0000] \""),
+          when(col("event_type") === "purchase", "POST").otherwise("GET"),
+          lit(" /"), col("event_type"), lit(" HTTP/1.1\" "),
+          (lit(200) + (col("event_id") % 3) * 100).cast("string"), lit(" "),
+          bytesStr, lit(" \"-\" \"curl/8."), (col("user_id") % 10).cast("string"),
+          lit("\""))
+        val cfg = graft.lscl.Lscl.parse(ApacheCfgFilter, Map.empty)
+        graft.lscl.LsclRun.applyFilters(e.withColumn("message", line), cfg.filters)
+          .select(col("event_id"), col("clientip"), col("verb"), col("request"),
+            col("response"), col("bytes"),
+            date_format(col("@timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_utc"),
+            col("geo_country_iso"), col("useragent_name"), col("useragent_version"))
+          .orderBy("event_id")
+      } finally System.clearProperty("graft.geoip.default_db")
+    }),
+
     // a COMPLETE config text executed end-to-end: generator input ->
     // json parse -> branch decorators -> gated outputs -> single-pass counts
     "lscl_e2e" -> ((s, dir) => {
@@ -275,6 +436,58 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lscl_pipelines" ->
+      """SELECT * FROM (VALUES
+        |  ('aux',  1, '_default', CAST(0    AS BIGINT)),
+        |  ('aux',  1, '_total',   CAST(500  AS BIGINT)),
+        |  ('aux',  1, 'out',      CAST(500  AS BIGINT)),
+        |  ('main', 2, '_default', CAST(0    AS BIGINT)),
+        |  ('main', 2, '_total',   CAST(9000 AS BIGINT)),
+        |  ('main', 2, 'errors',   CAST(3000 AS BIGINT)),
+        |  ('main', 2, 'rest',     CAST(6000 AS BIGINT)),
+        |  ('main', 2, 'warnbig',  CAST(0    AS BIGINT))
+        |) AS t(pipeline, runs, sink, n)
+        |ORDER BY pipeline, sink""".stripMargin,
+
+    "pipe_tail" ->
+      """SELECT * FROM (VALUES
+        |  ('_default', CAST(0    AS BIGINT)),
+        |  ('_total',   CAST(3000 AS BIGINT)),
+        |  ('t_err',    CAST(1000 AS BIGINT)),
+        |  ('t_rest',   CAST(1000 AS BIGINT)),
+        |  ('t_warn',   CAST(1000 AS BIGINT))
+        |) AS t(sink, n)
+        |ORDER BY sink""".stripMargin,
+
+    "pipe_addr" ->
+      """SELECT * FROM (VALUES
+        |  ('down', 'ERROR:via-bus', CAST(2000 AS BIGINT)),
+        |  ('down', '_default',      CAST(0    AS BIGINT)),
+        |  ('down', '_total',        CAST(2000 AS BIGINT)),
+        |  ('down', 'down',          CAST(2000 AS BIGINT)),
+        |  ('up',   '_default',      CAST(2000 AS BIGINT)),
+        |  ('up',   '_total',        CAST(6000 AS BIGINT)),
+        |  ('up',   'up_rest',       CAST(4000 AS BIGINT))
+        |) AS t(pipeline, sink, n)
+        |ORDER BY pipeline, sink""".stripMargin,
+
+    "lscl_apache" ->
+      """SELECT event_id,
+        |       '10.' || (user_id % 100) || '.' || (event_id % 256) || '.1' AS clientip,
+        |       CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END AS verb,
+        |       '/' || event_type AS request,
+        |       CAST(200 + (event_id % 3) * 100 AS BIGINT) AS response,
+        |       CASE WHEN event_id % 5 = 0 THEN NULL
+        |            ELSE CAST(round(value) AS BIGINT) END AS bytes,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_utc,
+        |       CASE WHEN user_id % 100 <= 31 THEN 'us'
+        |            WHEN user_id % 100 <= 63 THEN 'eu'
+        |            WHEN user_id % 100 <= 95 THEN 'apac'
+        |            ELSE NULL END AS geo_country_iso,
+        |       'curl' AS useragent_name,
+        |       '8.' || (user_id % 10) AS useragent_version
+        |FROM events ORDER BY event_id""".stripMargin,
+
     // generator emits seq 0..8999 cycling the 3 lines: seq%3=0 -> ERROR ->
     // errors; 1 -> WARN n=99 -> warnbig; 2 -> INFO -> rest; no row is
     // unrouted

@@ -66,4 +66,28 @@ class FieldWriteSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("A" -> "A!", "B" -> null))
   }
+
+  test("field-reference escape styles: percent and ampersand (EscapeHandler semantics)") {
+    import FieldRef.EscapeStyle
+    // percent: %5B/%5D decode; bare % (not followed by 2 hex digits) literal
+    assert(EscapeStyle.Percent.unescape("foo%5Bbar%5D") == "foo[bar]")
+    assert(EscapeStyle.Percent.unescape("100%") == "100%")
+    assert(EscapeStyle.Percent.unescape("50%off%5Bx%5D") == "50%off[x]")
+    assert(EscapeStyle.Percent.escape("foo[bar]") == "foo%5Bbar%5D")
+    assert(EscapeStyle.Percent.escape("%25raw") == "%2525raw") // %-before-hex escapes
+    // ampersand: &#nn; decimal code points
+    assert(EscapeStyle.Ampersand.unescape("foo&#91;bar&#93;") == "foo[bar]")
+    assert(EscapeStyle.Ampersand.unescape("a&b") == "a&b")
+    assert(EscapeStyle.Ampersand.escape("foo[bar]") == "foo&#91;bar&#93;")
+    assert(EscapeStyle.Ampersand.escape("pre&#91;lit") == "pre&#38;#91;lit")
+    // styles plug into the parser: the segment NAME carries literal brackets
+    FieldRef.setEscapeStyle("percent")
+    try {
+      val r = FieldRef.parse("[weird%5Bname%5D][inner]")
+      assert(r.path == Seq("weird[name]", "inner"))
+    } finally FieldRef.setEscapeStyle("none")
+    val plain = FieldRef.parse("[weird%5Bname%5D]")
+    assert(plain.path == Seq("weird%5Bname%5D")) // none: untouched
+    intercept[IllegalArgumentException](FieldRef.setEscapeStyle("bogus"))
+  }
 }
