@@ -53,6 +53,53 @@ object Flow {
     out.drop("_ep")
   }
 
+  /** Extended worker flow metrics (AbstractPipelineExt.java:585-600):
+    *
+    *  - `queue_backpressure` = Δpush_wait_ms / Δuptime_ms — time spent
+    *    blocked pushing into the queue per unit uptime;
+    *  - `worker_concurrency` = Δduration_ms / Δuptime_ms — average number of
+    *    busy workers;
+    *  - `worker_utilization` = Δduration_ms · 100 / (Δuptime_ms · workers) —
+    *    percent of available worker time spent processing (the reference's
+    *    UpScaledMetric(100) over UpScaledMetric(workers) construction).
+    *
+    * Each is a FlowMetric whose DENOMINATOR is the pipeline's uptime counter
+    * rather than wall seconds, so the same delta algebra serves `current`
+    * (vs previous capture), the rolling windows (vs earliest capture in
+    * range) and `lifetime` (vs first capture). All columns share ONE hash
+    * partitioning on the key — a single exchange at any scale.
+    */
+  def workerFlows(captures: DataFrame, keyCol: String, tsCol: String,
+                  pushWaitCol: String, durationCol: String, uptimeCol: String,
+                  workers: Int,
+                  windows: Seq[(String, Long)] = StandardWindows): DataFrame = {
+    val ep = col("_ep")
+    val base = captures.withColumn("_ep", unix_timestamp(col(tsCol).cast("timestamp")))
+    val ordered = Window.partitionBy(col(keyCol)).orderBy(ep)
+    val life = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val den = col(uptimeCol).cast("double")
+    val ratio = (dn: Column, dd: Column) => round(when(dd > 0, dn / dd), 6)
+    val pct = (dn: Column, dd: Column) =>
+      round(when(dd > 0, dn * 100 / (dd * workers)), 6)
+    val metrics: Seq[(String, Column, (Column, Column) => Column)] = Seq(
+      ("queue_backpressure", col(pushWaitCol).cast("double"), ratio),
+      ("worker_concurrency", col(durationCol).cast("double"), ratio),
+      ("worker_utilization", col(durationCol).cast("double"), pct))
+    var out = base
+    for ((name, num, f) <- metrics) {
+      out = out.withColumn(name,
+        f(num - lag(num, 1).over(ordered), den - lag(den, 1).over(ordered)))
+      for ((wn, secs) <- windows) {
+        val w = Window.partitionBy(col(keyCol)).orderBy(ep).rangeBetween(-secs, 0)
+        out = out.withColumn(s"${name}_$wn",
+          f(num - first(num).over(w), den - first(den).over(w)))
+      }
+      out = out.withColumn(s"${name}_lifetime",
+        f(num - first(num).over(life), den - first(den).over(life)))
+    }
+    out.drop("_ep")
+  }
+
   /** Capture series from an event stream: cumulative event count per key per
     * `period` bucket — the batch analogue of the reference's periodic
     * capture() cadence.

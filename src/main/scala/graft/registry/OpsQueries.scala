@@ -328,6 +328,40 @@ object OpsQueries {
         .orderBy("event_type", "cap_ts")
     }),
 
+    // extended worker flow metrics (AbstractPipelineExt.java:585-600):
+    // queue_backpressure / worker_concurrency / worker_utilization as
+    // delta-ratios over uptime, with current/5m/lifetime windows; capture
+    // counters synthesized deterministically from per-source minute buckets
+    "evt_flowext" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val cum = Window.partitionBy(col("event_type")).orderBy(col("capture_ts"))
+      val part = Window.partitionBy(col("event_type"))
+      val caps = ev
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("capture_ts"))
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("push_ms", sum(col("_n") * 3).over(cum))
+        .withColumn("dur_ms", sum(col("_n") * 17 + 5).over(cum))
+        .withColumn("uptime_ms",
+          (unix_timestamp(col("capture_ts"))
+            - min(unix_timestamp(col("capture_ts"))).over(part)) * 1000 + 60000)
+        .drop("_n")
+      graft.operators.Flow.workerFlows(caps, "event_type", "capture_ts",
+          "push_ms", "dur_ms", "uptime_ms", workers = 4,
+          windows = Seq("last_5_minutes" -> 300L))
+        .select(col("event_type"),
+          date_format(col("capture_ts"), "yyyy-MM-dd HH:mm:ss").as("cap_ts"),
+          col("push_ms"), col("dur_ms"), col("uptime_ms"),
+          col("queue_backpressure"), col("queue_backpressure_last_5_minutes"),
+          col("queue_backpressure_lifetime"),
+          col("worker_concurrency"), col("worker_concurrency_last_5_minutes"),
+          col("worker_concurrency_lifetime"),
+          col("worker_utilization"), col("worker_utilization_last_5_minutes"),
+          col("worker_utilization_lifetime"))
+        .orderBy("event_type", "cap_ts")
+    }),
+
     // translate key modes (transforming-data.asciidoc:588-596): regex-keyed
     // first-match-wins dictionary LOADED FROM A YAML FILE, plus the
     // exact=>false substring mode and the default exact mode with fallback
@@ -568,6 +602,49 @@ object OpsQueries {
         |       w1 AS (PARTITION BY event_type ORDER BY ep RANGE BETWEEN 60 PRECEDING AND CURRENT ROW),
         |       w5 AS (PARTITION BY event_type ORDER BY ep RANGE BETWEEN 300 PRECEDING AND CURRENT ROW),
         |       w15 AS (PARTITION BY event_type ORDER BY ep RANGE BETWEEN 900 PRECEDING AND CURRENT ROW),
+        |       wl AS (PARTITION BY event_type ORDER BY ep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, cap_ts""".stripMargin
+    },
+
+    "evt_flowext" -> {
+      // delta helpers mirroring Flow.workerFlows' exact double op order
+      def dw(c: String, f: String): String =
+        s"(CAST($c AS DOUBLE) - CAST(first_value($c) OVER $f AS DOUBLE))"
+      def dl(c: String): String =
+        s"(CAST($c AS DOUBLE) - CAST(lag($c) OVER wo AS DOUBLE))"
+      def ratio(dn: String, dd: String): String =
+        s"round(CASE WHEN $dd > 0 THEN $dn / $dd END, 6)"
+      def pct(dn: String, dd: String): String =
+        s"round(CASE WHEN $dd > 0 THEN $dn * 100 / ($dd * 4) END, 6)"
+      """WITH caps AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS capture_ts, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT event_type, capture_ts,
+        |         CAST(SUM(n * 3) OVER cum AS BIGINT) AS push_ms,
+        |         CAST(SUM(n * 17 + 5) OVER cum AS BIGINT) AS dur_ms,
+        |         CAST(floor(epoch(capture_ts)) AS BIGINT) AS ep
+        |  FROM caps
+        |  WINDOW cum AS (PARTITION BY event_type ORDER BY capture_ts)),
+        |c3 AS (
+        |  SELECT event_type, capture_ts, push_ms, dur_ms, ep,
+        |         (ep - MIN(ep) OVER (PARTITION BY event_type)) * 1000 + 60000 AS uptime_ms
+        |  FROM c2)
+        |SELECT event_type, strftime(capture_ts, '%Y-%m-%d %H:%M:%S') AS cap_ts,
+        |       push_ms, dur_ms, uptime_ms,
+        |""".stripMargin +
+        s"       ${ratio(dl("push_ms"), dl("uptime_ms"))} AS queue_backpressure,\n" +
+        s"       ${ratio(dw("push_ms", "w5"), dw("uptime_ms", "w5"))} AS queue_backpressure_last_5_minutes,\n" +
+        s"       ${ratio(dw("push_ms", "wl"), dw("uptime_ms", "wl"))} AS queue_backpressure_lifetime,\n" +
+        s"       ${ratio(dl("dur_ms"), dl("uptime_ms"))} AS worker_concurrency,\n" +
+        s"       ${ratio(dw("dur_ms", "w5"), dw("uptime_ms", "w5"))} AS worker_concurrency_last_5_minutes,\n" +
+        s"       ${ratio(dw("dur_ms", "wl"), dw("uptime_ms", "wl"))} AS worker_concurrency_lifetime,\n" +
+        s"       ${pct(dl("dur_ms"), dl("uptime_ms"))} AS worker_utilization,\n" +
+        s"       ${pct(dw("dur_ms", "w5"), dw("uptime_ms", "w5"))} AS worker_utilization_last_5_minutes,\n" +
+        s"       ${pct(dw("dur_ms", "wl"), dw("uptime_ms", "wl"))} AS worker_utilization_lifetime\n" +
+        """|FROM c3
+        |WINDOW wo AS (PARTITION BY event_type ORDER BY ep),
+        |       w5 AS (PARTITION BY event_type ORDER BY ep RANGE BETWEEN 300 PRECEDING AND CURRENT ROW),
         |       wl AS (PARTITION BY event_type ORDER BY ep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, cap_ts""".stripMargin
     },
