@@ -74,6 +74,38 @@ object Text {
         distinctRatio(text) * 0.4 +
         (lit(1.0) - stopwordRatio(text)) * 0.2, 6)
 
+  // ---- repetition filters (training-data curation) ----
+
+  /** Fraction of duplicate elements in an array: (n - n_distinct) / n,
+    * 6dp; null for empty arrays. Narrow HOF — fused into the scan.
+    */
+  def dupFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      round((size(arr) - size(array_distinct(arr))).cast("double") / size(arr), 6))
+
+  /** Word 2-grams: ["a","b","c"] -> ["a b","b c"]. Requires >= 2 words. */
+  def wordBigrams(words: Column): Column =
+    zip_with(slice(words, lit(1), size(words) - 1), slice(words, lit(2), size(words) - 1),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** Word 3-grams: first n-2 bigrams joined with the 3rd-offset words. */
+  def wordTrigrams(words: Column): Column =
+    zip_with(slice(wordBigrams(words), lit(1), size(words) - 2),
+      slice(words, lit(3), size(words) - 2),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** Gopher-style repetition gate (Rae et al. 2021 §A1.1 repetition
+    * filters): a document is kept when its duplicate-word and
+    * duplicate-2-gram fractions sit under the thresholds. The published
+    * rules gate on duplicate LINE and n-gram-character fractions; our
+    * corpora are single-line word streams, so the word/n-gram fraction
+    * family is the applicable subset (thresholds tuned to this corpus'
+    * observed distribution, not Gopher's web-text ones).
+    */
+  def repetitionKeep(words: Column, maxDupWord: Double = 0.55,
+                     maxDupBigram: Double = 0.05): Column =
+    dupFrac(words) <= maxDupWord && dupFrac(wordBigrams(words)) <= maxDupBigram
+
   // ---- fingerprints over token arrays ----
 
   val FpMod = 1000000007L

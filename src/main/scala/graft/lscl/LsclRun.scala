@@ -648,6 +648,59 @@ object LsclRun {
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Streaming form of [[source]]: the same `input` section lowered onto
+    * `readStream` micro-batch sources. Supported: `file { mode => tail }`
+    * (byte-offset-tracked [[graft.sources.FileTailSource]] — the sincedb
+    * contract) and `generator` (bounded sequence-offset micro-batches).
+    * Other inputs are batch-only — fail loudly rather than silently
+    * rescanning a lake path per trigger.
+    */
+  def sourceStream(spark: org.apache.spark.sql.SparkSession,
+                   items: Seq[Item]): DataFrame = {
+    val frames = items.collect {
+      case PluginItem(p) if p.name == "file" && strAttr(p, "mode").contains("tail") =>
+        val path = strAttr(p, "path").getOrElse(
+          throw new IllegalArgumentException("file input: path required"))
+        spark.readStream.format("graft.sources.FileTailSource")
+          .option("path", path).load()
+      case PluginItem(p) if p.name == "generator" =>
+        val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
+        val lines = p.attr("lines").map(strList)
+          .orElse(strAttr(p, "message").map(Seq(_)))
+          .getOrElse(Seq("hello world"))
+        spark.readStream.format("graft.sources.GeneratorSource")
+          .option("count", count)
+          .option("partitions", spark.sparkContext.defaultParallelism)
+          .option("lines", lines.mkString("|"))
+          .load()
+      case PluginItem(p) =>
+        throw new UnsupportedOperationException(
+          s"input plugin `${p.name}` is not streamable (batch-only)")
+    }
+    require(frames.nonEmpty, "config has no streamable input")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Run a complete config text as a STRUCTURED STREAMING job: streaming
+    * input -> filters applied per micro-batch -> persist-once sink fan-out
+    * with per-batch counts (graft.streaming.StreamPipeline.run). This is the
+    * reference's actual execution model — the micro-batch worker loop over
+    * the queue (JavaPipeline worker threads) — so a config that runs in
+    * batch runs here unchanged, with checkpointed offsets giving
+    * exactly-once restart (the PQ contract).
+    */
+  def runConfigStream(spark: org.apache.spark.sql.SparkSession, configText: String,
+                      outDir: String, checkpoint: String,
+                      env: Map[String, String] = sys.env,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cfg = Lscl.parse(configText, env)
+    graft.streaming.StreamPipeline.run(spark, sourceStream(spark, cfg.inputs),
+      b => applyFilters(b, cfg.filters), sinkSpecs(cfg.outputs), outDir,
+      checkpoint, trigger)
+  }
+
   /** Execute a complete config text: input -> filter -> routed outputs
     * (persist-once fan-out via [[Route.run]]). The full reference entry
     * path — `bin/logstash -f pipeline.conf` — as one call.

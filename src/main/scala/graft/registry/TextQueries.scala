@@ -89,6 +89,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // repetition filters (Gopher-style): duplicate word / 2-gram / 3-gram
+    // fractions + the composed keep decision, all narrow HOFs on the scan
+    "txt_rep" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      docs(s, dir).select(col("doc_id"),
+        Text.dupFrac(ws).as("dup_word_frac"),
+        Text.dupFrac(Text.wordBigrams(ws)).as("dup_bigram_frac"),
+        Text.dupFrac(Text.wordTrigrams(ws)).as("dup_trigram_frac"),
+        Text.repetitionKeep(ws).as("keep_rep"))
+        .orderBy("doc_id")
+    }),
+
     // token counting: whitespace + BPE-ish regex over the punct-rich props
     "txt_tokcount" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
@@ -302,6 +314,28 @@ object TextQueries {
         |       round(mw, 6) AS mean_wlen,
         |       round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 + dr * 0.4 + (1.0 - sr) * 0.2, 6) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "txt_rep" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, ws,
+        |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg,
+        |         list_transform(range(1, len(ws) - 1),
+        |                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+        |  FROM w
+        |), f AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) > 0 THEN
+        |           round(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) END AS dup_word_frac,
+        |         CASE WHEN len(bg) > 0 THEN
+        |           round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) END AS dup_bigram_frac,
+        |         CASE WHEN len(tg) > 0 THEN
+        |           round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6) END AS dup_trigram_frac
+        |  FROM g)
+        |SELECT doc_id, dup_word_frac, dup_bigram_frac, dup_trigram_frac,
+        |       dup_word_frac <= 0.55 AND dup_bigram_frac <= 0.05 AS keep_rep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "txt_tokcount" ->
       """SELECT event_id,
