@@ -78,9 +78,15 @@ object Flow {
     val ordered = Window.partitionBy(col(keyCol)).orderBy(ep)
     val life = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val den = col(uptimeCol).cast("double")
-    val ratio = (dn: Column, dd: Column) => round(when(dd > 0, dn / dd), 6)
+    // 6dp quantization as PURE double arithmetic (floor(x*1e6+0.5)/1e6)
+    // rather than round(x,6): round()'s decimal HALF_UP and an oracle
+    // engine's double rounding can disagree when x*1e6 sits exactly on a
+    // half boundary (observed once in 80k rows at sf0.1); this formula is
+    // deterministic across engines because every step is IEEE double math.
+    val q6 = (x: Column) => floor(x * 1000000.0d + 0.5d) / 1000000.0d
+    val ratio = (dn: Column, dd: Column) => when(dd > 0, q6(dn / dd))
     val pct = (dn: Column, dd: Column) =>
-      round(when(dd > 0, dn * 100 / (dd * workers)), 6)
+      when(dd > 0, q6(dn * 100 / (dd * workers)))
     val metrics: Seq[(String, Column, (Column, Column) => Column)] = Seq(
       ("queue_backpressure", col(pushWaitCol).cast("double"), ratio),
       ("worker_concurrency", col(durationCol).cast("double"), ratio),

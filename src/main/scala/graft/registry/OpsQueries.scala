@@ -613,9 +613,9 @@ object OpsQueries {
       def dl(c: String): String =
         s"(CAST($c AS DOUBLE) - CAST(lag($c) OVER wo AS DOUBLE))"
       def ratio(dn: String, dd: String): String =
-        s"round(CASE WHEN $dd > 0 THEN $dn / $dd END, 6)"
+        s"CASE WHEN $dd > 0 THEN floor($dn / $dd * 1000000.0 + 0.5) / 1000000.0 END"
       def pct(dn: String, dd: String): String =
-        s"round(CASE WHEN $dd > 0 THEN $dn * 100 / ($dd * 4) END, 6)"
+        s"CASE WHEN $dd > 0 THEN floor($dn * 100 / ($dd * 4) * 1000000.0 + 0.5) / 1000000.0 END"
       """WITH caps AS (
         |  SELECT event_type, date_trunc('minute', ts) AS capture_ts, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
