@@ -413,6 +413,25 @@ object LsclRun {
         Enrich.geoLookup(df, source,
           Enrich.geoRangesFromMmdb(df.sparkSession, db, Seq("country", "iso_code"), as))
 
+      case "dns" =>
+        requireTopLevel(p, cond)
+        // hostsfile mode (the filter's deterministic variant): resolve/
+        // reverse fields against an /etc/hosts-format table
+        val hostsPath = strAttr(p, "hostsfile").getOrElse(
+          throw new IllegalArgumentException(
+            "dns: hostsfile required (nameserver lookups need a resolver dimension)"))
+        val hosts = Enrich.hostsTable(df.sparkSession, hostsPath)
+        val action = strAttr(p, "action").getOrElse("replace")
+        val tagFail = p.attr("tag_on_failure").map(strList).getOrElse(Nil)
+        var out = df
+        p.attr("resolve").map(strList).getOrElse(Nil).foreach { f =>
+          out = Enrich.dns(out, f, hosts, reverse = false, action, tagFail)
+        }
+        p.attr("reverse").map(strList).getOrElse(Nil).foreach { f =>
+          out = Enrich.dns(out, f, hosts, reverse = true, action, tagFail)
+        }
+        out
+
       case "useragent" =>
         requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse(

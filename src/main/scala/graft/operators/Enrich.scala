@@ -154,6 +154,57 @@ object Enrich {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** dns filter (logstash-filter-dns semantics, `hostsfile` mode): resolve
+    * hostname fields to addresses, or reverse-resolve address fields to
+    * names, against a hosts table — the filter's deterministic,
+    * cluster-shippable variant of nameserver lookups (a live resolver is the
+    * same broadcast-dimension join against a resolver-backed table).
+    *
+    *  - `action = "replace"` overwrites the field with the resolution;
+    *  - `action = "append"` appends the resolution to the array field
+    *    (the reference appends to a list-valued field).
+    *
+    * Unresolvable values leave the field UNCHANGED (reference behavior: the
+    * event passes through, optionally tagged via `tagOnFailure`). Matching
+    * is case-insensitive on names, exact on addresses.
+    */
+  def dns(events: DataFrame, field: String, hosts: DataFrame,
+          reverse: Boolean = false, action: String = "replace",
+          tagOnFailure: Seq[String] = Nil): DataFrame = {
+    val (key, value) = if (reverse) ("addr", "name") else ("name", "addr")
+    val probe = if (reverse) col(field) else lower(col(field))
+    val dim = broadcast(
+      (if (reverse) hosts.select(col(key).as("_dns_k"), col(value).as("_dns_v"))
+       else hosts.select(lower(col(key)).as("_dns_k"), col(value).as("_dns_v")))
+        // one record per key (deterministic winner), so the left join is 1:0/1
+        .groupBy("_dns_k").agg(min("_dns_v").as("_dns_v")))
+    val joined = events.join(dim, probe === col("_dns_k"), "left")
+    val resolved =
+      if (action == "append")
+        joined.withColumn(field,
+          when(col("_dns_v").isNotNull, array_union(col(field), array(col("_dns_v"))))
+            .otherwise(col(field)))
+      else
+        joined.withColumn(field, coalesce(col("_dns_v"), col(field)))
+    val tagged = tagOnFailure.foldLeft(resolved)((d, t) =>
+      Mutate.addTagWhen(d, col("_dns_v").isNull, t))
+    tagged.drop("_dns_k", "_dns_v")
+  }
+
+  /** /etc/hosts-format loader for [[dns]]: `addr name [alias...]` lines,
+    * `#` comments — one (name, addr) row per alias.
+    */
+  def hostsTable(spark: SparkSession, path: String): DataFrame = {
+    val rows = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala
+      .map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        val parts = line.split("\\s+").toSeq
+        parts.tail.map(n => (n, parts.head))
+      }.toSeq
+    spark.createDataFrame(rows).toDF("name", "addr")
+  }
+
   /** Salted join for a known-skewed key: explodes the dimension side K ways
     * and salts the fact side, bounding any single reducer's share of a hot key
     * to 1/K. Use when AQE's skew split alone is insufficient (e.g. one source

@@ -226,6 +226,35 @@ object OpsQueries {
       } finally System.clearProperty("graft.geoip.default_db")
     }),
 
+    // dns filter (hostsfile mode): resolve hostname fields -> addresses and
+    // reverse addresses -> names against an /etc/hosts-format dimension,
+    // case-insensitive names, miss leaves field unchanged + failure tag;
+    // driven VERBATIM from config text
+    "evt_dns" -> ((s, dir) => {
+      val hf = java.nio.file.Files.createTempFile("graft_hosts", ".txt")
+      java.nio.file.Files.writeString(hf,
+        (0 to 6).map(i => s"10.0.0.$i host$i.example.com")
+          .mkString("# test hosts\n", "\n", "\n"))
+      val name = concat(lit("host"), (col("user_id") % 10).cast("string"),
+        lit(".example.com"))
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("h", when(col("event_id") % 4 === 0, upper(name)).otherwise(name))
+        .withColumn("a", concat(lit("10.0.0."), (col("user_id") % 10).cast("string")))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""filter {
+           |  dns {
+           |    resolve => ["h"]
+           |    reverse => ["a"]
+           |    hostsfile => "$hf"
+           |    tag_on_failure => ["_dnsfail"]
+           |  }
+           |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("h"), col("a"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("event_id")
+    }),
+
     // a COMPLETE config text executed end-to-end: generator input ->
     // json parse -> branch decorators -> gated outputs -> single-pass counts
     "lscl_e2e" -> ((s, dir) => {
@@ -605,6 +634,16 @@ object OpsQueries {
         |       wl AS (PARTITION BY event_type ORDER BY ep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, cap_ts""".stripMargin
     },
+
+    "evt_dns" ->
+      """SELECT event_id,
+        |       CASE WHEN user_id % 10 <= 6 THEN '10.0.0.' || (user_id % 10)
+        |            WHEN event_id % 4 = 0 THEN upper('host' || (user_id % 10) || '.example.com')
+        |            ELSE 'host' || (user_id % 10) || '.example.com' END AS h,
+        |       CASE WHEN user_id % 10 <= 6 THEN 'host' || (user_id % 10) || '.example.com'
+        |            ELSE '10.0.0.' || (user_id % 10) END AS a,
+        |       CASE WHEN user_id % 10 <= 6 THEN '' ELSE '_dnsfail' END AS tag_str
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "evt_flowext" -> {
       // delta helpers mirroring Flow.workerFlows' exact double op order
