@@ -640,6 +640,13 @@ object LsclRun {
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("dead_letter_queue input: path required"))
         spark.read.parquet(path)
+      case PluginItem(p) if p.name == "tcp" =>
+        // tcp input: listener journals received lines; batch reads the
+        // journal so far (streaming deltas via sourceStream)
+        val port = strAttr(p, "port").getOrElse(
+          throw new IllegalArgumentException("tcp input: port required")).toInt
+        val rd = spark.read.format("graft.sources.TcpSource").option("port", port)
+        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "file" =>
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("file input: path required"))
@@ -682,6 +689,11 @@ object LsclRun {
           throw new IllegalArgumentException("file input: path required"))
         spark.readStream.format("graft.sources.FileTailSource")
           .option("path", path).load()
+      case PluginItem(p) if p.name == "tcp" =>
+        val port = strAttr(p, "port").getOrElse(
+          throw new IllegalArgumentException("tcp input: port required")).toInt
+        val rd = spark.readStream.format("graft.sources.TcpSource").option("port", port)
+        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "generator" =>
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val lines = p.attr("lines").map(strList)
