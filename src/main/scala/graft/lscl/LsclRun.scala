@@ -640,6 +640,15 @@ object LsclRun {
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("dead_letter_queue input: path required"))
         spark.read.parquet(path)
+      case PluginItem(p) if p.name == "stdin" =>
+        // the reference's default input: stdin is inherently driver-local,
+        // so drain it to a spill file once (bounded by EOF in batch mode)
+        // and scan that — one line per event, like the stdin plugin's
+        // line codec
+        val tmp = java.nio.file.Files.createTempFile("graft_stdin", ".log")
+        java.nio.file.Files.copy(System.in, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        spark.read.text(tmp.toString).withColumnRenamed("value", "message")
       case PluginItem(p) if p.name == "tcp" =>
         // tcp input: listener journals received lines; batch reads the
         // journal so far (streaming deltas via sourceStream)

@@ -371,6 +371,23 @@ class LsclSpec extends SparkSpec {
     assert(pruned.columns.toSet == Set("key", "ip"))
   }
 
+  test("stdin input drains the driver's stdin into events (reference default input)") {
+    val old = System.in
+    try {
+      System.setIn(new java.io.ByteArrayInputStream(
+        "ERROR one\nINFO two\nERROR three\n".getBytes("UTF-8")))
+      val cfg = graft.lscl.Lscl.parse(
+        """input { stdin {} }
+          |filter { if [message] =~ /^ERROR/ { mutate { add_tag => ["err"] } } }
+          |""".stripMargin, Map.empty)
+      val df = graft.lscl.LsclRun.applyFilters(
+        graft.lscl.LsclRun.source(spark, cfg.inputs), cfg.filters)
+      assert(df.count() == 3)
+      assert(df.filter(org.apache.spark.sql.functions.array_contains(
+        org.apache.spark.sql.functions.col("tags"), "err")).count() == 2)
+    } finally System.setIn(old)
+  }
+
   test("parse errors carry position; schema plugins refuse conditional use") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))
