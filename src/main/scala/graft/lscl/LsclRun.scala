@@ -573,15 +573,21 @@ object LsclRun {
       case PluginItem(p) if p.name == "pipeline" => () // bus send, not a sink
       case PluginItem(p) =>
         // sink naming: explicit id, else the elasticsearch output's index
-        // (the reference's routing key), else <plugin>_<k>
-        val name = strAttr(p, "id").orElse(strAttr(p, "index"))
+        // (the reference's routing key), else <plugin>_<k>. An index
+        // containing %{...} is the ES output's per-event SPRINTF'D index
+        // (daily indices et al.) — it becomes the sink's partition template
+        // rather than its static name.
+        val idxAttr = strAttr(p, "index")
+        val dynamicIdx = idxAttr.filter(_.contains("%{"))
+        val name = strAttr(p, "id")
+          .orElse(if (dynamicIdx.isEmpty) idxAttr else None)
           .getOrElse { k += 1; s"${p.name}_$k" }
         val dec = Mutate.Decorator(
           addField = p.attr("add_field") match {
             case Some(VHash(entries)) => entries.map { case (a, v) => a -> str(litVal(v)) }
             case _ => Nil
           })
-        out += Route.SinkSpec(name, path, dec)
+        out += Route.SinkSpec(name, path, dec, indexTemplate = dynamicIdx)
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
         arms.foreach { case (e, body) =>

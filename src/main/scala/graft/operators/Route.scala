@@ -21,8 +21,15 @@ import graft.conditions.Cond
   */
 object Route {
 
+  /** `indexTemplate`: the elasticsearch output's per-event sprintf'd index
+    * name (e.g. `logs-%{+YYYY.MM.dd}` daily indices). When set, the sink is
+    * written `partitionBy(_index)` with the evaluated template — each index
+    * value becomes one partition directory of the sink, the lake analogue
+    * of per-day indices, and stays partition-prunable by date.
+    */
   final case class SinkSpec(name: String, cond: Cond,
-                            decorator: Mutate.Decorator = Mutate.Decorator())
+                            decorator: Mutate.Decorator = Mutate.Decorator(),
+                            indexTemplate: Option[String] = None)
 
   /** Columns whose names start with this prefix are the `@metadata` analogue:
     * available to conditions/decorators, dropped before every sink write
@@ -209,23 +216,32 @@ object Route {
     try {
       val hadoopConf = spark.sparkContext.hadoopConfiguration
       val resumed = Seq.newBuilder[String]
-      def writeIfNeeded(name: String, df: => DataFrame): String = {
+      def writeIfNeeded(name: String, df: => DataFrame,
+                        indexTemplate: Option[String] = None): String = {
         val path = s"$outDir/$name"
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
         if (fs.exists(success)) { resumed += name }
         else {
-          val d = df
-          if (buckets > 0 && d.columns.contains("doc_id"))
-            d.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
-              .write.mode("overwrite")
+          val d0 = df
+          val d = indexTemplate.fold(d0)(tpl =>
+            d0.withColumn("_index", Mutate.sprintfFor(d0, tpl)))
+          val parts = (if (indexTemplate.isDefined) Seq("_index") else Nil) ++
+            (if (buckets > 0 && d.columns.contains("doc_id")) Seq("_bucket") else Nil)
+          if (parts.nonEmpty) {
+            val db = if (parts.contains("_bucket"))
+              d.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
+            else d
+            db.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("_bucket").parquet(path)
-          else d.write.mode("overwrite").parquet(path)
+              .partitionBy(parts: _*).parquet(path)
+          } else d.write.mode("overwrite").parquet(path)
         }
         path
       }
-      val paths = sinks.map { s => s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s)) }.toMap ++
+      val paths = sinks.map { s =>
+        s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s), s.indexTemplate)
+      }.toMap ++
         (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
          else Map.empty[String, String])
       writeIfNeeded("_lineage", lineage(flagged, sinks))

@@ -226,6 +226,29 @@ object OpsQueries {
       } finally System.clearProperty("graft.geoip.default_db")
     }),
 
+    // elasticsearch output with a SPRINTF'D index (daily indices,
+    // `index => "clicks-%{+YYYY.MM.dd}"`): the evaluated template becomes
+    // the sink's _index partition column — per-day directories, prunable
+    "pipe_es_daily" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_esdaily").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("@timestamp", col("ts").cast("timestamp"))
+      val cfg = graft.lscl.Lscl.parse(
+        """output {
+          |  if [event_type] == "click" { elasticsearch { index => "clicks-%{+YYYY.MM.dd}" } }
+          |  else { elasticsearch { index => "es_rest" } }
+          |}""".stripMargin, Map.empty)
+      val res = graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+      val daily = s.read.parquet(s"$out/elasticsearch_1")
+        .groupBy(col("_index").cast("string").as("idx"))
+        .agg(count(lit(1)).as("n"))
+      import s.implicits._
+      daily.unionByName(
+          Seq(("sink:es_rest", res.counts("es_rest"))).toDF("idx", "n"))
+        .orderBy("idx")
+    }),
+
     // dns filter (hostsfile mode): resolve hostname fields -> addresses and
     // reverse addresses -> names against an /etc/hosts-format dimension,
     // case-insensitive names, miss leaves field unchanged + failure tag;
@@ -634,6 +657,14 @@ object OpsQueries {
         |       wl AS (PARTITION BY event_type ORDER BY ep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, cap_ts""".stripMargin
     },
+
+    "pipe_es_daily" ->
+      """SELECT 'clicks-' || strftime(ts, '%Y.%m.%d') AS idx,
+        |       COUNT(*) AS n
+        |FROM events WHERE event_type = 'click' GROUP BY 1
+        |UNION ALL
+        |SELECT 'sink:es_rest', COUNT(*) FROM events WHERE event_type <> 'click'
+        |ORDER BY idx""".stripMargin,
 
     "evt_dns" ->
       """SELECT event_id,
