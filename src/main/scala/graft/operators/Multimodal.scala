@@ -67,6 +67,22 @@ object Multimodal {
       val w = u8(18) | (u8(19) << 8) | (u8(20) << 16) | (u8(21) << 24)
       val h = u8(22) | (u8(23) << 8) | (u8(24) << 16) | (u8(25) << 24)
       Some(("bmp", w, math.abs(h)))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk FF-marker segments to the first SOFn frame header
+      // (C0-CF except C4/C8/CC which carry no frame dims); dims are
+      // big-endian u16 at +5 (height) / +7 (width) into the segment
+      var i = 2
+      while (i + 9 <= b.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          val h = (u8(i + 5) << 8) | u8(i + 6)
+          val w = (u8(i + 7) << 8) | u8(i + 8)
+          return Some(("jpeg", w, h))
+        }
+        i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+      }
+      None
     } else None
   }
 
@@ -96,15 +112,15 @@ object Multimodal {
     b
   }
 
-  /** Deterministic minimal container bytes for fixtures: a valid PNG/GIF/BMP
-    * header carrying dims derived from the id (format = id mod 3). The GATE
-    * decodes these with [[decodeImageHeader]] — real byte parsing, synthetic
-    * payload.
+  /** Deterministic minimal container bytes for fixtures: a valid
+    * PNG/GIF/BMP/JPEG header carrying dims derived from the id (format =
+    * id mod 4). The GATE decodes these with [[decodeImageHeader]] — real
+    * byte parsing, synthetic payload.
     */
   def syntheticImagePayload(id: Long): Array[Byte] = {
     val w = (100 + id % 900).toInt
     val h = (50 + id % 500).toInt
-    (id % 3) match {
+    (id % 4) match {
       case 0 => // PNG: magic + IHDR length/type + w/h big-endian
         val b = new Array[Byte](24)
         val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -119,10 +135,21 @@ object Multimodal {
         b(6) = w.toByte; b(7) = (w >>> 8).toByte
         b(8) = h.toByte; b(9) = (h >>> 8).toByte
         b
-      case _ => // BMP: "BM" + BITMAPINFOHEADER dims at 18/22 (LE)
+      case 2 => // BMP: "BM" + BITMAPINFOHEADER dims at 18/22 (LE)
         val b = new Array[Byte](26)
         b(0) = 'B'; b(1) = 'M'
         for (i <- 0 until 4) { b(18 + i) = (w >>> (8 * i)).toByte; b(22 + i) = (h >>> (8 * i)).toByte }
+        b
+      case _ => // JPEG: SOI + APP0 (to exercise the marker walk) + SOF0 dims
+        val b = new Array[Byte](2 + 6 + 9)
+        b(0) = 0xff.toByte; b(1) = 0xd8.toByte
+        b(2) = 0xff.toByte; b(3) = 0xe0.toByte // APP0, length 4 (2 payload)
+        b(4) = 0; b(5) = 4; b(6) = 'J'; b(7) = 'F'
+        b(8) = 0xff.toByte; b(9) = 0xc0.toByte // SOF0, baseline frame
+        b(10) = 0; b(11) = 7 // segment length
+        b(12) = 8 // bit depth
+        b(13) = (h >>> 8).toByte; b(14) = h.toByte
+        b(15) = (w >>> 8).toByte; b(16) = w.toByte
         b
     }
   }

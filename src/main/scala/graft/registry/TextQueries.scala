@@ -527,8 +527,8 @@ object TextQueries {
 
     "mm_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |       CASE CAST(doc_id AS BIGINT) % 3 WHEN 0 THEN 'png'
-        |            WHEN 1 THEN 'gif' ELSE 'bmp' END AS fmt,
+        |       CASE CAST(doc_id AS BIGINT) % 4 WHEN 0 THEN 'png'
+        |            WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS fmt,
         |       CAST(100 + CAST(doc_id AS BIGINT) % 900 AS INTEGER) AS width,
         |       CAST(50 + CAST(doc_id AS BIGINT) % 500 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,

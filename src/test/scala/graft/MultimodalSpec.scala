@@ -71,12 +71,14 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("image header decoders round-trip the synthetic PNG/GIF/BMP payloads") {
+  test("image header decoders round-trip the synthetic PNG/GIF/BMP/JPEG payloads") {
     import graft.operators.Multimodal
-    for (id <- Seq(0L, 1L, 2L, 123L, 899L, 1234L)) {
+    for (id <- Seq(0L, 1L, 2L, 3L, 123L, 899L, 1234L)) {
       val expW = (100 + id % 900).toInt
       val expH = (50 + id % 500).toInt
-      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "bmp" }
+      val expFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "bmp"; case _ => "jpeg"
+      }
       assert(Multimodal.decodeImageHeader(Multimodal.syntheticImagePayload(id))
         .contains((expFmt, expW, expH)), s"id=$id")
     }
