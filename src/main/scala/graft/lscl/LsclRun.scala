@@ -587,7 +587,13 @@ object LsclRun {
             case Some(VHash(entries)) => entries.map { case (a, v) => a -> str(litVal(v)) }
             case _ => Nil
           })
-        out += Route.SinkSpec(name, path, dec, indexTemplate = dynamicIdx)
+        val codec = p.attr("codec") match {
+          case Some(VString(c)) => Some(c)
+          case Some(VPlugin(c)) => Some(c.name)
+          case _ => None
+        }
+        out += Route.SinkSpec(name, path, dec, indexTemplate = dynamicIdx,
+          codec = codec)
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
         arms.foreach { case (e, body) =>

@@ -27,9 +27,14 @@ object Route {
     * value becomes one partition directory of the sink, the lake analogue
     * of per-day indices, and stays partition-prunable by date.
     */
+  /** `codec`: sink serialization — None = parquet (the lake-native default);
+    * `json_lines` = one JSON document per line in text files (the reference
+    * file output's DEFAULT codec), encoded executor-side via toJSON.
+    */
   final case class SinkSpec(name: String, cond: Cond,
                             decorator: Mutate.Decorator = Mutate.Decorator(),
-                            indexTemplate: Option[String] = None)
+                            indexTemplate: Option[String] = None,
+                            codec: Option[String] = None)
 
   /** Columns whose names start with this prefix are the `@metadata` analogue:
     * available to conditions/decorators, dropped before every sink write
@@ -217,12 +222,16 @@ object Route {
       val hadoopConf = spark.sparkContext.hadoopConfiguration
       val resumed = Seq.newBuilder[String]
       def writeIfNeeded(name: String, df: => DataFrame,
-                        indexTemplate: Option[String] = None): String = {
+                        indexTemplate: Option[String] = None,
+                        codec: Option[String] = None): String = {
         val path = s"$outDir/$name"
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
         if (fs.exists(success)) { resumed += name }
-        else {
+        else if (codec.exists(c => c == "json_lines" || c == "json")) {
+          // reference file-output default codec: one JSON doc per line
+          df.toJSON.write.mode("overwrite").text(path)
+        } else {
           val d0 = df
           val d = indexTemplate.fold(d0)(tpl =>
             d0.withColumn("_index", Mutate.sprintfFor(d0, tpl)))
@@ -240,7 +249,7 @@ object Route {
         path
       }
       val paths = sinks.map { s =>
-        s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s), s.indexTemplate)
+        s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s), s.indexTemplate, s.codec)
       }.toMap ++
         (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
          else Map.empty[String, String])

@@ -226,6 +226,30 @@ object OpsQueries {
       } finally System.clearProperty("graft.geoip.default_db")
     }),
 
+    // file output with the reference's DEFAULT codec (json_lines): the sink
+    // serializes one JSON doc per line into text files; the gate reads the
+    // text back, parses it, and pins the exact line bytes via their length
+    "pipe_jsonl" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val cfg = graft.lscl.Lscl.parse(
+        """output {
+          |  if [event_type] == "view" { file { id => "views" codec => json_lines } }
+          |  else { file { id => "others" } }
+          |}""".stripMargin, Map.empty)
+      graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+      s.read.text(s"$out/views")
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, user_id BIGINT")).as("j"),
+          col("value"))
+        .select(col("j.event_id").as("event_id"), col("j.user_id").as("user_id"),
+          length(col("value")).as("line_len"))
+        .orderBy("event_id")
+    }),
+
     // elasticsearch output with a SPRINTF'D index (daily indices,
     // `index => "clicks-%{+YYYY.MM.dd}"`): the evaluated template becomes
     // the sink's _index partition column — per-day directories, prunable
@@ -657,6 +681,12 @@ object OpsQueries {
         |       wl AS (PARTITION BY event_type ORDER BY ep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, cap_ts""".stripMargin
     },
+
+    "pipe_jsonl" ->
+      """SELECT event_id, user_id,
+        |       CAST(length('{"event_id":' || event_id || ',"event_type":"'
+        |         || event_type || '","user_id":' || user_id || '}') AS INTEGER) AS line_len
+        |FROM events WHERE event_type = 'view' ORDER BY event_id""".stripMargin,
 
     "pipe_es_daily" ->
       """SELECT 'clicks-' || strftime(ts, '%Y.%m.%d') AS idx,
