@@ -491,6 +491,9 @@ object LsclRun {
     p.attr("uppercase").foreach(v => strList(v).foreach { f =>
       df = df.withColumn(f, when(m, upper(col(f))).otherwise(col(f)))
     })
+    p.attr("capitalize").foreach(v => strList(v).foreach { f =>
+      df = df.withColumn(f, when(m, initcap(col(f))).otherwise(col(f)))
+    })
     p.attr("lowercase").foreach(v => strList(v).foreach { f =>
       df = df.withColumn(f, when(m, lower(col(f))).otherwise(col(f)))
     })
@@ -502,6 +505,16 @@ object LsclRun {
     }
     hash("join").foreach { case (f, sep) =>
       requireTopLevel(p, cond); df = Mutate.joinField(df, f, sep)
+    }
+    // merge: append src's elements onto dest (reference merges arrays and
+    // promotes scalars; array columns here)
+    hash("merge").foreach { case (dst, src) =>
+      requireTopLevel(p, cond)
+      df = df.withColumn(dst, concat(col(dst), col(src)))
+    }
+    hash("copy").foreach { case (src, dst) =>
+      requireTopLevel(p, cond)
+      df = df.withColumn(dst, col(src)) // immutable frames: deep copy is free
     }
     // decorator tail, in the fixed reference order
     val dec = Mutate.Decorator(

@@ -369,6 +369,18 @@ class LsclSpec extends SparkSpec {
     val pruned = LsclRun.applyFilters(df,
       Lscl.parse("""filter { prune { whitelist_names => ["key", "ip"] } }""", Map.empty).filters)
     assert(pruned.columns.toSet == Set("key", "ip"))
+    // mutate copy/merge/capitalize (reference mutate tail ops)
+    val cm = LsclRun.applyFilters(
+      Seq((Seq("a", "b"), Seq("c"), "hello world")).toDF("xs", "ys", "txt"),
+      Lscl.parse(
+        """filter {
+          |  mutate { merge => { "xs" => "ys" } copy => { "txt" => "txt2" }
+          |           capitalize => ["txt"] }
+          |}""".stripMargin, Map.empty).filters).collect()(0)
+    assert(cm.getAs[scala.collection.Seq[String]]("xs").toSeq == Seq("a", "b", "c"))
+    assert(cm.getAs[String]("txt") == "Hello World")
+    // copy is the LAST mutate op (reference order), so it sees capitalize
+    assert(cm.getAs[String]("txt2") == "Hello World")
   }
 
   test("stdin input drains the driver's stdin into events (reference default input)") {
