@@ -106,6 +106,31 @@ object Text {
                      maxDupBigram: Double = 0.05): Column =
     dupFrac(words) <= maxDupWord && dupFrac(wordBigrams(words)) <= maxDupBigram
 
+  // ---- PII redaction (training-data curation) ----
+
+  /** PII patterns shared by [[redactPii]] and the oracle SQL: plain
+    * regex (no lookaround) so Java regex and RE2 engines agree.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiPhone = "\\+[0-9][0-9 -]{7,14}[0-9]"
+
+  /** Redact emails/IPv4s/phone numbers to typed placeholders — the standard
+    * pre-training PII scrub. Order matters (emails first: their local part
+    * could otherwise partially match the phone pattern). A chain of
+    * codegen'd regexp_replace — narrow map, fused into the scan.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiIpv4, "<IP>"),
+      PiiPhone, "<PHONE>")
+
+  /** Count of matches of `pattern` in `text` (for PII audit columns). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   // ---- fingerprints over token arrays ----
 
   val FpMod = 1000000007L

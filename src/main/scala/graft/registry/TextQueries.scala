@@ -89,6 +89,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction: emails/IPv4s/phones -> typed placeholders, plus audit
+    // counts; pii-bearing text synthesized deterministically onto each doc
+    "txt_pii" -> ((s, dir) => {
+      val uid = col("doc_id").cast("long")
+      val piiText = concat(col("text"),
+        lit(" contact u"), (uid % 7).cast("string"), lit("@mail"),
+        (uid % 3).cast("string"), lit(".com or +1 555-01"), (uid % 90 + 10).cast("string"),
+        lit(" at 10."), (uid % 200).cast("string"), lit(".0."), (uid % 250).cast("string"))
+      docs(s, dir).select(col("doc_id"),
+        Text.redactPii(piiText).as("redacted"),
+        Text.piiCount(piiText, Text.PiiEmail).as("n_email"),
+        Text.piiCount(piiText, Text.PiiIpv4).as("n_ip"),
+        Text.piiCount(piiText, Text.PiiPhone).as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
     // repetition filters (Gopher-style): duplicate word / 2-gram / 3-gram
     // fractions + the composed keep decision, all narrow HOFs on the scan
     "txt_rep" -> ((s, dir) => {
@@ -314,6 +330,25 @@ object TextQueries {
         |       round(mw, 6) AS mean_wlen,
         |       round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 + dr * 0.4 + (1.0 - sr) * 0.2, 6) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "txt_pii" ->
+      // NB DuckDB single-quoted strings treat backslash literally, so the
+      // shared Scala regex constants embed verbatim
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' contact u' || (doc_id % 7) || '@mail' || (doc_id % 3)
+         |           || '.com or +1 555-01' || (doc_id % 90 + 10)
+         |           || ' at 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '${graft.functions.Text.PiiEmail}', '<EMAIL>', 'g'),
+         |         '${graft.functions.Text.PiiIpv4}', '<IP>', 'g'),
+         |         '${graft.functions.Text.PiiPhone}', '<PHONE>', 'g') AS redacted,
+         |       CAST(len(regexp_extract_all(t, '${graft.functions.Text.PiiEmail}')) AS INTEGER) AS n_email,
+         |       CAST(len(regexp_extract_all(t, '${graft.functions.Text.PiiIpv4}')) AS INTEGER) AS n_ip,
+         |       CAST(len(regexp_extract_all(t, '${graft.functions.Text.PiiPhone}')) AS INTEGER) AS n_phone
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "txt_rep" ->
       """WITH w AS (
