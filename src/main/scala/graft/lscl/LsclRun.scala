@@ -340,6 +340,13 @@ object LsclRun {
           parsed.filter(col(source) =!= names.mkString(sep))
         else parsed
 
+      case "xml" =>
+        requireTopLevel(p, cond)
+        val source = strAttr(p, "source").getOrElse("message")
+        val schema = strAttr(p, "schema").getOrElse(throw new IllegalArgumentException(
+          "xml: schema (DDL) required — inference would double-scan the input"))
+        Parse.xml(df, source, strAttr(p, "target").getOrElse("xml"), schema)
+
       case "date" =>
         requireTopLevel(p, cond)
         p.attr("match") match {

@@ -571,6 +571,15 @@ object Parse {
     df.withColumn(target, m)
   }
 
+  /** xml filter (reference logstash-filter-xml): parse an XML string field
+    * into a struct target. Schema is EXPLICIT (DDL string) — same
+    * no-inference-double-scan stance as the json filter; Spark 4's native
+    * from_xml does the codegen'd parse.
+    */
+  def xml(df: DataFrame, source: String, target: String, schemaDdl: String): DataFrame =
+    df.withColumn(target, from_xml(col(source), schemaDdl,
+      new java.util.HashMap[String, String]()))
+
   /** json filter: parse a JSON string field into a struct target. */
   def json(df: DataFrame, source: String, target: String, schemaDdl: String): DataFrame =
     df.withColumn(target,

@@ -226,6 +226,24 @@ object OpsQueries {
       } finally System.clearProperty("graft.geoip.default_db")
     }),
 
+    // xml filter: explicit-schema parse of an XML string field (Spark 4
+    // native from_xml), driven from config text
+    "evt_xml" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("message", concat(
+          lit("<ev><t>"), col("event_type"),
+          lit("</t><u>"), col("user_id").cast("string"),
+          lit("</u><v>"), floor(col("value") * 100).cast("long").cast("string"),
+          lit("</v></ev>")))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter { xml { source => "message" schema => "t STRING, u BIGINT, v BIGINT" } }""",
+        Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("xml.t").as("t"), col("xml.u").as("u"),
+          col("xml.v").as("v"))
+        .orderBy("event_id")
+    }),
+
     // file output with the reference's DEFAULT codec (json_lines): the sink
     // serializes one JSON doc per line into text files; the gate reads the
     // text back, parses it, and pins the exact line bytes via their length
@@ -681,6 +699,11 @@ object OpsQueries {
         |       wl AS (PARTITION BY event_type ORDER BY ep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, cap_ts""".stripMargin
     },
+
+    "evt_xml" ->
+      """SELECT event_id, event_type AS t, user_id AS u,
+        |       CAST(floor(value * 100) AS BIGINT) AS v
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "pipe_jsonl" ->
       """SELECT event_id, user_id,
