@@ -106,6 +106,39 @@ object Text {
                      maxDupBigram: Double = 0.05): Column =
     dupFrac(words) <= maxDupWord && dupFrac(wordBigrams(words)) <= maxDupBigram
 
+  // ---- source-weighted mixing (training-data assembly) ----
+
+  /** Deterministic uniform hash of an id into [0,1): a Knuth multiplicative
+    * hash over `id mod 1000003` (the pre-mod bounds the product inside a
+    * 64-bit long at ANY id scale; uniqueness is not needed for sampling,
+    * only uniformity). Pure integer arithmetic — identical in any engine.
+    */
+  def hash01(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(1000003L)) * 2654435761L, lit(4294967296L))
+      .cast("double") / 4294967296.0
+
+  /** Source-weighted mixture assembly: each document appears
+    * `floor(w)` times plus one more when hash01(id) < frac(w), where `w`
+    * is its source's target weight — the standard up-/down-sampling rule
+    * for LLM data mixtures (weight 2.5 = 2 copies + 50% chance of a 3rd;
+    * weight 0.4 = 40% keep). Replay-identical (no RNG state), exact
+    * expected token share per source, and a NARROW map + explode — no
+    * shuffle, no driver round-trip, any corpus size.
+    */
+  def mixBySource(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  sourceCol: String, weights: Map[String, Double],
+                  default: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val w = weights.foldLeft(lit(default)) { case (acc, (s, v)) =>
+      when(col(sourceCol) === s, lit(v)).otherwise(acc)
+    }
+    val copies = (floor(w) +
+      when(hash01(col(idCol)) < w - floor(w), 1).otherwise(0)).cast("int")
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("rep", explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
   // ---- PII redaction (training-data curation) ----
 
   /** PII patterns shared by [[redactPii]] and the oracle SQL: plain

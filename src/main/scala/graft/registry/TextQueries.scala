@@ -89,6 +89,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // source-weighted mixture assembly: deterministic up-/down-sampling per
+    // source (2.5x src0, 0.4x src1, 1x rest) via the hash01 copies rule
+    "txt_mix" -> ((s, dir) => {
+      Text.mixBySource(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.4))
+        .select(col("doc_id"), col("source"), col("rep"))
+        .orderBy("doc_id", "rep")
+    }),
+
     // PII redaction: emails/IPv4s/phones -> typed placeholders, plus audit
     // counts; pii-bearing text synthesized deterministically onto each doc
     "txt_pii" -> ((s, dir) => {
@@ -330,6 +339,20 @@ object TextQueries {
         |       round(mw, 6) AS mean_wlen,
         |       round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 + dr * 0.4 + (1.0 - sr) * 0.2, 6) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "txt_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         ((doc_id % 1000003) * 2654435761) % 4294967296 / 4294967296.0 AS h,
+        |         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+        |                     ELSE 1.0 END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(w) + CASE WHEN h < w - floor(w) THEN 1 ELSE 0 END AS INTEGER) AS n
+        |  FROM m)
+        |SELECT doc_id, source, CAST(unnest(range(n)) AS INTEGER) AS rep
+        |FROM c WHERE n > 0 ORDER BY doc_id, rep""".stripMargin,
 
     "txt_pii" ->
       // NB DuckDB single-quoted strings treat backslash literally, so the
