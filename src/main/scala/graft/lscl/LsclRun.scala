@@ -768,6 +768,9 @@ object LsclRun {
                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cfg = Lscl.parse(configText, env)
+    require(pipelineSends(cfg.outputs).isEmpty,
+      "pipeline { send_to } outputs are batch-only (the address bus resolves " +
+        "at converge time); run this config via Pipelines.Registry")
     graft.streaming.StreamPipeline.run(spark, sourceStream(spark, cfg.inputs),
       b => applyFilters(b, cfg.filters), sinkSpecs(cfg.outputs), outDir,
       checkpoint, trigger)
