@@ -78,10 +78,14 @@ object Text {
 
   /** Fraction of duplicate elements in an array: (n - n_distinct) / n,
     * 6dp; null for empty arrays. Narrow HOF — fused into the scan.
+    * Quantized floor(x*1e6+0.5)/1e6 (pure IEEE double math, engine-stable —
+    * the Flow.workerFlows pattern) rather than decimal HALF_UP round(x,6),
+    * which can disagree with an oracle engine exactly at half boundaries.
     */
   def dupFrac(arr: Column): Column =
     when(size(arr) > 0,
-      round((size(arr) - size(array_distinct(arr))).cast("double") / size(arr), 6))
+      floor((size(arr) - size(array_distinct(arr))).cast("double") / size(arr)
+        * 1000000.0 + 0.5) / 1000000.0)
 
   /** Word 2-grams: ["a","b","c"] -> ["a b","b c"]. Requires >= 2 words. */
   def wordBigrams(words: Column): Column =

@@ -324,21 +324,27 @@ object LsclRun {
         val source = strAttr(p, "source").getOrElse("message")
         val sep = strAttr(p, "separator").getOrElse(",")
         val autodetect = strAttr(p, "autodetect_column_names").contains("true")
-        val names = p.attr("columns").map(strList).getOrElse {
-          if (!autodetect)
-            throw new IllegalArgumentException("csv: columns (or autodetect_column_names) required")
-          // reference autodetect: the first event's values become the column
-          // names (a one-row driver peek, not a scan)
-          df.select(col(source)).limit(1).collect().headOption
-            .map(_.getString(0).split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+        if (!autodetect) {
+          val names = p.attr("columns").map(strList).getOrElse(
+            throw new IllegalArgumentException("csv: columns (or autodetect_column_names) required"))
+          Parse.csv(df, source, names, sep)
+        } else {
+          // reference autodetect: the FIRST event's values become the column
+          // names. "First" needs a stable order on a multi-partition frame —
+          // key every row with a deterministic ordinal, detect from the
+          // minimum-ordinal row (a one-row driver peek), and let skip_header
+          // drop exactly THAT event (never other rows that happen to equal
+          // the header string).
+          val keyed = df.withColumn("_csv_ord", monotonically_increasing_id())
+          val head = keyed.orderBy(col("_csv_ord")).select(col(source), col("_csv_ord"))
+            .limit(1).collect().headOption
             .getOrElse(throw new IllegalArgumentException("csv autodetect: empty input"))
+          val names = head.getString(0).split(java.util.regex.Pattern.quote(sep), -1).toSeq
+          val parsed = Parse.csv(keyed, source, names, sep)
+          (if (strAttr(p, "skip_header").forall(_ == "true"))
+            parsed.filter(col("_csv_ord") =!= head.getLong(1))
+          else parsed).drop("_csv_ord")
         }
-        val parsed = Parse.csv(df, source, names, sep)
-        if (autodetect && strAttr(p, "skip_header").forall(_ == "true"))
-          // drop the header event itself (reference skip_header over the
-          // detected header line)
-          parsed.filter(col(source) =!= names.mkString(sep))
-        else parsed
 
       case "xml" =>
         requireTopLevel(p, cond)
@@ -352,9 +358,11 @@ object LsclRun {
         p.attr("match") match {
           case Some(v) =>
             val parts = strList(v)
-            // reference formats are Joda: YYYY is plain year there but
-            // week-based-year in java.time — translate before compiling
-            val formats = parts.tail.map(_.replace("YYYY", "yyyy").replace("ZZ", "XXX"))
+            // reference formats are Joda (YYYY = plain year, ZZ = +00:00
+            // offset): translate run-aware, skipping quoted literals —
+            // a blunt String.replace would corrupt quoted text containing
+            // YYYY or rewrite ZZZ into XXXZ
+            val formats = parts.tail.map(Mutate.jodaToJava)
             Parse.date(df, parts.head, strAttr(p, "target").getOrElse("@timestamp"),
               formats, timezone = strAttr(p, "timezone"))
           case None => throw new IllegalArgumentException("date: match required")
@@ -551,6 +559,10 @@ object LsclRun {
     def resolve(address: String): DataFrame = frames.getOrElse(address,
       throw new IllegalStateException(
         s"pipeline address `$address` has no registered upstream (ensureDelivery would block)"))
+    /** Remove an address (pipeline shutdown/reload): the reference bus
+      * unregisters senders so orphaned consumers fail loudly.
+      */
+    def unregister(address: String): Unit = frames.remove(address)
     def addresses: Set[String] = frames.keySet.toSet
   }
 

@@ -30,7 +30,8 @@ object Pipelines {
   final case class StopAndDelete(id: String) extends Action { val order = 350 }
 
   final case class PipelineState(configHash: String, runs: Int,
-                                 lastResult: Option[Route.RunResult])
+                                 lastResult: Option[Route.RunResult],
+                                 produced: Set[String] = Set.empty)
 
   /** The reference's pipeline-config identity: sha-256 over the source. */
   def uniqueHash(source: String): String =
@@ -99,6 +100,10 @@ object Pipelines {
       topoExecute(toRun.map(byId))
       sorted.foreach {
         case StopAndDelete(id) =>
+          // the reference bus unregisters senders on pipeline shutdown: a
+          // later downstream consuming a dead upstream's address must hit
+          // resolve()'s loud no-registered-upstream error, not a stale frame
+          states.get(id).foreach(_.produced.foreach(bus.unregister))
           clearDir(s"$outRoot/$id")
           states -= id
         case _ => ()
@@ -127,10 +132,14 @@ object Pipelines {
     private def execute(sp: PipelineSpec): Unit = {
       val dir = s"$outRoot/${sp.id}"
       clearDir(dir)
-      val result = LsclRun.runConfig(spark, sp.configText, dir, env, Some(bus))
       val prev = states.get(sp.id)
+      // a Reload that drops a send_to must not leave the old address
+      // resolvable (stale-frame hazard) — unregister before re-registering
+      prev.foreach(_.produced.foreach(bus.unregister))
+      val result = LsclRun.runConfig(spark, sp.configText, dir, env, Some(bus))
       states += sp.id -> PipelineState(uniqueHash(sp.configText),
-        prev.map(_.runs).getOrElse(0) + 1, Some(result))
+        prev.map(_.runs).getOrElse(0) + 1, Some(result),
+        produced(Lscl.parse(sp.configText, env)))
     }
   }
 

@@ -79,6 +79,12 @@ object Codec {
     * stream), one grouped aggregation reassembles — both shuffle on the
     * stream key, the natural partitioning; reassembly order inside a group
     * is pinned by `orderCol` via sorted structs, not collect order.
+    *
+    * Parallelism contract: reassembly is inherently sequential PER STREAM
+    * (the reference's multiline codec is likewise single-threaded per
+    * stream), so parallelism = number of distinct `streamCol` values. A
+    * corpus that is one giant stream serializes onto one reducer — shard
+    * the input into multiple streams (per file/source) before reassembly.
     */
   def multiline(df: DataFrame, lineCol: String, orderCol: String,
                 streamCol: String, isContinuation: Column): DataFrame = {

@@ -25,18 +25,34 @@ object Mutate {
   private val Ref =
     "%\\{\\{([^}]+)\\}\\}|%\\{\\+%s\\}|%\\{\\+([^}]+)\\}|%\\{((?:\\[[^\\]]+\\])+|[\\w@.]+)\\}".r
 
-  /** Joda-Time pattern -> java.time pattern for the token letters whose
-    * meaning differs (quoted literals pass through untouched):
-    * Joda Y (year of era) -> y; Joda x (weekyear) -> Y (week-based-year).
-    * The shared letters (M d H h K k m s S E e a w D G z Z) agree.
+  /** Joda-Time pattern -> java.time pattern, tokenized by letter RUN with
+    * single-quoted literal sections passed through untouched (a quoted
+    * "YYYY" or "ZZZ" is literal text, never rewritten):
+    *  - Joda Y (year of era) -> y; Joda x (weekyear) -> Y (week-based-year);
+    *  - Joda zone-offset runs differ from java.time's: Z (+0000) -> Z,
+    *    ZZ (+00:00) -> XXX, ZZZ (zone id like America/New_York) -> VV.
+    * The shared letters (M d H h K k m s S E e a w D G z) agree.
     */
   private[graft] def jodaToJava(p: String): String = {
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
+    var i = 0
     var inQuote = false
-    p.foreach { c =>
-      if (c == '\'') { inQuote = !inQuote; sb += c }
-      else if (inQuote) sb += c
-      else sb += (c match { case 'Y' => 'y'; case 'x' => 'Y'; case o => o })
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; sb.append(c); i += 1 }
+      else if (inQuote) { sb.append(c); i += 1 }
+      else {
+        var j = i
+        while (j < p.length && p.charAt(j) == c) j += 1
+        val n = j - i
+        c match {
+          case 'Y' => var k = 0; while (k < n) { sb.append('y'); k += 1 }
+          case 'x' => var k = 0; while (k < n) { sb.append('Y'); k += 1 }
+          case 'Z' => sb.append(if (n == 1) "Z" else if (n == 2) "XXX" else "VV")
+          case _   => sb.append(p, i, j)
+        }
+        i = j
+      }
     }
     sb.toString
   }

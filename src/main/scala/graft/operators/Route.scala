@@ -228,23 +228,34 @@ object Route {
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
         if (fs.exists(success)) { resumed += name }
-        else if (codec.exists(c => c == "json_lines" || c == "json")) {
-          // reference file-output default codec: one JSON doc per line
-          df.toJSON.write.mode("overwrite").text(path)
-        } else {
+        else {
           val d0 = df
           val d = indexTemplate.fold(d0)(tpl =>
             d0.withColumn("_index", Mutate.sprintfFor(d0, tpl)))
           val parts = (if (indexTemplate.isDefined) Seq("_index") else Nil) ++
             (if (buckets > 0 && d.columns.contains("doc_id")) Seq("_bucket") else Nil)
-          if (parts.nonEmpty) {
-            val db = if (parts.contains("_bucket"))
-              d.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
-            else d
+          val db = if (parts.contains("_bucket"))
+            d.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
+          else d
+          if (codec.exists(c => c == "json_lines" || c == "json")) {
+            // reference file-output default codec: one JSON doc per line.
+            // A sprintf'd index/bucket layout still applies: partition
+            // columns ride beside the single text value column, so
+            // codec => json_lines + a dynamic index loses nothing.
+            val payload = db.columns.filterNot(parts.contains)
+            val body = db.select(
+              to_json(struct(payload.map(col).toIndexedSeq: _*)).as("value") +:
+                parts.map(col): _*)
+            if (parts.nonEmpty)
+              body.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(parts: _*).text(path)
+            else body.write.mode("overwrite").text(path)
+          } else if (parts.nonEmpty) {
             db.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy(parts: _*).parquet(path)
-          } else d.write.mode("overwrite").parquet(path)
+          } else db.write.mode("overwrite").parquet(path)
         }
         path
       }

@@ -385,11 +385,11 @@ object TextQueries {
         |), f AS (
         |  SELECT doc_id,
         |         CASE WHEN len(ws) > 0 THEN
-        |           round(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) END AS dup_word_frac,
+        |           floor(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) * 1000000.0 + 0.5) / 1000000.0 END AS dup_word_frac,
         |         CASE WHEN len(bg) > 0 THEN
-        |           round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) END AS dup_bigram_frac,
+        |           floor(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) * 1000000.0 + 0.5) / 1000000.0 END AS dup_bigram_frac,
         |         CASE WHEN len(tg) > 0 THEN
-        |           round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6) END AS dup_trigram_frac
+        |           floor(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) * 1000000.0 + 0.5) / 1000000.0 END AS dup_trigram_frac
         |  FROM g)
         |SELECT doc_id, dup_word_frac, dup_bigram_frac, dup_trigram_frac,
         |       dup_word_frac <= 0.55 AND dup_bigram_frac <= 0.05 AS keep_rep
