@@ -210,6 +210,18 @@ object LsclRun {
     case other => Seq(str(litVal(other)))
   }
 
+  /** The shared decorator surface every filter plugin carries
+    * (add_field/remove_field/add_tag/remove_tag, fixed reference order).
+    */
+  private def decoratorOf(p: Plugin): Mutate.Decorator = Mutate.Decorator(
+    addField = p.attr("add_field") match {
+      case Some(VHash(entries)) => entries.map { case (k, v) => k -> str(litVal(v)) }
+      case _ => Nil
+    },
+    removeField = p.attr("remove_field").map(strList).getOrElse(Nil),
+    addTag = p.attr("add_tag").map(strList).getOrElse(Nil),
+    removeTag = p.attr("remove_tag").map(strList).getOrElse(Nil))
+
   private def requireTopLevel(p: Plugin, pathCol: Option[String]): Unit =
     if (pathCol.nonEmpty) throw new UnsupportedOperationException(
       s"plugin `${p.name}` reshapes the schema and is only supported outside conditionals")
@@ -458,8 +470,69 @@ object LsclRun {
           case None => Parse.useragent(df, source, strAttr(p, "target").getOrElse("ua"))
         }
 
+      // ---- stateful filters (default plugins, plugins-metadata.json) ----
+
+      case "throttle" =>
+        // logstash-filter-throttle: key (sprintf'd), period (seconds),
+        // before_count/after_count band (-1 disables an edge); the plugin's
+        // decorator (add_tag => "throttled") fires on matched events. Works
+        // under conditionals: the gate column restricts counting+matching.
+        val keyTpl = strAttr(p, "key").getOrElse(
+          throw new IllegalArgumentException("throttle: key required"))
+        val period = strAttr(p, "period").map(_.toLong).getOrElse(3600L)
+        val before = strAttr(p, "before_count").map(_.toInt).getOrElse(-1)
+        val after = strAttr(p, "after_count").map(_.toInt).getOrElse(-1)
+        val tsName = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+        // order tiebreak for deterministic batch replay (the reference ranks
+        // in queue-arrival order, which batch mode has no analogue of)
+        val orderBys = p.attr("order_by").map(strList).getOrElse(Nil)
+        val withM = Stateful.throttleMatched(df, Mutate.sprintfFor(df, keyTpl),
+          col(tsName), period, before, after, m, orderBys.map(col))
+        decoratorOf(p).applyWhen(withM, col("_throttle_matched"))
+          .drop("_throttle_matched")
+
+      case "metrics" =>
+        // logstash-filter-metrics: original events pass through untouched;
+        // synthetic metric events (meter, lifetime-cumulative count, flush
+        // @timestamp) join the stream, carrying the plugin's decorator tags
+        // (the reference pattern routes them via `if "metric" in [tags]`).
+        requireTopLevel(p, cond)
+        val meters = p.attr("meter").map(strList).getOrElse(
+          throw new IllegalArgumentException("metrics: meter required"))
+        val flushSec = strAttr(p, "flush_interval").map(_.toLong).getOrElse(5L)
+        val tsName = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+        val metricRows = Stateful.metricsFlush(df,
+          meters.map(tpl => Mutate.sprintfFor(df, tpl)), col(tsName), flushSec)
+        df.unionByName(decoratorOf(p)(metricRows), allowMissingColumns = true)
+
+      case "aggregate" =>
+        // logstash-filter-aggregate, declarative subset: correlate events
+        // sharing a sprintf'd task_id into ONE summary event per task
+        // (n_events, first/last timestamp, optional numeric total) — the
+        // batch-exact form of the per-task map + timeout flush. The `code`
+        // attribute is a Ruby block in the reference and is out of scope;
+        // `sum_field` covers the canonical `map['total'] += event.get(f)`
+        // idiom. Aggregation replaces the stream (the map-flush events),
+        // like the reference's push_map_as_event_on_timeout + event.cancel.
+        requireTopLevel(p, cond)
+        val taskTpl = strAttr(p, "task_id").getOrElse(
+          throw new IllegalArgumentException("aggregate: task_id required"))
+        val tsName = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+        val keyed = df.withColumn("task_id", Mutate.sprintfFor(df, taskTpl))
+        val aggs = Seq(
+          count(lit(1)).as("n_events"),
+          min(col(tsName)).as("first_ts"),
+          max(col(tsName)).as("last_ts")) ++
+          strAttr(p, "sum_field").map(f =>
+            sum(col(f).cast("decimal(18,2)")).cast("double").as("total_value"))
+        decoratorOf(p)(keyed.groupBy(col("task_id")).agg(aggs.head, aggs.tail: _*))
+
       case other =>
-        throw new UnsupportedOperationException(s"unsupported filter plugin `$other`")
+        throw new UnsupportedOperationException(
+          s"unsupported filter plugin `$other`; supported: mutate, drop, json, " +
+            "translate, grok, dissect, kv, csv, xml, date, fingerprint, prune, " +
+            "truncate, uuid, clone, split, urldecode, de_dot, geoip, dns, " +
+            "useragent, throttle, metrics, aggregate")
     }
   }
 

@@ -105,6 +105,55 @@ object Stateful {
     df.groupBy(date_trunc(period, col(tsCol)).as("period"), col(nameCol).as("name"))
       .agg(count(lit(1)).as("events"))
 
+  /** throttle filter, config surface (logstash-filter-throttle): events
+    * ranked within (sprintf'd key, epoch timeslot of `periodSec` seconds);
+    * an event is MATCHED — the plugin's decorator tags it — when its rank
+    * falls outside the [beforeCount, afterCount] band: rank < beforeCount
+    * (still warming up) or rank > afterCount (rate exceeded). A non-positive
+    * count disables that edge (the reference's -1 default). `gate` restricts
+    * both counting and matching to rows satisfying an enclosing conditional:
+    * rank = running count of GATED rows (a conditional cumulative sum over
+    * the same window), exactly the reference's per-event evaluation under
+    * `if`. One exchange on (key, slot) — the natural partitioning; for a
+    * single key flooding one period use [[throttleTwoPhase]] (API path).
+    */
+  def throttleMatched(df: DataFrame, key: Column, ts: Column, periodSec: Long,
+                      beforeCount: Int, afterCount: Int, gate: Column = lit(true),
+                      orderCols: Seq[Column] = Nil,
+                      matchedCol: String = "_throttle_matched"): DataFrame = {
+    val slot = floor(unix_timestamp(ts) / periodSec)
+    val w = Window.partitionBy(key, slot).orderBy((ts +: orderCols).toIndexedSeq: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = sum(when(gate, 1).otherwise(0)).over(w)
+    val lo = if (beforeCount > 0) rk < beforeCount else lit(false)
+    val hi = if (afterCount > 0) rk > afterCount else lit(false)
+    df.withColumn(matchedCol, gate && (lo || hi))
+  }
+
+  /** metrics filter, config surface (logstash-filter-metrics): every event
+    * increments each sprintf'd meter; one synthetic metric event per
+    * (meter, flush interval) carries the LIFETIME-cumulative `count` (the
+    * reference's counters are cumulative across flushes) stamped with the
+    * flush-boundary `@timestamp`. Wall-clock EWMA rates (rate_1m/5m/15m) are
+    * process-time artifacts with no batch analogue — deliberately absent;
+    * the Flow operators provide the windowed-rate surface. One explode +
+    * one grouped agg + one window, all keyed on the meter — meter
+    * cardinality is config-sized, so the exchange is tiny at any input size.
+    */
+  def metricsFlush(df: DataFrame, meterCols: Seq[Column], ts: Column,
+                   flushSec: Long): DataFrame = {
+    val slot = floor(unix_timestamp(ts) / flushSec).cast("long")
+    val perFlush = df
+      .select(explode(array(meterCols: _*)).as("meter"), slot.as("_slot"))
+      .groupBy(col("meter"), col("_slot"))
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("meter")).orderBy(col("_slot"))
+    perFlush
+      .withColumn("count", sum(col("_n")).over(w))
+      .withColumn("@timestamp", timestamp_seconds((col("_slot") + 1) * flushSec))
+      .drop("_n", "_slot")
+  }
+
   /** aggregate filter: correlate events sharing a task key; one summary row
     * per key (count, first/last event time, numeric sum). The batch-exact
     * analogue of the reference's per-task_id map + timeout flush.

@@ -320,6 +320,77 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // throttle filter driven from CONFIG TEXT (logstash-filter-throttle):
+    // sprintf'd key, epoch timeslots, before/after band, decorator tag on
+    // matched events — lowered onto Stateful.throttleMatched
+    "lscl_throttle" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  throttle {
+          |    key => "%{event_type}"
+          |    period => 86400
+          |    before_count => 3
+          |    after_count => 5
+          |    timestamp_field => "ts"
+          |    order_by => ["event_id"]
+          |    add_tag => ["throttled"]
+          |  }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("event_id")
+    }),
+
+    // metrics filter driven from CONFIG TEXT: originals pass through,
+    // synthetic metric events (meter, lifetime-cumulative count, flush
+    // @timestamp) join the stream tagged "metric" — the reference's
+    // route-by-tag pattern
+    "lscl_metrics" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  metrics {
+          |    meter => ["evt_%{event_type}"]
+          |    flush_interval => 86400
+          |    timestamp_field => "ts"
+          |    add_tag => ["metric"]
+          |  }
+          |}""".stripMargin, Map.empty)
+      val out = graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+      val isMetric = coalesce(array_contains(col("tags"), "metric"), lit(false))
+      out.filter(isMetric)
+        .select(col("meter"), col("count"),
+          date_format(col("@timestamp"), "yyyy-MM-dd HH:mm:ss").as("flush_ts"))
+        .unionByName(out.filter(!isMetric).groupBy()
+          .agg(count(lit(1)).as("count"))
+          .select(lit("_passthrough").as("meter"), col("count"), lit("").as("flush_ts")))
+        .orderBy("meter", "flush_ts")
+    }),
+
+    // aggregate filter driven from CONFIG TEXT (declarative subset):
+    // sprintf'd task_id correlation -> one summary event per task
+    "lscl_aggregate" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  aggregate {
+          |    task_id => "%{user_id}:%{event_type}"
+          |    timestamp_field => "ts"
+          |    sum_field => "value"
+          |  }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("task_id"), col("n_events"),
+          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("first_s"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_s"),
+          col("total_value"))
+        .orderBy("task_id")
+    }),
+
     // a COMPLETE config text executed end-to-end: generator input ->
     // json parse -> branch decorators -> gated outputs -> single-pass counts
     "lscl_e2e" -> ((s, dir) => {
@@ -615,6 +686,44 @@ object OpsQueries {
         |       'curl' AS useragent_name,
         |       '8.' || (user_id % 10) AS useragent_version
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_throttle" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |         row_number() OVER (PARTITION BY event_type,
+        |                            floor(floor(epoch(ts)) / 86400)
+        |                            ORDER BY ts, event_id) AS rk
+        |  FROM events)
+        |SELECT event_id,
+        |       CASE WHEN rk < 3 OR rk > 5 THEN 'throttled' ELSE '' END AS tag_str
+        |FROM r ORDER BY event_id""".stripMargin,
+
+    "lscl_metrics" ->
+      """WITH m AS (
+        |  SELECT 'evt_' || event_type AS meter,
+        |         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS slot,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT meter, slot,
+        |         CAST(SUM(n) OVER (PARTITION BY meter ORDER BY slot) AS BIGINT) AS count
+        |  FROM m)
+        |SELECT * FROM (
+        |  SELECT meter, count,
+        |         strftime(make_timestamp((slot + 1) * 86400 * 1000000),
+        |                  '%Y-%m-%d %H:%M:%S') AS flush_ts
+        |  FROM c
+        |  UNION ALL
+        |  SELECT '_passthrough', COUNT(*), '' FROM events)
+        |ORDER BY meter, flush_ts""".stripMargin,
+
+    "lscl_aggregate" ->
+      """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS task_id,
+        |       COUNT(*) AS n_events,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_s,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_s,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY task_id""".stripMargin,
 
     // generator emits seq 0..8999 cycling the 3 lines: seq%3=0 -> ERROR ->
     // errors; 1 -> WARN n=99 -> warnbig; 2 -> INFO -> rest; no row is
