@@ -150,10 +150,12 @@ object LsclRun {
   // ---------------- filter interpreter ----------------
 
   /** Apply a parsed `filter` section to a frame. Row-wise value plugins
-    * (mutate/drop/json/translate) apply CONDITIONALLY under branch
-    * predicates; schema-shaping plugins (grok/dissect/kv/csv/date/rename/
-    * convert) are supported at the top level (no enclosing branch) — a
-    * conditional schema change has no DataFrame analogue.
+    * (mutate incl. rename/convert/copy/merge, drop, json, translate,
+    * throttle) apply CONDITIONALLY under branch predicates via
+    * predicate-gated column merging; structurally schema-shaping plugins
+    * (grok/dissect/kv/csv/date/split/join and the stream-reshaping
+    * metrics/aggregate) are supported at the top level (no enclosing
+    * branch) — a conditional column-set change has no DataFrame analogue.
     *
     * Branch predicates are MATERIALIZED as boolean columns on the frame as
     * it stands when the branch is entered (reference SplitDataset semantics,
@@ -550,8 +552,18 @@ object LsclRun {
       case Some(other) => throw new IllegalArgumentException(s"$name: expected hash, got $other")
       case None => Nil
     }
+    // rename under a conditional = predicate-gated column merge (reference
+    // contract CommonActions.java:50-73 — per-event rename is routine): the
+    // destination takes the source's value on matched rows and keeps its
+    // prior value (null when absent) elsewhere; the source nulls out on
+    // matched rows. Incompatible source/dest types fail loudly in analysis.
     hash("rename").foreach { case (from, to) =>
-      requireTopLevel(p, cond); df = Mutate.rename(df, from, to)
+      if (cond.isEmpty) df = Mutate.rename(df, from, to)
+      else if (df.columns.contains(from)) {
+        val destCur = if (df.columns.contains(to)) col(to) else lit(null)
+        df = df.withColumn(to, when(m, col(from)).otherwise(destCur))
+          .withColumn(from, when(m, lit(null)).otherwise(col(from)))
+      }
     }
     hash("update").foreach { case (f, tpl) =>
       if (df.columns.contains(f))
@@ -564,10 +576,15 @@ object LsclRun {
         if (df.columns.contains(f)) when(m, v).otherwise(col(f)) else when(m, v))
     }
     hash("convert").foreach { case (f, typ) =>
-      requireTopLevel(p, cond)
-      df = Mutate.convert(df, f, typ match {
-        case "integer" => "long"; case "float" => "double"; case t => t
-      })
+      val t = typ match { case "integer" => "long"; case "float" => "double"; case x => x }
+      if (cond.isEmpty) df = Mutate.convert(df, f, t)
+      else
+        // conditional convert in a single-typed column: matched rows pass
+        // through the target type, then when/otherwise unifies both branches
+        // to the common type (double "1.7" -> 1 -> 1.0; string "007" -> 7 ->
+        // "7") — value normalization where the reference gets a per-event
+        // dynamic type. No common type = loud AnalysisException.
+        df = df.withColumn(f, when(m, col(f).cast(t)).otherwise(col(f)))
     }
     p.attr("gsub").foreach { v =>
       val items = strList(v)
@@ -595,14 +612,15 @@ object LsclRun {
       requireTopLevel(p, cond); df = Mutate.joinField(df, f, sep)
     }
     // merge: append src's elements onto dest (reference merges arrays and
-    // promotes scalars; array columns here)
+    // promotes scalars; array columns here); same-typed, so the conditional
+    // form is a plain predicate-gated merge
     hash("merge").foreach { case (dst, src) =>
-      requireTopLevel(p, cond)
-      df = df.withColumn(dst, concat(col(dst), col(src)))
+      df = df.withColumn(dst, when(m, concat(col(dst), col(src))).otherwise(col(dst)))
     }
     hash("copy").foreach { case (src, dst) =>
-      requireTopLevel(p, cond)
-      df = df.withColumn(dst, col(src)) // immutable frames: deep copy is free
+      val destCur = if (df.columns.contains(dst)) col(dst) else lit(null)
+      // immutable frames: deep copy is free
+      df = df.withColumn(dst, when(m, col(src)).otherwise(destCur))
     }
     // decorator tail, in the fixed reference order
     val dec = Mutate.Decorator(
@@ -715,6 +733,43 @@ object LsclRun {
 
   // ---------------- input lowering + end-to-end runner ----------------
 
+  private def codecPlugin(p: Plugin): Option[Plugin] =
+    p.attr("codec") match { case Some(VPlugin(c)) => Some(c); case _ => None }
+
+  /** Lower a `codec => multiline { pattern/negate/what }` block over a
+    * line-framed source frame (offset BIGINT, message STRING): reassembled
+    * events come back as (event_group, message, n_lines).
+    */
+  private def applyMultiline(cp: Plugin, raw: DataFrame, stream: String): DataFrame = {
+    val pat = strAttr(cp, "pattern").getOrElse(
+      throw new IllegalArgumentException("multiline codec: pattern required"))
+    graft.operators.Codec.multilineConfig(
+        raw.withColumn("_stream", lit(stream)), "message", "offset", "_stream",
+        pat, strAttr(cp, "negate").contains("true"),
+        strAttr(cp, "what").getOrElse("previous"))
+      .select(col("event_group"), col("msg").as("message"), col("n_lines"))
+  }
+
+  /** Per-micro-batch codec transform for streaming inputs whose codec needs
+    * whole-batch context (multiline reassembly): window functions are not
+    * available on an unbounded stream, so the codec runs inside foreachBatch
+    * — each micro-batch is a flush boundary, the batch analogue of the
+    * reference codec's `auto_flush_interval` (incomplete groups flush when
+    * the batch ends). Batch mode applies the same codec in [[source]], so
+    * batch and stream agree whenever no group spans a micro-batch boundary
+    * (AvailableNow over a complete file = one batch = exact equality).
+    */
+  def inputBatchCodec(items: Seq[Item]): DataFrame => DataFrame = {
+    val ml = items.collect {
+      case PluginItem(p) if p.name == "file" || p.name == "tcp" =>
+        codecPlugin(p).filter(_.name == "multiline")
+    }.flatten
+    ml.headOption match {
+      case Some(cp) => b => applyMultiline(cp, b, "stream")
+      case None => identity
+    }
+  }
+
   /** Lower the `input` section to a source frame. Supported inputs:
     *  - `generator { count => N lines => [...] }` — the native DataSourceV2
     *    generator ([[graft.sources.GeneratorSource]]); lines become the
@@ -772,7 +827,9 @@ object LsclRun {
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException("tcp input: port required")).toInt
         val rd = spark.read.format("graft.sources.TcpSource").option("port", port)
-        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        codecPlugin(p).filter(_.name == "multiline")
+          .fold(loaded)(cp => applyMultiline(cp, loaded, s"tcp:$port"))
       case PluginItem(p) if p.name == "file" =>
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("file input: path required"))
@@ -781,17 +838,22 @@ object LsclRun {
           case Some(VString(c)) => c
           case _ => "parquet"
         }
-        strAttr(p, "mode") match {
-          case Some("tail") =>
+        def tailRead = spark.read.format("graft.sources.FileTailSource")
+          .option("path", path).load()
+        (strAttr(p, "mode"), codec) match {
+          case (_, "multiline") =>
+            // multiline needs a per-line order key for reassembly — the
+            // offset-tracked tail source provides exactly that (byte
+            // offsets), in either mode
+            applyMultiline(codecPlugin(p).getOrElse(throw new IllegalArgumentException(
+              "codec => multiline requires a block with pattern/what")), tailRead, path)
+          case (Some("tail"), _) =>
             // the file input's TAIL mode: the offset-tracked DSv2 source
             // (byte-offset sincedb contract; streaming-capable)
-            spark.read.format("graft.sources.FileTailSource")
-              .option("path", path).load()
-          case _ => codec match {
-            case "line" | "plain" => spark.read.text(path).withColumnRenamed("value", "message")
-            case "json" | "json_lines" => spark.read.json(path)
-            case _ => spark.read.parquet(path)
-          }
+            tailRead
+          case (_, "line" | "plain") => spark.read.text(path).withColumnRenamed("value", "message")
+          case (_, "json" | "json_lines") => spark.read.json(path)
+          case _ => spark.read.parquet(path)
         }
       case PluginItem(p) =>
         throw new UnsupportedOperationException(s"unsupported input plugin `${p.name}`")
@@ -856,8 +918,9 @@ object LsclRun {
     require(pipelineSends(cfg.outputs).isEmpty,
       "pipeline { send_to } outputs are batch-only (the address bus resolves " +
         "at converge time); run this config via Pipelines.Registry")
+    val batchCodec = inputBatchCodec(cfg.inputs)
     graft.streaming.StreamPipeline.run(spark, sourceStream(spark, cfg.inputs),
-      b => applyFilters(b, cfg.filters), sinkSpecs(cfg.outputs), outDir,
+      b => applyFilters(batchCodec(b), cfg.filters), sinkSpecs(cfg.outputs), outDir,
       checkpoint, trigger)
   }
 

@@ -86,6 +86,32 @@ object Codec {
     * corpus that is one giant stream serializes onto one reducer — shard
     * the input into multiple streams (per file/source) before reassembly.
     */
+  /** multiline codec from its CONFIG surface (reference options pattern/
+    * negate/what): a line whose pattern match (xor `negate`) marks it a
+    * multiline member is attached to the PREVIOUS event
+    * (`what => "previous"`) or the NEXT event (`what => "next"`).
+    * `previous` lowers directly onto [[multiline]]; `next` marks a head as
+    * any line whose predecessor (in `orderCol` order per stream) was not a
+    * matcher — one lag over the SAME window partitioning, so both modes
+    * cost a single exchange on the stream key.
+    */
+  def multilineConfig(df: DataFrame, lineCol: String, orderCol: String,
+                      streamCol: String, pattern: String, negate: Boolean,
+                      what: String): DataFrame = {
+    val mm = col(lineCol).rlike(pattern)
+    val matched = if (negate) !mm else mm
+    what match {
+      case "previous" => multiline(df, lineCol, orderCol, streamCol, matched)
+      case "next" =>
+        val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+        val withPrev = df.withColumn("_ml_prev",
+          coalesce(lag(matched, 1).over(w), lit(false)))
+        multiline(withPrev, lineCol, orderCol, streamCol, col("_ml_prev"))
+      case other => throw new IllegalArgumentException(
+        s"multiline codec: what => `$other` (expected previous|next)")
+    }
+  }
+
   def multiline(df: DataFrame, lineCol: String, orderCol: String,
                 streamCol: String, isContinuation: Column): DataFrame = {
     val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))

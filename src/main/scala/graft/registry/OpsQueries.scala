@@ -320,6 +320,53 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // codec => multiline on an LSCL file input (mixed_codec_spec.yml
+    // surface): continuation lines (leading space) reassemble into their
+    // head line's event via the offset-ordered tail source; event_group is
+    // the running head count, n_lines the reassembled size
+    "lscl_multiline" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_ml_gate", ".log")
+      val sb = new java.lang.StringBuilder
+      (0 until 900).foreach { i =>
+        sb.append("EV").append(i).append(" start\n")
+        (1 to i % 3).foreach(j =>
+          sb.append("  cont ").append(i).append(' ').append(j).append('\n'))
+      }
+      java.nio.file.Files.writeString(f, sb.toString)
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input {
+           |  file {
+           |    path => "$f"
+           |    codec => multiline { pattern => "^ " what => "previous" }
+           |  }
+           |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("event_group"), col("message"), col("n_lines"))
+        .orderBy("event_group")
+    }),
+
+    // schema-reshaping mutate UNDER A CONDITIONAL (CommonActions.java:50-73
+    // contract): rename moves the value and nulls the source on matched rows
+    // only; convert normalizes matched values through the target type
+    // (double -> long -> double truncation visible); copy is predicate-gated
+    "lscl_condmut" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  if [event_type] == "click" {
+          |    mutate {
+          |      rename => { "props" => "p2" }
+          |      convert => { "value" => "integer" }
+          |      copy => { "event_type" => "etype_copy" }
+          |    }
+          |  }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("props"), col("p2"), col("value"),
+          col("etype_copy"))
+        .orderBy("event_id")
+    }),
+
     // throttle filter driven from CONFIG TEXT (logstash-filter-throttle):
     // sprintf'd key, epoch timeslots, before/after band, decorator tag on
     // matched events — lowered onto Stateful.throttleMatched
@@ -685,6 +732,27 @@ object OpsQueries {
         |            ELSE NULL END AS geo_country_iso,
         |       'curl' AS useragent_name,
         |       '8.' || (user_id % 10) AS useragent_version
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_multiline" ->
+      """WITH r AS (SELECT range AS i FROM range(900))
+        |SELECT CAST(i + 1 AS BIGINT) AS event_group,
+        |       'EV' || i || ' start' ||
+        |         CASE WHEN i % 3 = 0 THEN ''
+        |              ELSE chr(10) || array_to_string(
+        |                list_transform(range(1, i % 3 + 1),
+        |                               j -> '  cont ' || i || ' ' || j), chr(10)) END
+        |         AS message,
+        |       CAST(1 + i % 3 AS BIGINT) AS n_lines
+        |FROM r ORDER BY event_group""".stripMargin,
+
+    "lscl_condmut" ->
+      """SELECT event_id,
+        |       CASE WHEN event_type = 'click' THEN NULL ELSE props END AS props,
+        |       CASE WHEN event_type = 'click' THEN props END AS p2,
+        |       CASE WHEN event_type = 'click' THEN CAST(trunc(value) AS DOUBLE)
+        |            ELSE value END AS value,
+        |       CASE WHEN event_type = 'click' THEN event_type END AS etype_copy
         |FROM events ORDER BY event_id""".stripMargin,
 
     "lscl_throttle" ->

@@ -82,4 +82,44 @@ class LsclStreamSpec extends SparkSpec {
       assert(stream == batch, s"sink $sink differs between stream and batch")
     }
   }
+
+  test("codec => multiline streams: per-batch reassembly equals the batch run") {
+    val f = java.nio.file.Files.createTempFile("graft_lscl_ml", ".log")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lscl_ml")
+    append(f, (0 until 120).map { i =>
+      s"${sev(i)} event-$i\n" + (1 to i % 3).map(j => s"  cont $i $j\n").mkString
+    }.mkString)
+
+    val cfg =
+      s"""input {
+         |  file {
+         |    path => "$f"
+         |    mode => "tail"
+         |    codec => multiline { pattern => "^ " what => "previous" }
+         |  }
+         |}
+         |filter {
+         |  if [message] =~ /^ERROR/ { mutate { add_tag => ["err"] } }
+         |}
+         |output {
+         |  if "err" in [tags] { sink { id => "m_err" } }
+         |  else { sink { id => "m_rest" } }
+         |}
+         |""".stripMargin
+
+    val q = graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+    q.awaitTermination(120000)
+    val res = graft.lscl.LsclRun.runConfig(spark, cfg, s"$tmp/batch", Map.empty)
+    assert(res.counts("m_err") == 40L && res.counts("_total") == 120L)
+    for (sink <- Seq("m_err", "m_rest")) {
+      def rows(dir: String) = spark.read.parquet(s"$tmp/$dir/$sink")
+        .select("message", "n_lines").orderBy("message")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val streamRows = rows("out")
+      assert(streamRows == rows("batch"), s"sink $sink differs between stream and batch")
+      // ERROR heads (i%3==0) never get continuations; INFO heads (i%3==2) get 2
+      if (sink == "m_rest") assert(streamRows.exists(_._2 == 3L))
+      else assert(streamRows.forall(_._2 == 1L))
+    }
+  }
 }

@@ -115,6 +115,32 @@ class MiscOpsSpec extends SparkSpec {
       (1L, "head1\n cont\n more", 3L), (1L, "head2", 1L), (2L, "other", 1L)))
   }
 
+  test("multilineConfig: previous/next/negate modes from the codec's config surface") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "head1"), (2L, " cont"), (3L, " more"),
+      (4L, "head2"), (5L, " tail"))
+      .toDF("line_no", "line").withColumn("stream", lit("s"))
+    def run(pattern: String, negate: Boolean, what: String): Seq[(String, Long)] =
+      graft.operators.Codec.multilineConfig(df, "line", "line_no", "stream",
+          pattern, negate, what)
+        .orderBy("event_group").collect()
+        .map(r => (r.getAs[String]("msg"), r.getAs[Long]("n_lines"))).toSeq
+    // previous: a leading-space line belongs to the previous event
+    assert(run("^ ", negate = false, "previous") == Seq(
+      ("head1\n cont\n more", 3L), ("head2\n tail", 2L)))
+    // negate inverts the membership predicate: non-headX lines continue
+    assert(run("^head", negate = true, "previous") == Seq(
+      ("head1\n cont\n more", 3L), ("head2\n tail", 2L)))
+    // next: a matching line attaches to the FOLLOWING event
+    val nxt = Seq((1L, "part+"), (2L, "end1"), (3L, "solo"), (4L, "part+"), (5L, "end2"))
+      .toDF("line_no", "line").withColumn("stream", lit("s"))
+    val out = graft.operators.Codec.multilineConfig(nxt, "line", "line_no", "stream",
+        "[+]$", negate = false, "next")
+      .orderBy("event_group").collect().map(_.getAs[String]("msg")).toSeq
+    assert(out == Seq("part+\nend1", "solo", "part+\nend2"))
+  }
+
   test("salted lookup == broadcast lookup on a planted-skew key (F1 fixture)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
