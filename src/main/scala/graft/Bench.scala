@@ -151,6 +151,12 @@ object Bench {
       f""""shuffle_localN_sec":$tNSh%.3f,"shuffle_local4N_sec":$t4NSh%.3f,""" +
       f""""shuffle_pairs_sec":$shPairsJson%s,""" +
       f""""shuffle_scaling_efficiency_N_to_4N":$effSh%.3f}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline":$pipeline%s}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline":$pipeline%s}"""
+    println(line)
+    // also persist the line: the driver captures stdout's TAIL, which can
+    // truncate the per-query map (it did in round 3) — the file can't lose it
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
   }
 }

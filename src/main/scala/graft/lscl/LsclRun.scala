@@ -253,7 +253,14 @@ object LsclRun {
             .otherwise(if (d.columns.contains(f.name)) col(f.name) else lit(null))
           d.withColumn(f.name, v)
         }
-        expanded.drop("_json_tmp")
+        // ingest hygiene (Event.java:100-130): a top-level parse that
+        // produced reserved fields gets the reference's reject-don't-crash
+        // treatment — illegal tags move to _tags, unparseable @timestamp
+        // strings tag + preserve the original
+        val dropped = expanded.drop("_json_tmp")
+        if (schema.fieldNames.contains("tags") || schema.fieldNames.contains("@timestamp"))
+          Mutate.reservedFieldHygiene(dropped)
+        else dropped
     }
   }
 
@@ -472,6 +479,44 @@ object LsclRun {
           case None => Parse.useragent(df, source, strAttr(p, "target").getOrElse("ua"))
         }
 
+      case "jdbc_static" =>
+        // The reference filter's actual model is loaders that pre-materialize
+        // a remote table into a LOCAL store plus local_lookups that join
+        // events against it (transforming-data.asciidoc:364-425). The remote
+        // half (a live JDBC connection) is out of scope in this sandbox; the
+        // local half maps exactly onto a broadcast dimension join —
+        // `dimension_path` IS the pre-materialized local table (csv with
+        // header / json_lines / parquet by extension). `target` packs the
+        // projected columns as a struct (null on miss, the typed analogue of
+        // the reference's empty-array miss); without it the columns append
+        // top-level. Duplicate dimension keys multiply rows like any join —
+        // dimensions are expected 1:0/1 keyed, as the reference's lookups are.
+        requireTopLevel(p, cond)
+        val dimPath = strAttr(p, "dimension_path").getOrElse(
+          throw new IllegalArgumentException(
+            "jdbc_static: dimension_path required (the pre-materialized local table)"))
+        val lookupKey = strAttr(p, "lookup_key").getOrElse(
+          throw new IllegalArgumentException("jdbc_static: lookup_key required"))
+        val dimKey = strAttr(p, "dimension_key").getOrElse(lookupKey)
+        val spark = df.sparkSession
+        val dim0 =
+          if (dimPath.endsWith(".csv")) Enrich.dictFromCsv(spark, dimPath)
+          else if (dimPath.endsWith(".json") || dimPath.endsWith(".jsonl"))
+            Enrich.dictFromJsonLines(spark, dimPath)
+          else spark.read.parquet(dimPath)
+        val cols = p.attr("columns").map(strList)
+          .getOrElse(dim0.columns.filterNot(_ == dimKey).toSeq)
+        strAttr(p, "target") match {
+          case Some(t) =>
+            val packed = dim0.select(col(dimKey).as(lookupKey),
+              struct(cols.map(col): _*).as(t))
+            Enrich.lookup(df, packed, lookupKey)
+          case None =>
+            Enrich.lookup(df,
+              dim0.select((col(dimKey).as(lookupKey) +: cols.map(col)).toIndexedSeq: _*),
+              lookupKey)
+        }
+
       // ---- stateful filters (default plugins, plugins-metadata.json) ----
 
       case "throttle" =>
@@ -529,12 +574,44 @@ object LsclRun {
             sum(col(f).cast("decimal(18,2)")).cast("double").as("total_value"))
         decoratorOf(p)(keyed.groupBy(col("task_id")).agg(aggs.head, aggs.tail: _*))
 
+      case "anonymize" =>
+        // keyed-hash field overwrite (Mutate.anonymize); conditional form
+        // unifies the column to string (the hash's type)
+        val fields = p.attr("fields").map(strList).getOrElse(
+          throw new IllegalArgumentException("anonymize: fields required"))
+        val key = strAttr(p, "key").getOrElse("")
+        fields.foldLeft(df) { (d, f) =>
+          d.withColumn(f, when(m, sha2(concat(lit(key), col(f).cast("string")), 256))
+            .otherwise(col(f).cast("string")))
+        }
+
+      case "syslog_pri" =>
+        // RFC 3164 PRI decompose: severity = pri % 8, facility = pri / 8
+        val f = strAttr(p, "syslog_pri_field_name").getOrElse("syslog_pri")
+        df.withColumn("syslog_severity_code",
+            when(m, graft.operators.Net.syslogSeverity(col(f))))
+          .withColumn("syslog_facility_code",
+            when(m, graft.operators.Net.syslogFacility(col(f))))
+
+      case "cidr" =>
+        // reference cidr filter: the decorator (add_tag) fires when any
+        // sprintf'd address falls inside any configured network block
+        val addrs = p.attr("address").map(strList).getOrElse(
+          throw new IllegalArgumentException("cidr: address required"))
+        val nets = p.attr("network").map(strList).getOrElse(
+          throw new IllegalArgumentException("cidr: network required"))
+        val hit = (for (a <- addrs; n <- nets) yield
+          graft.operators.Net.cidrContains(Mutate.sprintfFor(df, a), n))
+          .reduce(_ || _)
+        decoratorOf(p).applyWhen(df, m && coalesce(hit, lit(false)))
+
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported filter plugin `$other`; supported: mutate, drop, json, " +
             "translate, grok, dissect, kv, csv, xml, date, fingerprint, prune, " +
             "truncate, uuid, clone, split, urldecode, de_dot, geoip, dns, " +
-            "useragent, throttle, metrics, aggregate")
+            "useragent, jdbc_static, throttle, metrics, aggregate, anonymize, " +
+            "syslog_pri, cidr")
     }
   }
 
@@ -702,6 +779,11 @@ object LsclRun {
         // rather than its static name.
         val idxAttr = strAttr(p, "index")
         val dynamicIdx = idxAttr.filter(_.contains("%{"))
+        // a file output's sprintf'd `path` (`path => "/logs/%{type}.log"`,
+        // fixture env_variables_condition_spec.yml:74-80) routes events to
+        // per-rendered-path files — the same per-event template machinery as
+        // the ES daily index: the rendered path becomes the sink's partition
+        val dynamicPath = strAttr(p, "path").filter(_.contains("%{"))
         val name = strAttr(p, "id")
           .orElse(if (dynamicIdx.isEmpty) idxAttr else None)
           .getOrElse { k += 1; s"${p.name}_$k" }
@@ -715,8 +797,8 @@ object LsclRun {
           case Some(VPlugin(c)) => Some(c.name)
           case _ => None
         }
-        out += Route.SinkSpec(name, path, dec, indexTemplate = dynamicIdx,
-          codec = codec)
+        out += Route.SinkSpec(name, path, dec,
+          indexTemplate = dynamicIdx.orElse(dynamicPath), codec = codec)
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
         arms.foreach { case (e, body) =>

@@ -290,6 +290,54 @@ object Mutate {
       d.withColumnRenamed(c, c.replace(".", replacement))
     }
 
+  /** Reserved-field hygiene on ingest (Event.java:100-130;
+    * reserved_tags_field_spec.yml): the reference rejects illegal reserved
+    * fields rather than crashing or silently coercing.
+    *
+    *  - `tags` must be a string or list of strings. A scalar STRING column
+    *    promotes to a one-element list (legal per Event.java); any other
+    *    type moves the value to `_tags` and `tags` becomes
+    *    ["_tagsparsefailure"].
+    *  - a STRING `@timestamp` is parsed per row; unparseable values get
+    *    `_timestampparsefailure` appended to tags, the original preserved
+    *    in `_@timestamp`, and a null @timestamp (the reference stamps
+    *    now(), which has no deterministic batch analogue).
+    *
+    * Typed columns make the tags case column-wise (a json/kv parse infers
+    * ONE type for the column) and the timestamp case row-wise — both narrow
+    * projections, no shuffle.
+    */
+  def reservedFieldHygiene(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    var out = df
+    if (out.columns.contains("tags")) out.schema("tags").dataType match {
+      case ArrayType(StringType, _) => () // legal
+      case StringType =>
+        out = out.withColumn("tags",
+          when(col("tags").isNotNull, array(col("tags")))
+            .otherwise(lit(null).cast("array<string>")))
+      case _ =>
+        out = out.withColumn("_tags", col("tags"))
+          .withColumn("tags", array(lit("_tagsparsefailure")))
+    }
+    if (out.columns.contains("@timestamp") &&
+        out.schema("@timestamp").dataType == StringType) {
+      val parsed = try_to_timestamp(col("@timestamp"))
+      val bad = col("@timestamp").isNotNull && parsed.isNull
+      val tagsBase: Column =
+        if (out.columns.contains("tags"))
+          coalesce(col("tags"), array().cast("array<string>"))
+        else array().cast("array<string>")
+      out = out
+        .withColumn("_@timestamp", when(bad, col("@timestamp")))
+        .withColumn("tags",
+          when(bad, array_union(tagsBase, array(lit("_timestampparsefailure"))))
+            .otherwise(tagsBase))
+        .withColumn("@timestamp", parsed)
+    }
+    out
+  }
+
   /** drop filter (optionally percentage-sampled like the reference's
     * `percentage` option — deterministic via hash-mod, not rand(), so replays
     * and resumes route identically).

@@ -320,6 +320,98 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // jdbc_static-shaped lookup from CONFIG TEXT: a file-backed
+    // pre-materialized dimension (the filter's local_lookups model,
+    // transforming-data.asciidoc:364-425) broadcast-joined on the event key,
+    // packed under the target struct; misses yield a null struct
+    "lscl_jdbc" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_jdbc_dim", ".csv")
+      java.nio.file.Files.writeString(f,
+        "event_type,descr,code\nclick,Click event,1\nview,View event,2\nsignup,Signup event,3\n")
+      val cfg = graft.lscl.Lscl.parse(
+        s"""filter {
+           |  jdbc_static {
+           |    dimension_path => "$f"
+           |    lookup_key => "event_type"
+           |    columns => ["descr", "code"]
+           |    target => "dim"
+           |  }
+           |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(s.read.parquet(s"$dir/events.parquet"), cfg.filters)
+        .select(col("event_id"), col("dim.descr").as("descr"), col("dim.code").as("code"))
+        .orderBy("event_id")
+    }),
+
+    // syslog_pri + cidr + anonymize driven from CONFIG TEXT: PRI decompose,
+    // network-membership tagging via the decorator, keyed-hash overwrite
+    "lscl_net" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("pri", (col("user_id") % 192).cast("int"))
+        .withColumn("ip",
+          when(col("event_id") % 3 === 0,
+            concat(lit("10."), (col("user_id") % 256).cast("string"), lit(".0.1")))
+            .otherwise(lit("172.16.0.1")))
+        .withColumn("secret", concat(lit("s-"), col("user_id").cast("string")))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  syslog_pri { syslog_pri_field_name => "pri" }
+          |  cidr {
+          |    address => ["%{ip}"]
+          |    network => ["10.0.0.0/9"]
+          |    add_tag => ["internal"]
+          |  }
+          |  anonymize { fields => ["secret"] key => "salt" }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("syslog_severity_code"),
+          col("syslog_facility_code"), array_join(col("tags"), ",").as("tag_str"),
+          col("secret"))
+        .orderBy("event_id")
+    }),
+
+    // file output with a SPRINTF'D path (env_variables_condition_spec.yml:
+    // 74-80): the rendered per-event path becomes the sink's partition —
+    // per-path files via one dynamic-overwrite write, date/value-prunable
+    "pipe_file_paths" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_fpaths").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val cfg = graft.lscl.Lscl.parse(
+        """output {
+          |  file { id => "bytype" path => "/logs/%{event_type}.log" }
+          |}""".stripMargin, Map.empty)
+      graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+      s.read.parquet(s"$out/bytype")
+        .groupBy(col("_index").cast("string").as("path"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .orderBy("path")
+    }),
+
+    // reserved-field hygiene on the json ingest path (Event.java:100-130,
+    // reserved_tags_field_spec.yml): numeric tags -> _tags +
+    // _tagsparsefailure; unparseable @timestamp string -> tag + original
+    // preserved in _@timestamp + null timestamp
+    "evt_reserved" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("message", concat(
+          lit("{\"tags\": "), (col("user_id") % 7).cast("string"),
+          lit(", \"@timestamp\": \""),
+          when(col("event_id") % 4 === 0,
+            concat(lit("not-a-time-"), col("event_id").cast("string")))
+            .otherwise(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")),
+          lit("\"}")))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter { json { source => "message" schema => "tags BIGINT, `@timestamp` STRING" } }""",
+        Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("_tags"),
+          array_join(col("tags"), ",").as("tag_str"),
+          date_format(col("@timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_parsed"),
+          col("_@timestamp"))
+        .orderBy("event_id")
+    }),
+
     // codec => multiline on an LSCL file input (mixed_codec_spec.yml
     // surface): continuation lines (leading space) reassemble into their
     // head line's event via the offset-ordered tail source; event_group is
@@ -732,6 +824,41 @@ object OpsQueries {
         |            ELSE NULL END AS geo_country_iso,
         |       'curl' AS useragent_name,
         |       '8.' || (user_id % 10) AS useragent_version
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_jdbc" ->
+      """SELECT event_id,
+        |       CASE event_type WHEN 'click' THEN 'Click event'
+        |            WHEN 'view' THEN 'View event'
+        |            WHEN 'signup' THEN 'Signup event' END AS descr,
+        |       CASE event_type WHEN 'click' THEN '1'
+        |            WHEN 'view' THEN '2'
+        |            WHEN 'signup' THEN '3' END AS code
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_net" ->
+      """SELECT event_id,
+        |       CAST(user_id % 192 % 8 AS INTEGER) AS syslog_severity_code,
+        |       CAST((user_id % 192) // 8 AS INTEGER) AS syslog_facility_code,
+        |       CASE WHEN event_id % 3 = 0 AND user_id % 256 < 128
+        |            THEN 'internal' ELSE '' END AS tag_str,
+        |       sha256('salt' || 's-' || user_id) AS secret
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "pipe_file_paths" ->
+      """SELECT '/logs/' || event_type || '.log' AS path,
+        |       COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY 1 ORDER BY path""".stripMargin,
+
+    "evt_reserved" ->
+      """SELECT event_id,
+        |       user_id % 7 AS _tags,
+        |       CASE WHEN event_id % 4 = 0
+        |            THEN '_tagsparsefailure,_timestampparsefailure'
+        |            ELSE '_tagsparsefailure' END AS tag_str,
+        |       CASE WHEN event_id % 4 = 0 THEN NULL
+        |            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_parsed,
+        |       CASE WHEN event_id % 4 = 0 THEN 'not-a-time-' || event_id END AS "_@timestamp"
         |FROM events ORDER BY event_id""".stripMargin,
 
     "lscl_multiline" ->

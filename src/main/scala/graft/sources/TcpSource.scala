@@ -39,14 +39,31 @@ class TcpSource extends TableProvider {
 
 object TcpSource {
 
+  /** Default per-frame size cap, mirroring the reference BufferedTokenizer's
+    * sizeLimit contract (common/BufferedTokenizerExt.java): a writer that
+    * never sends a newline must not grow the accept buffer unboundedly.
+    */
+  val DefaultSizeLimit: Int = 1 << 20 // 1 MiB
+
   /** One accept-loop listener per port (process-wide): accepts connections
     * on a daemon thread and appends complete received lines to the journal
     * atomically (single writer, synchronized appends, flush per line batch).
+    *
+    * Frame-size guard: a line exceeding `sizeLimit` bytes stops buffering
+    * immediately (memory stays bounded at sizeLimit per connection), is
+    * DROPPED at the next newline, and counts in [[oversized]] — the
+    * reference BufferedTokenizer raises "input buffer full" and the event
+    * is lost to the DLQ-less tcp input; dropping+counting is the journal
+    * analogue.
     */
-  final class Listener(port: Int, journal: java.nio.file.Path) {
+  final class Listener(port: Int, journal: java.nio.file.Path,
+                       sizeLimit: Int = DefaultSizeLimit) {
     private val server = new java.net.ServerSocket(port)
     @volatile private var closed = false
+    private val oversizedCount = new java.util.concurrent.atomic.AtomicLong(0)
     def localPort: Int = server.getLocalPort
+    /** Frames dropped for exceeding sizeLimit. */
+    def oversized: Long = oversizedCount.get
 
     private def append(lines: String): Unit = synchronized {
       java.nio.file.Files.writeString(journal, lines,
@@ -59,11 +76,22 @@ object TcpSource {
         try {
           val sock = server.accept()
           val t = new Thread(() => {
-            val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-              sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+            val in = new java.io.BufferedInputStream(sock.getInputStream)
+            val buf = new java.io.ByteArrayOutputStream()
+            var over = false
             try {
-              var line = in.readLine()
-              while (line != null) { append(line + "\n"); line = in.readLine() }
+              var b = in.read()
+              while (b != -1) {
+                if (b == '\n') {
+                  if (over) oversizedCount.incrementAndGet()
+                  else append(buf.toString("UTF-8") + "\n")
+                  buf.reset(); over = false
+                } else if (!over) {
+                  if (buf.size >= sizeLimit) { over = true; buf.reset() }
+                  else buf.write(b)
+                }
+                b = in.read()
+              }
             } finally sock.close()
           }, s"graft-tcp-conn-$port")
           t.setDaemon(true); t.start()
@@ -80,8 +108,9 @@ object TcpSource {
     scala.collection.concurrent.TrieMap.empty[Int, Listener]
 
   /** Idempotently start the listener for `port` journaling to `journal`. */
-  def ensureListener(port: Int, journal: java.nio.file.Path): Listener =
-    listeners.getOrElseUpdate(port, new Listener(port, journal))
+  def ensureListener(port: Int, journal: java.nio.file.Path,
+                     sizeLimit: Int = DefaultSizeLimit): Listener =
+    listeners.getOrElseUpdate(port, new Listener(port, journal, sizeLimit))
 
   def stopListener(port: Int): Unit =
     listeners.remove(port).foreach(_.close())
@@ -104,7 +133,8 @@ private class TcpTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
-    TcpSource.ensureListener(port, journal)
+    TcpSource.ensureListener(port, journal,
+      options.getInt("size_limit", TcpSource.DefaultSizeLimit))
     val merged = new util.HashMap[String, String](options)
     merged.putAll(opts)
     merged.put("path", journal.toString)

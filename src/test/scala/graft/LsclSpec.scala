@@ -400,13 +400,23 @@ class LsclSpec extends SparkSpec {
     } finally System.setIn(old)
   }
 
-  test("parse errors carry position; schema plugins refuse conditional use") {
+  test("parse errors carry position; conditional rename merges, split refuses") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))
+    // rename under a conditional is a predicate-gated column merge
+    // (CommonActions.java contract): matched rows move the value, unmatched
+    // rows keep the source
     val cfg = Lscl.parse(
       """filter { if [a] == "x" { mutate { rename => { "a" => "b" } } } }""", Map.empty)
     import spark.implicits._
-    val df = Seq("x").toDF("a")
-    intercept[UnsupportedOperationException](LsclRun.applyFilters(df, cfg.filters))
+    val df = Seq("x", "y").toDF("a")
+    val out = LsclRun.applyFilters(df, cfg.filters)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set((null, "x"), ("y", null)))
+    // a genuinely type-reshaping mutate (split: string -> array) still
+    // refuses conditional use loudly
+    val cfg2 = Lscl.parse(
+      """filter { if [a] == "x" { mutate { split => { "a" => "," } } } }""", Map.empty)
+    intercept[UnsupportedOperationException](LsclRun.applyFilters(df, cfg2.filters))
   }
 }

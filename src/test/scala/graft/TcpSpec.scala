@@ -65,6 +65,25 @@ class TcpSpec extends SparkSpec {
     } finally graft.sources.TcpSource.stopListener(port)
   }
 
+  test("sizeLimit guard: oversized frames drop with bounded memory, counted") {
+    val port = 15943
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tcp_limit")
+    val journal = tmp.resolve("tcp.journal")
+    // tiny cap so the fixture exercises the guard cheaply
+    val listener = graft.sources.TcpSource.ensureListener(port, journal, sizeLimit = 64)
+    try {
+      val big = "X" * 500 // 500 B > 64 B cap: buffered at most 64 B, then dropped
+      send(port, Seq("ok-1", big, "ok-2"))
+      awaitJournal(journal, "ok-1\nok-2\n".length.toLong)
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.oversized < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.oversized == 1)
+      val kept = java.nio.file.Files.readAllLines(journal)
+      assert(kept.toArray.toSeq == Seq("ok-1", "ok-2")) // the oversized frame never lands
+    } finally graft.sources.TcpSource.stopListener(port)
+  }
+
   test("LSCL tcp input drives a full streaming config") {
     val port = 15942
     val tmp = java.nio.file.Files.createTempDirectory("graft_tcp_lscl")
