@@ -86,6 +86,21 @@ object Codec {
     * corpus that is one giant stream serializes onto one reducer — shard
     * the input into multiple streams (per file/source) before reassembly.
     */
+  /** json codec's top-level-array fan-out (Event.fromJson, Event.java:302-340):
+    * a message that is a JSON ARRAY becomes 1..n events, one per element; an
+    * object stays one event. Dual-parse resolves the shape per row — `from_json`
+    * with the array schema yields null on an object and vice versa — then one
+    * explode fans out. Narrow and codegen'd: no shuffle, no driver round-trip.
+    */
+  def jsonFanout(df: DataFrame, source: String, schemaDdl: String,
+                 target: String = "parsed"): DataFrame = {
+    val elem = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val arr = from_json(col(source), org.apache.spark.sql.types.ArrayType(elem))
+    val one = from_json(col(source), elem)
+    df.withColumn(target,
+      explode(when(arr.isNotNull, arr).otherwise(array(one))))
+  }
+
   /** multiline codec from its CONFIG surface (reference options pattern/
     * negate/what): a line whose pattern match (xor `negate`) marks it a
     * multiline member is attached to the PREVIOUS event

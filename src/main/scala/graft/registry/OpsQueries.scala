@@ -320,6 +320,23 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // json codec top-level ARRAY fan-out (Event.fromJson, Event.java:302-340):
+    // an array message becomes one event per element, an object stays one
+    // event — dual-parse + explode, schema-explicit, single narrow pass
+    "evt_jsonarr" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("message",
+          when(col("event_id") % 3 === 0,
+            concat(lit("[{\"k\": "), (col("user_id") % 50).cast("string"),
+              lit("}, {\"k\": "), (col("user_id") % 50 + 100).cast("string"),
+              lit("}]")))
+            .otherwise(concat(lit("{\"k\": "), (col("user_id") % 50).cast("string"),
+              lit("}"))))
+      graft.operators.Codec.jsonFanout(e, "message", "k BIGINT")
+        .select(col("event_id"), col("parsed.k").as("k"))
+        .orderBy("event_id", "k")
+    }),
+
     // jdbc_static-shaped lookup from CONFIG TEXT: a file-backed
     // pre-materialized dimension (the filter's local_lookups model,
     // transforming-data.asciidoc:364-425) broadcast-joined on the event key,
@@ -825,6 +842,15 @@ object OpsQueries {
         |       'curl' AS useragent_name,
         |       '8.' || (user_id % 10) AS useragent_version
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_jsonarr" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, UNNEST([user_id % 50, user_id % 50 + 100]) AS k
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id % 50 AS k
+        |  FROM events WHERE event_id % 3 <> 0)
+        |ORDER BY event_id, k""".stripMargin,
 
     "lscl_jdbc" ->
       """SELECT event_id,
