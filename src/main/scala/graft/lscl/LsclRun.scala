@@ -798,7 +798,8 @@ object LsclRun {
           case _ => None
         }
         out += Route.SinkSpec(name, path, dec,
-          indexTemplate = dynamicIdx.orElse(dynamicPath), codec = codec)
+          indexTemplate = dynamicIdx.orElse(dynamicPath), codec = codec,
+          documentId = strAttr(p, "document_id"))
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
         arms.foreach { case (e, body) =>

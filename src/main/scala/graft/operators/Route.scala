@@ -31,10 +31,22 @@ object Route {
     * `json_lines` = one JSON document per line in text files (the reference
     * file output's DEFAULT codec), encoded executor-side via toJSON.
     */
+  /** `documentId`: the elasticsearch output's `document_id => "%{...}"` —
+    * indexing twice under one id upserts, making replays and duplicate
+    * events idempotent. Batch analogue: the sink keeps ONE row per rendered
+    * id (per index when the index is also templated, matching ES identity =
+    * (_index, _id)); the winner is the struct-minimum over the payload
+    * columns — deterministic, and identical to any other pick in the
+    * intended regime where same id = same document. Implemented as a
+    * groupBy(min(struct)) so the exchange gets map-side combine and keys on
+    * the id hash — the exact analogue of ES routing documents to shards by
+    * _id hash.
+    */
   final case class SinkSpec(name: String, cond: Cond,
                             decorator: Mutate.Decorator = Mutate.Decorator(),
                             indexTemplate: Option[String] = None,
-                            codec: Option[String] = None)
+                            codec: Option[String] = None,
+                            documentId: Option[String] = None)
 
   /** Columns whose names start with this prefix are the `@metadata` analogue:
     * available to conditions/decorators, dropped before every sink write
@@ -223,15 +235,26 @@ object Route {
       val resumed = Seq.newBuilder[String]
       def writeIfNeeded(name: String, df: => DataFrame,
                         indexTemplate: Option[String] = None,
-                        codec: Option[String] = None): String = {
+                        codec: Option[String] = None,
+                        documentId: Option[String] = None): String = {
         val path = s"$outDir/$name"
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
         if (fs.exists(success)) { resumed += name }
         else {
-          val d0 = df
-          val d = indexTemplate.fold(d0)(tpl =>
-            d0.withColumn("_index", Mutate.sprintfFor(d0, tpl)))
+          val d00 = df
+          val dIdx = indexTemplate.fold(d00)(tpl =>
+            d00.withColumn("_index", Mutate.sprintfFor(d00, tpl)))
+          // document_id upsert semantics: one row per (index, id); see
+          // SinkSpec scaladoc for the deterministic-winner contract
+          val d = documentId.fold(dIdx) { tpl =>
+            val keyed = dIdx.withColumn("_docid", Mutate.sprintfFor(dIdx, tpl))
+            val keys = (if (indexTemplate.isDefined) Seq("_index") else Nil) :+ "_docid"
+            val payload = keyed.columns.filterNot(keys.contains)
+            keyed.groupBy(keys.map(col).toIndexedSeq: _*)
+              .agg(min(struct(payload.map(col).toIndexedSeq: _*)).as("_row"))
+              .select((keys.map(col) ++ payload.map(c => col(s"_row.$c").as(c))).toIndexedSeq: _*)
+          }
           val parts = (if (indexTemplate.isDefined) Seq("_index") else Nil) ++
             (if (buckets > 0 && d.columns.contains("doc_id")) Seq("_bucket") else Nil)
           val db = if (parts.contains("_bucket"))
@@ -260,7 +283,8 @@ object Route {
         path
       }
       val paths = sinks.map { s =>
-        s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s), s.indexTemplate, s.codec)
+        s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s), s.indexTemplate,
+          s.codec, s.documentId)
       }.toMap ++
         (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
          else Map.empty[String, String])

@@ -320,6 +320,25 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // elasticsearch output with document_id (the idempotent-upsert surface):
+    // one row per rendered id survives in the sink — duplicate/replayed
+    // events collapse, via groupBy(min(struct)) keyed on the id (the ES
+    // shard-routing analogue)
+    "pipe_es_docid" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_docid").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val cfg = graft.lscl.Lscl.parse(
+        """output {
+          |  elasticsearch { index => "evts" document_id => "%{user_id}:%{event_type}" }
+          |}""".stripMargin, Map.empty)
+      graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+      s.read.parquet(s"$out/evts")
+        .select(col("_docid"), col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("_docid")
+    }),
+
     // json codec top-level ARRAY fan-out (Event.fromJson, Event.java:302-340):
     // an array message becomes one event per element, an object stays one
     // event — dual-parse + explode, schema-explicit, single narrow pass
@@ -842,6 +861,17 @@ object OpsQueries {
         |       'curl' AS useragent_name,
         |       '8.' || (user_id % 10) AS useragent_version
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "pipe_es_docid" ->
+      """WITH w AS (
+        |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS _docid,
+        |         event_id, event_type, user_id,
+        |         row_number() OVER (
+        |           PARTITION BY CAST(user_id AS VARCHAR) || ':' || event_type
+        |           ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT _docid, event_id, event_type, user_id
+        |FROM w WHERE rn = 1 ORDER BY _docid""".stripMargin,
 
     "evt_jsonarr" ->
       """SELECT event_id, k FROM (

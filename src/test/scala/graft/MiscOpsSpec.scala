@@ -115,6 +115,38 @@ class MiscOpsSpec extends SparkSpec {
       (1L, "head1\n cont\n more", 3L), (1L, "head2", 1L), (2L, "other", 1L)))
   }
 
+  test("jodaToJava: run-tokenized, quoted literals untouched, Z-run offsets") {
+    import graft.operators.Mutate
+    assert(Mutate.jodaToJava("YYYY.MM.dd") == "yyyy.MM.dd")
+    assert(Mutate.jodaToJava("dd/MMM/YYYY:HH:mm:ss Z") == "dd/MMM/yyyy:HH:mm:ss Z")
+    assert(Mutate.jodaToJava("YYYY-MM-dd'T'HH ZZ") == "yyyy-MM-dd'T'HH XXX")
+    assert(Mutate.jodaToJava("HH:mm ZZZ") == "HH:mm VV")
+    // quoted literal text containing pattern letters is NOT rewritten
+    assert(Mutate.jodaToJava("'YYYY literal' YYYY") == "'YYYY literal' yyyy")
+    assert(Mutate.jodaToJava("'at ZZZ' Z") == "'at ZZZ' Z")
+    // weekyear x -> week-based-year Y
+    assert(Mutate.jodaToJava("xxxx-ww") == "YYYY-ww")
+  }
+
+  test("csv autodetect: header = first row in scan order; exactly one occurrence dropped") {
+    // a file whose FIRST line is the header and whose data contains a row
+    // EQUAL to the header string — that duplicate must survive skip_header
+    val f = java.nio.file.Files.createTempFile("graft_csv_auto", ".csv")
+    val rows = "h1,h2" +: (1 to 20).map(i => s"a$i,b$i") :+ "h1,h2"
+    java.nio.file.Files.writeString(f, rows.mkString("", "\n", "\n"))
+    val df = spark.read.text(f.toString).withColumnRenamed("value", "message")
+    val cfg = graft.lscl.Lscl.parse(
+      """filter { csv { source => "message" autodetect_column_names => "true" } }""",
+      Map.empty)
+    val out1 = graft.lscl.LsclRun.applyFilters(df, cfg.filters)
+    val out2 = graft.lscl.LsclRun.applyFilters(df, cfg.filters)
+    val c1 = out1.select("message").collect().map(_.getString(0)).sorted.toSeq
+    assert(c1 == out2.select("message").collect().map(_.getString(0)).sorted.toSeq)
+    assert(c1.length == 21) // 22 rows minus exactly ONE header occurrence
+    assert(c1.count(_ == "h1,h2") == 1) // the header-equal data row survived
+    assert(out1.columns.contains("h1") && out1.columns.contains("h2"))
+  }
+
   test("multilineConfig: previous/next/negate modes from the codec's config surface") {
     import spark.implicits._
     val df = Seq(
