@@ -819,6 +819,24 @@ object LsclRun {
   private def codecPlugin(p: Plugin): Option[Plugin] =
     p.attr("codec") match { case Some(VPlugin(c)) => Some(c); case _ => None }
 
+  /** The syslog input's RFC 3164 parse chain over a line-framed frame —
+    * narrow (one grok pass + PRI arithmetic), so it runs identically on
+    * batch and streaming frames.
+    */
+  private def syslogParse(raw: DataFrame): DataFrame = {
+    val pattern = "<%{NONNEGINT:priority:int}>%{SYSLOGTIMESTAMP:stamp} " +
+      "%{SYSLOGHOST:logsource} %{SYSLOGPROG}: %{GREEDYDATA:msgbody}"
+    val parsed = Parse.grokFull(raw, "message", Seq(pattern),
+      tagOnFailure = Seq("_grokparsefailure_sysloginput"))
+    val pri = coalesce(col("priority"), lit(13)) // reference default PRI
+    parsed.withColumn("priority", pri)
+      // the optional [pid] group yields "" when absent (regexp_extract
+      // parity in the kernel); the reference omits the capture — null
+      .withColumn("pid", nullif(col("pid"), lit("")))
+      .withColumn("severity", graft.operators.Net.syslogSeverity(pri))
+      .withColumn("facility", graft.operators.Net.syslogFacility(pri))
+  }
+
   /** Lower a `codec => multiline { pattern/negate/what }` block over a
     * line-framed source frame (offset BIGINT, message STRING): reassembled
     * events come back as (event_group, message, n_lines).
@@ -913,6 +931,22 @@ object LsclRun {
         val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
         codecPlugin(p).filter(_.name == "multiline")
           .fold(loaded)(cp => applyMultiline(cp, loaded, s"tcp:$port"))
+      case PluginItem(p) if p.name == "syslog" =>
+        // the reference syslog input (logstash-input-syslog) = a tcp/udp
+        // listener + RFC 3164 grok parse + PRI decompose, with failures
+        // tagged _grokparsefailure_sysloginput and a default priority of 13.
+        // Composed from the same pieces here: the tcp journal listener (or
+        // `path` for batch replay of an archived syslog file) -> the grok
+        // library's SYSLOG patterns -> Net.syslogSeverity/Facility.
+        val raw = (strAttr(p, "path"), strAttr(p, "port")) match {
+          case (Some(path), _) =>
+            spark.read.format("graft.sources.FileTailSource").option("path", path).load()
+          case (_, Some(port)) =>
+            val rd = spark.read.format("graft.sources.TcpSource").option("port", port.toInt)
+            strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+          case _ => throw new IllegalArgumentException("syslog input: port or path required")
+        }
+        syslogParse(raw)
       case PluginItem(p) if p.name == "file" =>
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("file input: path required"))
@@ -965,6 +999,20 @@ object LsclRun {
           throw new IllegalArgumentException("tcp input: port required")).toInt
         val rd = spark.readStream.format("graft.sources.TcpSource").option("port", port)
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+      case PluginItem(p) if p.name == "syslog" =>
+        // listener/tail front door + the narrow RFC 3164 parse chain — all
+        // streaming-safe (no windows)
+        val raw = (strAttr(p, "path"), strAttr(p, "port")) match {
+          case (Some(path), _) =>
+            spark.readStream.format("graft.sources.FileTailSource")
+              .option("path", path).load()
+          case (_, Some(port)) =>
+            val rd = spark.readStream.format("graft.sources.TcpSource")
+              .option("port", port.toInt)
+            strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+          case _ => throw new IllegalArgumentException("syslog input: port or path required")
+        }
+        syslogParse(raw)
       case PluginItem(p) if p.name == "generator" =>
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val lines = p.attr("lines").map(strList)

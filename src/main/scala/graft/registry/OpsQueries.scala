@@ -320,6 +320,28 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // syslog INPUT (logstash-input-syslog): listener/archive -> RFC 3164
+    // grok parse -> PRI decompose; malformed lines tagged
+    // _grokparsefailure_sysloginput with the reference's default PRI 13
+    "lscl_syslog" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_syslog_gate", ".log")
+      val lines = (0 until 1200).map { i =>
+        if (i % 10 == 9) s"garbage line $i"
+        else {
+          val pid = if (i % 3 == 0) s"[${100 + i % 50}]" else ""
+          f"<${i % 192}>Oct 11 22:${10 + i % 50}:${i % 60}%02d host${i % 5} app$pid: event $i"
+        }
+      }
+      java.nio.file.Files.writeString(f, lines.mkString("", "\n", "\n"))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { syslog { path => "$f" } }""", Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("message"), col("priority"), col("severity"), col("facility"),
+          col("logsource"), col("program"), col("pid"), col("stamp"), col("msgbody"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("message")
+    }),
+
     // elasticsearch output with document_id (the idempotent-upsert surface):
     // one row per rendered id survives in the sink — duplicate/replayed
     // events collapse, via groupBy(min(struct)) keyed on the id (the ES
@@ -861,6 +883,33 @@ object OpsQueries {
         |       'curl' AS useragent_name,
         |       '8.' || (user_id % 10) AS useragent_version
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_syslog" ->
+      """WITH r AS (SELECT range AS i FROM range(1200)),
+        |b AS (
+        |  SELECT i, i % 10 = 9 AS bad,
+        |         'Oct 11 22:' || (10 + i % 50) || ':'
+        |           || lpad(CAST(i % 60 AS VARCHAR), 2, '0') AS stamp0,
+        |         CASE WHEN i % 3 = 0 THEN '[' || (100 + i % 50) || ']' ELSE '' END AS pid0
+        |  FROM r),
+        |c AS (
+        |  SELECT i, bad, stamp0,
+        |         CASE WHEN bad THEN 'garbage line ' || i
+        |              ELSE '<' || (i % 192) || '>' || stamp0 || ' host' || (i % 5)
+        |                   || ' app' || pid0 || ': event ' || i END AS message
+        |  FROM b)
+        |SELECT message,
+        |       CAST(CASE WHEN bad THEN 13 ELSE i % 192 END AS BIGINT) AS priority,
+        |       CAST(CASE WHEN bad THEN 5 ELSE (i % 192) % 8 END AS INTEGER) AS severity,
+        |       CAST(CASE WHEN bad THEN 1 ELSE (i % 192) // 8 END AS INTEGER) AS facility,
+        |       CASE WHEN bad THEN NULL ELSE 'host' || (i % 5) END AS logsource,
+        |       CASE WHEN bad THEN NULL ELSE 'app' END AS program,
+        |       CASE WHEN NOT bad AND i % 3 = 0
+        |            THEN CAST(100 + i % 50 AS VARCHAR) END AS pid,
+        |       CASE WHEN bad THEN NULL ELSE stamp0 END AS stamp,
+        |       CASE WHEN bad THEN NULL ELSE 'event ' || i END AS msgbody,
+        |       CASE WHEN bad THEN '_grokparsefailure_sysloginput' ELSE '' END AS tag_str
+        |FROM c ORDER BY message""".stripMargin,
 
     "pipe_es_docid" ->
       """WITH w AS (
