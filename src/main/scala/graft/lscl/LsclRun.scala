@@ -931,6 +931,13 @@ object LsclRun {
         val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
         codecPlugin(p).filter(_.name == "multiline")
           .fold(loaded)(cp => applyMultiline(cp, loaded, s"tcp:$port"))
+      case PluginItem(p) if p.name == "udp" =>
+        // udp input: datagram listener journals lines (one event per
+        // datagram, embedded newlines split); batch reads the journal so far
+        val port = strAttr(p, "port").getOrElse(
+          throw new IllegalArgumentException("udp input: port required")).toInt
+        val rd = spark.read.format("graft.sources.UdpSource").option("port", port)
+        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "syslog" =>
         // the reference syslog input (logstash-input-syslog) = a tcp/udp
         // listener + RFC 3164 grok parse + PRI decompose, with failures
@@ -942,7 +949,10 @@ object LsclRun {
           case (Some(path), _) =>
             spark.read.format("graft.sources.FileTailSource").option("path", path).load()
           case (_, Some(port)) =>
-            val rd = spark.read.format("graft.sources.TcpSource").option("port", port.toInt)
+            // protocol => tcp (default) | udp — the reference listens on both
+            val fmt = if (strAttr(p, "protocol").contains("udp"))
+              "graft.sources.UdpSource" else "graft.sources.TcpSource"
+            val rd = spark.read.format(fmt).option("port", port.toInt)
             strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
           case _ => throw new IllegalArgumentException("syslog input: port or path required")
         }
@@ -994,10 +1004,12 @@ object LsclRun {
           throw new IllegalArgumentException("file input: path required"))
         spark.readStream.format("graft.sources.FileTailSource")
           .option("path", path).load()
-      case PluginItem(p) if p.name == "tcp" =>
+      case PluginItem(p) if p.name == "tcp" || p.name == "udp" =>
         val port = strAttr(p, "port").getOrElse(
-          throw new IllegalArgumentException("tcp input: port required")).toInt
-        val rd = spark.readStream.format("graft.sources.TcpSource").option("port", port)
+          throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
+        val fmt = if (p.name == "udp") "graft.sources.UdpSource"
+                  else "graft.sources.TcpSource"
+        val rd = spark.readStream.format(fmt).option("port", port)
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "syslog" =>
         // listener/tail front door + the narrow RFC 3164 parse chain — all
