@@ -425,7 +425,17 @@ object LsclRun {
       case "split" =>
         requireTopLevel(p, cond)
         val field = strAttr(p, "field").getOrElse("message")
-        Stateful.splitField(df, field, strAttr(p, "target").getOrElse(field))
+        val target = strAttr(p, "target").getOrElse(field)
+        df.schema(field).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            Stateful.splitField(df, field, target)
+          case _ =>
+            // reference default: a STRING field splits on `terminator`
+            // (default "\n") and fans out one event per piece
+            val term = strAttr(p, "terminator").getOrElse("\n")
+            df.withColumn(target,
+              explode(split(col(field), java.util.regex.Pattern.quote(term))))
+        }
 
       case "urldecode" =>
         val f = strAttr(p, "field").getOrElse("message")

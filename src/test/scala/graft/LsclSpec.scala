@@ -400,6 +400,17 @@ class LsclSpec extends SparkSpec {
     } finally System.setIn(old)
   }
 
+  test("split filter on a STRING field fans out per terminator piece") {
+    import spark.implicits._
+    val df = Seq(("a|b|c", 1), ("solo", 2)).toDF("message", "id")
+    val cfg = Lscl.parse(
+      """filter { split { field => "message" target => "piece" terminator => "|" } }""",
+      Map.empty)
+    val out = LsclRun.applyFilters(df, cfg.filters)
+      .select("id", "piece").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a"), (1, "b"), (1, "c"), (2, "solo")))
+  }
+
   test("parse errors carry position; conditional rename merges, split refuses") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))
