@@ -315,9 +315,11 @@ object LsclRun {
         val tagFail = p.attr("tag_on_failure").map(strList)
           .getOrElse(Seq("_grokparsefailure"))
         val breakOn = !strAttr(p, "break_on_match").contains("false")
+        val keepEmpty = strAttr(p, "keep_empty_captures").contains("true")
         p.attr("match") match {
           case Some(VHash(Seq((field, v)))) =>
-            Parse.grokFull(df, field, strList(v), defs, overwrite, tagFail, breakOn)
+            Parse.grokFull(df, field, strList(v), defs, overwrite, tagFail, breakOn,
+              keepEmpty)
           case other => throw new IllegalArgumentException(s"grok: unsupported match $other")
         }
 
@@ -839,10 +841,8 @@ object LsclRun {
     val parsed = Parse.grokFull(raw, "message", Seq(pattern),
       tagOnFailure = Seq("_grokparsefailure_sysloginput"))
     val pri = coalesce(col("priority"), lit(13)) // reference default PRI
+    // absent [pid] is already null: grokFull's keep_empty_captures default
     parsed.withColumn("priority", pri)
-      // the optional [pid] group yields "" when absent (regexp_extract
-      // parity in the kernel); the reference omits the capture — null
-      .withColumn("pid", nullif(col("pid"), lit("")))
       .withColumn("severity", graft.operators.Net.syslogSeverity(pri))
       .withColumn("facility", graft.operators.Net.syslogFacility(pri))
   }

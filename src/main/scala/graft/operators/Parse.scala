@@ -385,13 +385,18 @@ object Parse {
     * promoting to an array, which a typed column cannot do);
     * `tagOnFailure` = tags added when no pattern matches;
     * `breakOnMatch` false = every matching pattern contributes its captures
-    * (first non-null per field) instead of first-match-wins.
+    * (first non-null per field) instead of first-match-wins;
+    * `keepEmpty` = the reference's `keep_empty_captures` — with the DEFAULT
+    * false, an empty or non-participating capture is NOT set on the event
+    * (null here), matching the grok filter's default; true keeps the empty
+    * string (the kernel's raw regexp_extract-parity value).
     */
   def grokFull(df: DataFrame, source: String, patterns: Seq[String],
                defs: Map[String, String] = Map.empty,
                overwrite: Set[String] = Set.empty,
                tagOnFailure: Seq[String] = Seq("_grokparsefailure"),
-               breakOnMatch: Boolean = true): DataFrame = {
+               breakOnMatch: Boolean = true,
+               keepEmpty: Boolean = false): DataFrame = {
     val specs = patterns.map(compileGrok(_, defs))
     val withGs = specs.zipWithIndex.foldLeft(df) { case (d, (s, i)) =>
       d.withColumn(s"_gm_$i",
@@ -407,7 +412,9 @@ object Parse {
     val withFields = fieldNames.foldLeft(withGs) { (d, fname) =>
       val cases = specs.zipWithIndex.flatMap { case (s, i) =>
         s.fields.find(_.name == fname).map { f =>
-          when(isWinner(i), coerce(col(s"_gm_$i").getField(s"g${f.group}"), f.typ))
+          val raw = col(s"_gm_$i").getField(s"g${f.group}")
+          val kept = if (keepEmpty) raw else nullif(raw, lit(""))
+          when(isWinner(i), coerce(kept, f.typ))
         }
       }
       val captured = coalesce(cases: _*)

@@ -371,8 +371,10 @@ object EventQueries {
         |            WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END AS verb,
         |       CASE WHEN event_id % 13 = 0 THEN NULL
         |            ELSE CAST(200 + (event_id % 3) * 100 AS VARCHAR) END AS response,
+        |       -- "-" bytes: the capture does not participate; reference
+        |       -- keep_empty_captures default = field NOT set (null), not ''
         |       CASE WHEN event_id % 13 = 0 THEN NULL
-        |            WHEN event_id % 5 = 0 THEN ''
+        |            WHEN event_id % 5 = 0 THEN NULL
         |            ELSE CAST(CAST(round(value) AS BIGINT) AS VARCHAR) END AS bytes,
         |       CASE WHEN event_id % 13 = 0 THEN NULL ELSE '"-"' END AS referrer,
         |       CASE WHEN event_id % 13 = 0 THEN NULL
