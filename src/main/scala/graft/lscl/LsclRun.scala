@@ -872,7 +872,7 @@ object LsclRun {
     */
   def inputBatchCodec(items: Seq[Item]): DataFrame => DataFrame = {
     val ml = items.collect {
-      case PluginItem(p) if p.name == "file" || p.name == "tcp" =>
+      case PluginItem(p) if Set("file", "tcp", "udp")(p.name) =>
         codecPlugin(p).filter(_.name == "multiline")
     }.flatten
     ml.headOption match {
@@ -947,7 +947,9 @@ object LsclRun {
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException("udp input: port required")).toInt
         val rd = spark.read.format("graft.sources.UdpSource").option("port", port)
-        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        codecPlugin(p).filter(_.name == "multiline")
+          .fold(loaded)(cp => applyMultiline(cp, loaded, s"udp:$port"))
       case PluginItem(p) if p.name == "syslog" =>
         // the reference syslog input (logstash-input-syslog) = a tcp/udp
         // listener + RFC 3164 grok parse + PRI decompose, with failures
