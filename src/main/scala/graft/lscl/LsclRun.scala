@@ -950,6 +950,28 @@ object LsclRun {
         val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
         codecPlugin(p).filter(_.name == "multiline")
           .fold(loaded)(cp => applyMultiline(cp, loaded, s"udp:$port"))
+      case PluginItem(p) if p.name == "http" =>
+        // http input (webhook front door): POST bodies journal line-framed;
+        // batch reads the journal so far, stream reads offset deltas
+        val port = strAttr(p, "port").getOrElse(
+          throw new IllegalArgumentException("http input: port required")).toInt
+        val rd = spark.read.format("graft.sources.HttpSource").option("port", port)
+        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+      case PluginItem(p) if p.name == "exec" =>
+        // exec input (logstash-input-exec): run `command`, one event per
+        // stdout line with the command recorded — batch = one tick of the
+        // reference's interval loop, driver-side like the reference's
+        // single plugin thread
+        val cmd = strAttr(p, "command").getOrElse(
+          throw new IllegalArgumentException("exec input: command required"))
+        val proc = new ProcessBuilder("/bin/sh", "-c", cmd)
+          .redirectErrorStream(true).start()
+        val outBytes = proc.getInputStream.readAllBytes()
+        proc.waitFor()
+        val lines = new String(outBytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).toSeq
+        import spark.implicits._
+        lines.toDF("message").withColumn("command", lit(cmd))
       case PluginItem(p) if p.name == "syslog" =>
         // the reference syslog input (logstash-input-syslog) = a tcp/udp
         // listener + RFC 3164 grok parse + PRI decompose, with failures
@@ -1016,11 +1038,14 @@ object LsclRun {
           throw new IllegalArgumentException("file input: path required"))
         spark.readStream.format("graft.sources.FileTailSource")
           .option("path", path).load()
-      case PluginItem(p) if p.name == "tcp" || p.name == "udp" =>
+      case PluginItem(p) if Set("tcp", "udp", "http")(p.name) =>
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
-        val fmt = if (p.name == "udp") "graft.sources.UdpSource"
-                  else "graft.sources.TcpSource"
+        val fmt = p.name match {
+          case "udp" => "graft.sources.UdpSource"
+          case "http" => "graft.sources.HttpSource"
+          case _ => "graft.sources.TcpSource"
+        }
         val rd = spark.readStream.format(fmt).option("port", port)
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "syslog" =>
