@@ -957,6 +957,14 @@ object LsclRun {
           throw new IllegalArgumentException("http input: port required")).toInt
         val rd = spark.read.format("graft.sources.HttpSource").option("port", port)
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+      case PluginItem(p) if p.name == "beats" =>
+        // beats input: lumberjack v2 listener journals one JSON line per
+        // event, acking after the durable append; a downstream json filter
+        // (with schema) recovers the event fields
+        val port = strAttr(p, "port").getOrElse(
+          throw new IllegalArgumentException("beats input: port required")).toInt
+        val rd = spark.read.format("graft.sources.BeatsSource").option("port", port)
+        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "exec" =>
         // exec input (logstash-input-exec): run `command`, one event per
         // stdout line with the command recorded — batch = one tick of the
@@ -1038,12 +1046,13 @@ object LsclRun {
           throw new IllegalArgumentException("file input: path required"))
         spark.readStream.format("graft.sources.FileTailSource")
           .option("path", path).load()
-      case PluginItem(p) if Set("tcp", "udp", "http")(p.name) =>
+      case PluginItem(p) if Set("tcp", "udp", "http", "beats")(p.name) =>
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
         val fmt = p.name match {
           case "udp" => "graft.sources.UdpSource"
           case "http" => "graft.sources.HttpSource"
+          case "beats" => "graft.sources.BeatsSource"
           case _ => "graft.sources.TcpSource"
         }
         val rd = spark.readStream.format(fmt).option("port", port)
