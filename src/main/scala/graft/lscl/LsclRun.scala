@@ -875,6 +875,9 @@ object LsclRun {
       case PluginItem(p) if Set("file", "tcp", "udp")(p.name) =>
         codecPlugin(p).filter(_.name == "multiline")
     }.flatten
+    require(ml.size <= 1,
+      "multiple inputs with multiline codecs: streaming applies ONE batch " +
+        "codec over the unioned stream — give each input its own pipeline")
     ml.headOption match {
       case Some(cp) => b => applyMultiline(cp, b, "stream")
       case None => identity
@@ -1065,8 +1068,9 @@ object LsclRun {
             spark.readStream.format("graft.sources.FileTailSource")
               .option("path", path).load()
           case (_, Some(port)) =>
-            val rd = spark.readStream.format("graft.sources.TcpSource")
-              .option("port", port.toInt)
+            val fmt = if (strAttr(p, "protocol").contains("udp"))
+              "graft.sources.UdpSource" else "graft.sources.TcpSource"
+            val rd = spark.readStream.format(fmt).option("port", port.toInt)
             strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
           case _ => throw new IllegalArgumentException("syslog input: port or path required")
         }
