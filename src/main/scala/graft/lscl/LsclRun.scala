@@ -809,9 +809,18 @@ object LsclRun {
           case Some(VPlugin(c)) => Some(c.name)
           case _ => None
         }
+        // the csv OUTPUT plugin (logstash-output-csv): `fields` select the
+        // written columns, joined by `csv_options`' col_sep analogue
+        val csvFields =
+          if (p.name == "csv") p.attr("fields").map(strList).getOrElse(
+            throw new IllegalArgumentException("csv output: fields required"))
+          else Nil
         out += Route.SinkSpec(name, path, dec,
-          indexTemplate = dynamicIdx.orElse(dynamicPath), codec = codec,
-          documentId = strAttr(p, "document_id"))
+          indexTemplate = dynamicIdx.orElse(dynamicPath),
+          codec = if (p.name == "csv") Some("csv") else codec,
+          documentId = strAttr(p, "document_id"),
+          csvFields = csvFields,
+          csvSep = strAttr(p, "separator").getOrElse(","))
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
         arms.foreach { case (e, body) =>

@@ -42,11 +42,18 @@ object Route {
     * the id hash — the exact analogue of ES routing documents to shards by
     * _id hash.
     */
+  /** `csvFields`/`csvSep`: the csv output plugin (logstash-output-csv) —
+    * codec "csv" writes the selected event fields joined by the separator,
+    * one line per event (no quoting: the token world's values are
+    * separator-free; a quoting writer would slot in here).
+    */
   final case class SinkSpec(name: String, cond: Cond,
                             decorator: Mutate.Decorator = Mutate.Decorator(),
                             indexTemplate: Option[String] = None,
                             codec: Option[String] = None,
-                            documentId: Option[String] = None)
+                            documentId: Option[String] = None,
+                            csvFields: Seq[String] = Nil,
+                            csvSep: String = ",")
 
   /** Columns whose names start with this prefix are the `@metadata` analogue:
     * available to conditions/decorators, dropped before every sink write
@@ -236,7 +243,9 @@ object Route {
       def writeIfNeeded(name: String, df: => DataFrame,
                         indexTemplate: Option[String] = None,
                         codec: Option[String] = None,
-                        documentId: Option[String] = None): String = {
+                        documentId: Option[String] = None,
+                        csvFields: Seq[String] = Nil,
+                        csvSep: String = ","): String = {
         val path = s"$outDir/$name"
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
@@ -260,7 +269,19 @@ object Route {
           val db = if (parts.contains("_bucket"))
             d.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
           else d
-          if (codec.exists(c => c == "json_lines" || c == "json")) {
+          if (codec.contains("csv")) {
+            // csv output plugin: selected fields joined per line; partition
+            // layout (index/bucket) rides beside the text value column
+            val body = db.select(
+              concat_ws(csvSep,
+                csvFields.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+                .as("value") +: parts.map(col): _*)
+            if (parts.nonEmpty)
+              body.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(parts: _*).text(path)
+            else body.write.mode("overwrite").text(path)
+          } else if (codec.exists(c => c == "json_lines" || c == "json")) {
             // reference file-output default codec: one JSON doc per line.
             // A sprintf'd index/bucket layout still applies: partition
             // columns ride beside the single text value column, so
@@ -284,7 +305,7 @@ object Route {
       }
       val paths = sinks.map { s =>
         s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s), s.indexTemplate,
-          s.codec, s.documentId)
+          s.codec, s.documentId, s.csvFields, s.csvSep)
       }.toMap ++
         (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
          else Map.empty[String, String])

@@ -320,6 +320,23 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // csv OUTPUT plugin (logstash-output-csv): selected fields joined per
+    // line into text files, read back verbatim
+    "pipe_csv_out" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csvout").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val cfg = graft.lscl.Lscl.parse(
+        """output {
+          |  if [event_type] == "view" { csv { id => "views_csv" fields => ["event_id", "event_type", "user_id"] } }
+          |}""".stripMargin, Map.empty)
+      graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+      s.read.text(s"$out/views_csv")
+        .select(col("value").as("line"))
+        .orderBy("line")
+    }),
+
     // syslog INPUT (logstash-input-syslog): listener/archive -> RFC 3164
     // grok parse -> PRI decompose; malformed lines tagged
     // _grokparsefailure_sysloginput with the reference's default PRI 13
@@ -883,6 +900,10 @@ object OpsQueries {
         |       'curl' AS useragent_name,
         |       '8.' || (user_id % 10) AS useragent_version
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "pipe_csv_out" ->
+      """SELECT event_id || ',' || event_type || ',' || user_id AS line
+        |FROM events WHERE event_type = 'view' ORDER BY line""".stripMargin,
 
     "lscl_syslog" ->
       """WITH r AS (SELECT range AS i FROM range(1200)),
