@@ -340,7 +340,9 @@ object LsclRun {
           excludeKeys = p.attr("exclude_keys").map(strList).getOrElse(Nil),
           trimKey = strAttr(p, "trim_key"),
           trimValue = strAttr(p, "trim_value"),
-          prefix = strAttr(p, "prefix").getOrElse(""))
+          prefix = strAttr(p, "prefix").getOrElse(""),
+          transformKey = strAttr(p, "transform_key"),
+          transformValue = strAttr(p, "transform_value"))
 
       case "csv" =>
         requireTopLevel(p, cond)

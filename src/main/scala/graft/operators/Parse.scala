@@ -556,10 +556,20 @@ object Parse {
              pairSep: String = " ", kvSep: String = "=",
              includeKeys: Seq[String] = Nil, excludeKeys: Seq[String] = Nil,
              trimKey: Option[String] = None, trimValue: Option[String] = None,
-             prefix: String = ""): DataFrame = {
+             prefix: String = "",
+             transformKey: Option[String] = None,
+             transformValue: Option[String] = None): DataFrame = {
     def trimClass(chars: String): String =
       "[" + chars.flatMap(c =>
         if ("\\^]-[&".contains(c)) "\\" + c else c.toString) + "]+"
+    // reference transform_key/transform_value: lowercase | uppercase | capitalize
+    def xform(how: String, c: Column): Column = how match {
+      case "lowercase" => lower(c)
+      case "uppercase" => upper(c)
+      case "capitalize" => initcap(c)
+      case other => throw new IllegalArgumentException(
+        s"kv transform: `$other` (expected lowercase|uppercase|capitalize)")
+    }
     var m = str_to_map(col(source), lit(pairSep), lit(kvSep))
     trimKey.foreach { ch =>
       val re = s"^${trimClass(ch)}|${trimClass(ch)}$$"
@@ -569,6 +579,8 @@ object Parse {
       val re = s"^${trimClass(ch)}|${trimClass(ch)}$$"
       m = transform_values(m, (_, v) => regexp_replace(v, re, ""))
     }
+    transformKey.foreach(h => m = transform_keys(m, (k, _) => xform(h, k)))
+    transformValue.foreach(h => m = transform_values(m, (_, v) => xform(h, v)))
     if (includeKeys.nonEmpty)
       m = map_filter(m, (k, _) => k.isin(includeKeys.map(x => x: Any): _*))
     if (excludeKeys.nonEmpty)

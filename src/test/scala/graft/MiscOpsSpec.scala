@@ -115,6 +115,38 @@ class MiscOpsSpec extends SparkSpec {
       (1L, "head1\n cont\n more", 3L), (1L, "head2", 1L), (2L, "other", 1L)))
   }
 
+  test("throttleMatched == throttleRange on hour-aligned periods (config vs API surface)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (s"k${rnd.nextInt(3)}",
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(6)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        i.toLong)
+    }
+    val df = rows.toDF("key", "ts", "id")
+    // period "hour" truncation and 3600-second epoch slots coincide exactly
+    val a = graft.operators.Stateful
+      .throttleRange(df, "key", "ts", "hour", beforeCount = 2, afterCount = 5,
+        orderCols = Seq("id"))
+      .select("id", "throttled")
+    val b = graft.operators.Stateful
+      .throttleMatched(df, col("key"), col("ts"), 3600L, 2, 5,
+        orderCols = Seq(col("id")))
+      .select(col("id"), col("_throttle_matched").as("throttled"))
+    val diff = a.as("a").join(b.as("b"), "id")
+      .filter(col("a.throttled") =!= col("b.throttled")).count()
+    assert(diff == 0)
+  }
+
+  test("kv transform_key/transform_value: case folding before include/prefix") {
+    import spark.implicits._
+    val df = Seq("User=Frank Host=WEB1").toDF("message")
+    val out = graft.operators.Parse.kvFull(df, "message", "kv",
+      transformKey = Some("lowercase"), transformValue = Some("uppercase"))
+      .select(to_json(col("kv"))).collect()(0).getString(0)
+    assert(out == """{"user":"FRANK","host":"WEB1"}""")
+  }
+
   test("jodaToJava: run-tokenized, quoted literals untouched, Z-run offsets") {
     import graft.operators.Mutate
     assert(Mutate.jodaToJava("YYYY.MM.dd") == "yyyy.MM.dd")
