@@ -588,6 +588,20 @@ object LsclRun {
             sum(col(f).cast("decimal(18,2)")).cast("double").as("total_value"))
         decoratorOf(p)(keyed.groupBy(col("task_id")).agg(aggs.head, aggs.tail: _*))
 
+      case "elapsed" =>
+        // logstash-filter-elapsed: start/end pair correlation by unique id
+        requireTopLevel(p, cond)
+        val startTag = strAttr(p, "start_tag").getOrElse(
+          throw new IllegalArgumentException("elapsed: start_tag required"))
+        val endTag = strAttr(p, "end_tag").getOrElse(
+          throw new IllegalArgumentException("elapsed: end_tag required"))
+        val idF = strAttr(p, "unique_id_field").getOrElse(
+          throw new IllegalArgumentException("elapsed: unique_id_field required"))
+        val tsF = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+        Stateful.elapsed(df, idF, tsF,
+          array_contains(col("tags"), startTag),
+          array_contains(col("tags"), endTag))
+
       case "anonymize" =>
         // keyed-hash field overwrite (Mutate.anonymize); conditional form
         // unifies the column to string (the hash's type)

@@ -185,6 +185,45 @@ object Stateful {
         min(col(orderCol)).as("first_o"), max(col(orderCol)).as("last_o"))
   }
 
+  /** elapsed filter (logstash-filter-elapsed): correlate start/end event
+    * pairs sharing a unique id. On an end event whose id has a seen start,
+    * set `elapsed_time` (seconds, double) and `elapsed_timestamp_start` and
+    * tag [elapsed, elapsed_match]; an end without a start tags
+    * [elapsed, elapsed_end_without_start]. The reference's timeout flush
+    * (a start never followed by an end generates an expired event after N
+    * seconds of wall clock) becomes the batch-exact end-of-input rule: a
+    * start whose id has NO end is tagged elapsed_expired_error in place
+    * (the reference emits a synthetic event; tagging the start keeps row
+    * count = input count, the typed-frame analogue). Duplicate starts: the
+    * EARLIEST wins (the reference stores the first seen). Three hash
+    * exchanges all keyed on the correlation id — the natural partitioning;
+    * the aggregated start/end sides are id-cardinality, so AQE broadcasts
+    * them when small.
+    */
+  def elapsed(df: DataFrame, idCol: String, tsCol: String,
+              isStart: Column, isEnd: Column): DataFrame = {
+    val starts = df.filter(isStart).groupBy(col(idCol))
+      .agg(min(col(tsCol)).as("_el_start"))
+    val ends = df.filter(isEnd).groupBy(col(idCol))
+      .agg(count(lit(1)).as("_el_nend"))
+    val j = df.join(starts, Seq(idCol), "left").join(ends, Seq(idCol), "left")
+    val matchedEnd = isEnd && col("_el_start").isNotNull
+    val expiredStart = isStart && col("_el_nend").isNull
+    val base: Column =
+      if (df.columns.contains("tags"))
+        coalesce(col("tags"), array().cast("array<string>"))
+      else array().cast("array<string>")
+    j.withColumn("elapsed_time",
+        when(matchedEnd, col(tsCol).cast("double") - col("_el_start").cast("double")))
+      .withColumn("elapsed_timestamp_start", when(matchedEnd, col("_el_start")))
+      .withColumn("tags",
+        when(matchedEnd, concat(base, array(lit("elapsed"), lit("elapsed_match"))))
+          .when(isEnd, concat(base, array(lit("elapsed"), lit("elapsed_end_without_start"))))
+          .when(expiredStart, concat(base, array(lit("elapsed_expired_error"))))
+          .otherwise(base))
+      .drop("_el_start", "_el_nend")
+  }
+
   /** clone filter: emit one copy per requested `types` value, each tagged
     * with its clone type (plus the original when keepOriginal).
     */

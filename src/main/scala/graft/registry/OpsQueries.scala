@@ -320,6 +320,36 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // elapsed filter from CONFIG TEXT (logstash-filter-elapsed): start/end
+    // correlation by unique id — matched ends get elapsed_time + tags,
+    // orphan ends and expired starts get their failure tags
+    "lscl_elapsed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("task", (col("user_id") % 50).cast("string"))
+        .withColumn("tags",
+          when(col("event_id") % 3 === 0, array(lit("taskStarted")))
+            .when(col("event_id") % 3 === 1, array(lit("taskEnded")))
+            .otherwise(array().cast("array<string>")))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  elapsed {
+          |    start_tag => "taskStarted"
+          |    end_tag => "taskEnded"
+          |    unique_id_field => "task"
+          |    timestamp_field => "ts"
+          |  }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"),
+          floor(col("elapsed_time") * 1000000.0 + 0.5) / 1000000.0
+            as "elapsed_q",
+          date_format(col("elapsed_timestamp_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("start_s"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("event_id")
+    }),
+
     // csv OUTPUT plugin (logstash-output-csv): selected fields joined per
     // line into text files, read back verbatim
     "pipe_csv_out" -> ((s, dir) => {
@@ -900,6 +930,38 @@ object OpsQueries {
         |       'curl' AS useragent_name,
         |       '8.' || (user_id % 10) AS useragent_version
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_elapsed" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(user_id % 50 AS VARCHAR) AS task, ts,
+        |         CASE WHEN event_id % 3 = 0 THEN 'taskStarted'
+        |              WHEN event_id % 3 = 1 THEN 'taskEnded'
+        |              ELSE '' END AS role
+        |  FROM events),
+        |starts AS (
+        |  SELECT task, MIN(ts) AS start_ts FROM base
+        |  WHERE role = 'taskStarted' GROUP BY task),
+        |ends AS (
+        |  SELECT task, COUNT(*) AS n_end FROM base
+        |  WHERE role = 'taskEnded' GROUP BY task)
+        |SELECT b.event_id,
+        |       CASE WHEN b.role = 'taskEnded' AND s.start_ts IS NOT NULL
+        |            THEN floor((epoch(b.ts) - epoch(s.start_ts)) * 1000000.0 + 0.5)
+        |                 / 1000000.0 END AS elapsed_q,
+        |       CASE WHEN b.role = 'taskEnded' AND s.start_ts IS NOT NULL
+        |            THEN strftime(s.start_ts, '%Y-%m-%d %H:%M:%S') END AS start_s,
+        |       CASE WHEN b.role = 'taskEnded' AND s.start_ts IS NOT NULL
+        |              THEN 'taskEnded,elapsed,elapsed_match'
+        |            WHEN b.role = 'taskEnded'
+        |              THEN 'taskEnded,elapsed,elapsed_end_without_start'
+        |            WHEN b.role = 'taskStarted' AND e.n_end IS NULL
+        |              THEN 'taskStarted,elapsed_expired_error'
+        |            WHEN b.role = 'taskStarted' THEN 'taskStarted'
+        |            ELSE '' END AS tag_str
+        |FROM base b
+        |LEFT JOIN starts s ON b.task = s.task
+        |LEFT JOIN ends e ON b.task = e.task
+        |ORDER BY event_id""".stripMargin,
 
     "pipe_csv_out" ->
       """SELECT event_id || ',' || event_type || ',' || user_id AS line
