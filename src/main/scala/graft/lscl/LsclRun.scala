@@ -359,8 +359,12 @@ object LsclRun {
           // key every row with a deterministic ordinal, detect from the
           // minimum-ordinal row (a one-row driver peek), and let skip_header
           // drop exactly THAT event (never other rows that happen to equal
-          // the header string).
-          val keyed = df.withColumn("_csv_ord", monotonically_increasing_id())
+          // the header string). The keyed frame is PERSISTED before the peek:
+          // monotonically_increasing_id is only repeatable when the upstream
+          // partitioning is — after a shuffle/union the peek job and the
+          // skip_header job could otherwise see different ordinals.
+          val keyed = graft.plans.CacheScope.persist(
+            df.withColumn("_csv_ord", monotonically_increasing_id()))
           val head = keyed.orderBy(col("_csv_ord")).select(col(source), col("_csv_ord"))
             .limit(1).collect().headOption
             .getOrElse(throw new IllegalArgumentException("csv autodetect: empty input"))

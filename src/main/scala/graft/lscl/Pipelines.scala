@@ -133,13 +133,31 @@ object Pipelines {
       val dir = s"$outRoot/${sp.id}"
       clearDir(dir)
       val prev = states.get(sp.id)
-      // a Reload that drops a send_to must not leave the old address
-      // resolvable (stale-frame hazard) — unregister before re-registering
-      prev.foreach(_.produced.foreach(bus.unregister))
-      val result = LsclRun.runConfig(spark, sp.configText, dir, env, Some(bus))
+      // snapshot the previous run's registrations: a FAILED Create/Reload
+      // must leave the bus exactly as it found it (a previously healthy
+      // upstream keeps feeding its downstream consumers) and keep the old
+      // state entry (old hash => a retry with the new text is a Reload, not
+      // skipped-as-converged)
+      val prevFrames = prev.toSeq.flatMap(_.produced.toSeq.collect {
+        case a if bus.addresses.contains(a) => a -> bus.resolve(a)
+      })
+      val newProduced = produced(Lscl.parse(sp.configText, env))
+      val result =
+        try LsclRun.runConfig(spark, sp.configText, dir, env, Some(bus))
+        catch {
+          case e: Throwable =>
+            newProduced.filterNot(a => prevFrames.exists(_._1 == a))
+              .foreach(bus.unregister) // half-registered new addresses
+            prevFrames.foreach { case (a, f) => bus.register(a, f) }
+            throw e
+        }
+      // success: addresses the reload DROPPED unregister now — never before
+      // the new run, so a throw can't orphan downstream consumers. This runs
+      // before any downstream in the same converge batch executes, so a
+      // same-batch consumer of a dropped address still fails loudly.
+      prev.foreach(_.produced.filterNot(newProduced).foreach(bus.unregister))
       states += sp.id -> PipelineState(uniqueHash(sp.configText),
-        prev.map(_.runs).getOrElse(0) + 1, Some(result),
-        produced(Lscl.parse(sp.configText, env)))
+        prev.map(_.runs).getOrElse(0) + 1, Some(result), newProduced)
     }
   }
 

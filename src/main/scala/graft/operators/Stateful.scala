@@ -195,7 +195,14 @@ object Stateful {
     * start whose id has NO end is tagged elapsed_expired_error in place
     * (the reference emits a synthetic event; tagging the start keeps row
     * count = input count, the typed-frame analogue). Duplicate starts: the
-    * EARLIEST wins (the reference stores the first seen). Three hash
+    * EARLIEST wins (the reference stores the first seen).
+    *
+    * Known divergence: an end whose timestamp PRECEDES the earliest start
+    * for its id still matches here (whole-batch correlation sees all starts
+    * at once), yielding a negative `elapsed_time`; the reference, processing
+    * in arrival order, would tag it elapsed_end_without_start. The batch
+    * rule is deliberate — input order is not part of the batch contract —
+    * and the oracle mirrors it. Three hash
     * exchanges all keyed on the correlation id — the natural partitioning;
     * the aggregated start/end sides are id-cardinality, so AQE broadcasts
     * them when small.

@@ -57,6 +57,7 @@ object BeatsSource {
     private val server = new java.net.ServerSocket(port)
     @volatile private var closed = false
     def localPort: Int = server.getLocalPort
+    def journalPath: java.nio.file.Path = journal
 
     private def append(lines: String): Unit = synchronized {
       java.nio.file.Files.writeString(journal, lines,
@@ -162,8 +163,13 @@ object BeatsSource {
   private val listeners =
     scala.collection.concurrent.TrieMap.empty[Int, Listener]
 
-  def ensureListener(port: Int, journal: java.nio.file.Path): Listener =
-    listeners.getOrElseUpdate(port, new Listener(port, journal))
+  def ensureListener(port: Int, journal: java.nio.file.Path): Listener = {
+    val l = listeners.getOrElseUpdate(port, new Listener(port, journal))
+    require(l.journalPath == journal,
+      s"beats port $port already journals to ${l.journalPath}, not $journal — " +
+        "stopListener first or reuse the existing journal")
+    l
+  }
 
   def stopListener(port: Int): Unit =
     listeners.remove(port).foreach(_.close())

@@ -40,6 +40,7 @@ object HttpSource {
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     def localPort: Int = server.getAddress.getPort
+    def journalPath: java.nio.file.Path = journal
 
     private def append(lines: String): Unit = synchronized {
       java.nio.file.Files.writeString(journal, lines,
@@ -78,8 +79,13 @@ object HttpSource {
     scala.collection.concurrent.TrieMap.empty[Int, Listener]
 
   def ensureListener(port: Int, journal: java.nio.file.Path,
-                     sizeLimit: Int = DefaultSizeLimit): Listener =
-    listeners.getOrElseUpdate(port, new Listener(port, journal, sizeLimit))
+                     sizeLimit: Int = DefaultSizeLimit): Listener = {
+    val l = listeners.getOrElseUpdate(port, new Listener(port, journal, sizeLimit))
+    require(l.journalPath == journal,
+      s"http port $port already journals to ${l.journalPath}, not $journal — " +
+        "stopListener first or reuse the existing journal")
+    l
+  }
 
   def stopListener(port: Int): Unit =
     listeners.remove(port).foreach(_.close())

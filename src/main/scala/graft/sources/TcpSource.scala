@@ -62,6 +62,7 @@ object TcpSource {
     @volatile private var closed = false
     private val oversizedCount = new java.util.concurrent.atomic.AtomicLong(0)
     def localPort: Int = server.getLocalPort
+    def journalPath: java.nio.file.Path = journal
     /** Frames dropped for exceeding sizeLimit. */
     def oversized: Long = oversizedCount.get
 
@@ -92,6 +93,11 @@ object TcpSource {
                 }
                 b = in.read()
               }
+              // connection close flushes a final unterminated line (the
+              // reference line codec's flush-on-close) — a client sending
+              // "foo" then closing must not lose the event
+              if (buf.size > 0 && !over) append(buf.toString("UTF-8") + "\n")
+              else if (over) oversizedCount.incrementAndGet()
             } finally sock.close()
           }, s"graft-tcp-conn-$port")
           t.setDaemon(true); t.start()
@@ -107,10 +113,19 @@ object TcpSource {
   private val listeners =
     scala.collection.concurrent.TrieMap.empty[Int, Listener]
 
-  /** Idempotently start the listener for `port` journaling to `journal`. */
+  /** Idempotently start the listener for `port` journaling to `journal`.
+    * A later request naming a DIFFERENT journal for an already-listening
+    * port fails loudly — silently keeping the old journal would make the
+    * new source read an empty path with no error.
+    */
   def ensureListener(port: Int, journal: java.nio.file.Path,
-                     sizeLimit: Int = DefaultSizeLimit): Listener =
-    listeners.getOrElseUpdate(port, new Listener(port, journal, sizeLimit))
+                     sizeLimit: Int = DefaultSizeLimit): Listener = {
+    val l = listeners.getOrElseUpdate(port, new Listener(port, journal, sizeLimit))
+    require(l.journalPath == journal,
+      s"tcp port $port already journals to ${l.journalPath}, not $journal — " +
+        "stopListener first or reuse the existing journal")
+    l
+  }
 
   def stopListener(port: Int): Unit =
     listeners.remove(port).foreach(_.close())

@@ -47,6 +47,7 @@ object UdpSource {
     private val socket = new java.net.DatagramSocket(port)
     @volatile private var closed = false
     def localPort: Int = socket.getLocalPort
+    def journalPath: java.nio.file.Path = journal
 
     private def append(lines: String): Unit = synchronized {
       java.nio.file.Files.writeString(journal, lines,
@@ -76,10 +77,18 @@ object UdpSource {
   private val listeners =
     scala.collection.concurrent.TrieMap.empty[Int, Listener]
 
-  /** Idempotently start the listener for `port` journaling to `journal`. */
+  /** Idempotently start the listener for `port` journaling to `journal`;
+    * fails loudly when the port already journals elsewhere (see
+    * [[TcpSource.ensureListener]]).
+    */
   def ensureListener(port: Int, journal: java.nio.file.Path,
-                     sizeLimit: Int = DefaultSizeLimit): Listener =
-    listeners.getOrElseUpdate(port, new Listener(port, journal, sizeLimit))
+                     sizeLimit: Int = DefaultSizeLimit): Listener = {
+    val l = listeners.getOrElseUpdate(port, new Listener(port, journal, sizeLimit))
+    require(l.journalPath == journal,
+      s"udp port $port already journals to ${l.journalPath}, not $journal — " +
+        "stopListener first or reuse the existing journal")
+    l
+  }
 
   def stopListener(port: Int): Unit =
     listeners.remove(port).foreach(_.close())

@@ -84,6 +84,30 @@ class TcpSpec extends SparkSpec {
     } finally graft.sources.TcpSource.stopListener(port)
   }
 
+  test("connection close flushes a final unterminated line") {
+    val port = 15944
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tcp_flush")
+    val journal = tmp.resolve("tcp.journal")
+    graft.sources.TcpSource.ensureListener(port, journal)
+    try {
+      val s = new java.net.Socket("127.0.0.1", port)
+      try {
+        val w = new java.io.OutputStreamWriter(s.getOutputStream,
+          java.nio.charset.StandardCharsets.UTF_8)
+        w.write("lined\nunterminated") // no trailing newline before close
+        w.flush()
+      } finally s.close()
+      awaitJournal(journal, "lined\nunterminated\n".length.toLong)
+      val kept = java.nio.file.Files.readAllLines(journal)
+      assert(kept.toArray.toSeq == Seq("lined", "unterminated"))
+      // a second listener request for the same port with a DIFFERENT journal
+      // fails loudly instead of silently reading the wrong path
+      intercept[IllegalArgumentException] {
+        graft.sources.TcpSource.ensureListener(port, tmp.resolve("other.journal"))
+      }
+    } finally graft.sources.TcpSource.stopListener(port)
+  }
+
   test("LSCL tcp input drives a full streaming config") {
     val port = 15942
     val tmp = java.nio.file.Files.createTempDirectory("graft_tcp_lscl")
