@@ -149,13 +149,17 @@ object LsclRun {
 
   // ---------------- filter interpreter ----------------
 
-  /** Apply a parsed `filter` section to a frame. Row-wise value plugins
-    * (mutate incl. rename/convert/copy/merge, drop, json, translate,
-    * throttle) apply CONDITIONALLY under branch predicates via
-    * predicate-gated column merging; structurally schema-shaping plugins
-    * (grok/dissect/kv/csv/date/split/join and the stream-reshaping
-    * metrics/aggregate) are supported at the top level (no enclosing
-    * branch) — a conditional column-set change has no DataFrame analogue.
+  /** Apply a parsed `filter` section to a frame. EVERY supported plugin now
+    * applies CONDITIONALLY under branch predicates: row-wise value plugins
+    * (mutate, drop, json, translate, throttle, ...) via direct when/otherwise
+    * gating; extraction/enrich plugins (grok, dissect, kv, csv, xml, date,
+    * fingerprint, uuid, geoip, dns, useragent, jdbc_static, elapsed) via
+    * [[gatedRowwise]] snapshot-merge; fan-out plugins (split, clone) via
+    * gated explode; stream-reshaping plugins (metrics, aggregate) by
+    * restricting the aggregated subset to matching rows. Where a per-event
+    * dynamic type has no single-typed-column analogue the value normalizes
+    * through the target type (conditional convert/split/join) — documented
+    * at each site.
     *
     * Branch predicates are MATERIALIZED as boolean columns on the frame as
     * it stands when the branch is entered (reference SplitDataset semantics,
@@ -224,9 +228,47 @@ object LsclRun {
     addTag = p.attr("add_tag").map(strList).getOrElse(Nil),
     removeTag = p.attr("remove_tag").map(strList).getOrElse(Nil))
 
-  private def requireTopLevel(p: Plugin, pathCol: Option[String]): Unit =
-    if (pathCol.nonEmpty) throw new UnsupportedOperationException(
-      s"plugin `${p.name}` reshapes the schema and is only supported outside conditionals")
+  /** Run a ROW-COUNT-PRESERVING filter transform under a branch predicate —
+    * the engine's general form of the reference's IfVertex split
+    * (DatasetCompiler.java:58-119, CommonActions.java:50-73): the reference
+    * routes matching events through the filter and unions the streams back;
+    * here the filter runs over the whole frame as ONE plan and every column
+    * it touched is predicate-gated afterwards.
+    *
+    * Mechanism: snapshot every pre-existing column, apply `f`, then for each
+    * column whose attribute CHANGED (fresh exprId — untouched pass-through
+    * attributes are skipped, so a wide frame pays only for the columns the
+    * plugin wrote) emit `when(pred, new).otherwise(snapshot)`; columns the
+    * transform INTRODUCED are null on unmatched rows. Failure tags gate for
+    * free — `tags` is itself a column, so unmatched rows keep their
+    * pre-transform tags. All pure projections: no extra pass, no shuffle
+    * beyond whatever `f` itself does (and `f`'s joins/windows stay keyed as
+    * designed — unmatched rows ride along as null-key/no-op rows).
+    *
+    * Type contract: a changed column must unify with its snapshot under
+    * when/otherwise — incompatible types fail loudly in analysis (same
+    * stance as conditional mutate convert).
+    */
+  private def gatedRowwise(df: DataFrame, cond: Option[String])
+                          (f: DataFrame => DataFrame): DataFrame = cond match {
+    case None => f(df)
+    case Some(c) =>
+      val m = col(c)
+      val orig = df.columns.toSeq
+      val pre = orig.zipWithIndex.map { case (n, i) => n -> s"__lscl_pre_$i" }.toMap
+      val snap = orig.foldLeft(df)((d, n) => d.withColumn(pre(n), col(n)))
+      val out = f(snap)
+      val snapIds = snap.queryExecution.analyzed.output.map(a => a.name -> a.exprId).toMap
+      val merged = out.queryExecution.analyzed.output
+        .filterNot(a => a.name.startsWith("__lscl_pre_"))
+        .filterNot(a => snapIds.get(a.name).contains(a.exprId)) // untouched
+        .map(_.name).distinct
+        .foldLeft(out) { (d, n) =>
+          if (pre.contains(n)) d.withColumn(n, when(m, col(n)).otherwise(col(pre(n))))
+          else d.withColumn(n, when(m, col(n)))
+        }
+      merged.drop(pre.values.toSeq: _*)
+  }
 
   /** json parse. With an explicit `schema` (a Spark DDL string, e.g.
     * `"lvl STRING, n BIGINT"`) the parse is a single narrow pass — the 100 TB
@@ -306,7 +348,6 @@ object LsclRun {
           when(m, base).otherwise(if (df.columns.contains(target)) col(target) else lit(null)))
 
       case "grok" =>
-        requireTopLevel(p, cond)
         val defs = p.attr("pattern_definitions") match {
           case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }.toMap
           case _ => Map.empty[String, String]
@@ -318,22 +359,22 @@ object LsclRun {
         val keepEmpty = strAttr(p, "keep_empty_captures").contains("true")
         p.attr("match") match {
           case Some(VHash(Seq((field, v)))) =>
-            Parse.grokFull(df, field, strList(v), defs, overwrite, tagFail, breakOn,
-              keepEmpty)
+            gatedRowwise(df, cond)(d =>
+              Parse.grokFull(d, field, strList(v), defs, overwrite, tagFail, breakOn,
+                keepEmpty))
           case other => throw new IllegalArgumentException(s"grok: unsupported match $other")
         }
 
       case "dissect" =>
-        requireTopLevel(p, cond)
         p.attr("mapping") match {
-          case Some(VHash(Seq((field, VString(pattern))))) => Parse.dissect(df, field, pattern)
+          case Some(VHash(Seq((field, VString(pattern))))) =>
+            gatedRowwise(df, cond)(d => Parse.dissect(d, field, pattern))
           case other => throw new IllegalArgumentException(s"dissect: unsupported mapping $other")
         }
 
       case "kv" =>
-        requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse("message")
-        Parse.kvFull(df, source, strAttr(p, "target").getOrElse("kv"),
+        gatedRowwise(df, cond)(d => Parse.kvFull(d, source, strAttr(p, "target").getOrElse("kv"),
           pairSep = strAttr(p, "field_split").getOrElse(" "),
           kvSep = strAttr(p, "value_split").getOrElse("="),
           includeKeys = p.attr("include_keys").map(strList).getOrElse(Nil),
@@ -342,17 +383,16 @@ object LsclRun {
           trimValue = strAttr(p, "trim_value"),
           prefix = strAttr(p, "prefix").getOrElse(""),
           transformKey = strAttr(p, "transform_key"),
-          transformValue = strAttr(p, "transform_value"))
+          transformValue = strAttr(p, "transform_value")))
 
       case "csv" =>
-        requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse("message")
         val sep = strAttr(p, "separator").getOrElse(",")
         val autodetect = strAttr(p, "autodetect_column_names").contains("true")
         if (!autodetect) {
           val names = p.attr("columns").map(strList).getOrElse(
             throw new IllegalArgumentException("csv: columns (or autodetect_column_names) required"))
-          Parse.csv(df, source, names, sep)
+          gatedRowwise(df, cond)(d => Parse.csv(d, source, names, sep))
         } else {
           // reference autodetect: the FIRST event's values become the column
           // names. "First" needs a stable order on a multi-partition frame —
@@ -365,25 +405,27 @@ object LsclRun {
           // skip_header job could otherwise see different ordinals.
           val keyed = graft.plans.CacheScope.persist(
             df.withColumn("_csv_ord", monotonically_increasing_id()))
-          val head = keyed.orderBy(col("_csv_ord")).select(col(source), col("_csv_ord"))
+          // under a conditional the filter only ever SEES matching events —
+          // the header is the first MATCHED row, and only that row is skipped
+          val visible = cond.map(c => keyed.filter(col(c))).getOrElse(keyed)
+          val head = visible.orderBy(col("_csv_ord")).select(col(source), col("_csv_ord"))
             .limit(1).collect().headOption
             .getOrElse(throw new IllegalArgumentException("csv autodetect: empty input"))
           val names = head.getString(0).split(java.util.regex.Pattern.quote(sep), -1).toSeq
-          val parsed = Parse.csv(keyed, source, names, sep)
+          val parsed = gatedRowwise(keyed, cond)(d => Parse.csv(d, source, names, sep))
           (if (strAttr(p, "skip_header").forall(_ == "true"))
             parsed.filter(col("_csv_ord") =!= head.getLong(1))
           else parsed).drop("_csv_ord")
         }
 
       case "xml" =>
-        requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse("message")
         val schema = strAttr(p, "schema").getOrElse(throw new IllegalArgumentException(
           "xml: schema (DDL) required — inference would double-scan the input"))
-        Parse.xml(df, source, strAttr(p, "target").getOrElse("xml"), schema)
+        gatedRowwise(df, cond)(d =>
+          Parse.xml(d, source, strAttr(p, "target").getOrElse("xml"), schema))
 
       case "date" =>
-        requireTopLevel(p, cond)
         p.attr("match") match {
           case Some(v) =>
             val parts = strList(v)
@@ -392,27 +434,37 @@ object LsclRun {
             // a blunt String.replace would corrupt quoted text containing
             // YYYY or rewrite ZZZ into XXXZ
             val formats = parts.tail.map(Mutate.jodaToJava)
-            Parse.date(df, parts.head, strAttr(p, "target").getOrElse("@timestamp"),
-              formats, timezone = strAttr(p, "timezone"))
+            gatedRowwise(df, cond)(d =>
+              Parse.date(d, parts.head, strAttr(p, "target").getOrElse("@timestamp"),
+                formats, timezone = strAttr(p, "timezone")))
           case None => throw new IllegalArgumentException("date: match required")
         }
 
       case "fingerprint" =>
-        requireTopLevel(p, cond)
         val fields = p.attr("source").map(strList).getOrElse(
           throw new IllegalArgumentException("fingerprint: source required"))
-        Mutate.fingerprint(df, fields,
+        gatedRowwise(df, cond)(d => Mutate.fingerprint(d, fields,
           strAttr(p, "target").getOrElse("fingerprint"),
           strAttr(p, "method").getOrElse("sha256").toLowerCase match {
             case "md5" => "md5"; case "murmur3" | "murmur" => "murmur"
             case "xx64" => "xx64"; case _ => "sha256"
-          })
+          }))
 
       case "prune" =>
-        requireTopLevel(p, cond)
-        Mutate.prune(df,
-          whitelist = p.attr("whitelist_names").map(strList).map(_.mkString("|")),
-          blacklist = p.attr("blacklist_names").map(strList).map(_.mkString("|")))
+        val wl = p.attr("whitelist_names").map(strList).map(_.mkString("|"))
+        val bl = p.attr("blacklist_names").map(strList).map(_.mkString("|"))
+        cond match {
+          case None => Mutate.prune(df, whitelist = wl, blacklist = bl)
+          case Some(_) =>
+            // per-event field removal: a column cannot be conditionally
+            // dropped, so matched rows NULL the pruned fields (the same
+            // convention as the decorator's conditional remove_field)
+            val dropped = df.columns.filterNot(_.startsWith("__lscl_")).filterNot { c =>
+              wl.forall(pat => c.matches(pat)) && !bl.exists(pat => c.matches(pat))
+            }
+            dropped.foldLeft(df)((d, c) =>
+              d.withColumn(c, when(m, lit(null)).otherwise(col(c))))
+        }
 
       case "truncate" =>
         val len = strAttr(p, "length_bytes").map(_.toInt).getOrElse(
@@ -422,27 +474,55 @@ object LsclRun {
         }
 
       case "uuid" =>
-        requireTopLevel(p, cond)
-        Mutate.uuidField(df, strAttr(p, "target").getOrElse("uuid"),
-          overwrite = strAttr(p, "overwrite").forall(_ == "true"))
+        gatedRowwise(df, cond)(d =>
+          Mutate.uuidField(d, strAttr(p, "target").getOrElse("uuid"),
+            overwrite = strAttr(p, "overwrite").forall(_ == "true")))
 
       case "clone" =>
-        requireTopLevel(p, cond)
-        Stateful.cloneEvents(df, p.attr("clones").map(strList).getOrElse(Nil))
+        val types = p.attr("clones").map(strList).getOrElse(Nil)
+        cond match {
+          case None => Stateful.cloneEvents(df, types)
+          case Some(_) =>
+            // matched events fan out (original + one clone per type, like the
+            // top-level form); unmatched events pass through exactly once
+            // with their `type` untouched (null when absent)
+            val existing: Column =
+              if (df.columns.contains("type")) col("type").cast("string")
+              else lit(null).cast("string")
+            val variants = array((lit(null).cast("string") +: types.map(lit(_).cast("string"))): _*)
+            df.withColumn("type", explode(when(m, variants).otherwise(array(existing))))
+        }
 
       case "split" =>
-        requireTopLevel(p, cond)
         val field = strAttr(p, "field").getOrElse("message")
         val target = strAttr(p, "target").getOrElse(field)
         df.schema(field).dataType match {
-          case _: org.apache.spark.sql.types.ArrayType =>
-            Stateful.splitField(df, field, target)
+          case at: org.apache.spark.sql.types.ArrayType =>
+            cond match {
+              case None => Stateful.splitField(df, field, target)
+              case Some(_) =>
+                // gated fan-out: matched rows explode; unmatched keep one row
+                // with a null target. target == field would need the column
+                // to be both array (unmatched) and element (matched) — no
+                // typed analogue, fail loudly.
+                require(target != field,
+                  "split under a conditional needs an explicit target != field " +
+                    "for array sources (a column cannot be conditionally un-nested)")
+                df.withColumn(target,
+                  explode(when(m, col(field))
+                    .otherwise(array(lit(null).cast(at.elementType)))))
+            }
           case _ =>
             // reference default: a STRING field splits on `terminator`
-            // (default "\n") and fans out one event per piece
+            // (default "\n") and fans out one event per piece. Under a
+            // conditional, unmatched rows pass through as a single piece
+            // (their original value — element type matches).
             val term = strAttr(p, "terminator").getOrElse("\n")
-            df.withColumn(target,
-              explode(split(col(field), java.util.regex.Pattern.quote(term))))
+            val pieces = split(col(field), java.util.regex.Pattern.quote(term))
+            val unmatchedArr =
+              if (target == field) array(col(field))
+              else array(lit(null).cast("string"))
+            df.withColumn(target, explode(when(m, pieces).otherwise(unmatchedArr)))
         }
 
       case "urldecode" =>
@@ -450,11 +530,21 @@ object LsclRun {
         df.withColumn(f, when(m, url_decode(col(f))).otherwise(col(f)))
 
       case "de_dot" =>
-        requireTopLevel(p, cond)
-        Mutate.deDot(df)
+        cond match {
+          case None => Mutate.deDot(df)
+          case Some(_) =>
+            // per-event rename = the same predicate-gated column merge as
+            // conditional mutate rename: dest takes the dotted column's value
+            // on matched rows, source nulls out there
+            df.columns.filter(_.contains(".")).foldLeft(df) { (d, c) =>
+              val dst = c.replace(".", "_")
+              val destCur = if (d.columns.contains(dst)) col(dst) else lit(null)
+              d.withColumn(dst, when(m, d.col(s"`$c`")).otherwise(destCur))
+                .withColumn(c, when(m, lit(null)).otherwise(d.col(s"`$c`")))
+            }
+        }
 
       case "geoip" =>
-        requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse(
           throw new IllegalArgumentException("geoip: source required"))
         // no `database` attr: the reference falls back to its bundled GeoLite2
@@ -464,11 +554,10 @@ object LsclRun {
             "geoip: database (mmdb path) required — set the `database` attribute " +
               "or the `graft.geoip.default_db` system property"))
         val as = strAttr(p, "target").getOrElse("geo") + "_country_iso"
-        Enrich.geoLookup(df, source,
-          Enrich.geoRangesFromMmdb(df.sparkSession, db, Seq("country", "iso_code"), as))
+        gatedRowwise(df, cond)(d => Enrich.geoLookup(d, source,
+          Enrich.geoRangesFromMmdb(d.sparkSession, db, Seq("country", "iso_code"), as)))
 
       case "dns" =>
-        requireTopLevel(p, cond)
         // hostsfile mode (the filter's deterministic variant): resolve/
         // reverse fields against an /etc/hosts-format table
         val hostsPath = strAttr(p, "hostsfile").getOrElse(
@@ -477,25 +566,26 @@ object LsclRun {
         val hosts = Enrich.hostsTable(df.sparkSession, hostsPath)
         val action = strAttr(p, "action").getOrElse("replace")
         val tagFail = p.attr("tag_on_failure").map(strList).getOrElse(Nil)
-        var out = df
-        p.attr("resolve").map(strList).getOrElse(Nil).foreach { f =>
-          out = Enrich.dns(out, f, hosts, reverse = false, action, tagFail)
+        gatedRowwise(df, cond) { d0 =>
+          var out = d0
+          p.attr("resolve").map(strList).getOrElse(Nil).foreach { f =>
+            out = Enrich.dns(out, f, hosts, reverse = false, action, tagFail)
+          }
+          p.attr("reverse").map(strList).getOrElse(Nil).foreach { f =>
+            out = Enrich.dns(out, f, hosts, reverse = true, action, tagFail)
+          }
+          out
         }
-        p.attr("reverse").map(strList).getOrElse(Nil).foreach { f =>
-          out = Enrich.dns(out, f, hosts, reverse = true, action, tagFail)
-        }
-        out
 
       case "useragent" =>
-        requireTopLevel(p, cond)
         val source = strAttr(p, "source").getOrElse(
           throw new IllegalArgumentException("useragent: source required"))
-        strAttr(p, "regexes") match {
+        gatedRowwise(df, cond)(d => strAttr(p, "regexes") match {
           case Some(path) =>
-            Parse.useragentWith(df, source, Parse.uaParsersFromYaml(path),
+            Parse.useragentWith(d, source, Parse.uaParsersFromYaml(path),
               strAttr(p, "target").getOrElse("ua"))
-          case None => Parse.useragent(df, source, strAttr(p, "target").getOrElse("ua"))
-        }
+          case None => Parse.useragent(d, source, strAttr(p, "target").getOrElse("ua"))
+        })
 
       case "jdbc_static" =>
         // The reference filter's actual model is loaders that pre-materialize
@@ -509,7 +599,6 @@ object LsclRun {
         // the reference's empty-array miss); without it the columns append
         // top-level. Duplicate dimension keys multiply rows like any join —
         // dimensions are expected 1:0/1 keyed, as the reference's lookups are.
-        requireTopLevel(p, cond)
         val dimPath = strAttr(p, "dimension_path").getOrElse(
           throw new IllegalArgumentException(
             "jdbc_static: dimension_path required (the pre-materialized local table)"))
@@ -524,16 +613,16 @@ object LsclRun {
           else spark.read.parquet(dimPath)
         val cols = p.attr("columns").map(strList)
           .getOrElse(dim0.columns.filterNot(_ == dimKey).toSeq)
-        strAttr(p, "target") match {
+        gatedRowwise(df, cond)(d => strAttr(p, "target") match {
           case Some(t) =>
             val packed = dim0.select(col(dimKey).as(lookupKey),
               struct(cols.map(col): _*).as(t))
-            Enrich.lookup(df, packed, lookupKey)
+            Enrich.lookup(d, packed, lookupKey)
           case None =>
-            Enrich.lookup(df,
+            Enrich.lookup(d,
               dim0.select((col(dimKey).as(lookupKey) +: cols.map(col)).toIndexedSeq: _*),
               lookupKey)
-        }
+        })
 
       // ---- stateful filters (default plugins, plugins-metadata.json) ----
 
@@ -561,13 +650,16 @@ object LsclRun {
         // synthetic metric events (meter, lifetime-cumulative count, flush
         // @timestamp) join the stream, carrying the plugin's decorator tags
         // (the reference pattern routes them via `if "metric" in [tags]`).
-        requireTopLevel(p, cond)
+        // Under a conditional only MATCHING rows increment the meters — the
+        // original stream passes through untouched either way, so the gate
+        // is a plain pre-aggregation filter.
         val meters = p.attr("meter").map(strList).getOrElse(
           throw new IllegalArgumentException("metrics: meter required"))
         val flushSec = strAttr(p, "flush_interval").map(_.toLong).getOrElse(5L)
         val tsName = strAttr(p, "timestamp_field").getOrElse("@timestamp")
-        val metricRows = Stateful.metricsFlush(df,
-          meters.map(tpl => Mutate.sprintfFor(df, tpl)), col(tsName), flushSec)
+        val counted = cond.map(c => df.filter(col(c))).getOrElse(df)
+        val metricRows = Stateful.metricsFlush(counted,
+          meters.map(tpl => Mutate.sprintfFor(counted, tpl)), col(tsName), flushSec)
         df.unionByName(decoratorOf(p)(metricRows), allowMissingColumns = true)
 
       case "aggregate" =>
@@ -579,22 +671,36 @@ object LsclRun {
         // `sum_field` covers the canonical `map['total'] += event.get(f)`
         // idiom. Aggregation replaces the stream (the map-flush events),
         // like the reference's push_map_as_event_on_timeout + event.cancel.
-        requireTopLevel(p, cond)
+        // Under a conditional: MATCHING events are aggregated (and canceled,
+        // like the reference's event.cancel on map update); non-matching
+        // events pass through untouched and union with the summaries.
         val taskTpl = strAttr(p, "task_id").getOrElse(
           throw new IllegalArgumentException("aggregate: task_id required"))
         val tsName = strAttr(p, "timestamp_field").getOrElse("@timestamp")
-        val keyed = df.withColumn("task_id", Mutate.sprintfFor(df, taskTpl))
+        val aggIn = cond.map(c => df.filter(col(c))).getOrElse(df)
+        val keyed = aggIn.withColumn("task_id", Mutate.sprintfFor(aggIn, taskTpl))
         val aggs = Seq(
           count(lit(1)).as("n_events"),
           min(col(tsName)).as("first_ts"),
           max(col(tsName)).as("last_ts")) ++
           strAttr(p, "sum_field").map(f =>
             sum(col(f).cast("decimal(18,2)")).cast("double").as("total_value"))
-        decoratorOf(p)(keyed.groupBy(col("task_id")).agg(aggs.head, aggs.tail: _*))
+        val summaries =
+          decoratorOf(p)(keyed.groupBy(col("task_id")).agg(aggs.head, aggs.tail: _*))
+        cond match {
+          case None => summaries
+          case Some(c) =>
+            // null-gate rows (synthetic events unioned in mid-branch) count
+            // as unmatched: they pass through
+            df.filter(!coalesce(col(c), lit(false)))
+              .unionByName(summaries, allowMissingColumns = true)
+        }
 
       case "elapsed" =>
-        // logstash-filter-elapsed: start/end pair correlation by unique id
-        requireTopLevel(p, cond)
+        // logstash-filter-elapsed: start/end pair correlation by unique id.
+        // Under a conditional only matching rows act as starts/ends (the
+        // gate AND-composes into the start/end predicates — unmatched rows
+        // neither correlate nor get tagged).
         val startTag = strAttr(p, "start_tag").getOrElse(
           throw new IllegalArgumentException("elapsed: start_tag required"))
         val endTag = strAttr(p, "end_tag").getOrElse(
@@ -602,9 +708,9 @@ object LsclRun {
         val idF = strAttr(p, "unique_id_field").getOrElse(
           throw new IllegalArgumentException("elapsed: unique_id_field required"))
         val tsF = strAttr(p, "timestamp_field").getOrElse("@timestamp")
-        Stateful.elapsed(df, idF, tsF,
-          array_contains(col("tags"), startTag),
-          array_contains(col("tags"), endTag))
+        gatedRowwise(df, cond)(d => Stateful.elapsed(d, idF, tsF,
+          array_contains(col("tags"), startTag) && m,
+          array_contains(col("tags"), endTag) && m))
 
       case "anonymize" =>
         // keyed-hash field overwrite (Mutate.anonymize); conditional form
@@ -637,13 +743,24 @@ object LsclRun {
           .reduce(_ || _)
         decoratorOf(p).applyWhen(df, m && coalesce(hit, lit(false)))
 
+      case "ruby" =>
+        // arbitrary Ruby blocks are deliberately not ported (SURVEY §7.4):
+        // point at the typed escape hatch instead of a generic unknown-plugin
+        // error, since `ruby { code => ... }` appears in the official doc
+        // pipelines (transforming-data.asciidoc:115,422)
+        throw new UnsupportedOperationException(
+          "the `ruby` filter (arbitrary code blocks) is not supported; " +
+            "express the logic as typed Spark transforms via the API escape " +
+            "hatch — LogPipeline.transform / Dataset.map over the frame — " +
+            "or as mutate/grok/translate config where the block is expressible")
+
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported filter plugin `$other`; supported: mutate, drop, json, " +
             "translate, grok, dissect, kv, csv, xml, date, fingerprint, prune, " +
             "truncate, uuid, clone, split, urldecode, de_dot, geoip, dns, " +
-            "useragent, jdbc_static, throttle, metrics, aggregate, anonymize, " +
-            "syslog_pri, cidr")
+            "useragent, jdbc_static, throttle, metrics, aggregate, elapsed, " +
+            "anonymize, syslog_pri, cidr")
     }
   }
 
@@ -714,11 +831,23 @@ object LsclRun {
     p.attr("strip").foreach(v => strList(v).foreach { f =>
       df = df.withColumn(f, when(m, trim(col(f))).otherwise(col(f)))
     })
+    // split/join under a conditional normalize through the target type, the
+    // same stance as conditional convert (the reference's per-event dynamic
+    // type has no single-typed-column analogue):
+    //  - split: unmatched scalars become 1-element arrays (the engine's
+    //    scalar-as-list convention, Mutate.appendMaps);
+    //  - join: unmatched arrays render via the engine's standard
+    //    array-to-string form (comma join — the sprintf convention).
     hash("split").foreach { case (f, sep) =>
-      requireTopLevel(p, cond); df = Mutate.splitField(df, f, sep)
+      if (cond.isEmpty) df = Mutate.splitField(df, f, sep)
+      else df = df.withColumn(f,
+        when(m, split(col(f), java.util.regex.Pattern.quote(sep)))
+          .otherwise(array(col(f))))
     }
     hash("join").foreach { case (f, sep) =>
-      requireTopLevel(p, cond); df = Mutate.joinField(df, f, sep)
+      if (cond.isEmpty) df = Mutate.joinField(df, f, sep)
+      else df = df.withColumn(f,
+        when(m, array_join(col(f), sep)).otherwise(array_join(col(f), ",")))
     }
     // merge: append src's elements onto dest (reference merges arrays and
     // promotes scalars; array columns here); same-typed, so the conditional

@@ -548,19 +548,54 @@ object OpsQueries {
     // (double -> long -> double truncation visible); copy is predicate-gated
     "lscl_condmut" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/events.parquet")
+      // split/join under the conditional normalize through the target type:
+      // matched "click-x" splits to [click, x] then joins to "click+x";
+      // unmatched scalars pass through as 1-element arrays and join back to
+      // themselves
       val cfg = graft.lscl.Lscl.parse(
         """filter {
+          |  mutate { add_field => { "etype2" => "%{event_type}-x" } }
           |  if [event_type] == "click" {
           |    mutate {
           |      rename => { "props" => "p2" }
           |      convert => { "value" => "integer" }
           |      copy => { "event_type" => "etype_copy" }
+          |      split => { "etype2" => "-" }
           |    }
+          |    mutate { join => { "etype2" => "+" } }
           |  }
           |}""".stripMargin, Map.empty)
       graft.lscl.LsclRun.applyFilters(e, cfg.filters)
         .select(col("event_id"), col("props"), col("p2"), col("value"),
-          col("etype_copy"))
+          col("etype_copy"), col("etype2"))
+        .orderBy("event_id")
+    }),
+
+    // conditional PARSE chain driven from CONFIG TEXT — the reference's
+    // bread-and-butter shape (docs/static/transforming-data.asciidoc:411-424
+    // nests date and enrich filters under `if [type] == "end"`): grok + kv +
+    // date inside an `if` branch. Extraction columns stay NULL on rows the
+    // branch excludes; grok's failure tag fires only on branch rows whose
+    // pattern misses (three states: error = untouched/null, click = parsed,
+    // other types = tagged _grokparsefailure)
+    "lscl_condparse" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  mutate { add_field => { "line" => "u=%{user_id} t=%{event_type}"
+          |                          "dstr" => "%{+YYYY-MM-dd}" } }
+          |  if [event_type] != "error" {
+          |    grok { match => { "line" => "u=%{INT:uid:int} t=click" } }
+          |    kv { source => "line" target => "kvm" }
+          |    date { match => ["dstr", "yyyy-MM-dd"] target => "pts" }
+          |  }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("uid"),
+          element_at(col("kvm"), "u").as("kv_u"),
+          col("pts").cast("string").as("pts_str"),
+          array_join(col("tags"), ",").as("tag_str"))
         .orderBy("event_id")
     }),
 
@@ -1067,7 +1102,20 @@ object OpsQueries {
         |       CASE WHEN event_type = 'click' THEN props END AS p2,
         |       CASE WHEN event_type = 'click' THEN CAST(trunc(value) AS DOUBLE)
         |            ELSE value END AS value,
-        |       CASE WHEN event_type = 'click' THEN event_type END AS etype_copy
+        |       CASE WHEN event_type = 'click' THEN event_type END AS etype_copy,
+        |       CASE WHEN event_type = 'click' THEN 'click+x'
+        |            ELSE event_type || '-x' END AS etype2
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_condparse" ->
+      """SELECT event_id,
+        |       CASE WHEN event_type = 'click' THEN CAST(user_id AS INTEGER) END AS uid,
+        |       CASE WHEN event_type != 'error' THEN CAST(user_id AS VARCHAR) END AS kv_u,
+        |       CASE WHEN event_type != 'error'
+        |            THEN strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') END AS pts_str,
+        |       CASE WHEN event_type = 'error' THEN NULL
+        |            WHEN event_type = 'click' THEN ''
+        |            ELSE '_grokparsefailure' END AS tag_str
         |FROM events ORDER BY event_id""".stripMargin,
 
     "lscl_throttle" ->

@@ -411,7 +411,7 @@ class LsclSpec extends SparkSpec {
     assert(out == Set((1, "a"), (1, "b"), (1, "c"), (2, "solo")))
   }
 
-  test("parse errors carry position; conditional rename merges, split refuses") {
+  test("parse errors carry position; conditional rename merges, split normalizes") {
     val e = intercept[Lscl.ParseError](Lscl.parse("filter { mutate { x => } }", Map.empty))
     assert(e.getMessage.contains("line 1"))
     // rename under a conditional is a predicate-gated column merge
@@ -424,10 +424,25 @@ class LsclSpec extends SparkSpec {
     val out = LsclRun.applyFilters(df, cfg.filters)
       .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out == Set((null, "x"), ("y", null)))
-    // a genuinely type-reshaping mutate (split: string -> array) still
-    // refuses conditional use loudly
+    // conditional mutate split normalizes through the array type: matched
+    // rows split, unmatched scalars become 1-element arrays (the engine's
+    // scalar-as-list convention)
+    val df2 = Seq("x,z", "y,w").toDF("a")
     val cfg2 = Lscl.parse(
-      """filter { if [a] == "x" { mutate { split => { "a" => "," } } } }""", Map.empty)
-    intercept[UnsupportedOperationException](LsclRun.applyFilters(df, cfg2.filters))
+      """filter { if [a] == "x,z" { mutate { split => { "a" => "," } } } }""", Map.empty)
+    val out2 = LsclRun.applyFilters(df2, cfg2.filters)
+      .select("a").collect().map(_.getSeq[String](0).toList).toSet
+    assert(out2 == Set(List("x", "z"), List("y,w")))
+  }
+
+  test("ruby filter fails loudly with a pointer at the typed escape hatch") {
+    import spark.implicits._
+    val df = Seq("x").toDF("a")
+    val cfg = Lscl.parse(
+      """filter { ruby { code => "event.set('b', 1)" } }""", Map.empty)
+    val e = intercept[UnsupportedOperationException](
+      LsclRun.applyFilters(df, cfg.filters))
+    assert(e.getMessage.contains("ruby"))
+    assert(e.getMessage.contains("escape hatch"))
   }
 }
