@@ -638,9 +638,14 @@ object LsclRun {
         val after = strAttr(p, "after_count").map(_.toInt).getOrElse(-1)
         val tsName = strAttr(p, "timestamp_field").getOrElse("@timestamp")
         // order tiebreak for deterministic batch replay (the reference ranks
-        // in queue-arrival order, which batch mode has no analogue of)
+        // in queue-arrival order, which batch mode has no analogue of).
+        // Lowered onto the HOT-KEY-SAFE two-phase form: throttle's whole
+        // reason to exist is flood regimes, and a flood is one hot key — the
+        // single-window form would serialize every flooded (key, period)
+        // onto one reducer at scale (salt-bounded plan in PLANS_r05.md).
         val orderBys = p.attr("order_by").map(strList).getOrElse(Nil)
-        val withM = Stateful.throttleMatched(df, Mutate.sprintfFor(df, keyTpl),
+        val withM = Stateful.throttleMatchedTwoPhase(df,
+          Mutate.sprintfFor(df, keyTpl),
           col(tsName), period, before, after, m, orderBys.map(col))
         decoratorOf(p).applyWhen(withM, col("_throttle_matched"))
           .drop("_throttle_matched")
@@ -1012,11 +1017,33 @@ object LsclRun {
   private def applyMultiline(cp: Plugin, raw: DataFrame, stream: String): DataFrame = {
     val pat = strAttr(cp, "pattern").getOrElse(
       throw new IllegalArgumentException("multiline codec: pattern required"))
-    graft.operators.Codec.multilineConfig(
-        raw.withColumn("_stream", lit(stream)), "message", "offset", "_stream",
-        pat, strAttr(cp, "negate").contains("true"),
-        strAttr(cp, "what").getOrElse("previous"))
-      .select(col("event_group"), col("msg").as("message"), col("n_lines"))
+    // reference buffer caps (multiline codec defaults: max_lines 500,
+    // max_bytes "10 MiB"): a continuation run exceeding a cap flushes as a
+    // tagged piece — bounded reassembly memory, the group analogue of the
+    // tcp frame size_limit. Size strings take the reference's unit forms.
+    val maxLines = strAttr(cp, "max_lines").map(_.toInt).getOrElse(500)
+    val maxBytes = strAttr(cp, "max_bytes").map(parseByteSize).getOrElse(10L << 20)
+    val out = graft.operators.Codec.multilineConfig(
+      raw.withColumn("_stream", lit(stream)), "message", "offset", "_stream",
+      pat, strAttr(cp, "negate").contains("true"),
+      strAttr(cp, "what").getOrElse("previous"), maxLines, maxBytes)
+    out.select(col("event_group"), col("msg").as("message"), col("n_lines"),
+      when(col("ml_capped"), array(lit("multiline_codec_max_lines_reached")))
+        .otherwise(array().cast("array<string>")).as("tags"))
+  }
+
+  /** Parse a reference-style byte-size string: "10 MiB", "512kb", "1048576". */
+  private[lscl] def parseByteSize(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val m = "^([0-9]+)\\s*(b|kb|kib|mb|mib|gb|gib)?$".r.findFirstMatchIn(t)
+      .getOrElse(throw new IllegalArgumentException(s"bad byte size `$s`"))
+    val n = m.group(1).toLong
+    Option(m.group(2)).getOrElse("b") match {
+      case "b" => n
+      case "kb" | "kib" => n << 10
+      case "mb" | "mib" => n << 20
+      case _ => n << 30
+    }
   }
 
   /** Per-micro-batch codec transform for streaming inputs whose codec needs
@@ -1269,6 +1296,28 @@ object LsclRun {
     require(pipelineSends(cfg.outputs).isEmpty,
       "pipeline { send_to } outputs are batch-only (the address bus resolves " +
         "at converge time); run this config via Pipelines.Registry")
+    // stateful filters carry counters that must SPAN the period — inside
+    // foreachBatch each micro-batch would get its own window, silently
+    // resetting counts at every batch boundary (the reference's counters
+    // persist across batches within a period). Reject loudly rather than
+    // diverge silently; the keyed-state streaming forms live API-side
+    // (StreamPipeline.throttleStream / windowedMetrics /
+    // aggregateWithTimeout), and batch mode runs these configs exactly.
+    // (multiline is different by design: per-batch reassembly is the
+    // documented auto_flush_interval analogue, LsclStreamSpec.)
+    val statefulNames = Set("throttle", "metrics", "aggregate", "elapsed")
+    def statefulIn(items: Seq[Item]): Seq[String] = items.flatMap {
+      case PluginItem(p) if statefulNames(p.name) => Seq(p.name)
+      case Branch(arms, otherwise) =>
+        arms.flatMap(a => statefulIn(a._2)) ++ statefulIn(otherwise)
+      case _ => Nil
+    }
+    val stateful = statefulIn(cfg.filters)
+    require(stateful.isEmpty,
+      s"stateful filter plugins ${stateful.distinct.mkString(", ")} are batch-only " +
+        "in config form: per-micro-batch windows would reset their counters at " +
+        "every batch boundary. Run the config in batch mode (runConfig), or use " +
+        "the keyed-state streaming operators in graft.streaming.StreamPipeline")
     val batchCodec = inputBatchCodec(cfg.inputs)
     graft.streaming.StreamPipeline.run(spark, sourceStream(spark, cfg.inputs),
       b => applyFilters(batchCodec(b), cfg.filters), sinkSpecs(cfg.outputs), outDir,

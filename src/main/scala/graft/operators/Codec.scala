@@ -112,27 +112,63 @@ object Codec {
     */
   def multilineConfig(df: DataFrame, lineCol: String, orderCol: String,
                       streamCol: String, pattern: String, negate: Boolean,
-                      what: String): DataFrame = {
+                      what: String, maxLines: Int = Int.MaxValue,
+                      maxBytes: Long = Long.MaxValue): DataFrame = {
     val mm = col(lineCol).rlike(pattern)
     val matched = if (negate) !mm else mm
     what match {
-      case "previous" => multiline(df, lineCol, orderCol, streamCol, matched)
+      case "previous" =>
+        multiline(df, lineCol, orderCol, streamCol, matched, maxLines, maxBytes)
       case "next" =>
         val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
         val withPrev = df.withColumn("_ml_prev",
           coalesce(lag(matched, 1).over(w), lit(false)))
-        multiline(withPrev, lineCol, orderCol, streamCol, col("_ml_prev"))
+        multiline(withPrev, lineCol, orderCol, streamCol, col("_ml_prev"),
+          maxLines, maxBytes)
       case other => throw new IllegalArgumentException(
         s"multiline codec: what => `$other` (expected previous|next)")
     }
   }
 
+  /** `maxLines`/`maxBytes` bound the reassembly buffer (the reference
+    * codec's max_lines=500 / max_bytes="10 MiB" defaults): a continuation
+    * run exceeding a cap is FLUSHED as its own piece tagged `ml_capped`
+    * (the reference's multiline_codec_max_lines_reached) and a fresh buffer
+    * continues the group — pieces share the original `event_group`, the
+    * final piece (which ended naturally) is untagged. Memory contract: no
+    * collect_list group ever exceeds maxLines rows / ~maxBytes bytes (the
+    * byte cap splits at cumulative-byte multiples — each piece is bounded
+    * by maxBytes plus one line, the bounded-memory point of the cap; the
+    * reference's strictly-greedy flush boundary may place a boundary line
+    * one piece earlier).
+    */
   def multiline(df: DataFrame, lineCol: String, orderCol: String,
-                streamCol: String, isContinuation: Column): DataFrame = {
+                streamCol: String, isContinuation: Column,
+                maxLines: Int = Int.MaxValue,
+                maxBytes: Long = Long.MaxValue): DataFrame = {
     val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
-    df.withColumn("_head", when(isContinuation, lit(0)).otherwise(lit(1)))
+    val grouped = df
+      .withColumn("_head", when(isContinuation, lit(0)).otherwise(lit(1)))
       .withColumn("event_group", sum(col("_head")).over(w))
-      .groupBy(col(streamCol), col("event_group"))
+    val noCaps = maxLines == Int.MaxValue && maxBytes == Long.MaxValue
+    val sub =
+      if (noCaps) grouped.withColumn("_sub", lit(0L))
+      else {
+        // same (stream) partitioning as the group window; the sub-window
+        // re-sorts within groups but adds no exchange
+        val wg = Window.partitionBy(col(streamCol), col("event_group"))
+          .orderBy(col(orderCol))
+        val rn = row_number().over(wg)
+        val cumExcl = coalesce(
+          sum(length(col(lineCol)).cast("long") + 1)
+            .over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))
+        grouped.withColumn("_sub",
+          floor((rn - 1).cast("long") / maxLines) * 1000000L +
+            floor(cumExcl / maxBytes))
+      }
+    val pieces = sub
+      .groupBy(col(streamCol), col("event_group"), col("_sub"))
       .agg(
         array_join(
           transform(
@@ -140,6 +176,14 @@ object Codec {
             s => s.getField("l")),
           "\n").as("msg"),
         count(lit(1)).as("n_lines"))
-      .drop("_head")
+    if (noCaps) pieces.drop("_sub")
+    else {
+      // every piece flushed BY a cap is tagged; only the group's final piece
+      // ended naturally. Piece-cardinality window — tiny at any input size.
+      val wp = Window.partitionBy(col(streamCol), col("event_group"))
+      pieces
+        .withColumn("ml_capped", col("_sub") =!= max(col("_sub")).over(wp))
+        .drop("_sub")
+    }
   }
 }

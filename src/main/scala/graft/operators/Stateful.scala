@@ -98,6 +98,82 @@ object Stateful {
       .drop("_rank_in_period")
   }
 
+  /** Hot-key-hardened form of [[throttleMatched]] — identical output, but no
+    * reducer ever sees a whole flooded (key, period). Throttle exists FOR
+    * flood regimes, and a flood is by definition one hot key, so the config
+    * path must not serialize it (the single-window form does).
+    *
+    * Same two-phase construction as [[throttleTwoPhase]], generalized to the
+    * before/after band and the conditional gate (rank = running count of
+    * GATED rows):
+    *
+    *  1. salt-bucket by a hash of the order tuple; `rk1` = gated running
+    *     count within (key, slot, bucket). A row's global gated rank is >=
+    *     rk1, so rk1 above the threshold `T` is already a PROVEN verdict:
+    *     with `after_count` active, rk1 > after means rank > after — matched
+    *     for sure; with only `before_count` active, rk1 >= before means
+    *     rank >= before — unmatched for sure. Proven rows never enter a
+    *     wide window.
+    *  2. candidates (gated rows with rk1 <= T, <= salt*T per (key, slot) by
+    *     construction) get the exact verdict: all gated rows ordered before
+    *     the EARLIEST proven row are themselves candidates (a proven row
+    *     can't precede the minimum proven order tuple), so a candidate
+    *     before it has exact rank = its rank among candidates, and a
+    *     candidate after it inherits the proven row's verdict (its rank
+    *     exceeds the proven row's, which already cleared T).
+    *
+    * Ungated rows are unmatched by definition and bypass both windows.
+    * Phase-1 partitions hold ~1/salt of the hottest key; phase 2 is bounded
+    * at salt*T rows per (key, slot) regardless of skew. Ties in the order
+    * tuple are resolved arbitrarily (same caveat as [[throttleMatched]] —
+    * pass a unique tiebreak in `orderCols` for determinism).
+    */
+  def throttleMatchedTwoPhase(df: DataFrame, key: Column, ts: Column, periodSec: Long,
+                              beforeCount: Int, afterCount: Int,
+                              gate: Column = lit(true),
+                              orderCols: Seq[Column] = Nil,
+                              matchedCol: String = "_throttle_matched",
+                              salt: Int = 16): DataFrame = {
+    if (beforeCount <= 0 && afterCount <= 0)
+      return df.withColumn(matchedCol, lit(false))
+    val threshold = if (afterCount > 0) afterCount else beforeCount - 1
+    val slot = floor(unix_timestamp(ts) / periodSec)
+    val order = (ts +: orderCols).toIndexedSeq
+    val base = df
+      .withColumn("_tkey", key)
+      .withColumn("_tslot", slot)
+      .withColumn("_tgate", coalesce(gate, lit(false)))
+      .withColumn("_tord", struct(order: _*))
+      .withColumn("_tsb", pmod(xxhash64(order.map(_.cast("string")): _*), lit(salt)))
+    val w1 = Window.partitionBy(col("_tkey"), col("_tslot"), col("_tsb"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persisted: feeds four consumers (ungated, proven, candidates, xmin agg)
+    val marked = graft.plans.CacheScope.persist(
+      base.withColumn("_trk1", sum(when(col("_tgate"), 1).otherwise(0)).over(w1)))
+    val ungated = marked.filter(!col("_tgate"))
+      .withColumn(matchedCol, lit(false))
+    val provenM = col("_tgate") && col("_trk1") > threshold
+    val proven = marked.filter(provenM)
+      .withColumn(matchedCol, lit(afterCount > 0)) // after: matched; before-only: not
+    val cand = marked.filter(col("_tgate") && col("_trk1") <= threshold)
+    val firstProven = marked.filter(provenM)
+      .groupBy(col("_tkey"), col("_tslot")).agg(min(col("_tord")).as("_txmin"))
+    val w2 = Window.partitionBy(col("_tkey"), col("_tslot")).orderBy(order: _*)
+    val candOut = cand
+      .join(firstProven, Seq("_tkey", "_tslot"), "left")
+      .withColumn("_trkc", row_number().over(w2))
+      .withColumn(matchedCol,
+        when(col("_txmin").isNotNull && col("_tord") > col("_txmin"),
+          lit(afterCount > 0)) // inherits the proven verdict past the cutover
+          .otherwise( // exact: rank among candidates IS the gated rank
+            (if (beforeCount > 0) col("_trkc") < beforeCount else lit(false)) ||
+              (if (afterCount > 0) col("_trkc") > afterCount else lit(false))))
+      .drop("_trkc", "_txmin")
+    candOut.unionByName(proven).unionByName(ungated)
+      .drop("_tkey", "_tslot", "_tgate", "_tord", "_tsb", "_trk1")
+  }
+
   /** metrics filter: rolling per-period counters per named field value —
     * flushed as synthetic (period, name, count, rate) rows.
     */

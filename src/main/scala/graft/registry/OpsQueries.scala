@@ -542,6 +542,33 @@ object OpsQueries {
         .orderBy("event_group")
     }),
 
+    // multiline codec BUFFER CAPS (reference max_lines/max_bytes): a
+    // continuation run exceeding max_lines flushes as its own piece tagged
+    // multiline_codec_max_lines_reached; the final piece (natural end) is
+    // untagged. Groups of 1..7 lines, max_lines=3 -> 1..3 pieces per group
+    "lscl_mlcap" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_mlcap_gate", ".log")
+      val sb = new java.lang.StringBuilder
+      (0 until 300).foreach { i =>
+        sb.append('G').append(i).append('\n')
+        (1 to i % 7).foreach(j =>
+          sb.append(" c").append(i).append('-').append(j).append('\n'))
+      }
+      java.nio.file.Files.writeString(f, sb.toString)
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input {
+           |  file {
+           |    path => "$f"
+           |    codec => multiline { pattern => "^ " what => "previous"
+           |                         max_lines => 3 }
+           |  }
+           |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("event_group"), col("message"), col("n_lines"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("event_group", "message")
+    }),
+
     // schema-reshaping mutate UNDER A CONDITIONAL (CommonActions.java:50-73
     // contract): rename moves the value and nulls the source on matched rows
     // only; convert normalizes matched values through the target type
@@ -1095,6 +1122,24 @@ object OpsQueries {
         |         AS message,
         |       CAST(1 + i % 3 AS BIGINT) AS n_lines
         |FROM r ORDER BY event_group""".stripMargin,
+
+    "lscl_mlcap" ->
+      """WITH g AS (
+        |  SELECT range AS i,
+        |         list_prepend('G' || range,
+        |           list_transform(range(1, range % 7 + 1),
+        |                          j -> ' c' || range || '-' || j)) AS lines
+        |  FROM range(300)),
+        |p AS (
+        |  SELECT i, lines, len(lines) AS n,
+        |         unnest(range(0, CAST(ceil(len(lines) / 3.0) AS BIGINT))) AS k
+        |  FROM g)
+        |SELECT CAST(i + 1 AS BIGINT) AS event_group,
+        |       array_to_string(lines[3*k+1 : least(3*k+3, n)], chr(10)) AS message,
+        |       CAST(least(3, n - 3*k) AS BIGINT) AS n_lines,
+        |       CASE WHEN k < ceil(n / 3.0) - 1
+        |            THEN 'multiline_codec_max_lines_reached' ELSE '' END AS tag_str
+        |FROM p ORDER BY event_group, message""".stripMargin,
 
     "lscl_condmut" ->
       """SELECT event_id,

@@ -83,6 +83,27 @@ class LsclStreamSpec extends SparkSpec {
     }
   }
 
+  test("stateful filter configs are rejected loudly in streaming mode") {
+    // per-micro-batch windows would silently reset throttle/metrics/
+    // aggregate counters at batch boundaries — runConfigStream must refuse
+    val f = java.nio.file.Files.createTempFile("graft_lscl_stateful", ".log")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lscl_stateful")
+    append(f, "a\nb\n")
+    val cfg =
+      s"""input { file { path => "$f" mode => "tail" } }
+         |filter {
+         |  if [message] == "a" {
+         |    throttle { key => "%{message}" period => 60 after_count => 1 }
+         |  }
+         |}
+         |output { sink { id => "s" } }
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/o", s"$tmp/c", Map.empty))
+    assert(e.getMessage.contains("throttle"))
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("codec => multiline streams: per-batch reassembly equals the batch run") {
     val f = java.nio.file.Files.createTempFile("graft_lscl_ml", ".log")
     val tmp = java.nio.file.Files.createTempDirectory("graft_lscl_ml")

@@ -115,6 +115,27 @@ class MiscOpsSpec extends SparkSpec {
       (1L, "head1\n cont\n more", 3L), (1L, "head2", 1L), (2L, "other", 1L)))
   }
 
+  test("multiline caps: byte cap flushes tagged pieces with bounded buffers") {
+    import spark.implicits._
+    // one group of 5 lines x 11 chars (+newline = 12); max_bytes=25:
+    // cumulative-exclusive 0,12,24,36,48 -> buckets 0,0,0,1,1 -> pieces 3+2
+    val df = (1 to 5).map(i => (1L, i.toLong, f"0123456789", i > 1))
+      .toDF("stream", "line_no", "line", "cont")
+      .withColumn("line", concat(col("line"), col("line_no"))) // 11 bytes each
+    val out = graft.operators.Codec.multiline(df, "line", "line_no", "stream",
+        col("cont"), maxLines = Int.MaxValue, maxBytes = 25L)
+      .orderBy("event_group", "msg").collect()
+    // cumExcl per line: 0,12,24,36,48 -> floor/25: 0,0,0,1,1 -> 2 pieces
+    assert(out.length == 2)
+    val byCap = out.map(r => (r.getAs[Long]("n_lines"), r.getAs[Boolean]("ml_capped"))).toSet
+    assert(byCap == Set((3L, true), (2L, false)))
+    // line cap: 5 lines, max_lines=2 -> pieces 2,2,1; only the last untagged
+    val out2 = graft.operators.Codec.multiline(df, "line", "line_no", "stream",
+        col("cont"), maxLines = 2)
+      .collect().map(r => (r.getAs[Long]("n_lines"), r.getAs[Boolean]("ml_capped")))
+    assert(out2.sorted.toSeq == Seq((1L, false), (2L, true), (2L, true)))
+  }
+
   test("throttleMatched == throttleRange on hour-aligned periods (config vs API surface)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -136,6 +157,23 @@ class MiscOpsSpec extends SparkSpec {
     val diff = a.as("a").join(b.as("b"), "id")
       .filter(col("a.throttled") =!= col("b.throttled")).count()
     assert(diff == 0)
+    // the hot-key-safe two-phase form agrees with the single-window form —
+    // ungated, gated (only even ids count+match), and each band edge alone
+    for ((bc, ac) <- Seq((2, 5), (2, -1), (-1, 5));
+         gate <- Seq(lit(true), col("id") % 2 === 0)) {
+      val ref = graft.operators.Stateful
+        .throttleMatched(df, col("key"), col("ts"), 3600L, bc, ac,
+          gate = gate, orderCols = Seq(col("id")))
+        .select(col("id"), coalesce(col("_throttle_matched"), lit(false)).as("m"))
+      val tp = graft.operators.Stateful
+        .throttleMatchedTwoPhase(df, col("key"), col("ts"), 3600L, bc, ac,
+          gate = gate, orderCols = Seq(col("id")), salt = 4)
+        .select(col("id"), col("_throttle_matched").as("m"))
+      val d2 = ref.as("a").join(tp.as("b"), "id")
+        .filter(col("a.m") =!= col("b.m")).count()
+      assert(d2 == 0, s"two-phase mismatch at before=$bc after=$ac")
+      graft.plans.CacheScope.release()
+    }
   }
 
   test("kv transform_key/transform_value: case folding before include/prefix") {
