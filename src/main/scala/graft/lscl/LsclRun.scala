@@ -969,12 +969,18 @@ object LsclRun {
           if (p.name == "csv") p.attr("fields").map(strList).getOrElse(
             throw new IllegalArgumentException("csv output: fields required"))
           else Nil
+        // the ES output's action (index/create/update/delete, sprintf'd per
+        // event); anything but plain index needs the document identity
+        val esAction = strAttr(p, "action").filterNot(_ == "index")
+        require(esAction.isEmpty || strAttr(p, "document_id").nonEmpty,
+          s"output `${p.name}`: action => ${esAction.getOrElse("")} requires document_id")
         out += Route.SinkSpec(name, path, dec,
           indexTemplate = dynamicIdx.orElse(dynamicPath),
           codec = if (p.name == "csv") Some("csv") else codec,
           documentId = strAttr(p, "document_id"),
           csvFields = csvFields,
-          csvSep = strAttr(p, "separator").getOrElse(","))
+          csvSep = strAttr(p, "separator").getOrElse(","),
+          esAction = esAction)
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
         arms.foreach { case (e, body) =>
@@ -1069,6 +1075,65 @@ object LsclRun {
     }
   }
 
+  /** Map the LSCL `kafka` input's option surface (logstash-input-kafka,
+    * qa/integration/fixtures/kafka_input_spec.yml) onto the spark-sql-kafka
+    * DataSource options. Pure option translation — testable without a
+    * broker; the actual read fails loudly when the connector jars are
+    * absent (see [[kafkaFrame]]). DOCUMENTED-UNTESTED against a live
+    * broker in this environment (no network egress): the mapping follows
+    * both public option references.
+    */
+  private[graft] def kafkaOptions(p: Plugin): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    b += "kafka.bootstrap.servers" ->
+      strAttr(p, "bootstrap_servers").getOrElse("localhost:9092")
+    (p.attr("topics").map(strList), strAttr(p, "topics_pattern")) match {
+      case (Some(ts), None) => b += "subscribe" -> ts.mkString(",")
+      case (None, Some(pat)) => b += "subscribePattern" -> pat
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "kafka input: topics and topics_pattern are mutually exclusive")
+      case _ => throw new IllegalArgumentException(
+        "kafka input: topics or topics_pattern required")
+    }
+    strAttr(p, "group_id").foreach(g => b += "kafka.group.id" -> g)
+    strAttr(p, "client_id").foreach(c => b += "kafka.client.id" -> c)
+    strAttr(p, "auto_offset_reset").foreach {
+      case "earliest" => b += "startingOffsets" -> "earliest"
+      case "latest" => b += "startingOffsets" -> "latest"
+      case other => throw new IllegalArgumentException(
+        s"kafka input: auto_offset_reset `$other` (expected earliest|latest)")
+    }
+    strAttr(p, "security_protocol").foreach(sp =>
+      b += "kafka.security.protocol" -> sp)
+    b.result()
+  }
+
+  /** Build the kafka source frame (batch or stream), failing loudly when the
+    * spark-sql-kafka connector is not on the classpath (this sandbox ships
+    * no connector jars — the option mapping is still unit-tested).
+    */
+  private def kafkaFrame(spark: org.apache.spark.sql.SparkSession, p: Plugin,
+                         streaming: Boolean): DataFrame = {
+    val opts = kafkaOptions(p)
+    val loaded =
+      try {
+        if (streaming) spark.readStream.format("kafka").options(opts).load()
+        else spark.read.format("kafka").options(opts).load()
+      } catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("kafka") ||
+          e.isInstanceOf[ClassNotFoundException] =>
+          throw new IllegalStateException(
+            "kafka input: the spark-sql-kafka connector jars are not on the " +
+              "classpath (this environment has no broker or connector); add " +
+              "org.apache.spark:spark-sql-kafka-0-10 to run this config", e)
+      }
+    // the reference's plain codec surface: value bytes decode to `message`,
+    // kafka metadata rides along like the input's decorate_events fields
+    loaded.select(col("value").cast("string").as("message"),
+      col("topic"), col("partition"), col("offset"),
+      col("timestamp").as("@timestamp"))
+  }
+
   /** Lower the `input` section to a source frame. Supported inputs:
     *  - `generator { count => N lines => [...] }` — the native DataSourceV2
     *    generator ([[graft.sources.GeneratorSource]]); lines become the
@@ -1105,6 +1170,8 @@ object LsclRun {
             jsonParse(gen, "message", None, lit(true), strAttr(c, "schema"))
           case _ => gen
         }
+      case PluginItem(p) if p.name == "kafka" =>
+        kafkaFrame(spark, p, streaming = false)
       case PluginItem(p) if p.name == "dead_letter_queue" =>
         // the DLQ input: replay a persisted DLQ side-channel table
         // (graft.operators.Dlq.entries shape), oldest-first by entry_time
@@ -1260,6 +1327,8 @@ object LsclRun {
           case _ => throw new IllegalArgumentException("syslog input: port or path required")
         }
         syslogParse(raw)
+      case PluginItem(p) if p.name == "kafka" =>
+        kafkaFrame(spark, p, streaming = true)
       case PluginItem(p) if p.name == "generator" =>
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val lines = p.attr("lines").map(strList)

@@ -47,13 +47,28 @@ object Route {
     * one line per event (no quoting: the token world's values are
     * separator-free; a quoting writer would slot in here).
     */
+  /** `esAction`: the elasticsearch output's `action` — a sprintf template
+    * (static string = constant action) rendering per event to
+    * index|create|update|delete. Batch reduction per (index, id) over the
+    * same grouped machinery as `documentId`, in the deterministic
+    * payload-struct order (leading payload column = the frame's sequence
+    * column in practice):
+    *  - an id with ANY delete event is removed entirely (tombstone wins —
+    *    the batch collapse of an op stream ending in delete);
+    *  - otherwise index/update keep the id's LAST such event (later ops
+    *    overwrite), create keeps the FIRST (only the first create succeeds,
+    *    ES version-conflicts the rest); mixed groups prefer the last
+    *    index/update (it would overwrite whatever the create put there).
+    * Absent => the documentId default (deterministic min-struct upsert).
+    */
   final case class SinkSpec(name: String, cond: Cond,
                             decorator: Mutate.Decorator = Mutate.Decorator(),
                             indexTemplate: Option[String] = None,
                             codec: Option[String] = None,
                             documentId: Option[String] = None,
                             csvFields: Seq[String] = Nil,
-                            csvSep: String = ",")
+                            csvSep: String = ",",
+                            esAction: Option[String] = None)
 
   /** Columns whose names start with this prefix are the `@metadata` analogue:
     * available to conditions/decorators, dropped before every sink write
@@ -245,7 +260,8 @@ object Route {
                         codec: Option[String] = None,
                         documentId: Option[String] = None,
                         csvFields: Seq[String] = Nil,
-                        csvSep: String = ","): String = {
+                        csvSep: String = ",",
+                        esAction: Option[String] = None): String = {
         val path = s"$outDir/$name"
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
@@ -257,12 +273,37 @@ object Route {
           // document_id upsert semantics: one row per (index, id); see
           // SinkSpec scaladoc for the deterministic-winner contract
           val d = documentId.fold(dIdx) { tpl =>
-            val keyed = dIdx.withColumn("_docid", Mutate.sprintfFor(dIdx, tpl))
+            val keyed0 = dIdx.withColumn("_docid", Mutate.sprintfFor(dIdx, tpl))
             val keys = (if (indexTemplate.isDefined) Seq("_index") else Nil) :+ "_docid"
-            val payload = keyed.columns.filterNot(keys.contains)
-            keyed.groupBy(keys.map(col).toIndexedSeq: _*)
-              .agg(min(struct(payload.map(col).toIndexedSeq: _*)).as("_row"))
-              .select((keys.map(col) ++ payload.map(c => col(s"_row.$c").as(c))).toIndexedSeq: _*)
+            esAction match {
+              case None =>
+                val payload = keyed0.columns.filterNot(keys.contains)
+                keyed0.groupBy(keys.map(col).toIndexedSeq: _*)
+                  .agg(min(struct(payload.map(col).toIndexedSeq: _*)).as("_row"))
+                  .select((keys.map(col) ++
+                    payload.map(c => col(s"_row.$c").as(c))).toIndexedSeq: _*)
+              case Some(actTpl) =>
+                // action variants (SinkSpec scaladoc): delete tombstones the
+                // id; create keeps first, index/update keep last. One grouped
+                // agg — map-side combined, exchange keyed on the id hash,
+                // exactly like the documentId default.
+                val keyed = keyed0.withColumn("_esact", Mutate.sprintfFor(keyed0, actTpl))
+                val payload = keyed.columns.filterNot(c => keys.contains(c) || c == "_esact")
+                val pay = struct(payload.map(col).toIndexedSeq: _*)
+                val isCreate = col("_esact") === "create"
+                val isDelete = col("_esact") === "delete"
+                keyed.groupBy(keys.map(col).toIndexedSeq: _*)
+                  .agg(
+                    max(when(isDelete, 1).otherwise(0)).as("_del"),
+                    min(when(isCreate, pay)).as("_cfirst"),
+                    max(when(!isDelete && !isCreate, pay)).as("_ulast"))
+                  .filter(col("_del") === 0)
+                  .withColumn("_row",
+                    when(col("_ulast").isNotNull, col("_ulast")).otherwise(col("_cfirst")))
+                  .filter(col("_row").isNotNull) // an id of only-create-less rows can't occur; guard anyway
+                  .select((keys.map(col) ++
+                    payload.map(c => col(s"_row.$c").as(c))).toIndexedSeq: _*)
+            }
           }
           val parts = (if (indexTemplate.isDefined) Seq("_index") else Nil) ++
             (if (buckets > 0 && d.columns.contains("doc_id")) Seq("_bucket") else Nil)
@@ -305,7 +346,7 @@ object Route {
       }
       val paths = sinks.map { s =>
         s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s), s.indexTemplate,
-          s.codec, s.documentId, s.csvFields, s.csvSep)
+          s.codec, s.documentId, s.csvFields, s.csvSep, s.esAction)
       }.toMap ++
         (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
          else Map.empty[String, String])

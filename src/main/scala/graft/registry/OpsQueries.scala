@@ -408,6 +408,32 @@ object OpsQueries {
         .orderBy("_docid")
     }),
 
+    // ES output action variants (logstash-output-elasticsearch `action`,
+    // sprintf'd per event): delete tombstones the id, create keeps the
+    // FIRST event per id, index keeps the LAST — one grouped reduction over
+    // the document_id machinery (Route.SinkSpec.esAction)
+    "pipe_es_action" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_esact").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .withColumn("grp", (col("event_id") % 101).cast("string"))
+        .withColumn("act",
+          when(col("event_type") === "error", "delete")
+            .when(col("event_type") === "click", "create")
+            .otherwise("index"))
+      val cfg = graft.lscl.Lscl.parse(
+        """output {
+          |  elasticsearch { index => "evts"
+          |                  document_id => "%{user_id}:%{grp}"
+          |                  action => "%{act}" }
+          |}""".stripMargin, Map.empty)
+      graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+      s.read.parquet(s"$out/evts")
+        .select(col("_docid"), col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("_docid")
+    }),
+
     // json codec top-level ARRAY fan-out (Event.fromJson, Event.java:302-340):
     // an array message becomes one event per element, an object stays one
     // event — dual-parse + explode, schema-explicit, single narrow pass
@@ -1066,6 +1092,27 @@ object OpsQueries {
         |  FROM events)
         |SELECT _docid, event_id, event_type, user_id
         |FROM w WHERE rn = 1 ORDER BY _docid""".stripMargin,
+
+    "pipe_es_action" ->
+      """WITH k AS (
+        |  SELECT event_id, event_type, user_id,
+        |         CAST(user_id AS VARCHAR) || ':' ||
+        |           CAST(event_id % 101 AS VARCHAR) AS _docid,
+        |         CASE event_type WHEN 'error' THEN 'delete'
+        |                         WHEN 'click' THEN 'create'
+        |                         ELSE 'index' END AS act
+        |  FROM events),
+        |g AS (
+        |  SELECT _docid,
+        |         MAX(CASE WHEN act = 'delete' THEN 1 ELSE 0 END) AS has_del,
+        |         MIN(CASE WHEN act = 'create' THEN event_id END) AS cfirst,
+        |         MAX(CASE WHEN act = 'index' THEN event_id END) AS ulast
+        |  FROM k GROUP BY _docid)
+        |SELECT k._docid, k.event_id, k.event_type, k.user_id
+        |FROM g JOIN k ON k._docid = g._docid
+        |             AND k.event_id = COALESCE(g.ulast, g.cfirst)
+        |WHERE g.has_del = 0
+        |ORDER BY k._docid""".stripMargin,
 
     "evt_jsonarr" ->
       """SELECT event_id, k FROM (

@@ -435,6 +435,37 @@ class LsclSpec extends SparkSpec {
     assert(out2 == Set(List("x", "z"), List("y,w")))
   }
 
+  test("kafka input: option mapping is exact, read fails loudly without connector jars") {
+    val cfg = Lscl.parse(
+      """input {
+        |  kafka {
+        |    bootstrap_servers => "broker1:9092,broker2:9092"
+        |    topics => ["logs", "metrics"]
+        |    group_id => "graft"
+        |    auto_offset_reset => "earliest"
+        |    security_protocol => "SSL"
+        |  }
+        |}""".stripMargin, Map.empty)
+    val p = cfg.inputs.collect { case Lscl.PluginItem(pl) => pl }.head
+    assert(LsclRun.kafkaOptions(p) == Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "logs,metrics",
+      "kafka.group.id" -> "graft",
+      "startingOffsets" -> "earliest",
+      "kafka.security.protocol" -> "SSL"))
+    // topics_pattern maps to subscribePattern; both together are rejected
+    val p2 = Lscl.parse("""input { kafka { topics_pattern => "logs-.*" } }""",
+      Map.empty).inputs.collect { case Lscl.PluginItem(pl) => pl }.head
+    assert(LsclRun.kafkaOptions(p2)("subscribePattern") == "logs-.*")
+    intercept[IllegalArgumentException](LsclRun.kafkaOptions(
+      Lscl.parse("""input { kafka { } }""", Map.empty)
+        .inputs.collect { case Lscl.PluginItem(pl) => pl }.head))
+    // no connector jars in this environment: the source fails loudly with
+    // a pointer at the missing artifact, never a silent empty frame
+    val e = intercept[IllegalStateException](LsclRun.source(spark, cfg.inputs))
+    assert(e.getMessage.contains("spark-sql-kafka"))
+  }
+
   test("ruby filter fails loudly with a pointer at the typed escape hatch") {
     import spark.implicits._
     val df = Seq("x").toDF("a")
