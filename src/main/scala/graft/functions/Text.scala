@@ -324,4 +324,74 @@ object Text {
     val uni = size(a) + size(b) - inter
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
+
+  /** Cross-document EXACT-SUBSTRING duplication — the token-window form of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr dedup): every `w`-token window (stride 1) is a
+    * key; a window occurring in MORE THAN ONE document is a duplicated span.
+    * Output per doc: `n_windows`, `dup_windows` (positions covered by a
+    * cross-doc duplicate), `dup_span_frac` (floor-quantized to 1e-6, the
+    * engine's bit-safe ratio convention).
+    *
+    * Scale shape: one explode -> window-keyed count-distinct (two-phase
+    * hash agg) -> left-semi join back (same window-key partitioning, AQE
+    * reuses it) -> per-doc agg on the id key. Never all-pairs, no skew
+    * hazard beyond hot stop-windows (uniform hash partitioning). At 100 TB
+    * the window key becomes xxhash64(window) — 8 bytes instead of the
+    * string — with an identical plan; the string key here keeps the oracle
+    * engine-exact.
+    */
+  def dupSpanWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, w: Int): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nw = size(toks) - w + 1
+    val winArr = when(nw > 0,
+      transform(sequence(lit(0), nw - 1),
+        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val wins = df.select(col(idCol), explode(winArr).as("win"))
+    val dupWins = wins.groupBy(col("win"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") > 1).select(col("win"))
+    val perDoc = wins.join(dupWins, Seq("win"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_windows"))
+    df.select(col(idCol), greatest(nw, lit(0)).cast("long").as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("dup_windows", coalesce(col("dup_windows"), lit(0L)))
+      .withColumn("dup_span_frac",
+        when(col("n_windows") > 0,
+          floor(col("dup_windows") / col("n_windows") * 1e6 + 0.5) / 1e6)
+          .otherwise(0.0))
+  }
+
+  /** Corpus-frequency token statistics — the KenLM-scoring shape without the
+    * external model: global token counts (vocab-sized, broadcast by AQE)
+    * joined back per token position. Per doc: `mean_tok_count` (mean global
+    * frequency of its tokens — integer sum then ONE divide, bit-safe) and
+    * `rare_frac` (fraction of positions whose token has global count <
+    * `rareK` — the rare/garbage-token curation signal). At 100 TB the counts
+    * side stays vocab-sized — the join is a broadcast at any corpus size.
+    */
+  def tokenFrequencyStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, rareK: Long): org.apache.spark.sql.DataFrame = {
+    val toksE = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val counts = toksE.groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+    toksE.join(broadcast(counts), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("_c")).as("_sum_c"),
+        sum(when(col("_c") < rareK, 1L).otherwise(0L)).as("_rare"))
+      .withColumn("mean_tok_count",
+        floor(col("_sum_c") / col("n_tok") * 1e6 + 0.5) / 1e6)
+      .withColumn("rare_frac",
+        floor(col("_rare") / col("n_tok") * 1e6 + 0.5) / 1e6)
+      .drop("_sum_c", "_rare")
+  }
+
+  /** Blocklist curation: keep a document iff NONE of its whitespace tokens
+    * appear in `blocked` (bad-word / domain blocklist filtering — a
+    * config-sized literal set, codegen'd arrays_overlap, zero shuffle).
+    */
+  def blocklistKeep(text: Column, blocked: Seq[String]): Column =
+    !arrays_overlap(split(text, " "), array(blocked.map(lit(_)): _*))
 }

@@ -298,6 +298,31 @@ object TextQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // cross-document EXACT-SUBSTRING duplication (Lee et al. 2022
+    // ExactSubstr): 8-token windows keyed corpus-wide; a window in >1 doc
+    // marks all its positions as duplicated spans. Explode -> window-keyed
+    // agg -> semi-join back -> per-doc fraction, never all-pairs
+    "txt_spans" -> ((s, dir) => {
+      Text.dupSpanWindows(docs(s, dir), "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+          col("dup_span_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-frequency token stats (the KenLM-scoring shape) + blocklist
+    // curation: global token counts broadcast back per position; rare_frac
+    // flags rare/garbage tokens, keep_block drops blocklisted docs
+    "txt_freq" -> ((s, dir) => {
+      val stats = Text.tokenFrequencyStats(docs(s, dir), "doc_id", "text", 900L)
+      docs(s, dir)
+        .select(col("doc_id"),
+          Text.blocklistKeep(col("text"), Seq("slow", "xxbadword")).as("keep_block"))
+        .join(stats, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"), col("mean_tok_count"),
+          col("rare_frac"), col("keep_block"))
+        .orderBy("doc_id")
+    }),
+
     // sign-LSH bucket histogram (the ANN partition key)
     "sim_buckets" -> ((s, dir) => {
       embs(s, dir)
@@ -308,6 +333,45 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "txt_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i) u
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1),
+        |pd AS (SELECT w.doc_id, COUNT(*) AS dup_windows
+        |       FROM w JOIN d USING (win) GROUP BY w.doc_id),
+        |base AS (SELECT doc_id,
+        |                GREATEST(len(string_split(text, ' ')) - 7, 0) AS n_windows
+        |         FROM documents)
+        |SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(pd.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |       CASE WHEN b.n_windows > 0
+        |            THEN floor(COALESCE(pd.dup_windows, 0) / b.n_windows * 1000000 + 0.5)
+        |                 / 1000000
+        |            ELSE 0.0 END AS dup_span_frac
+        |FROM base b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    "txt_freq" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM e GROUP BY tok),
+        |pd AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_tok,
+        |         SUM(c.cnt) AS sum_c,
+        |         COUNT(*) FILTER (c.cnt < 900) AS rare
+        |  FROM e JOIN c USING (tok) GROUP BY e.doc_id)
+        |SELECT d.doc_id, CAST(pd.n_tok AS BIGINT) AS n_tok,
+        |       floor(CAST(pd.sum_c AS DOUBLE) / pd.n_tok * 1000000 + 0.5) / 1000000
+        |         AS mean_tok_count,
+        |       floor(CAST(pd.rare AS DOUBLE) / pd.n_tok * 1000000 + 0.5) / 1000000
+        |         AS rare_frac,
+        |       len(list_filter(string_split(d.text, ' '),
+        |                       w -> w IN ('slow', 'xxbadword'))) = 0 AS keep_block
+        |FROM documents d JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     "txt_langid" -> {
       val hits = Text.LangMarkers.map { case (lang, ms) =>
         val inList = ms.map(m => s"'$m'").mkString("(", ",", ")")
