@@ -748,6 +748,27 @@ object LsclRun {
           .reduce(_ || _)
         decoratorOf(p).applyWhen(df, m && coalesce(hit, lit(false)))
 
+      case "http" =>
+        // logstash-filter-http, batch-sane (Enrich.httpLookup): fetch once
+        // per DISTINCT rendered url (bounded, loud beyond max_distinct_urls),
+        // broadcast the (url, status, body) dimension back. Under a
+        // conditional only matching rows render urls — excluded rows never
+        // cause a fetch. Non-2xx/failed fetches tag like the reference.
+        val urlTpl = strAttr(p, "url").getOrElse(
+          throw new IllegalArgumentException("http filter: url required"))
+        val targetBody = strAttr(p, "target_body").getOrElse("body")
+        val tagFail = p.attr("tag_on_failure").map(strList)
+          .getOrElse(Seq("_httprequestfailure"))
+        val maxUrls = strAttr(p, "max_distinct_urls").map(_.toInt).getOrElse(10000)
+        gatedRowwise(df, cond) { d =>
+          val looked = Enrich.httpLookup(d,
+            when(m, Mutate.sprintfFor(d, urlTpl)), targetBody,
+            maxDistinct = maxUrls)
+          val failed = !coalesce(col("_http_status").between(200, 299), lit(false))
+          tagFail.foldLeft(looked)((x, t) => Mutate.addTagWhen(x, failed, t))
+            .drop("_http_status")
+        }
+
       case "ruby" =>
         // arbitrary Ruby blocks are deliberately not ported (SURVEY §7.4):
         // point at the typed escape hatch instead of a generic unknown-plugin
@@ -764,8 +785,8 @@ object LsclRun {
           s"unsupported filter plugin `$other`; supported: mutate, drop, json, " +
             "translate, grok, dissect, kv, csv, xml, date, fingerprint, prune, " +
             "truncate, uuid, clone, split, urldecode, de_dot, geoip, dns, " +
-            "useragent, jdbc_static, throttle, metrics, aggregate, elapsed, " +
-            "anonymize, syslog_pri, cidr")
+            "useragent, jdbc_static, http, throttle, metrics, aggregate, " +
+            "elapsed, anonymize, syslog_pri, cidr")
     }
   }
 

@@ -109,6 +109,54 @@ object Enrich {
   def lookupBig(events: DataFrame, dim: DataFrame, on: String): DataFrame =
     events.join(dim.hint("shuffle_hash"), Seq(on), "left")
 
+  /** The `http` enrich filter (logstash-filter-http), batch-sane: the
+    * reference calls a (usually sprintf'd) URL per event and caches; the
+    * per-event call has no distributed analogue that isn't a DDoS, so the
+    * batch model is fetch-per-DISTINCT-url — the key insight being that the
+    * useful regime is exactly when url cardinality is dimension-sized (a
+    * lookup service keyed on a low-cardinality field), which is also when
+    * the reference's cache makes it performant.
+    *
+    *  1. distinct rendered urls collect to the driver — BOUNDED by
+    *     `maxDistinct` (loud failure beyond: a high-cardinality key means
+    *     the config is trying to make one HTTP call per event, which should
+    *     be a real join against an exported table instead);
+    *  2. each url is fetched ONCE (JDK HttpClient, `timeoutMs` per call);
+    *  3. (url, status, body) becomes a broadcast dimension joined back —
+    *     the enrich stage stays shuffle-free at any input size.
+    *
+    * Non-2xx/failed fetches yield a null `bodyCol` and keep the status (or
+    * 0 on connect failure) in `statusCol` so callers can tag
+    * `_httprequestfailure` exactly like the reference.
+    */
+  def httpLookup(events: DataFrame, urlCol: Column, bodyCol: String,
+                 statusCol: String = "_http_status",
+                 maxDistinct: Int = 10000, timeoutMs: Long = 5000): DataFrame = {
+    val spark = events.sparkSession
+    val withUrl = events.withColumn("_http_url", urlCol)
+    val urls = withUrl.select(col("_http_url")).na.drop.distinct()
+      .limit(maxDistinct + 1).collect().map(_.getString(0))
+    require(urls.length <= maxDistinct,
+      s"http filter: more than $maxDistinct distinct urls — per-event HTTP " +
+        "is not a distributed operation; export the service's table and use " +
+        "translate/jdbc_static instead")
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    val fetched = urls.toSeq.map { u =>
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
+          .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (u, resp.statusCode(),
+          if (resp.statusCode() / 100 == 2) resp.body() else null)
+      } catch { case _: Exception => (u, 0, null: String) }
+    }
+    import spark.implicits._
+    val dim = fetched.toDF("_http_url", statusCol, bodyCol)
+    withUrl.join(broadcast(dim), Seq("_http_url"), "left").drop("_http_url")
+  }
+
   /** geoip-style range lookup: enrich rows whose ip falls inside a CIDR-range
     * dimension row (lo <= ip_long <= hi). The dimension is broadcast (geo DBs
     * are config-sized like the reference's mmdb), so the range join plans as

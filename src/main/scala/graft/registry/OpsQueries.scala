@@ -408,6 +408,46 @@ object OpsQueries {
         .orderBy("_docid")
     }),
 
+    // http ENRICH filter from config text (logstash-filter-http, batch-sane:
+    // one fetch per distinct rendered url -> broadcast dimension join; see
+    // Enrich.httpLookup). A live local endpoint answers 200 with a
+    // deterministic body except for k=view (404 -> _httprequestfailure tag,
+    // null body); error rows are excluded by the conditional and never fetch
+    "lscl_http" -> ((s, dir) => {
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      server.createContext("/lookup", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val k = ex.getRequestURI.getQuery.substring(2) // "k=<value>"
+        try {
+          if (k == "view") ex.sendResponseHeaders(404, -1)
+          else {
+            val body = (k.toUpperCase + ":" + k.length).getBytes("UTF-8")
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body)
+          }
+        } finally ex.close()
+      })
+      server.start()
+      try {
+        val e = s.read.parquet(s"$dir/events.parquet")
+        val cfg = graft.lscl.Lscl.parse(
+          s"""filter {
+             |  if [event_type] != "error" {
+             |    http {
+             |      url => "http://127.0.0.1:${server.getAddress.getPort}/lookup?k=%{event_type}"
+             |      target_body => "resp"
+             |    }
+             |  }
+             |}""".stripMargin, Map.empty)
+        // applyFilters fetches eagerly (distinct urls -> driver HTTP calls),
+        // so the server can stop before the frame materializes
+        graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+          .select(col("event_id"), col("resp"),
+            array_join(col("tags"), ",").as("tag_str"))
+          .orderBy("event_id")
+      } finally server.stop(0)
+    }),
+
     // ES output action variants (logstash-output-elasticsearch `action`,
     // sprintf'd per event): delete tombstones the id, create keeps the
     // FIRST event per id, index keeps the LAST — one grouped reduction over
@@ -1092,6 +1132,16 @@ object OpsQueries {
         |  FROM events)
         |SELECT _docid, event_id, event_type, user_id
         |FROM w WHERE rn = 1 ORDER BY _docid""".stripMargin,
+
+    "lscl_http" ->
+      """SELECT event_id,
+        |       CASE WHEN event_type IN ('error', 'view') THEN NULL
+        |            ELSE upper(event_type) || ':' ||
+        |                 CAST(length(event_type) AS VARCHAR) END AS resp,
+        |       CASE WHEN event_type = 'error' THEN NULL
+        |            WHEN event_type = 'view' THEN '_httprequestfailure'
+        |            ELSE '' END AS tag_str
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "pipe_es_action" ->
       """WITH k AS (

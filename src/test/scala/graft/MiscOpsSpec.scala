@@ -115,6 +115,16 @@ class MiscOpsSpec extends SparkSpec {
       (1L, "head1\n cont\n more", 3L), (1L, "head2", 1L), (2L, "other", 1L)))
   }
 
+  test("http lookup: distinct-url cardinality guard fails loudly") {
+    // per-event HTTP is not a distributed operation — past the cap the
+    // config should be a real dimension join, and the filter says so
+    val df = spark.range(100).selectExpr("cast(id as string) as k")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Enrich.httpLookup(df,
+        concat(lit("http://127.0.0.1:1/x/"), col("k")), "b", maxDistinct = 10))
+    assert(e.getMessage.contains("distinct urls"))
+  }
+
   test("multiline caps: byte cap flushes tagged pieces with bounded buffers") {
     import spark.implicits._
     // one group of 5 lines x 11 chars (+newline = 12); max_bytes=25:
