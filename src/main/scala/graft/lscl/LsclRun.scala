@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.conditions._
 import graft.model.FieldRef
-import graft.operators.{Enrich, Mutate, Parse, Route, Stateful}
+import graft.operators.{Enrich, Extras, Mutate, Parse, Route, Stateful}
 import graft.lscl.Lscl._
 
 /** Lowers parsed LSCL to the engine: condition AST -> [[graft.conditions.Cond]],
@@ -769,6 +769,109 @@ object LsclRun {
             .drop("_http_status")
         }
 
+      case "bytes" =>
+        val source = strAttr(p, "source").getOrElse("message")
+        val target = strAttr(p, "target").getOrElse(
+          throw new IllegalArgumentException("bytes: target required"))
+        val binary = !strAttr(p, "conversion_method").contains("metric")
+        val tagFail = p.attr("tag_on_failure").map(strList)
+          .getOrElse(Seq("_bytesparsefailure"))
+        val parsed = Extras.parseBytes(col(source), binary)
+        val cur = if (df.columns.contains(target)) col(target).cast("double")
+                  else lit(null).cast("double")
+        val out = df.withColumn(target, when(m, parsed).otherwise(cur))
+        val failed = m && col(source).isNotNull && parsed.isNull
+        decoratorOf(p).applyWhen(
+          tagFail.foldLeft(out)((d, t) => Mutate.addTagWhen(d, failed, t)),
+          m && !failed)
+
+      case "range" =>
+        val quads = p.attr("ranges").map(strList).getOrElse(
+          throw new IllegalArgumentException("range: ranges required"))
+        require(quads.size % 4 == 0, "range: ranges must be field,min,max,action quads")
+        val rules = quads.grouped(4).map { g =>
+          Extras.RangeRule(g(0), g(1).toDouble, g(2).toDouble, g(3))
+        }.toSeq
+        Extras.rangeApply(df, rules, negate = strAttr(p, "negate").contains("true"), m)
+
+      case "extractnumbers" =>
+        val source = strAttr(p, "source").getOrElse("message")
+        // fixed-width columnar bound on the reference's open-ended intN/
+        // floatN field family (documented divergence, Extras scaladoc)
+        decoratorOf(p).applyWhen(
+          Extras.extractNumbers(df, source,
+            maxInts = strAttr(p, "max_ints").map(_.toInt).getOrElse(4),
+            maxFloats = strAttr(p, "max_floats").map(_.toInt).getOrElse(4),
+            gate = m), m)
+
+      case "environment" =>
+        // reference reads the process env into @metadata; `graft.env.<NAME>`
+        // system properties are the deterministic test hook
+        val entries = p.attr("add_metadata_from_env") match {
+          case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }
+          case _ => throw new IllegalArgumentException(
+            "environment: add_metadata_from_env hash required")
+        }
+        entries.foldLeft(df) { case (d, (field, envName)) =>
+          val v = sys.env.get(envName)
+            .orElse(Option(System.getProperty("graft.env." + envName)))
+          val cur = if (d.columns.contains(s"_meta_$field")) col(s"_meta_$field")
+                    else lit(null).cast("string")
+          d.withColumn(s"_meta_$field",
+            when(m, v.map(lit(_)).getOrElse(lit(null).cast("string"))).otherwise(cur))
+        }
+
+      case "json_encode" =>
+        val source = strAttr(p, "source").getOrElse(
+          throw new IllegalArgumentException("json_encode: source required"))
+        decoratorOf(p).applyWhen(
+          Extras.jsonEncode(df, source, strAttr(p, "target").getOrElse(source), m), m)
+
+      case "tld" =>
+        val source = strAttr(p, "source").getOrElse("message")
+        val target = strAttr(p, "target").getOrElse("tld")
+        val cur = if (df.columns.contains(target)) col(target) else lit(null)
+        decoratorOf(p).applyWhen(
+          df.withColumn(target, when(m, Extras.tldParse(col(source))).otherwise(cur)), m)
+
+      case "metricize" =>
+        val metrics = p.attr("metrics").map(strList).getOrElse(
+          throw new IllegalArgumentException("metricize: metrics required"))
+        Extras.metricize(df, metrics,
+          dropOriginal = strAttr(p, "drop_original_event").contains("true"), m)
+
+      case "age" =>
+        val source = strAttr(p, "source").getOrElse("@timestamp")
+        require(df.columns.contains(source),
+          s"age: timestamp field `$source` absent (set source => ...)")
+        val target = strAttr(p, "target").getOrElse("age")
+        val cur = if (df.columns.contains(target)) col(target).cast("double")
+                  else lit(null).cast("double")
+        // `now` pins the clock for deterministic replay (reference reads
+        // wall time; Extras.age scaladoc)
+        df.withColumn(target,
+          when(m, Extras.age(col(source), strAttr(p, "now"))).otherwise(cur))
+
+      case "cipher" =>
+        val source = strAttr(p, "source").getOrElse("message")
+        val target = strAttr(p, "target").getOrElse(source)
+        val key = strAttr(p, "key").getOrElse(
+          throw new IllegalArgumentException("cipher: key required"))
+        strAttr(p, "algorithm").foreach(a => require(
+          a.toLowerCase.startsWith("aes"), s"cipher: only AES supported, got $a"))
+        val enc = strAttr(p, "mode").getOrElse("encrypt") match {
+          case "encrypt" =>
+            val iv = strAttr(p, "iv").getOrElse(
+              throw new IllegalArgumentException(
+                "cipher: iv (hex, 16 bytes) required for deterministic encrypt"))
+            Extras.cipherEncrypt(col(source), key, iv)
+          case "decrypt" => Extras.cipherDecrypt(col(source), key)
+          case other => throw new IllegalArgumentException(s"cipher: bad mode $other")
+        }
+        val cur = if (df.columns.contains(target) && target != source) col(target)
+                  else if (target == source) col(source) else lit(null)
+        df.withColumn(target, when(m, enc).otherwise(cur))
+
       case "ruby" =>
         // arbitrary Ruby blocks are deliberately not ported (SURVEY §7.4):
         // point at the typed escape hatch instead of a generic unknown-plugin
@@ -786,7 +889,9 @@ object LsclRun {
             "translate, grok, dissect, kv, csv, xml, date, fingerprint, prune, " +
             "truncate, uuid, clone, split, urldecode, de_dot, geoip, dns, " +
             "useragent, jdbc_static, http, throttle, metrics, aggregate, " +
-            "elapsed, anonymize, syslog_pri, cidr")
+            "elapsed, anonymize, syslog_pri, cidr, bytes, range, " +
+            "extractnumbers, environment, json_encode, tld, metricize, " +
+            "age, cipher")
     }
   }
 

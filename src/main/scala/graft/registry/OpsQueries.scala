@@ -1004,6 +1004,88 @@ object OpsQueries {
         .groupBy("team", "big").agg(count(lit(1)).as("n"))
         .orderBy("team", "big")
     }),
+
+    // ecosystem filter batch (logstash-filter-{bytes,range,extractnumbers,
+    // tld} gems) driven from CONFIG TEXT — bytes under a conditional
+    // (signup rows excluded: null target, no failure tag), a range `drop`
+    // rule, tag + field range actions, public-suffix-aware tld decompose
+    "lscl_extras" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("sizestr", concat((col("user_id") % 100).cast("string"),
+          lit(" "),
+          element_at(array(lit(""), lit("kb"), lit("MB"), lit("GiB"), lit("xx")),
+            ((col("event_id") % 5) + 1).cast("int"))))
+        .withColumn("numline", concat(lit("a="),
+          (col("user_id") % 50).cast("string"),
+          lit(" b="), (col("event_id") % 7).cast("string"), lit(".5")))
+        .withColumn("host", concat(col("event_type"), lit(".example."),
+          element_at(array(lit("com"), lit("co.uk"), lit("io")),
+            ((col("event_id") % 3) + 1).cast("int"))))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  if [event_type] != "signup" {
+          |    bytes { source => "sizestr" target => "nbytes" }
+          |  }
+          |  extractnumbers { source => "numline" max_ints => 2 max_floats => 1 }
+          |  range { ranges => ["user_id", 0, 4, "drop",
+          |                     "value", 100, 1000000000, "tag:big",
+          |                     "event_type", 4, 5, "field:band:short"] }
+          |  tld { source => "host" target => "dom" }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("nbytes"), col("int1"), col("int2"),
+          col("float1"), col("band"), col("dom.tld").as("tld"),
+          col("dom.sld").as("sld"), col("dom.trd").as("trd"),
+          col("dom.domain").as("domain"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("event_id")
+    }),
+
+    // ecosystem filter batch 2: environment (deterministic via the
+    // graft.env.* system-property hook), age (clock pinned by `now`),
+    // json_encode (struct + scalar string), cipher AES-CBC round-trip
+    // (encrypt with config IV, decrypt back — equality with the plaintext
+    // IS the oracle; ciphertext determinism pinned in ExtrasSpec)
+    "lscl_extras2" -> ((s, dir) => {
+      System.setProperty("graft.env.GRAFT_TIER", "prod")
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("st", struct(col("event_type").as("t"), col("user_id").as("u")))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  environment { add_metadata_from_env => { "tier" => "GRAFT_TIER" } }
+          |  age { source => "ts" now => "2025-06-01 00:00:00" }
+          |  json_encode { source => "st" target => "st_json" }
+          |  json_encode { source => "event_type" target => "et_json" }
+          |  cipher { mode => "encrypt" source => "event_type" target => "ct"
+          |           key => "k3y" iv => "00112233445566778899aabbccddeeff" }
+          |  cipher { mode => "decrypt" source => "ct" target => "rt" key => "k3y" }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("_meta_tier").as("tier"), col("age"),
+          col("st_json"), col("et_json"), col("rt"))
+        .orderBy("event_id")
+    }),
+
+    // metricize filter (logstash-filter-metricize): one event per present
+    // metric with `metric`/`value` set and metric fields removed; the
+    // original passes through unchanged. Under a conditional, excluded rows
+    // emit exactly one untouched row. Bounded fan-out (<= metrics+1)
+    "lscl_metricize" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("m1", col("value") * 2)
+        .withColumn("m2", when(col("event_id") % 4 =!= 0, col("value") + 1))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  if [event_type] != "error" {
+          |    metricize { metrics => ["m1", "m2"] }
+          |  }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), coalesce(col("metric"), lit("")).as("metric"),
+          col("value"), col("m1"), col("m2"))
+        .orderBy("event_id", "metric")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1525,5 +1607,58 @@ object OpsQueries {
          |FROM trunk WHERE $errPred
          |GROUP BY team, big ORDER BY team, big""".stripMargin
     },
+
+    "lscl_extras" ->
+      """SELECT event_id,
+        |       CASE WHEN event_type <> 'signup' THEN
+        |         CASE event_id % 5
+        |           WHEN 0 THEN CAST(user_id % 100 AS DOUBLE)
+        |           WHEN 1 THEN CAST(user_id % 100 AS DOUBLE) * 1024
+        |           WHEN 2 THEN CAST(user_id % 100 AS DOUBLE) * 1048576
+        |           WHEN 3 THEN CAST(user_id % 100 AS DOUBLE) * 1073741824
+        |           ELSE NULL END
+        |       END AS nbytes,
+        |       user_id % 50 AS int1,
+        |       CAST(NULL AS BIGINT) AS int2,
+        |       CAST(event_id % 7 AS DOUBLE) + 0.5 AS float1,
+        |       CASE WHEN length(event_type) BETWEEN 4 AND 5 THEN 'short' END AS band,
+        |       CASE event_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' ELSE 'io' END AS tld,
+        |       'example' AS sld,
+        |       event_type AS trd,
+        |       'example.' || CASE event_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' ELSE 'io' END AS domain,
+        |       CASE WHEN event_type <> 'signup' AND event_id % 5 = 4
+        |                 AND value BETWEEN 100 AND 1000000000 THEN '_bytesparsefailure,big'
+        |            WHEN event_type <> 'signup' AND event_id % 5 = 4 THEN '_bytesparsefailure'
+        |            WHEN value BETWEEN 100 AND 1000000000 THEN 'big'
+        |            ELSE '' END AS tag_str
+        |FROM events WHERE NOT (user_id BETWEEN 0 AND 4)
+        |ORDER BY event_id""".stripMargin,
+
+    "lscl_extras2" ->
+      """SELECT event_id,
+        |       'prod' AS tier,
+        |       (epoch_us(TIMESTAMP '2025-06-01 00:00:00') - epoch_us(ts)) / 1000000.0 AS age,
+        |       '{"t":"' || event_type || '","u":' || user_id || '}' AS st_json,
+        |       '"' || event_type || '"' AS et_json,
+        |       event_type AS rt
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_metricize" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value,
+        |         value * 2 AS m1,
+        |         CASE WHEN event_id % 4 <> 0 THEN value + 1 END AS m2
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT event_id, '' AS metric, value, m1, m2 FROM base
+        |  UNION ALL
+        |  SELECT event_id, 'm1' AS metric, m1 AS value,
+        |         CAST(NULL AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2
+        |  FROM base WHERE event_type <> 'error'
+        |  UNION ALL
+        |  SELECT event_id, 'm2' AS metric, m2 AS value,
+        |         CAST(NULL AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2
+        |  FROM base WHERE event_type <> 'error' AND m2 IS NOT NULL)
+        |ORDER BY event_id, metric""".stripMargin,
   )
 }
