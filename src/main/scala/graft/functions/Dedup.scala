@@ -213,4 +213,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Connected components over an undirected edge list (long node ids) by
+    * iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; fixpoint = every node
+    * labeled with the smallest id in its component.
+    *
+    * Scale design: a round is three id-keyed exchanges (join labels onto
+    * edge sources, min-aggregate onto destinations, then a POINTER-JUMPING
+    * shortcut comp := label[comp] — the doubling step that makes chains
+    * converge in O(log diameter) rounds rather than O(diameter), same idea
+    * as the hash-to-min family, Kiveris et al. "Connected Components in
+    * MapReduce and Beyond"). All exchanges are over the EDGE set, which for
+    * dedup graphs is far smaller than the corpus (only near-dup pairs), and
+    * LSH duplicate clusters are near-cliques — 2–4 rounds in practice;
+    * `maxIter=15` supports diameters past 2^15 and the require() below is a
+    * loud-fail backstop, not a truncation. `localCheckpoint` truncates
+    * lineage per round (iterative plans otherwise grow unboundedly) and the
+    * edge set is persisted once and reused every round.
+    *
+    * Returns (node, comp).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 15): DataFrame = {
+    val sym0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = graft.plans.CacheScope.persist(
+      sym0.union(sym0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst").as("n2")).agg(min(col("comp")).as("ncomp"))
+      val stepped = labels.join(prop, labels("node") === prop("n2"), "left")
+        .select(col("node"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true) // feeds both sides of the jump self-join
+      // pointer jumping: comp := label[comp] (doubling — chains halve)
+      val next = stepped.join(
+          stepped.select(col("node").as("jn"), col("comp").as("jc")),
+          stepped("comp") === col("jn"), "left")
+        .select(col("node"), col("old"),
+          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.select("node", "comp")
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIter rounds " +
+        "(adversarially deep graph — raise maxIter or use star-contraction)")
+    labels
+  }
+
+  /** The full near-dup CLUSTERING decision: Jaccard pair generation ->
+    * transitive closure -> one cluster id per document (the smallest doc id
+    * reachable through the near-dup graph; docs with no near-dups are their
+    * own singleton cluster) + the canonical flag a curation pass keeps.
+    * This is the document-level analogue of `keepSet` that also exposes the
+    * cluster structure (needed when dedup keeps one-per-cluster BY QUALITY
+    * rather than by id — join your quality score on `cluster` and rank).
+    */
+  def dupClusters(df: DataFrame, tokensCol: String, idCol: String,
+                  shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = jaccardPairs(df, tokensCol, idCol, shingleK, threshold)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(comp, col(idCol) === comp("node"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
+      .withColumn("is_canonical", (col(idCol) === col("cluster")).cast("int"))
+  }
 }

@@ -169,6 +169,17 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // near-dup CLUSTERING: Jaccard pairs -> connected components (iterative
+    // min-label propagation over the edge list) -> cluster id per document
+    // (min doc_id transitively reachable; singletons cluster to themselves)
+    // + canonical flag. The closure is what id-ordered pair-dropping can't
+    // express: A~B, B~C, A!~C still collapse to ONE cluster
+    "dedup_cc" -> ((s, dir) => {
+      val raw = Tok.rawSequences(docs(s, dir)).withColumn("doc_id", col("doc_id").cast("long"))
+      Dedup.dupClusters(raw, "tokens", "doc_id", shingleK = 3, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // the dedup DECISION: exact-collapse -> near-dup pairs among reps ->
     // drop higher-id side; output = kept doc_ids
     "dedup_keep" -> ((s, dir) => {
@@ -517,6 +528,33 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "dedup_cc" ->
+      s"""${Tok.sqlRawSequences.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sh AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |         list_distinct(${sqlShingles(3)}) AS shset
+         |  FROM raw
+         |), posting AS (
+         |  SELECT id, len(shset) AS n_sh, unnest(shset) AS s FROM sh
+         |), pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+         |  FROM posting a JOIN posting b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
+         |), reach AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id AS BIGINT) AS comp FROM raw
+         |  UNION
+         |  SELECT r.node, e.dst AS comp FROM reach r JOIN edges e ON e.src = r.comp
+         |)
+         |SELECT node AS doc_id, MIN(comp) AS cluster,
+         |       CAST(node = MIN(comp) AS INTEGER) AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "dedup_keep" ->
       s"""$sqlKeepCtes
