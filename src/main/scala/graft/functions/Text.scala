@@ -394,4 +394,42 @@ object Text {
     */
   def blocklistKeep(text: Column, blocked: Seq[String]): Column =
     !arrays_overlap(split(text, " "), array(blocked.map(lit(_)): _*))
+
+  /** Bigram language-model surprisal scoring — the KenLM-style quality
+    * signal: a document whose bigrams are corpus-common scores low, one
+    * full of never-seen-together token pairs scores high. Per bigram
+    * position, surprisal ≈ -log2 P(cur|prev) = log2 c(prev) - log2
+    * c(prev,cur), computed as INTEGER bit lengths (length(bin(c))) so the
+    * DuckDB oracle is engine-exact — libm `ln` is not bit-reproducible
+    * across engines; swap `log2(cu/cb)` in one line for a production float
+    * LM. Output per doc: n_bigrams, max_surprisal (peak novelty),
+    * surprisal (mean, floor-quantized 1e6).
+    *
+    * Scale: the bigram table is built once and persisted (it feeds the two
+    * count aggregations AND the join back — self-join cache-race pattern);
+    * c(prev) is vocab-sized, c(prev,cur) bigram-vocab-sized. Neither join
+    * is forced broadcast: at web scale the bigram-count side outgrows the
+    * driver and the (prev,cur)-keyed shuffle join is the right plan; AQE
+    * broadcasts them at exploration scale on its own.
+    */
+  def bigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val w = greatest(size(toks) - 1, lit(0))
+    val bg0 = df.select(col(idCol).cast("long").as(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), w).as("prev"),
+          slice(toks, lit(2), w).as("cur"))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bg = graft.plans.CacheScope.persist(bg0)
+    val cu = bg.groupBy("prev").agg(count(lit(1)).as("cu"))
+    val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    bg.join(cu, "prev").join(cb, Seq("prev", "cur"))
+      .withColumn("surp", (length(bin(col("cu"))) - length(bin(col("cb")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("surp").as("_s"),
+        max("surp").as("max_surprisal"))
+      .withColumn("surprisal", floor(col("_s") / col("n_bigrams") * 1e6 + 0.5) / 1e6)
+      .drop("_s")
+  }
 }

@@ -323,6 +323,12 @@ object TextQueries {
     // corpus-frequency token stats (the KenLM-scoring shape) + blocklist
     // curation: global token counts broadcast back per position; rare_frac
     // flags rare/garbage tokens, keep_block drops blocklisted docs
+    // bigram LM surprisal quality scoring (integer-log2 formulation — see
+    // Text.bigramSurprisal scaladoc for the engine-exactness rationale)
+    "txt_ppx" -> ((s, dir) => {
+      Text.bigramSurprisal(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
     "txt_freq" -> ((s, dir) => {
       val stats = Text.tokenFrequencyStats(docs(s, dir), "doc_id", "text", 900L)
       docs(s, dir)
@@ -382,6 +388,24 @@ object TextQueries {
         |       len(list_filter(string_split(d.text, ' '),
         |                       w -> w IN ('slow', 'xxbadword'))) = 0 AS keep_block
         |FROM documents d JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "txt_ppx" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM pos),
+        |cu AS (SELECT prev, COUNT(*) AS cu FROM bg GROUP BY 1),
+        |cb AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY 1, 2)
+        |SELECT bg.doc_id,
+        |       COUNT(*) AS n_bigrams,
+        |       MAX(length(bin(cu.cu)) - length(bin(cb.cb))) AS max_surprisal,
+        |       floor(CAST(SUM(length(bin(cu.cu)) - length(bin(cb.cb))) AS DOUBLE)
+        |             / COUNT(*) * 1000000 + 0.5) / 1000000 AS surprisal
+        |FROM bg JOIN cu USING (prev) JOIN cb USING (prev, cur)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_langid" -> {
       val hits = Text.LangMarkers.map { case (lang, ms) =>
