@@ -312,6 +312,36 @@ object Text {
     expr
   }
 
+  /** Deterministic STRATIFIED sampling: per-source keep percentages (0-100)
+    * over the same md5-prefix hash buckets as [[splitAssign]] — replay-
+    * identical, no rand(), engine-portable, and consistent with the split
+    * assignment (a doc sampled at 50% lands in the same half on every
+    * cluster and every rerun). Sources not listed keep `defaultPct`.
+    * Zero shuffle: a codegen'd projection; the actual downsample is
+    * `.filter(sampleKeep(...))` pushed against the scan.
+    */
+  def sampleKeep(id: Column, source: Column, rates: Seq[(String, Int)],
+                 defaultPct: Int = 100): Column = {
+    require(rates.forall(r => r._2 >= 0 && r._2 <= 100), "rates must be 0-100")
+    val bucket = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val pct = rates.foldLeft(lit(defaultPct).cast("long")) {
+      case (acc, (src, p)) => when(source === src, lit(p.toLong)).otherwise(acc)
+    }
+    bucket < pct
+  }
+
+  /** Deterministic shard assignment for training-output writes: an
+    * md5-derived bucket modulo `numShards`. Combined with
+    * `repartition(numShards, col("shard"))` +
+    * `sortWithinPartitions(shard_key)` this is a reproducible global
+    * shuffle — the permutation every training run needs to be identical
+    * across reruns and resumes. 8 hex chars = 32 bits of key space, uniform
+    * across shards at any corpus size.
+    */
+  def shardAssign(id: Column, numShards: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % numShards
+
   /** Jaccard similarity of two DISTINCT-element array<long> columns (sets).
     * Uses |A∪B| = |A|+|B|-|A∩B| with a single specialized intersect-count
     * kernel (graft.plans.LongSetIntersectCount) — profiling showed the

@@ -188,6 +188,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic STRATIFIED sampling: per-source keep rates over the
+    // same hash buckets as the split assignment (replayable downsampling)
+    "doc_sample" -> ((s, dir) => {
+      docs(s, dir).select(col("source"),
+          Text.sampleKeep(col("doc_id"), col("source"),
+            Seq("src0" -> 50, "src1" -> 10, "src2" -> 0), defaultPct = 25).as("keep"))
+        .groupBy("source", "keep").agg(count(lit(1)).as("n"))
+        .orderBy("source", "keep")
+    }),
+
+    // deterministic shard assignment (reproducible global shuffle for
+    // training-output writes) + per-shard occupancy
+    "doc_shard" -> ((s, dir) => {
+      docs(s, dir).select(Text.shardAssign(col("doc_id"), 8).as("shard"), col("doc_id"))
+        .groupBy("shard").agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("shard")
+    }),
+
     // deterministic train/val/test split assignment (hash buckets, replay-
     // identical) + per-split counts in one pass
     "doc_splitsets" -> ((s, dir) => {
@@ -583,6 +602,25 @@ object TextQueries {
     "dedup_keep" ->
       s"""$sqlKeepCtes
          |SELECT id AS doc_id FROM keep ORDER BY doc_id""".stripMargin,
+
+    "doc_sample" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |       bucket < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 10
+        |                            WHEN 'src2' THEN 0 ELSE 25 END AS keep,
+        |       COUNT(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY source, keep""".stripMargin,
+
+    "doc_shard" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "doc_splitsets" ->
       """WITH b AS (
