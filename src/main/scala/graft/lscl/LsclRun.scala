@@ -1051,6 +1051,56 @@ object LsclRun {
     out.result()
   }
 
+  /** tcp/http OUTPUT plugins with their branch-path conditions. Lowered
+    * separately from file sinks: they write executor-side over sockets
+    * ([[Route.tcpSink]]/[[Route.httpSink]]) after the file sinks
+    * materialize.
+    */
+  def netSinkSpecs(items: Seq[Item]): Seq[(Plugin, Cond)] = {
+    val out = Seq.newBuilder[(Plugin, Cond)]
+    def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
+      case PluginItem(p) if p.name == "tcp" || p.name == "http" => out += p -> path
+      case PluginItem(_) => ()
+      case Branch(arms, otherwise) =>
+        var prev = Vector.empty[Cond]
+        arms.foreach { case (e, body) =>
+          val c = lowerCond(e)
+          walk(body, prev.foldLeft(And(path, c): Cond)((a, x) => And(a, Not(x))))
+          prev :+= c
+        }
+        if (otherwise.nonEmpty)
+          walk(otherwise, prev.foldLeft(path)((a, x) => And(a, Not(x))))
+    }
+    walk(items, True)
+    out.result()
+  }
+
+  /** Apply the network sinks (tcp client / http POST outputs) for a parsed
+    * output section over the filtered trunk.
+    */
+  private def runNetSinks(trunk: DataFrame, items: Seq[Item]): Unit =
+    netSinkSpecs(items).foreach { case (p, cond) =>
+      val frame =
+        if (cond == True) trunk else trunk.filter(Cond.predicateFor(trunk, cond))
+      p.name match {
+        case "tcp" =>
+          Route.tcpSink(frame,
+            strAttr(p, "host").getOrElse("localhost"),
+            strAttr(p, "port").getOrElse(throw new IllegalArgumentException(
+              "tcp output: port required")).toInt)
+        case "http" =>
+          val url = strAttr(p, "url").getOrElse(
+            throw new IllegalArgumentException("http output: url required"))
+          strAttr(p, "http_method").foreach(m => require(m.toLowerCase == "post",
+            s"http output: only http_method => post is supported, got $m"))
+          val batch = strAttr(p, "format") match {
+            case Some("json") => 1 // one request per event
+            case _ => strAttr(p, "batch_size").map(_.toInt).getOrElse(50)
+          }
+          Route.httpSink(frame, url, batch)
+      }
+    }
+
   // ---------------- output lowering ----------------
 
   /** Lower a parsed `output` section to SinkSpecs: every output plugin
@@ -1063,6 +1113,8 @@ object LsclRun {
     var k = 0
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if p.name == "pipeline" => () // bus send, not a sink
+      case PluginItem(p) if p.name == "tcp" || p.name == "http" =>
+        () // network sinks — applied executor-side by runConfig, not file sinks
       case PluginItem(p) =>
         // sink naming: explicit id, else the elasticsearch output's index
         // (the reference's routing key), else <plugin>_<k>. An index
@@ -1298,6 +1350,51 @@ object LsclRun {
         }
       case PluginItem(p) if p.name == "kafka" =>
         kafkaFrame(spark, p, streaming = false)
+      case PluginItem(p) if p.name == "heartbeat" =>
+        // logstash-input-heartbeat: periodic liveness events. Batch = `count`
+        // ticks through the generator source; message => "sequence" adds the
+        // incrementing `clock`, "epoch" the epoch second (pinned by `now`
+        // for deterministic replay — the reference reads the wall clock)
+        val count = strAttr(p, "count").map(_.toLong).getOrElse(1L)
+        val msg = strAttr(p, "message").getOrElse("ok")
+        val gen = spark.read.format("graft.sources.GeneratorSource")
+          .option("count", count).option("partitions", 1)
+          .option("lines", if (msg == "sequence" || msg == "epoch") "ok" else msg)
+          .load()
+        msg match {
+          case "sequence" => gen.withColumn("clock", col("seq") + 1)
+          case "epoch" =>
+            val now = strAttr(p, "now").map(s => to_timestamp(lit(s)))
+              .getOrElse(current_timestamp())
+            gen.withColumn("clock", unix_timestamp(now))
+          case _ => gen
+        }
+      case PluginItem(p) if p.name == "http_poller" =>
+        // logstash-input-http_poller: poll each NAMED url once per schedule
+        // tick; batch = one tick (like exec). The url map is config-sized,
+        // so the fetches are driver-side like the reference's single poller
+        // thread; body -> message, the poll identity rides along the way
+        // [http_poller_metadata][name] does
+        val urls = p.attr("urls") match {
+          case Some(VHash(es)) => es.map { case (n, v) => v match {
+            case VString(u) => n -> u
+            // the nested { url => ... method => get } request-spec form
+            case VPlugin(spec) => n -> strAttr(spec, "url").getOrElse(
+              throw new IllegalArgumentException(s"http_poller url `$n`: url required"))
+            case other => throw new IllegalArgumentException(
+              s"http_poller url `$n`: expected url string or request spec, got $other")
+          }}
+          case _ => throw new IllegalArgumentException("http_poller input: urls hash required")
+        }
+        val rows = urls.map { case (n, u) =>
+          val (status, body) = Enrich.fetchUrl(u)
+          (n, u, status, Option(body).getOrElse(""), body == null)
+        }
+        import spark.implicits._
+        rows.toSeq.toDF("poller_name", "url", "status", "message", "_failed")
+          .withColumn("tags", when(col("_failed"),
+            array(lit("_http_request_failure"))).otherwise(array().cast("array<string>")))
+          .drop("_failed")
       case PluginItem(p) if p.name == "dead_letter_queue" =>
         // the DLQ input: replay a persisted DLQ side-channel table
         // (graft.operators.Dlq.entries shape), oldest-first by entry_time
@@ -1397,6 +1494,11 @@ object LsclRun {
             // offsets), in either mode
             applyMultiline(codecPlugin(p).getOrElse(throw new IllegalArgumentException(
               "codec => multiline requires a block with pattern/what")), tailRead, path)
+          case (_, "es_bulk") =>
+            // es_bulk codec: action/source line pairing needs the per-line
+            // order key, like multiline — the offset-tracked tail source
+            graft.operators.Codec.esBulk(
+              tailRead.withColumn("_stream", lit(path)))
           case (Some("tail"), _) =>
             // the file input's TAIL mode: the offset-tracked DSv2 source
             // (byte-offset sincedb contract; streaming-capable)
@@ -1540,6 +1642,8 @@ object LsclRun {
         addrs.foreach(a => b.register(a, frame))
       }
     }
-    Route.run(spark, trunk, sinkSpecs(cfg.outputs), outDir)
+    val res = Route.run(spark, trunk, sinkSpecs(cfg.outputs), outDir)
+    runNetSinks(trunk, cfg.outputs)
+    res
   }
 }

@@ -186,4 +186,71 @@ object Codec {
         .drop("_sub")
     }
   }
+
+  /** `es_bulk` codec (logstash-codec-es_bulk): decode the PUBLIC
+    * Elasticsearch bulk wire format — alternating action-metadata lines
+    * (`{"index":{"_index":i,"_id":x}}` / create / update / delete) and
+    * source lines, where delete actions carry no source line. One event per
+    * source line with its action metadata joined on (`action`,
+    * `bulk_index`, `bulk_id`), plus one tombstone event per delete. Source
+    * lines with no preceding action line tag `_es_bulk_orphan`.
+    *
+    * Pairing = one `lag` over the per-stream byte-offset order — the same
+    * sequential-stream contract as the multiline codec (a single bulk
+    * stream is inherently ordered; scale comes from many concurrent
+    * streams, each a window partition). Action detection is STRICT: exactly
+    * one top-level key, and that key an action verb — plus a one-step
+    * positional correction (an action-shaped line directly after a
+    * non-delete action line is that action's source doc). The reference
+    * codec parses sequentially per connection and resolves arbitrarily
+    * nested ambiguity; the residue here is a source doc whose ONLY
+    * top-level key is an action verb appearing in an alternating run —
+    * swap in a per-stream mapPartitions scan if a corpus ever hits it.
+    */
+  def esBulk(df: DataFrame, lineCol: String = "message",
+             orderCol: String = "offset", streamCol: String = "_stream"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val metaS = StructType(Seq(StructField("_index", StringType),
+      StructField("_id", StringType)))
+    val actions = Seq("index", "create", "update", "delete")
+    val actS = StructType(actions.map(a => StructField(a, metaS)))
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+    val keys = json_object_keys(col(lineCol))
+    val strictAction = coalesce(
+      size(keys) === 1 && element_at(keys, 1).isin(actions: _*), lit(false))
+    val parsed = df.withColumn("_act",
+      when(strictAction, from_json(col(lineCol), actS)))
+    val actName = actions.foldRight(lit(null).cast("string")) { (a, acc) =>
+      when(col(s"_act.$a").isNotNull, lit(a)).otherwise(acc)
+    }
+    val meta = coalesce(actions.map(a => col(s"_act.$a")): _*)
+    val staged = parsed
+      .withColumn("_action", actName)
+      .withColumn("_meta", meta)
+      // an action line is consumed as metadata UNLESS the previous line was
+      // a non-delete action (then this line is that action's source doc,
+      // whatever it looks like — the positional rule above)
+      .withColumn("_prev_action", lag(col("_action"), 1).over(w))
+      .withColumn("_is_meta", col("_action").isNotNull &&
+        (coalesce(lag(col("_action"), 1).over(w), lit("delete")) === "delete" ||
+          lag(col("_action"), 1).over(w).isNull))
+      .withColumn("_prev_meta", lag(col("_meta"), 1).over(w))
+      .withColumn("_prev_is_meta", coalesce(lag(col("_is_meta"), 1).over(w), lit(false)))
+    val hasMeta = col("_prev_is_meta") && col("_prev_action") =!= "delete"
+    val docs = staged.filter(!col("_is_meta"))
+      .select(
+        when(hasMeta, col("_prev_action")).as("action"),
+        when(hasMeta, col("_prev_meta").getField("_index")).as("bulk_index"),
+        when(hasMeta, col("_prev_meta").getField("_id")).as("bulk_id"),
+        col(lineCol).as("message"),
+        when(!hasMeta, array(lit("_es_bulk_orphan")))
+          .otherwise(array().cast("array<string>")).as("tags"))
+    val deletes = staged.filter(col("_is_meta") && col("_action") === "delete")
+      .select(lit("delete").as("action"),
+        col("_meta").getField("_index").as("bulk_index"),
+        col("_meta").getField("_id").as("bulk_id"),
+        lit(null).cast("string").as("message"),
+        array().cast("array<string>").as("tags"))
+    docs.unionByName(deletes)
+  }
 }

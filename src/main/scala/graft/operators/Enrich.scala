@@ -140,22 +140,29 @@ object Enrich {
       s"http filter: more than $maxDistinct distinct urls — per-event HTTP " +
         "is not a distributed operation; export the service's table and use " +
         "translate/jdbc_static instead")
-    val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
     val fetched = urls.toSeq.map { u =>
-      try {
-        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
-          .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
-        val resp = client.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-        (u, resp.statusCode(),
-          if (resp.statusCode() / 100 == 2) resp.body() else null)
-      } catch { case _: Exception => (u, 0, null: String) }
+      val (status, body) = fetchUrl(u, timeoutMs); (u, status, body)
     }
     import spark.implicits._
     val dim = fetched.toDF("_http_url", statusCol, bodyCol)
     withUrl.join(broadcast(dim), Seq("_http_url"), "left").drop("_http_url")
   }
+
+  /** One driver-side GET — shared by the http enrich filter and the
+    * http_poller input (both fetch a config-sized url set). Returns
+    * (status, body); connect failure -> (0, null), non-2xx -> (code, null).
+    */
+  def fetchUrl(u: String, timeoutMs: Long = 5000): (Int, String) =
+    try {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
+        .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(),
+        if (resp.statusCode() / 100 == 2) resp.body() else null)
+    } catch { case _: Exception => (0, null) }
 
   /** geoip-style range lookup: enrich rows whose ip falls inside a CIDR-range
     * dimension row (lo <= ip_long <= hi). The dimension is broadcast (geo DBs

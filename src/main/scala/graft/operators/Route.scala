@@ -92,9 +92,13 @@ object Route {
     decorated.drop(dropCols.toIndexedSeq: _*)
   }
 
-  /** Rows matching no sink (the implicit else branch). */
+  /** Rows matching no sink (the implicit else branch). With zero sinks
+    * (e.g. a config whose only outputs are network sinks) every row is
+    * unmatched.
+    */
   def defaultFrame(flagged: DataFrame, sinks: Seq[SinkSpec]): DataFrame = {
-    val none = sinks.map(s => !col(flagCol(s.name))).reduce(_ && _)
+    val none = sinks.map(s => !col(flagCol(s.name)))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val d = flagged.filter(none)
     d.drop(d.columns.filter(c => c.startsWith("_m_") || c.startsWith(MetaPrefix)).toIndexedSeq: _*)
   }
@@ -107,10 +111,12 @@ object Route {
     // NPE run()'s counts collection — empty inputs must report zeros.
     val sums: Seq[Column] = sinks.map(s =>
       coalesce(sum(col(flagCol(s.name)).cast("long")), lit(0L)).as(s.name)) ++
-      (if (withDefault)
-        Seq(coalesce(sum((!sinks.map(s => col(flagCol(s.name))).reduce(_ || _)).cast("long")), lit(0L)).as("_default"),
+      (if (withDefault) {
+        val anyMatch = sinks.map(s => col(flagCol(s.name)))
+          .reduceOption(_ || _).getOrElse(lit(false)) // zero sinks: all default
+        Seq(coalesce(sum((!anyMatch).cast("long")), lit(0L)).as("_default"),
             count(lit(1)).as("_total"))
-      else Seq(count(lit(1)).as("_total")))
+      } else Seq(count(lit(1)).as("_total")))
     val wide = flagged.agg(sums.head, sums.tail: _*)
     // long form: (sink, n) — stable shape for the metrics table
     val pairs = wide.columns.map(c => struct(lit(c).as("sink"), col(c).as("n")))
@@ -358,4 +364,63 @@ object Route {
       RunResult(counts, paths, resumed.result(), manifest)
     } finally flagged.unpersist()
   }
+
+  /** The default network-sink payload: every non-internal column as one
+    * JSON object per event (the tcp/http outputs' json_lines/json codec).
+    * `@metadata` columns (`_meta_` prefix) are dropped like every sink.
+    */
+  def jsonPayload(df: DataFrame): Column =
+    to_json(struct(df.columns
+      .filterNot(c => c.startsWith("_meta_") || c.startsWith("__lscl_"))
+      .map(col).toIndexedSeq: _*))
+
+  /** tcp output (logstash-output-tcp client mode): each PARTITION opens one
+    * connection to host:port and writes its events newline-framed — the
+    * executor-side analogue of the reference's per-worker client socket.
+    * Ordering across partitions is not part of the contract (the reference
+    * runs N workers concurrently over one socket with the same property).
+    * Connection failure fails the task (and the job after task retries) —
+    * loud, like the reference's retry-then-fail.
+    */
+  def tcpSink(df: DataFrame, host: String, port: Int,
+              payload: Option[Column] = None): Unit =
+    df.select(payload.getOrElse(jsonPayload(df)).cast("string").as("line"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val sock = new java.net.Socket(host, port)
+          try {
+            val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+            it.foreach { r => out.write(r.getString(0)); out.write('\n') }
+            out.flush()
+          } finally sock.close()
+        }
+      }
+
+  /** http output (logstash-output-http): POST payloads to `url`,
+    * `batchSize` events per request as a JSON array (the reference's
+    * `format => json_batch` — the only shape that survives scale; 1 = the
+    * per-event `json` format). One HTTP connection per batch, per
+    * partition, executor-side. Non-2xx fails the task — loud.
+    */
+  def httpSink(df: DataFrame, url: String, batchSize: Int = 50,
+               payload: Option[Column] = None): Unit =
+    df.select(payload.getOrElse(jsonPayload(df)).cast("string").as("line"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.map(_.getString(0)).grouped(math.max(1, batchSize)).foreach { batch =>
+          val body = if (batchSize == 1) batch.head
+                     else batch.mkString("[", ",", "]")
+          val conn = java.net.URI.create(url).toURL.openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          val os = conn.getOutputStream
+          os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          os.close()
+          val code = conn.getResponseCode
+          conn.disconnect()
+          require(code / 100 == 2, s"http output: POST $url returned $code")
+        }
+      }
 }

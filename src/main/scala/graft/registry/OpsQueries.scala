@@ -1067,6 +1067,60 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // es_bulk codec over a file input: alternating action/source lines,
+    // delete tombstones, an orphan source line tagged — decoded via one lag
+    // over the offset-ordered stream
+    "pipe_es_bulk" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_esbulk", ".ndjson")
+      val sb = new java.lang.StringBuilder
+      (0 until 200).foreach { i =>
+        val act = i % 3 match { case 0 => "index"; case 1 => "create"; case _ => "update" }
+        sb.append(s"""{"$act":{"_index":"idx${i % 2}","_id":"$i"}}""").append('\n')
+        sb.append(s"""{"n":$i,"s":"v$i"}""").append('\n')
+        if (i % 5 == 0)
+          sb.append(s"""{"delete":{"_index":"idxD","_id":"${9000 + i}"}}""").append('\n')
+      }
+      sb.append("{\"orphan\":true}").append('\n')
+      java.nio.file.Files.writeString(f, sb.toString)
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { file { path => "$f" codec => es_bulk } }""", Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("action"), col("bulk_index"), col("bulk_id"), col("message"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy(coalesce(col("bulk_id"), lit("zzz")), col("action"))
+    }),
+
+    // heartbeat + http_poller inputs: generator-backed liveness ticks and
+    // one LIVE poll tick per named url (the gate builder runs a JDK
+    // httpserver; fetches happen at lowering time, driver-side, so the
+    // server stops before materialization — same eager contract as
+    // lscl_http)
+    "lscl_poll" -> ((s, dir) => {
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/ok", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = """{"status":"green"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+      })
+      server.start()
+      val port = server.getAddress.getPort
+      try {
+        val cfg = graft.lscl.Lscl.parse(
+          s"""input {
+             |  heartbeat { count => 3 message => "sequence" }
+             |  http_poller {
+             |    urls => { "health" => "http://127.0.0.1:$port/ok"
+             |              "missing" => "http://127.0.0.1:$port/nope" }
+             |  }
+             |}""".stripMargin, Map.empty)
+        graft.lscl.LsclRun.source(s, cfg.inputs)
+          .select(coalesce(col("poller_name"), lit("hb")).as("name"),
+            col("message").as("msg"), col("clock"), col("status"),
+            coalesce(array_join(col("tags"), ","), lit("")).as("tag_str"))
+          .orderBy("name", "clock")
+      } finally server.stop(0)
+    }),
+
     // metricize filter (logstash-filter-metricize): one event per present
     // metric with `metric`/`value` set and metric fields removed; the
     // original passes through unchanged. Under a conditional, excluded rows
@@ -1642,6 +1696,38 @@ object OpsQueries {
         |       '"' || event_type || '"' AS et_json,
         |       event_type AS rt
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "pipe_es_bulk" ->
+      """WITH i AS (SELECT unnest(generate_series(0, 199)) AS i),
+        |docs AS (
+        |  SELECT CASE i % 3 WHEN 0 THEN 'index' WHEN 1 THEN 'create' ELSE 'update' END AS action,
+        |         'idx' || CAST(i % 2 AS VARCHAR) AS bulk_index,
+        |         CAST(i AS VARCHAR) AS bulk_id,
+        |         '{"n":' || CAST(i AS VARCHAR) || ',"s":"v' || CAST(i AS VARCHAR) || '"}' AS message,
+        |         '' AS tag_str
+        |  FROM i),
+        |dels AS (
+        |  SELECT 'delete' AS action, 'idxD' AS bulk_index,
+        |         CAST(9000 + i AS VARCHAR) AS bulk_id,
+        |         CAST(NULL AS VARCHAR) AS message, '' AS tag_str
+        |  FROM i WHERE i % 5 = 0),
+        |orph AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS action, CAST(NULL AS VARCHAR) AS bulk_index,
+        |         CAST(NULL AS VARCHAR) AS bulk_id, '{"orphan":true}' AS message,
+        |         '_es_bulk_orphan' AS tag_str)
+        |SELECT * FROM (SELECT * FROM docs UNION ALL SELECT * FROM dels
+        |               UNION ALL SELECT * FROM orph)
+        |ORDER BY coalesce(bulk_id, 'zzz'), action""".stripMargin,
+
+    "lscl_poll" ->
+      """SELECT * FROM (VALUES
+        |  ('hb', 'ok', CAST(1 AS BIGINT), CAST(NULL AS INTEGER), ''),
+        |  ('hb', 'ok', CAST(2 AS BIGINT), CAST(NULL AS INTEGER), ''),
+        |  ('hb', 'ok', CAST(3 AS BIGINT), CAST(NULL AS INTEGER), ''),
+        |  ('health', '{"status":"green"}', CAST(NULL AS BIGINT), CAST(200 AS INTEGER), ''),
+        |  ('missing', '', CAST(NULL AS BIGINT), CAST(404 AS INTEGER), '_http_request_failure'))
+        |  AS t(name, msg, clock, status, tag_str)
+        |ORDER BY name, clock""".stripMargin,
 
     "lscl_metricize" ->
       """WITH base AS (

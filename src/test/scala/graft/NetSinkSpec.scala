@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** tcp/http OUTPUT plugins against live local servers, and the es_bulk
+  * decoder's positional correction.
+  */
+class NetSinkSpec extends SparkSpec {
+
+  test("tcp output: whole config text, events arrive newline-framed as json") {
+    import spark.implicits._
+    val received = new ConcurrentLinkedQueue[String]()
+    val ss = new java.net.ServerSocket(0, 50,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val s = ss.accept()
+        new Thread(() => {
+          val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+            s.getInputStream, "UTF-8"))
+          var l = rd.readLine()
+          while (l != null) { received.add(l); l = rd.readLine() }
+          s.close()
+        }).start()
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    val out = java.nio.file.Files.createTempDirectory("graft_tcpout").toString
+    try {
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 20 lines => ["a", "b"] } }
+           |output {
+           |  if [message] == "a" { tcp { host => "127.0.0.1" port => ${ss.getLocalPort} } }
+           |}""".stripMargin, out, Map.empty)
+      // writes happen at runConfig time; drain with a bounded wait
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (received.size < 10 && System.nanoTime() < deadline) Thread.sleep(50)
+      val seqs = received.toArray(Array.empty[String]).toSeq
+        .map(l => ujsonSeq(l)).sorted
+      assert(seqs == (0L until 20L by 2).toSeq, s"got $seqs")
+    } finally ss.close()
+  }
+
+  private def ujsonSeq(line: String): Long = {
+    // payload is to_json of the row: {"seq":N,"message":"m"}
+    val m = "\"seq\":(\\d+)".r.findFirstMatchIn(line)
+    m.map(_.group(1).toLong).getOrElse(sys.error(s"no seq in $line"))
+  }
+
+  test("http output: json_batch POSTs, batch boundaries respected") {
+    val bodies = new ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/in", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("ok".getBytes); ex.close()
+    })
+    server.start()
+    val out = java.nio.file.Files.createTempDirectory("graft_httpout").toString
+    try {
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 12 message => "m" } }
+           |output {
+           |  http { url => "http://127.0.0.1:${server.getAddress.getPort}/in"
+           |         batch_size => 5 }
+           |}""".stripMargin, out, Map.empty)
+      val all = bodies.toArray(Array.empty[String]).toSeq
+      assert(all.nonEmpty)
+      all.foreach(b => assert(b.startsWith("[") && b.endsWith("]"), s"not a batch: $b"))
+      val seqs = all.flatMap(b => "\"seq\":(\\d+)".r.findAllMatchIn(b).map(_.group(1).toLong)).sorted
+      assert(seqs == (0L until 12L).toSeq)
+      // no batch exceeds batch_size
+      all.foreach(b => assert("\"seq\":".r.findAllIn(b).size <= 5))
+    } finally server.stop(0)
+  }
+
+  test("http output: non-2xx fails the job loudly") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.start() // no context -> 404
+    val out = java.nio.file.Files.createTempDirectory("graft_httpfail").toString
+    try {
+      val e = intercept[Exception] {
+        graft.lscl.LsclRun.runConfig(spark,
+          s"""input { generator { count => 3 message => "m" } }
+             |output { http { url => "http://127.0.0.1:${server.getAddress.getPort}/x" } }""".stripMargin,
+          out, Map.empty)
+      }
+      def causes(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
+      assert(causes(e).exists(m => m != null && m.contains("returned 404")))
+    } finally server.stop(0)
+  }
+
+  test("es_bulk: action-shaped source doc right after meta parses as doc") {
+    import spark.implicits._
+    val lines = Seq(
+      (0L, """{"index":{"_index":"a","_id":"1"}}"""),
+      (10L, """{"delete":{"_index":"a","_id":"gotcha"}}"""), // SOURCE doc shaped like an action
+      (20L, """{"index":{"_index":"a","_id":"2"}}"""),
+      (30L, """{"plain":"doc"}"""))
+    val df = lines.toDF("offset", "message").withColumn("_stream", lit("s"))
+    val got = graft.operators.Codec.esBulk(df)
+      .select("action", "bulk_id", "message").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("index", "1", """{"delete":{"_index":"a","_id":"gotcha"}}"""),
+      ("index", "2", """{"plain":"doc"}""")))
+  }
+}
