@@ -624,6 +624,46 @@ object LsclRun {
               lookupKey)
         })
 
+      case "jdbc_streaming" =>
+        // logstash-filter-jdbc_streaming: a parameterized SELECT per event
+        // (with a local LRU cache), result = a LIST of rows in `target`.
+        // Distributed model: the same pre-materialized local dimension as
+        // jdbc_static, joined on the `parameters` equalities — but the 1:N
+        // result collects into an ARRAY per key group BEFORE the broadcast
+        // join, so the enrich stays row-count preserving (the reference's
+        // list semantics) and the exchange volume is dimension-sized.
+        // The `statement` text rides along as documentation; the local
+        // model's WHERE clause IS the parameter equality set.
+        val dimPath = strAttr(p, "dimension_path").getOrElse(
+          throw new IllegalArgumentException(
+            "jdbc_streaming: dimension_path required (the pre-materialized local table)"))
+        val params = p.attr("parameters") match {
+          case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }
+          case _ => throw new IllegalArgumentException(
+            "jdbc_streaming: parameters hash (dimension_col => event_field) required")
+        }
+        val target = strAttr(p, "target").getOrElse("lookup_result")
+        val spark = df.sparkSession
+        val dim0 =
+          if (dimPath.endsWith(".csv")) Enrich.dictFromCsv(spark, dimPath)
+          else if (dimPath.endsWith(".json") || dimPath.endsWith(".jsonl"))
+            Enrich.dictFromJsonLines(spark, dimPath)
+          else spark.read.parquet(dimPath)
+        val resultCols = p.attr("columns").map(strList)
+          .getOrElse(dim0.columns.filterNot(c => params.exists(_._1 == c)).toSeq)
+        // array_sort: collect_list order is partition-dependent; the
+        // reference's row order is equally unspecified (no ORDER BY in the
+        // statement contract), so sorted = deterministic without divergence
+        val grouped = dim0.groupBy(params.map(kv => col(kv._1)): _*)
+          .agg(array_sort(collect_list(struct(resultCols.map(col): _*))).as(target))
+          .select(params.map { case (dk, ef) => col(dk).as(ef) } :+ col(target): _*)
+        gatedRowwise(df, cond) { d =>
+          val joined = d.join(broadcast(grouped), params.map(_._2), "left")
+          // miss => empty list (the reference's no-default behavior)
+          joined.withColumn(target,
+            coalesce(col(target), array().cast(joined.schema(target).dataType)))
+        }
+
       // ---- stateful filters (default plugins, plugins-metadata.json) ----
 
       case "throttle" =>
@@ -1504,7 +1544,31 @@ object LsclRun {
             // (byte-offset sincedb contract; streaming-capable)
             tailRead
           case (_, "line" | "plain") => spark.read.text(path).withColumnRenamed("value", "message")
-          case (_, "json" | "json_lines") => spark.read.json(path)
+          case (_, "json" | "json_lines") =>
+            // codec json_lines { schema => "a STRING, n BIGINT" } skips the
+            // inference scan — the 100 TB path (schemaless inference reads
+            // the corpus twice)
+            codecPlugin(p).flatMap(c => strAttr(c, "schema")) match {
+              case Some(ddl) => spark.read.schema(
+                org.apache.spark.sql.types.StructType.fromDDL(ddl)).json(path)
+              case None => spark.read.json(path)
+            }
+          case (_, "csv") =>
+            // csv codec (logstash-codec-csv): columns => header names (else
+            // autodetect_column_names reads them from the first line),
+            // separator, skip_header implied by explicit columns=false
+            val cp = codecPlugin(p)
+            val sep = cp.flatMap(c => strAttr(c, "separator")).getOrElse(",")
+            val rd = spark.read.option("sep", sep)
+            cp.flatMap(c => c.attr("columns")).map(strList) match {
+              case Some(cols) =>
+                val named = rd.option("header", "false").csv(path)
+                require(named.columns.length == cols.length,
+                  s"csv codec: file has ${named.columns.length} columns, " +
+                    s"config names ${cols.length}")
+                named.toDF(cols: _*)
+              case None => rd.option("header", "true").csv(path)
+            }
           case _ => spark.read.parquet(path)
         }
       case PluginItem(p) =>

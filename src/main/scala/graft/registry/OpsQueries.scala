@@ -513,6 +513,54 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // jdbc_streaming driven from CONFIG TEXT: parameterized local-lookup
+    // model — 1:N dimension collects into a per-key ARRAY before the
+    // broadcast join (the reference's list-of-rows result), row-count
+    // preserving, empty list on miss
+    "lscl_jdbcs" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_jdbcs_dim", ".csv")
+      java.nio.file.Files.writeString(f,
+        "event_type,tag,weight\nclick,c1,1\nclick,c2,2\nview,v1,3\n" +
+          "signup,s1,4\nsignup,s2,5\nsignup,s3,6\n")
+      val cfg = graft.lscl.Lscl.parse(
+        s"""filter {
+           |  jdbc_streaming {
+           |    dimension_path => "$f"
+           |    statement => "select tag, weight from dim where event_type = :et"
+           |    parameters => { "event_type" => "event_type" }
+           |    target => "rows"
+           |  }
+           |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(s.read.parquet(s"$dir/events.parquet"), cfg.filters)
+        .select(col("event_id"), size(col("rows")).as("n_rows"),
+          array_join(transform(col("rows"), r => r.getField("tag")), ",").as("tags_j"))
+        .orderBy("event_id")
+    }),
+
+    // csv + schema'd json_lines INPUT codecs on the file input: named
+    // columns (no header), explicit DDL schema (no inference scan)
+    "lscl_csvcodec" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_csvcodec", ".csv")
+      val sb = new java.lang.StringBuilder
+      (0 until 300).foreach(i =>
+        sb.append("r").append(i).append(',').append(i * 2)
+          .append(",t").append(i % 7).append('\n'))
+      java.nio.file.Files.writeString(f, sb.toString)
+      val fj = java.nio.file.Files.createTempFile("graft_jlcodec", ".jsonl")
+      val sj = new java.lang.StringBuilder
+      (0 until 100).foreach(i =>
+        sj.append(s"""{"rid":"j$i","jn":${i * 3}}""").append('\n'))
+      java.nio.file.Files.writeString(fj, sj.toString)
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input {
+           |  file { path => "$f" codec => csv { columns => ["rid", "numstr", "tag"] } }
+           |  file { path => "$fj" codec => json_lines { schema => "rid STRING, jn BIGINT" } }
+           |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("rid"), col("numstr"), col("tag"), col("jn"))
+        .orderBy("rid")
+    }),
+
     // syslog_pri + cidr + anonymize driven from CONFIG TEXT: PRI decompose,
     // network-membership tagging via the decorator, keyed-hash overwrite
     "lscl_net" -> ((s, dir) => {
@@ -1318,6 +1366,25 @@ object OpsQueries {
         |            WHEN 'view' THEN '2'
         |            WHEN 'signup' THEN '3' END AS code
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_jdbcs" ->
+      """SELECT event_id,
+        |       CASE event_type WHEN 'click' THEN 2 WHEN 'view' THEN 1
+        |            WHEN 'signup' THEN 3 ELSE 0 END AS n_rows,
+        |       CASE event_type WHEN 'click' THEN 'c1,c2' WHEN 'view' THEN 'v1'
+        |            WHEN 'signup' THEN 's1,s2,s3' ELSE '' END AS tags_j
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_csvcodec" ->
+      """SELECT * FROM (
+        |  SELECT 'r' || CAST(i AS VARCHAR) AS rid, CAST(i * 2 AS VARCHAR) AS numstr,
+        |         't' || CAST(i % 7 AS VARCHAR) AS tag, CAST(NULL AS BIGINT) AS jn
+        |  FROM (SELECT unnest(generate_series(0, 299)) AS i)
+        |  UNION ALL
+        |  SELECT 'j' || CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS VARCHAR), CAST(i * 3 AS BIGINT)
+        |  FROM (SELECT unnest(generate_series(0, 99)) AS i))
+        |ORDER BY rid""".stripMargin,
 
     "lscl_net" ->
       """SELECT event_id,
