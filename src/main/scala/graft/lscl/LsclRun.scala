@@ -912,6 +912,139 @@ object LsclRun {
                   else if (target == source) col(source) else lit(null)
         df.withColumn(target, when(m, enc).otherwise(cur))
 
+      case "alter" =>
+        // logstash-filter-alter: coalesce (first non-null among rendered
+        // values — a pure `%{field}` template reads the field, null when
+        // absent; anything else is a literal), condrewrite triples (set
+        // field to new when it equals expected), condrewriteother quads
+        // (set OTHER field when this one matches)
+        def render(d: DataFrame, tpl: String): Column = {
+          val pure = "^%\\{([^}]+)\\}$".r
+          tpl match {
+            case pure(f) => if (d.columns.contains(f)) col(f).cast("string")
+                            else lit(null).cast("string")
+            case _ => Mutate.sprintfFor(d, tpl)
+          }
+        }
+        var out = df
+        p.attr("coalesce").map(strList).foreach { args =>
+          require(args.size >= 2, "alter: coalesce needs [dest, value, ...]")
+          val dest = args.head
+          val v = coalesce(args.tail.map(a => render(out, a)): _*)
+          val cur = if (out.columns.contains(dest)) col(dest).cast("string")
+                    else lit(null).cast("string")
+          out = out.withColumn(dest, when(m, v).otherwise(cur))
+        }
+        p.attr("condrewrite").map(strList).foreach { args =>
+          require(args.size % 3 == 0, "alter: condrewrite needs [field, expected, new] triples")
+          args.grouped(3).foreach { case Seq(f, expected, nv) =>
+            if (out.columns.contains(f))
+              out = out.withColumn(f,
+                when(m && col(f).cast("string") === render(out, expected),
+                  render(out, nv)).otherwise(col(f)))
+          }
+        }
+        p.attr("condrewriteother").map(strList).foreach { args =>
+          require(args.size % 4 == 0,
+            "alter: condrewriteother needs [field, expected, otherfield, new] quads")
+          args.grouped(4).foreach { case Seq(f, expected, other, nv) =>
+            val hit = m && (if (out.columns.contains(f))
+              col(f).cast("string") === render(out, expected) else lit(false))
+            val cur = if (out.columns.contains(other)) col(other).cast("string")
+                      else lit(null).cast("string")
+            out = out.withColumn(other, when(hit, render(out, nv)).otherwise(cur))
+          }
+        }
+        decoratorOf(p).applyWhen(out, m)
+
+      case "i18n" =>
+        // logstash-filter-i18n: transliterate accented characters to their
+        // ASCII base (one codegen'd translate() per field)
+        val fields = p.attr("transliterate").map(strList).getOrElse(
+          throw new IllegalArgumentException("i18n: transliterate fields required"))
+        fields.foldLeft(df)((d, f) =>
+          d.withColumn(f, when(m, Extras.transliterate(col(f))).otherwise(col(f))))
+
+      case "elasticsearch" =>
+        // The reference filter queries a LIVE Elasticsearch index to copy
+        // fields from previous events (transforming-data.asciidoc:364-425).
+        // The live half is external (no services here); the mappable half is
+        // the same pre-materialized local-index model as jdbc_static:
+        // `index_path` IS the exported index, `query_template` the term
+        // matches (index_col => event field template), `sort` picks the ONE
+        // hit (field:asc|desc, the reference's result window is 1 by
+        // default), `fields` copies hit columns onto the event. The top-1
+        // pick collapses the dimension BEFORE the broadcast join
+        // (max/min-struct, map-side combined) — row-count preserving.
+        val idxPath = strAttr(p, "index_path").getOrElse(
+          throw new IllegalArgumentException(
+            "elasticsearch filter: index_path required (the pre-exported local " +
+              "index — the live-cluster half is external; see COVERAGE.md)"))
+        val qt = p.attr("query_template") match {
+          case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }
+          case _ => throw new IllegalArgumentException(
+            "elasticsearch filter: query_template hash (index_col => \"%{field}\") required")
+        }
+        val copyFields = p.attr("fields") match {
+          case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }
+          case _ => throw new IllegalArgumentException(
+            "elasticsearch filter: fields hash (hit_col => event_field) required")
+        }
+        val (sortField, sortDesc) = strAttr(p, "sort") match {
+          case Some(s) => s.split(":") match {
+            case Array(f) => (f, false)
+            case Array(f, dir) => (f, dir.equalsIgnoreCase("desc"))
+            case _ => throw new IllegalArgumentException(s"elasticsearch: bad sort `$s`")
+          }
+          case None => (copyFields.head._1, false)
+        }
+        val tagFail = p.attr("tag_on_failure").map(strList)
+          .getOrElse(Seq("_elasticsearch_lookup_failure"))
+        val spark = df.sparkSession
+        val idx0 =
+          if (idxPath.endsWith(".csv")) Enrich.dictFromCsv(spark, idxPath)
+          else if (idxPath.endsWith(".json") || idxPath.endsWith(".jsonl"))
+            Enrich.dictFromJsonLines(spark, idxPath)
+          else spark.read.parquet(idxPath)
+        // top-1 per key by sort order: min/max of (sortField, hit columns)
+        val hitStruct = struct((col(sortField) +: copyFields.map(kv => col(kv._1)))
+          .toIndexedSeq: _*)
+        val picked = idx0.groupBy(qt.map(kv => col(kv._1)): _*)
+          .agg((if (sortDesc) max(hitStruct) else min(hitStruct)).as("_hit"))
+        gatedRowwise(df, cond) { d =>
+          // join keys = rendered templates (event side)
+          val withKeys = qt.zipWithIndex.foldLeft(d) { case (x, ((_, tpl), i)) =>
+            x.withColumn(s"_es_k$i", Mutate.sprintfFor(x, tpl))
+          }
+          val dim = picked.select(
+            qt.zipWithIndex.map { case ((ic, _), i) => col(ic).cast("string").as(s"_es_k$i") } :+
+              col("_hit"): _*)
+          val joined = withKeys.join(broadcast(dim),
+            qt.indices.map(i => s"_es_k$i"), "left")
+          val copied = copyFields.foldLeft(joined) { case (x, (src, dst)) =>
+            val cur = if (d.columns.contains(dst)) col(dst) else lit(null)
+            x.withColumn(dst, coalesce(col("_hit").getField(src), cur))
+          }
+          val missed = col("_hit").isNull
+          tagFail.foldLeft(copied)((x, t) => Mutate.addTagWhen(x, missed, t))
+            .drop("_hit" +: qt.indices.map(i => s"_es_k$i"): _*)
+        }
+
+      case "sleep" =>
+        throw new UnsupportedOperationException(
+          "the `sleep` filter throttles wall-clock throughput of a single " +
+            "worker — meaningless for a distributed batch plan; rate-limit " +
+            "at the SINK (writer maxRecordsPerFile / trigger intervals) or " +
+            "use the throttle filter for event-rate tagging")
+
+      case "memcached" =>
+        throw new UnsupportedOperationException(
+          "the `memcached` filter needs a live memcached service (none in " +
+            "scope); export the cache as a dictionary and use `translate` " +
+            "(file dict broadcast) or `jdbc_static`/`jdbc_streaming` " +
+            "(pre-materialized local table) — same lookup semantics, " +
+            "cluster-safe")
+
       case "ruby" =>
         // arbitrary Ruby blocks are deliberately not ported (SURVEY §7.4):
         // point at the typed escape hatch instead of a generic unknown-plugin
@@ -931,7 +1064,7 @@ object LsclRun {
             "useragent, jdbc_static, http, throttle, metrics, aggregate, " +
             "elapsed, anonymize, syslog_pri, cidr, bytes, range, " +
             "extractnumbers, environment, json_encode, tld, metricize, " +
-            "age, cipher")
+            "age, cipher, alter, i18n, elasticsearch, jdbc_streaming")
     }
   }
 
@@ -1674,15 +1807,115 @@ object LsclRun {
       case _ => Nil
     }
     val stateful = statefulIn(cfg.filters)
-    require(stateful.isEmpty,
-      s"stateful filter plugins ${stateful.distinct.mkString(", ")} are batch-only " +
-        "in config form: per-micro-batch windows would reset their counters at " +
-        "every batch boundary. Run the config in batch mode (runConfig), or use " +
-        "the keyed-state streaming operators in graft.streaming.StreamPipeline")
-    val batchCodec = inputBatchCodec(cfg.inputs)
-    graft.streaming.StreamPipeline.run(spark, sourceStream(spark, cfg.inputs),
-      b => applyFilters(batchCodec(b), cfg.filters), sinkSpecs(cfg.outputs), outDir,
-      checkpoint, trigger)
+    // ONE TOP-LEVEL throttle streams exactly: its running count lowers onto
+    // flatMapGroupsWithState keyed on (key, slot) — counters PERSIST across
+    // micro-batches and checkpoint restarts (the reference's cross-batch
+    // counter contract; LsclStreamSpec proves batch == stream across a
+    // restart). Everything else stateful still rejects loudly below.
+    val topThrottleIdx = cfg.filters.indexWhere {
+      case PluginItem(p) => p.name == "throttle"
+      case _ => false
+    }
+    if (stateful == Seq("throttle") && topThrottleIdx >= 0) {
+      val (pre, rest) = cfg.filters.splitAt(topThrottleIdx)
+      val tp = rest.head.asInstanceOf[PluginItem].plugin
+      val post = rest.tail
+      require(!cfg.inputs.exists {
+          case PluginItem(p) => codecPlugin(p).exists(_.name == "multiline")
+          case _ => false
+        },
+        "streamed throttle cannot combine with a multiline input codec " +
+          "(per-batch reassembly would reorder events under the counter)")
+      // pre-throttle filters must be row-wise projections (they stream as-is;
+      // window-based parses fail loudly in analysis at stream start)
+      val preApplied = applyFilters(sourceStream(spark, cfg.inputs), pre)
+      val throttled = streamThrottle(preApplied, tp)
+      graft.streaming.StreamPipeline.run(spark, throttled,
+        b => applyFilters(b, post), sinkSpecs(cfg.outputs), outDir,
+        checkpoint, trigger)
+    } else {
+      require(stateful.isEmpty,
+        s"stateful filter plugins ${stateful.distinct.mkString(", ")} are batch-only " +
+          "in config form: per-micro-batch windows would reset their counters at " +
+          "every batch boundary (a single TOP-LEVEL throttle is the exception — " +
+          "it lowers onto keyed state). Run the config in batch mode (runConfig), " +
+          "or use the keyed-state streaming operators in graft.streaming.StreamPipeline")
+      val batchCodec = inputBatchCodec(cfg.inputs)
+      graft.streaming.StreamPipeline.run(spark, sourceStream(spark, cfg.inputs),
+        b => applyFilters(batchCodec(b), cfg.filters), sinkSpecs(cfg.outputs), outDir,
+        checkpoint, trigger)
+    }
+  }
+
+  /** Streamed `throttle`: the config filter's running count lowered onto
+    * `flatMapGroupsWithState` keyed on (rendered key, period slot) — the
+    * state is the count of rows already ranked for that (key, slot), so
+    * counters SPAN micro-batches and survive checkpoint restarts (the
+    * reference's cross-batch counter semantics; the batch lowering's
+    * window-rank over the same (key, slot) gives identical verdicts when
+    * events arrive in order).
+    *
+    * Ordering contract: batches arrive in source order (offset-tracked
+    * sources) and each batch's group is sorted by (event time, order_by)
+    * before ranking — group memory is bounded by the micro-batch, the
+    * standard keyed-state cost. order_by columns order numerically for
+    * non-negative numerics (zero-padded), lexically for strings. Rows ride
+    * through the typed operator as JSON payloads and re-expand against the
+    * static schema afterward.
+    *
+    * State eviction: a (key, slot) idle for 2 periods of PROCESSING time
+    * drops its counter (the reference throttle's LRU eviction analogue) —
+    * bounded state for unbounded key spaces.
+    */
+  private def streamThrottle(df: DataFrame, p: Plugin): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyTpl = strAttr(p, "key").getOrElse(
+      throw new IllegalArgumentException("throttle: key required"))
+    val period = strAttr(p, "period").map(_.toLong).getOrElse(3600L)
+    val before = strAttr(p, "before_count").map(_.toInt).getOrElse(-1)
+    val after = strAttr(p, "after_count").map(_.toInt).getOrElse(-1)
+    val tsField = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+    val orderBy = p.attr("order_by").map(strList).getOrElse(Nil)
+    val schema = df.schema
+    val ordPad: Seq[Column] = orderBy.map { f =>
+      df.schema(f).dataType match {
+        case t: org.apache.spark.sql.types.NumericType =>
+          lpad(col(f).cast("string"), 20, "0")
+        case _ => col(f).cast("string")
+      }
+    }
+    val staged = df.select(
+      Mutate.sprintfFor(df, keyTpl).as("key"),
+      floor(unix_timestamp(col(tsField).cast("timestamp")) / period)
+        .cast("long").as("slot"),
+      unix_micros(col(tsField).cast("timestamp")).as("o1"),
+      concat_ws(" ", ordPad: _*).as("o2"),
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("payload")
+    ).as[(String, Long, Long, String, String)]
+    val ranked = staged.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (String, Boolean)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._4))
+            val start = state.getOption.getOrElse(0L)
+            state.update(start + sorted.size)
+            state.setTimeoutDuration(period * 2000L)
+            sorted.iterator.zipWithIndex.map { case (r, i) =>
+              val rk = start + i + 1
+              val matched = (before > 0 && rk < before) || (after > 0 && rk > after)
+              (r._5, matched)
+            }
+          }
+      }.toDF("_payload", "_throttle_matched")
+    val restored = ranked
+      .withColumn("_r", from_json(col("_payload"), schema))
+      .select(col("_r.*"), col("_throttle_matched"))
+    decoratorOf(p).applyWhen(restored, col("_throttle_matched"))
+      .drop("_throttle_matched")
   }
 
   /** Execute a complete config text: input -> filter -> routed outputs

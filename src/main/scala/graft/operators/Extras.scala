@@ -193,4 +193,20 @@ object Extras {
   def cipherDecrypt(src: Column, key: String): Column =
     aes_decrypt(unbase64(src), lit(aesKey(key)), lit("CBC"), lit("PKCS"))
       .cast("string")
+
+  /** i18n filter: strip diacritics (the reference's `transliterate`).
+    * Plan-time literal character maps -> one codegen'd `translate` call —
+    * the common Latin-1/Latin-Extended accent set; extend the map for
+    * wider coverage.
+    */
+  // generated: every Latin-1 + Latin Extended-A letter whose NFD
+  // decomposition starts with an ASCII base letter, plus ß -> s
+  private val accented = "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝàáâãäåçèéêëìíîïñòóôõöùúûüýÿĀāĂăĄąĆćĈĉĊċČčĎďĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĨĩĪīĬĭĮįİĴĵĶķĹĺĻļĽľŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŨũŪūŬŭŮůŰűŲųŴŵŶŷŸŹźŻżŽžß"
+  private val plain    = "AAAAAACEEEEIIIINOOOOOUUUUYaaaaaaceeeeiiiinooooouuuuyyAaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiIJjKkLlLlLlNnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuUuWwYyYZzZzZzs"
+
+  /** Transliterate accented characters to their ASCII base form. */
+  def transliterate(src: Column): Column = {
+    require(accented.length == plain.length, "accent map length mismatch")
+    translate(src, accented, plain)
+  }
 }

@@ -513,6 +513,36 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // alter (coalesce/condrewrite/condrewriteother) + i18n transliterate +
+    // elasticsearch filter LOCAL-INDEX model (pre-exported index ->
+    // top-1-by-sort hit collapsed before a broadcast join, miss tagged)
+    "lscl_alter" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_esidx", ".csv")
+      java.nio.file.Files.writeString(f,
+        "event_type,ets,info\nclick,5,ci1\nclick,9,ci2\nview,3,vi1\nsignup,7,si1\n")
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("accented", concat(lit("Üté-"), col("event_type")))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""filter {
+           |  i18n { transliterate => ["accented"] }
+           |  alter {
+           |    coalesce => ["note", "%{missing_field}", "%{event_type}"]
+           |    condrewrite => ["note", "click", "CLICKED"]
+           |    condrewriteother => ["event_type", "view", "viewflag", "yes"]
+           |  }
+           |  elasticsearch {
+           |    index_path => "$f"
+           |    query_template => { "event_type" => "%{event_type}" }
+           |    sort => "ets:desc"
+           |    fields => { "info" => "last_info" }
+           |  }
+           |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("accented"), col("note"), col("viewflag"),
+          col("last_info"), array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("event_id")
+    }),
+
     // jdbc_streaming driven from CONFIG TEXT: parameterized local-lookup
     // model — 1:N dimension collects into a per-key ARRAY before the
     // broadcast join (the reference's list-of-rows result), row-count
@@ -1365,6 +1395,17 @@ object OpsQueries {
         |       CASE event_type WHEN 'click' THEN '1'
         |            WHEN 'view' THEN '2'
         |            WHEN 'signup' THEN '3' END AS code
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lscl_alter" ->
+      """SELECT event_id,
+        |       'Ute-' || event_type AS accented,
+        |       CASE WHEN event_type = 'click' THEN 'CLICKED' ELSE event_type END AS note,
+        |       CASE WHEN event_type = 'view' THEN 'yes' END AS viewflag,
+        |       CASE event_type WHEN 'click' THEN 'ci2' WHEN 'view' THEN 'vi1'
+        |            WHEN 'signup' THEN 'si1' END AS last_info,
+        |       CASE WHEN event_type IN ('click', 'view', 'signup') THEN ''
+        |            ELSE '_elasticsearch_lookup_failure' END AS tag_str
         |FROM events ORDER BY event_id""".stripMargin,
 
     "lscl_jdbcs" ->

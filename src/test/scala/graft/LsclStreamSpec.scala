@@ -143,4 +143,48 @@ class LsclStreamSpec extends SparkSpec {
       else assert(streamRows.forall(_._2 == 1L))
     }
   }
+
+  test("top-level throttle streams with keyed state: counters span batches and a restart, equals batch") {
+    val f = java.nio.file.Files.createTempFile("graft_lscl_sthr", ".log")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lscl_sthr")
+    def line(i: Int): String = {
+      val k = if (i % 2 == 0) "a" else "b"
+      f"2025-06-01 00:00:$i%02d $k\n"
+    }
+    val cfg =
+      s"""input { file { path => "$f" mode => "tail" } }
+         |filter {
+         |  dissect { mapping => { "message" => "%{d} %{t} %{k}" } }
+         |  mutate { add_field => { "tfull" => "%{d} %{t}" } }
+         |  date { match => ["tfull", "yyyy-MM-dd HH:mm:ss"] target => "ts" }
+         |  throttle { key => "%{k}" period => 86400 after_count => 3
+         |             timestamp_field => "ts" order_by => ["offset"]
+         |             add_tag => ["throttled"] }
+         |}
+         |output { sink { id => "s" } }
+         |""".stripMargin
+    // phase 1: first 20 events stream (ranks 1..10 per key accumulate)
+    append(f, (0 until 20).map(line).mkString)
+    graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+      .awaitTermination(120000)
+    // phase 2: 20 MORE events after a full stop — the restored state must
+    // continue the per-key counters (ranks 11..20), not restart at 1
+    append(f, (20 until 40).map(line).mkString)
+    graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+      .awaitTermination(120000)
+    val res = graft.lscl.LsclRun.runConfig(spark, cfg, s"$tmp/batch", Map.empty)
+    assert(res.counts("_total") == 40L)
+    def rows(dir: String) = spark.read.parquet(s"$tmp/$dir/s")
+      .select(col("offset"), col("k"), array_join(col("tags"), ",").as("tg"))
+      .orderBy("offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val streamed = rows("out")
+    assert(streamed == rows("batch"), "streamed throttle differs from batch")
+    // per key: first 3 events untagged, the rest throttled — including every
+    // phase-2 event (rank > 3 only holds if phase-1 counts persisted)
+    val tagged = streamed.count(_._3.contains("throttled"))
+    assert(tagged == 40 - 6, s"expected 34 throttled, got $tagged")
+    assert(streamed.sortBy(_._1).drop(20).forall(_._3.contains("throttled")),
+      "a phase-2 event escaped the throttle — state did not span the restart")
+  }
 }
