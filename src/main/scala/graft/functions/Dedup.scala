@@ -214,6 +214,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-train-doc k-gram CONTAMINATION fraction against an eval corpus —
+    * the GPT-3/PaLM-style decontamination metric (share of a document's
+    * DISTINCT k-grams that appear anywhere in the eval set). Complements
+    * [[crossJaccard]]: that finds near-duplicate PAIRS; this scores every
+    * train document even at partial overlap, the signal used to drop or
+    * flag benchmark-leaking documents.
+    *
+    * Scale: the eval side collapses to a distinct gram set (benchmark-sized
+    * — usually broadcastable; the join is a plain equi-join so Catalyst
+    * broadcasts when it fits and shuffles on the gram key when it doesn't);
+    * the train side is one explode + one gram-keyed join + one doc-keyed
+    * agg. Documents shorter than k have no grams and are absent from the
+    * output (callers left-join and coalesce to 0 if they need them).
+    */
+  def contaminationFraction(train: DataFrame, eval0: DataFrame,
+                            tokensCol: String, idCol: String,
+                            shingleK: Int = 13): DataFrame = {
+    val evalGrams = eval0.select(explode(array_distinct(
+      Text.shingleIds(col(tokensCol), shingleK))).as("g")).distinct()
+      .withColumn("_hit", lit(1))
+    val tg = train.select(col(idCol), explode(array_distinct(
+      Text.shingleIds(col(tokensCol), shingleK))).as("g"))
+    tg.join(evalGrams, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("_hit")), lit(0)).cast("long").as("n_contaminated"))
+      .withColumn("contam_frac",
+        floor(col("n_contaminated") / col("n_grams") * 1e6 + 0.5) / 1e6)
+  }
+
   /** Connected components over an undirected edge list (long node ids) by
     * iterative min-label propagation: each round every node takes the
     * minimum label among itself and its neighbors; fixpoint = every node

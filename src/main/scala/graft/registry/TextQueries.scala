@@ -245,6 +245,17 @@ object TextQueries {
         .orderBy("train_id", "eval_id")
     }),
 
+    // per-train-doc k-gram contamination FRACTION vs the eval corpus (the
+    // GPT-3-style decontamination score — partial overlap visible even
+    // below any pair threshold)
+    "txt_contam" -> ((s, dir) => {
+      val raw = Tok.rawSequences(docs(s, dir)).withColumn("doc_id", col("doc_id").cast("long"))
+      Dedup.contaminationFraction(
+          raw.filter(col("doc_id") % 2 === 1), raw.filter(col("doc_id") % 2 === 0),
+          "tokens", "doc_id", shingleK = 3)
+        .orderBy("doc_id")
+    }),
+
     // the CURATION decision a training-data pipeline materializes: keep a
     // doc iff it survives dedup AND passes quality AND language gates —
     // one composed boolean per document
@@ -571,6 +582,23 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "txt_contam" ->
+      s"""${Tok.sqlRawSequences},
+         |tr AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         list_distinct(${sqlShingles(3)}) AS sh
+         |  FROM raw WHERE CAST(doc_id AS BIGINT) % 2 = 1),
+         |ev AS (
+         |  SELECT DISTINCT unnest(list_distinct(${sqlShingles(3)})) AS g
+         |  FROM raw WHERE CAST(doc_id AS BIGINT) % 2 = 0),
+         |tg AS (SELECT doc_id, unnest(sh) AS g FROM tr)
+         |SELECT tg.doc_id, COUNT(*) AS n_grams,
+         |       COUNT(ev.g) AS n_contaminated,
+         |       floor(CAST(COUNT(ev.g) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+         |         AS contam_frac
+         |FROM tg LEFT JOIN ev ON tg.g = ev.g
+         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin,
 
     "dedup_cc" ->
       s"""${Tok.sqlRawSequences.replaceFirst("WITH ", "WITH RECURSIVE ")},
