@@ -1754,6 +1754,16 @@ object LsclRun {
         syslogParse(raw)
       case PluginItem(p) if p.name == "kafka" =>
         kafkaFrame(spark, p, streaming = true)
+      case PluginItem(p) if p.name == "heartbeat" =>
+        // liveness ticks stream through the generator MicroBatchStream;
+        // message => "sequence" mirrors the batch lowering
+        val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
+        val msg = strAttr(p, "message").getOrElse("ok")
+        val gen = spark.readStream.format("graft.sources.GeneratorSource")
+          .option("count", count).option("partitions", 1)
+          .option("lines", if (msg == "sequence" || msg == "epoch") "ok" else msg)
+          .load()
+        if (msg == "sequence") gen.withColumn("clock", col("seq") + 1) else gen
       case PluginItem(p) if p.name == "generator" =>
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val lines = p.attr("lines").map(strList)
