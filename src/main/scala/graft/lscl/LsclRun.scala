@@ -1822,32 +1822,34 @@ object LsclRun {
     // micro-batches and checkpoint restarts (the reference's cross-batch
     // counter contract; LsclStreamSpec proves batch == stream across a
     // restart). Everything else stateful still rejects loudly below.
-    val topThrottleIdx = cfg.filters.indexWhere {
-      case PluginItem(p) => p.name == "throttle"
+    val topStatefulIdx = cfg.filters.indexWhere {
+      case PluginItem(p) => p.name == "throttle" || p.name == "metrics"
       case _ => false
     }
-    if (stateful == Seq("throttle") && topThrottleIdx >= 0) {
-      val (pre, rest) = cfg.filters.splitAt(topThrottleIdx)
+    if ((stateful == Seq("throttle") || stateful == Seq("metrics")) && topStatefulIdx >= 0) {
+      val (pre, rest) = cfg.filters.splitAt(topStatefulIdx)
       val tp = rest.head.asInstanceOf[PluginItem].plugin
       val post = rest.tail
       require(!cfg.inputs.exists {
           case PluginItem(p) => codecPlugin(p).exists(_.name == "multiline")
           case _ => false
         },
-        "streamed throttle cannot combine with a multiline input codec " +
+        s"streamed ${tp.name} cannot combine with a multiline input codec " +
           "(per-batch reassembly would reorder events under the counter)")
-      // pre-throttle filters must be row-wise projections (they stream as-is;
+      // pre-stateful filters must be row-wise projections (they stream as-is;
       // window-based parses fail loudly in analysis at stream start)
       val preApplied = applyFilters(sourceStream(spark, cfg.inputs), pre)
-      val throttled = streamThrottle(preApplied, tp)
-      graft.streaming.StreamPipeline.run(spark, throttled,
+      val stated =
+        if (tp.name == "throttle") streamThrottle(preApplied, tp)
+        else streamMetrics(preApplied, tp)
+      graft.streaming.StreamPipeline.run(spark, stated,
         b => applyFilters(b, post), sinkSpecs(cfg.outputs), outDir,
         checkpoint, trigger)
     } else {
       require(stateful.isEmpty,
         s"stateful filter plugins ${stateful.distinct.mkString(", ")} are batch-only " +
           "in config form: per-micro-batch windows would reset their counters at " +
-          "every batch boundary (a single TOP-LEVEL throttle is the exception — " +
+          "every batch boundary (a single TOP-LEVEL throttle or metrics is the exception — " +
           "it lowers onto keyed state). Run the config in batch mode (runConfig), " +
           "or use the keyed-state streaming operators in graft.streaming.StreamPipeline")
       val batchCodec = inputBatchCodec(cfg.inputs)
@@ -1926,6 +1928,37 @@ object LsclRun {
       .select(col("_r.*"), col("_throttle_matched"))
     decoratorOf(p).applyWhen(restored, col("_throttle_matched"))
       .drop("_throttle_matched")
+  }
+
+  /** Streamed `metrics`: lifetime-cumulative meter counters on
+    * `flatMapGroupsWithState` keyed by meter — counters SPAN micro-batches
+    * and checkpoint restarts (the reference contract), with one synthetic
+    * metric event per (meter, micro-batch). Flush cadence is the BATCH
+    * boundary — the processing-time analogue of the reference's wall-clock
+    * `flush_interval` (same stance as the multiline codec's per-batch
+    * auto_flush; the batch lowering's slot-aligned flush rows differ in
+    * cadence, not in counters — LsclStreamSpec pins final counts equal).
+    * State = one long per meter; meter cardinality is config-sized.
+    */
+  private def streamMetrics(df: DataFrame, p: Plugin): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meters = p.attr("meter").map(strList).getOrElse(
+      throw new IllegalArgumentException("metrics: meter required"))
+    val meterCols = meters.map(tpl => Mutate.sprintfFor(df, tpl))
+    val keyed = df.select(explode(array(meterCols: _*)).as("meter")).as[String]
+    val synth = keyed.groupByKey(identity)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (meter, rows, state: GroupState[Long]) =>
+          val cum = state.getOption.getOrElse(0L) + rows.size
+          state.update(cum)
+          Iterator((meter, cum))
+      }.toDF("meter", "count")
+    // @timestamp = emit time (the processing-time flush boundary)
+    val stamped = decoratorOf(p)(synth.withColumn("@timestamp", current_timestamp()))
+    df.unionByName(stamped, allowMissingColumns = true)
   }
 
   /** Execute a complete config text: input -> filter -> routed outputs

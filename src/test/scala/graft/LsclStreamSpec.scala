@@ -187,4 +187,49 @@ class LsclStreamSpec extends SparkSpec {
     assert(streamed.sortBy(_._1).drop(20).forall(_._3.contains("throttled")),
       "a phase-2 event escaped the throttle — state did not span the restart")
   }
+
+  test("top-level metrics streams: cumulative meter counts span a restart, final counts equal batch") {
+    val f = java.nio.file.Files.createTempFile("graft_lscl_smet", ".log")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lscl_smet")
+    def line(i: Int): String = {
+      val k = if (i % 3 == 0) "a" else "b"
+      f"2025-06-01 00:00:$i%02d $k\n"
+    }
+    val cfg =
+      s"""input { file { path => "$f" mode => "tail" } }
+         |filter {
+         |  dissect { mapping => { "message" => "%{d} %{t} %{k}" } }
+         |  mutate { add_field => { "tfull" => "%{d} %{t}" } }
+         |  date { match => ["tfull", "yyyy-MM-dd HH:mm:ss"] target => "ts" }
+         |  metrics { meter => ["m_%{k}"] flush_interval => 10
+         |            timestamp_field => "ts" add_tag => ["metric"] }
+         |}
+         |output { sink { id => "s" } }
+         |""".stripMargin
+    append(f, (0 until 20).map(line).mkString)
+    graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+      .awaitTermination(120000)
+    append(f, (20 until 40).map(line).mkString)
+    graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+      .awaitTermination(120000)
+    graft.lscl.LsclRun.runConfig(spark, cfg, s"$tmp/batch", Map.empty)
+    // flush cadence differs by design (batch = slot boundaries, stream =
+    // micro-batch boundaries); the CONTRACT is the cumulative counters:
+    // the final (max) count per meter must match, and phase-2 stream rows
+    // must continue phase-1 counts (counts > 20 exist only if state spanned
+    // the restart)
+    def finalCounts(dir: String): Map[String, Long] =
+      spark.read.parquet(s"$tmp/$dir/s")
+        .filter(array_contains(col("tags"), "metric"))
+        .groupBy("meter").agg(max("count").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamFinal = finalCounts("out")
+    assert(streamFinal == finalCounts("batch"),
+      s"final cumulative counters differ: $streamFinal")
+    assert(streamFinal == Map("m_a" -> 14L, "m_b" -> 26L))
+    // passthrough rows unchanged
+    val passthrough = spark.read.parquet(s"$tmp/out/s")
+      .filter(!coalesce(array_contains(col("tags"), "metric"), lit(false))).count()
+    assert(passthrough == 40L)
+  }
 }
