@@ -1231,8 +1231,9 @@ object LsclRun {
     */
   def netSinkSpecs(items: Seq[Item]): Seq[(Plugin, Cond)] = {
     val out = Seq.newBuilder[(Plugin, Cond)]
+    val names = Set("tcp", "http", "stdout", "null")
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
-      case PluginItem(p) if p.name == "tcp" || p.name == "http" => out += p -> path
+      case PluginItem(p) if names(p.name) => out += p -> path
       case PluginItem(_) => ()
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
@@ -1271,6 +1272,18 @@ object LsclRun {
             case _ => strAttr(p, "batch_size").map(_.toInt).getOrElse(50)
           }
           Route.httpSink(frame, url, batch)
+        case "stdout" =>
+          // debug output: the reference prints EVERY event (rubydebug) —
+          // driver-printing an unbounded frame is cluster-inappropriate, so
+          // this prints a bounded sample plus the total (set `limit` for
+          // more). Codec option accepted and ignored (render = show()).
+          val n = strAttr(p, "limit").map(_.toInt).getOrElse(20)
+          println(s"stdout output (${frame.count()} events, first $n):")
+          frame.show(n, truncate = false)
+        case "null" =>
+          // null output: swallow after materialization (the reference's
+          // throughput-measurement sink)
+          frame.count(); ()
       }
     }
 
@@ -1288,6 +1301,8 @@ object LsclRun {
       case PluginItem(p) if p.name == "pipeline" => () // bus send, not a sink
       case PluginItem(p) if p.name == "tcp" || p.name == "http" =>
         () // network sinks — applied executor-side by runConfig, not file sinks
+      case PluginItem(p) if p.name == "stdout" || p.name == "null" =>
+        () // debug sinks — driver-side sample / swallow, applied by runConfig
       case PluginItem(p) =>
         // sink naming: explicit id, else the elasticsearch output's index
         // (the reference's routing key), else <plugin>_<k>. An index

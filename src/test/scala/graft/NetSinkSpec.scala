@@ -108,4 +108,18 @@ class NetSinkSpec extends SparkSpec {
       ("index", "1", """{"delete":{"_index":"a","_id":"gotcha"}}"""),
       ("index", "2", """{"plain":"doc"}""")))
   }
+
+  test("stdout and null outputs: bounded debug print + swallow, conditional") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stdnull").toString
+    val res = graft.lscl.LsclRun.runConfig(spark,
+      s"""input { generator { count => 30 lines => ["a", "b"] } }
+         |output {
+         |  if [message] == "a" { stdout { limit => 3 } }
+         |  null { }
+         |  sink { id => "keep" }
+         |}""".stripMargin, out, Map.empty)
+    // file sink unaffected by the debug sinks
+    assert(res.counts("keep") == 30L)
+    assert(spark.read.parquet(s"$out/keep").count() == 30L)
+  }
 }
