@@ -342,6 +342,61 @@ object Text {
   def shardAssign(id: Column, numShards: Int): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % numShards
 
+  /** One round of BPE merge statistics: the K most frequent ADJACENT token
+    * pairs across the corpus — the merge-candidate table a distributed BPE
+    * trainer materializes per iteration. One narrow bigram explode -> a
+    * two-phase count aggregate -> `TakeOrderedAndProject` for the top K
+    * (per-partition heaps + a driver merge of K rows — never a global
+    * sort). Ties rank lexicographically for determinism.
+    */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val w = greatest(size(toks) - 1, lit(0))
+    df.select(explode(arrays_zip(
+        slice(toks, lit(1), w).as("prev"),
+        slice(toks, lit(2), w).as("cur"))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev"), col("cur"))
+      .limit(topK)
+  }
+
+  /** GLOBAL rank without a single-partition window — the curriculum/
+    * ordering primitive (rank every document by a score at any corpus
+    * size): range-partition on the sort key, per-partition counts (one row
+    * per partition, driver-sized), broadcast exclusive offsets, then a
+    * per-partition running rank — the same two-phase shape as
+    * [[packAssignments]]. Rank is 1-based by (score DESC, id ASC).
+    */
+  def globalRank(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 scoreCol: String, partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val sorted = df
+      .select(col(idCol).cast("long").as("doc_id"), col(scoreCol).cast("double").as("_s"))
+      .repartitionByRange(parts, col("_s").desc, col("doc_id"))
+      .sortWithinPartitions(col("_s").desc, col("doc_id"))
+    val rdd = sorted.queryExecution.toRdd
+      .mapPartitions(it => it.map(r => (r.getLong(0), r.getDouble(1))), preservesPartitioning = true)
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator((pid, n))
+    }.collect().sortBy(_._1)
+    val prefix: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, n) => val before = acc; acc += n; pid -> before }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(prefix)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rk = bc.value(pid)
+      it.map { case (id, s) => rk += 1; org.apache.spark.sql.Row(id, s, rk) }
+    }
+    spark.createDataFrame(ranked, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))))
+  }
+
   /** Jaccard similarity of two DISTINCT-element array<long> columns (sets).
     * Uses |A∪B| = |A|+|B|-|A∩B| with a single specialized intersect-count
     * kernel (graft.plans.LongSetIntersectCount) — profiling showed the

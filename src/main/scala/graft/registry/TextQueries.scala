@@ -353,6 +353,18 @@ object TextQueries {
     // corpus-frequency token stats (the KenLM-scoring shape) + blocklist
     // curation: global token counts broadcast back per position; rare_frac
     // flags rare/garbage tokens, keep_block drops blocklisted docs
+    // one round of BPE merge statistics: top-K adjacent token pairs
+    // (TakeOrdered, never a global sort)
+    "txt_bpe" -> ((s, dir) => {
+      Text.bpePairStats(docs(s, dir), "text", topK = 50)
+    }),
+
+    // GLOBAL curriculum rank by a quality score (two-phase distributed
+    // rank: range partition + broadcast offsets, no single-partition window)
+    "doc_rank" -> ((s, dir) => {
+      Text.globalRank(docs(s, dir), "doc_id", "n_chars").orderBy("rank")
+    }),
+
     // bigram LM surprisal quality scoring (integer-log2 formulation — see
     // Text.bigramSurprisal scaladoc for the engine-exactness rationale)
     "txt_ppx" -> ((s, dir) => {
@@ -418,6 +430,20 @@ object TextQueries {
         |       len(list_filter(string_split(d.text, ' '),
         |                       w -> w IN ('slow', 'xxbadword'))) = 0 AS keep_block
         |FROM documents d JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "txt_bpe" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |pos AS (
+        |  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+        |bg AS (SELECT toks[i] AS prev, toks[i+1] AS cur FROM pos)
+        |SELECT prev, cur, COUNT(*) AS n FROM bg
+        |GROUP BY prev, cur ORDER BY n DESC, prev, cur LIMIT 50""".stripMargin,
+
+    "doc_rank" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        |FROM documents ORDER BY rank""".stripMargin,
 
     "txt_ppx" ->
       """WITH t AS (
