@@ -1771,14 +1771,23 @@ object LsclRun {
         kafkaFrame(spark, p, streaming = true)
       case PluginItem(p) if p.name == "heartbeat" =>
         // liveness ticks stream through the generator MicroBatchStream;
-        // message => "sequence" mirrors the batch lowering
+        // message => "sequence"/"epoch" mirror the batch lowering exactly
+        // (same clock column, epoch pinned by `now`) — batch/stream schema
+        // parity is a contract
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val msg = strAttr(p, "message").getOrElse("ok")
         val gen = spark.readStream.format("graft.sources.GeneratorSource")
           .option("count", count).option("partitions", 1)
           .option("lines", if (msg == "sequence" || msg == "epoch") "ok" else msg)
           .load()
-        if (msg == "sequence") gen.withColumn("clock", col("seq") + 1) else gen
+        msg match {
+          case "sequence" => gen.withColumn("clock", col("seq") + 1)
+          case "epoch" =>
+            val now = strAttr(p, "now").map(s => to_timestamp(lit(s)))
+              .getOrElse(current_timestamp())
+            gen.withColumn("clock", unix_timestamp(now))
+          case _ => gen
+        }
       case PluginItem(p) if p.name == "generator" =>
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val lines = p.attr("lines").map(strList)
@@ -1815,6 +1824,12 @@ object LsclRun {
     require(pipelineSends(cfg.outputs).isEmpty,
       "pipeline { send_to } outputs are batch-only (the address bus resolves " +
         "at converge time); run this config via Pipelines.Registry")
+    // net/debug sinks run driver/executor-side AFTER batch materialization;
+    // silently dropping them in a stream would violate the fail-loud stance
+    require(netSinkSpecs(cfg.outputs).isEmpty,
+      "tcp/http/stdout/null outputs are batch-only in config form " +
+        "(foreachBatch sinks write files; wire a custom foreachBatch for " +
+        "streaming network delivery) — run this config via runConfig")
     // stateful filters carry counters that must SPAN the period — inside
     // foreachBatch each micro-batch would get its own window, silently
     // resetting counts at every batch boundary (the reference's counters
@@ -1908,17 +1923,26 @@ object LsclRun {
     val schema = df.schema
     val ordPad: Seq[Column] = orderBy.map { f =>
       df.schema(f).dataType match {
-        case t: org.apache.spark.sql.types.NumericType =>
-          lpad(col(f).cast("string"), 20, "0")
+        case _: org.apache.spark.sql.types.NumericType =>
+          // sign-aware sortable encoding: shift by 2^62 before zero-padding
+          // so NEGATIVE order keys sort numerically ('-' would otherwise
+          // outrank digits lexically and diverge from batch's typed order);
+          // fractional parts of doubles truncate -- order_by is an
+          // id/sequence contract
+          lpad((col(f).cast("long") + lit(4611686018427387904L)).cast("string"), 20, "0")
         case _ => col(f).cast("string")
       }
     }
+    // null/unparseable timestamps: the batch window groups them on the NULL
+    // slot and orders them first -- mirror with a sentinel group/order key
+    // instead of crashing the non-nullable tuple encoder
+    val tsCol = col(tsField).cast("timestamp")
     val staged = df.select(
-      Mutate.sprintfFor(df, keyTpl).as("key"),
-      floor(unix_timestamp(col(tsField).cast("timestamp")) / period)
-        .cast("long").as("slot"),
-      unix_micros(col(tsField).cast("timestamp")).as("o1"),
-      concat_ws(" ", ordPad: _*).as("o2"),
+      coalesce(Mutate.sprintfFor(df, keyTpl), lit("")).as("key"),
+      coalesce(floor(unix_timestamp(tsCol) / period).cast("long"),
+        lit(Long.MinValue)).as("slot"),
+      coalesce(unix_micros(tsCol), lit(Long.MinValue)).as("o1"),
+      coalesce(concat_ws("\u0000", ordPad: _*), lit("")).as("o2"),
       to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("payload")
     ).as[(String, Long, Long, String, String)]
     val ranked = staged.groupByKey(r => (r._1, r._2))
@@ -1953,7 +1977,12 @@ object LsclRun {
     * `flush_interval` (same stance as the multiline codec's per-batch
     * auto_flush; the batch lowering's slot-aligned flush rows differ in
     * cadence, not in counters — LsclStreamSpec pins final counts equal).
-    * State = one long per meter; meter cardinality is config-sized.
+    * State = one long per DISTINCT RENDERED meter name, never evicted —
+    * the lifetime-counter contract forbids eviction, and the reference's
+    * metric registry has the identical property: a field-rendered meter
+    * template (`meter => ["m_%{user_id}"]`) grows its registry unboundedly
+    * there too. Keep meter templates config-cardinality (types, levels,
+    * hosts), not id-cardinality — same operational rule as the reference.
     */
   private def streamMetrics(df: DataFrame, p: Plugin): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -1997,8 +2026,23 @@ object LsclRun {
         addrs.foreach(a => b.register(a, frame))
       }
     }
-    val res = Route.run(spark, trunk, sinkSpecs(cfg.outputs), outDir)
-    runNetSinks(trunk, cfg.outputs)
-    res
+    // with network/debug sinks present, persist the trunk ONCE across the
+    // file-sink run and every net sink: re-evaluating the plan per sink
+    // would recompute the whole pipeline AND let nondeterministic filters
+    // (uuid, clone ids) diverge between what the files hold and what the
+    // sockets receive
+    val nets = netSinkSpecs(cfg.outputs)
+    val pinned =
+      if (nets.isEmpty) trunk
+      else {
+        val t = trunk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t.count() // eager: populate before any consumer races
+        t
+      }
+    try {
+      val res = Route.run(spark, pinned, sinkSpecs(cfg.outputs), outDir)
+      runNetSinks(pinned, cfg.outputs)
+      res
+    } finally if (nets.nonEmpty) { pinned.unpersist(); () }
   }
 }

@@ -84,10 +84,17 @@ object Extras {
     val withArr = df
       .withColumn("_xn_i", filter(toks, t => !t.contains(".")))
       .withColumn("_xn_f", filter(toks, t => t.contains(".")))
+    // gate-unmatched rows keep any PRE-EXISTING intN/floatN values (two
+    // conditional extractnumbers over different sources must not null each
+    // other's results — the same snapshot contract as every gated filter)
+    def gated(d: DataFrame, name: String, v: Column): DataFrame = {
+      val cur = if (d.columns.contains(name)) col(name) else lit(null)
+      d.withColumn(name, when(gate, v).otherwise(cur))
+    }
     val withInts = (1 to maxInts).foldLeft(withArr)((d, i) =>
-      d.withColumn(s"int$i", when(gate, try_element_at(col("_xn_i"), lit(i)).cast("long"))))
+      gated(d, s"int$i", try_element_at(col("_xn_i"), lit(i)).cast("long")))
     val withFloats = (1 to maxFloats).foldLeft(withInts)((d, i) =>
-      d.withColumn(s"float$i", when(gate, try_element_at(col("_xn_f"), lit(i)).cast("double"))))
+      gated(d, s"float$i", try_element_at(col("_xn_f"), lit(i)).cast("double")))
     withFloats.drop("_xn_i", "_xn_f")
   }
 
@@ -132,9 +139,11 @@ object Extras {
     val enc: Column = df.schema(source).dataType match {
       case _: StructType | _: MapType | _: ArrayType => to_json(col(source))
       case StringType =>
-        concat(lit("\""),
-          regexp_replace(regexp_replace(col(source), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-          lit("\""))
+        // full RFC 8259 escaping (control chars included) by the ENGINE's
+        // JSON writer: wrap in a map, serialize, peel the envelope — hand
+        // escaping backslash+quote alone emits invalid JSON for \n/\t etc.
+        when(col(source).isNotNull,
+          regexp_extract(to_json(map(lit("v"), col(source))), "^\\{\"v\":(.*)\\}$", 1))
       case _ => col(source).cast("string")
     }
     val cur = if (df.columns.contains(target) && target != source) col(target)

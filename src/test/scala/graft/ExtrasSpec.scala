@@ -78,6 +78,27 @@ class ExtrasSpec extends SparkSpec {
     assert(!row.schema.fieldNames.contains("int3") && !row.schema.fieldNames.contains("float2"))
   }
 
+  test("json_encode: control characters escape to valid JSON; null stays null") {
+    import spark.implicits._
+    val df = Seq(Some("a\nb\t\"q\"\\"), None).toDF("s")
+    val out = Extras.jsonEncode(df, "s", "j", lit(true))
+      .select("j").collect().map(r => Option(r.getString(0))).toSeq
+    assert(out(0).contains("\"a\\nb\\t\\\"q\\\"\\\\\""))
+    assert(out(1).isEmpty)
+  }
+
+  test("extractnumbers under a gate preserves prior values on unmatched rows") {
+    import spark.implicits._
+    val df = Seq(("row1", "x 7", true), ("row2", "x 9", false)).toDF("id", "s", "g")
+    val first = Extras.extractNumbers(df, "s", maxInts = 1, maxFloats = 1, gate = lit(true))
+    // second pass gated: row2 unmatched must KEEP int1=9 from the first pass
+    val second = Extras.extractNumbers(
+      first.withColumn("s", lit("y 100")), "s", maxInts = 1, maxFloats = 1, gate = col("g"))
+    val got = second.select("id", "int1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("row1" -> 100L, "row2" -> 9L))
+  }
+
   test("unsupported-plugin error lists the ecosystem batch") {
     val cfg = graft.lscl.Lscl.parse("""filter { nope { } }""", Map.empty)
     import spark.implicits._
