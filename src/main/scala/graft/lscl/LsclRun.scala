@@ -1329,6 +1329,13 @@ object LsclRun {
           case Some(VPlugin(c)) => Some(c.name)
           case _ => None
         }
+        // line output codec's sprintf'd per-event format
+        // (`codec => line { format => "%{message} %{tags}" }`,
+        // env_variables_config fixture)
+        val lineFmt = p.attr("codec") match {
+          case Some(VPlugin(c)) if c.name == "line" => strAttr(c, "format")
+          case _ => None
+        }
         // the csv OUTPUT plugin (logstash-output-csv): `fields` select the
         // written columns, joined by `csv_options`' col_sep analogue
         val csvFields =
@@ -1346,7 +1353,8 @@ object LsclRun {
           documentId = strAttr(p, "document_id"),
           csvFields = csvFields,
           csvSep = strAttr(p, "separator").getOrElse(","),
-          esAction = esAction)
+          esAction = esAction,
+          lineFormat = lineFmt)
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
         arms.foreach { case (e, body) =>

@@ -68,7 +68,8 @@ object Route {
                             documentId: Option[String] = None,
                             csvFields: Seq[String] = Nil,
                             csvSep: String = ",",
-                            esAction: Option[String] = None)
+                            esAction: Option[String] = None,
+                            lineFormat: Option[String] = None)
 
   /** Columns whose names start with this prefix are the `@metadata` analogue:
     * available to conditions/decorators, dropped before every sink write
@@ -267,7 +268,8 @@ object Route {
                         documentId: Option[String] = None,
                         csvFields: Seq[String] = Nil,
                         csvSep: String = ",",
-                        esAction: Option[String] = None): String = {
+                        esAction: Option[String] = None,
+                        lineFormat: Option[String] = None): String = {
         val path = s"$outDir/$name"
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
@@ -316,7 +318,20 @@ object Route {
           val db = if (parts.contains("_bucket"))
             d.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
           else d
-          if (codec.contains("csv")) {
+          if (codec.contains("line")) {
+            // line output codec (logstash-codec-line): one sprintf'd line
+            // per event (`format => "%{message} %{tags}"`); default renders
+            // the message field. Partition layout rides beside the value.
+            val tpl = lineFormat.getOrElse("%{message}")
+            val body = db.select(
+              coalesce(Mutate.sprintfFor(db, tpl).cast("string"), lit(""))
+                .as("value") +: parts.map(col): _*)
+            if (parts.nonEmpty)
+              body.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(parts: _*).text(path)
+            else body.write.mode("overwrite").text(path)
+          } else if (codec.contains("csv")) {
             // csv output plugin: selected fields joined per line; partition
             // layout (index/bucket) rides beside the text value column
             val body = db.select(
@@ -352,7 +367,7 @@ object Route {
       }
       val paths = sinks.map { s =>
         s.name -> writeIfNeeded(s.name, sinkFrame(flagged, s), s.indexTemplate,
-          s.codec, s.documentId, s.csvFields, s.csvSep, s.esAction)
+          s.codec, s.documentId, s.csvFields, s.csvSep, s.esAction, s.lineFormat)
       }.toMap ++
         (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
          else Map.empty[String, String])

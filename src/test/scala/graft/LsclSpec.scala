@@ -108,6 +108,53 @@ class LsclSpec extends SparkSpec {
       tags.mkString(","))
   }
 
+  // verbatim from qa/integration/fixtures/env_variables_config_spec.yml —
+  // tcp input on an env-substituted port, env-tag decorator, file output
+  // with the LINE codec (`format => "%{message} %{tags}"`)
+  private val envCfgFixture = """input {
+    tcp {
+      port => "${TEST_ENV_TCP_PORT}"
+    }
+  }
+  filter {
+    mutate {
+      add_tag => [ "blah", "${TEST_ENV_TAG}" ]
+    }
+  }
+  output {
+    file {
+      path => "${TEST_ENV_PATH}/logstash_env_test.log"
+      flush_interval => 0
+      codec => line { format => "%{message} %{tags}" }
+    }
+  }"""
+
+  test("env_variables_config fixture runs verbatim end-to-end (live tcp -> line-codec file)") {
+    val port = 15971
+    val tmp = java.nio.file.Files.createTempDirectory("graft_envcfg")
+    graft.sources.TcpSource.ensureListener(port,
+      graft.sources.TcpSource.defaultJournal(port))
+    try {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val w = new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")
+      w.write("foo\nbar\n"); w.flush(); sock.close()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      val j = graft.sources.TcpSource.defaultJournal(port)
+      while ((!java.nio.file.Files.exists(j) || java.nio.file.Files.size(j) < 8) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val res = LsclRun.runConfig(spark, envCfgFixture, s"$tmp/out", Map(
+        "TEST_ENV_TCP_PORT" -> port.toString,
+        "TEST_ENV_TAG" -> "mytag",
+        "TEST_ENV_PATH" -> tmp.toString))
+      assert(res.counts("_total") == 2L)
+      // sink lands under the run's outDir (the lake model of the literal
+      // file path); the line codec renders message + comma-joined tags
+      val sinkPath = res.sinkPaths.values.head
+      val lines = spark.read.text(sinkPath).collect().map(_.getString(0)).sorted.toSeq
+      assert(lines == Seq("bar blah,mytag", "foo blah,mytag"), lines.mkString("|"))
+    } finally graft.sources.TcpSource.stopListener(port)
+  }
+
   test("undefined env var without default aborts the parse (reference compile error)") {
     val e = intercept[IllegalArgumentException] {
       Lscl.parse("""filter { if "${NOT_EXIST}" { mutate { add_tag => ["x"] } } }""",
