@@ -155,6 +155,38 @@ class LsclSpec extends SparkSpec {
     } finally graft.sources.TcpSource.stopListener(port)
   }
 
+  test("reserved_tags_field fixture configs run verbatim: illegal tags quarantine to _tags") {
+    // verbatim from qa/integration/fixtures/reserved_tags_field_spec.yml
+    // (create_tags_map / create_tags_number): a json event whose top-level
+    // `tags` is a MAP or a NUMBER LIST quarantines to `_tags` +
+    // `_tagsparsefailure` (Event.java:100-130), visible in the json-codec
+    // file output
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rsvtags")
+    for ((name, msg, probe) <- Seq(
+        ("create_tags_map", """{"tags": {"poison":true} }""", "\"poison\":true"),
+        ("create_tags_number", """{"tags": [1,2,3] }""", "[1,2,3]"))) {
+      val cfg = s"""input {
+        |  generator {
+        |    message => '$msg'
+        |    codec => json
+        |    count => 1
+        |  }
+        |}
+        |output {
+        |  file {
+        |    path => "$${TEMP_PATH}/$name.log"
+        |    flush_interval => 0
+        |    codec => json
+        |  }
+        |}""".stripMargin
+      LsclRun.runConfig(spark, cfg, s"$tmp/$name", Map("TEMP_PATH" -> tmp.toString))
+      val line = spark.read.text(s"$tmp/$name/file_1").collect()(0).getString(0)
+      assert(line.contains("\"tags\":[\"_tagsparsefailure\"]"), s"$name: $line")
+      assert(line.contains("\"_tags\":"), s"$name: $line")
+      assert(line.replace(" ", "").contains(probe.replace(" ", "")), s"$name: $line")
+    }
+  }
+
   test("undefined env var without default aborts the parse (reference compile error)") {
     val e = intercept[IllegalArgumentException] {
       Lscl.parse("""filter { if "${NOT_EXIST}" { mutate { add_tag => ["x"] } } }""",
