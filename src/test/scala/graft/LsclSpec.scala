@@ -132,6 +132,10 @@ class LsclSpec extends SparkSpec {
   test("env_variables_config fixture runs verbatim end-to-end (live tcp -> line-codec file)") {
     val port = 15971
     val tmp = java.nio.file.Files.createTempDirectory("graft_envcfg")
+    // the default journal lives in /tmp and would accumulate across JVM
+    // runs — start from a clean one (the listener, if any, died with the
+    // previous JVM)
+    java.nio.file.Files.deleteIfExists(graft.sources.TcpSource.defaultJournal(port))
     graft.sources.TcpSource.ensureListener(port,
       graft.sources.TcpSource.defaultJournal(port))
     try {
