@@ -1276,10 +1276,22 @@ object LsclRun {
           // debug output: the reference prints EVERY event (rubydebug) —
           // driver-printing an unbounded frame is cluster-inappropriate, so
           // this prints a bounded sample plus the total (set `limit` for
-          // more). Codec option accepted and ignored (render = show()).
-          val n = strAttr(p, "limit").map(_.toInt).getOrElse(20)
-          println(s"stdout output (${frame.count()} events, first $n):")
-          frame.show(n, truncate = false)
+          // more). codec => dots prints the progress dots (bounded render).
+          val isDots = p.attr("codec") match {
+            case Some(VString("dots")) => true
+            case Some(VPlugin(c)) => c.name == "dots"
+            case _ => false
+          }
+          val total = frame.count()
+          if (isDots) {
+            val shown = math.min(total, 10000L).toInt
+            println("." * shown +
+              (if (total > shown) s" (+${total - shown} more)" else ""))
+          } else {
+            val n = strAttr(p, "limit").map(_.toInt).getOrElse(20)
+            println(s"stdout output ($total events, first $n):")
+            frame.show(n, truncate = false)
+          }
         case "null" =>
           // null output: swallow after materialization (the reference's
           // throughput-measurement sink)
@@ -1747,8 +1759,13 @@ object LsclRun {
       case PluginItem(p) if p.name == "file" && strAttr(p, "mode").contains("tail") =>
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("file input: path required"))
-        spark.readStream.format("graft.sources.FileTailSource")
-          .option("path", path).load()
+        val rd = spark.readStream.format("graft.sources.FileTailSource")
+          .option("path", path)
+        // admission control (backpressure analogue): cap the bytes one
+        // micro-batch admits, so a backlog drains in bounded batches
+        strAttr(p, "max_bytes_per_trigger")
+          .fold(rd)(v => rd.option("max_bytes_per_trigger", parseByteSize(v)))
+          .load()
       case PluginItem(p) if Set("tcp", "udp", "http", "beats")(p.name) =>
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException(s"${p.name} input: port required")).toInt

@@ -100,7 +100,7 @@ private class FileTailScan(options: CaseInsensitiveStringMap)
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FileTailMicroBatch(path)
+    new FileTailMicroBatch(path, options.getLong("max_bytes_per_trigger", 0L))
 
   /** Batch: split [0, lastLineEnd) into newline-aligned ranges. A range with
     * start > 0 skips up to its first newline (that partial line belongs to
@@ -178,14 +178,56 @@ private case class BytePos(pos: Long) extends Offset {
   override def json(): String = pos.toString
 }
 
-private class FileTailMicroBatch(path: String) extends MicroBatchStream {
+/** `maxBytesPerTrigger > 0` = ADMISSION CONTROL (the backpressure analogue
+  * of the reference's bounded in-flight queue): each micro-batch admits at
+  * most that many newline-aligned bytes, so a huge backlog drains in
+  * bounded batches instead of one giant one. A single line longer than the
+  * cap still admits whole (progress guarantee — same rule as Spark's own
+  * maxOffsetsPerTrigger admitting at least one record).
+  */
+private class FileTailMicroBatch(path: String, maxBytesPerTrigger: Long = 0L)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = BytePos(0L)
 
-  override def latestOffset(): Offset = {
+  private def fileEnd(): Long = {
     val f = new java.io.File(path)
-    if (!f.exists()) BytePos(0L)
-    else BytePos(FileTailSource.lastLineEnd(path, f.length()))
+    if (!f.exists()) 0L else FileTailSource.lastLineEnd(path, f.length())
+  }
+
+  // Trigger.AvailableNow contract: pin the target end ONCE; the engine then
+  // loops micro-batches (each admitted by latestOffset(start, limit)) until
+  // the pinned end is reached — bounded batches over the whole backlog.
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(fileEnd())
+
+  override def latestOffset(): Offset = BytePos(fileEnd())
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val end = availableNowEnd.getOrElse(fileEnd())
+    if (maxBytesPerTrigger <= 0) return BytePos(end)
+    val s = start.asInstanceOf[BytePos].pos
+    if (end <= s) return BytePos(end)
+    val capped = FileTailSource.lastLineEnd(path, math.min(end, s + maxBytesPerTrigger))
+    if (capped > s) BytePos(capped)
+    else {
+      // one line exceeds the cap: admit through its end (never stall)
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try {
+        raf.seek(s)
+        var pos = s
+        var b = raf.read()
+        while (b >= 0 && b != '\n' && pos < end) { pos += 1; b = raf.read() }
+        BytePos(math.min(end, pos + 1))
+      } finally raf.close()
+    }
   }
 
   override def deserializeOffset(json: String): Offset = BytePos(json.toLong)

@@ -85,4 +85,31 @@ class FileTailSpec extends SparkSpec {
     assert(df.filter(array_contains(col("tags"), "err")).count() == 2)
     assert(df.count() == 3)
   }
+
+  test("max_bytes_per_trigger: a backlog drains in bounded batches, exactly once") {
+    val f = java.nio.file.Files.createTempFile("graft_tail_adm", ".log")
+    val lines = (0 until 200).map(i => f"line-$i%03d")
+    java.nio.file.Files.writeString(f, lines.mkString("", "\n", "\n"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tail_adm")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val q = spark.readStream.format("graft.sources.FileTailSource")
+      .option("path", f.toString)
+      .option("max_bytes_per_trigger", 256).load()
+      .writeStream.option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty) {
+          batches.incrementAndGet()
+          // per-batch byte cap honored (9 bytes per line incl. newline)
+          assert(rows.length * 9 <= 256 + 9, s"batch too big: ${rows.length}")
+          rows.foreach(r => seen.add(r.getString(1)))
+        }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(batches.get() >= 5, s"expected bounded batches, got ${batches.get()}")
+    assert(seen.size == 200) // exactly-once across all admitted batches
+  }
 }
