@@ -146,4 +146,26 @@ class PipelineSpec extends SparkSpec {
     // (final-plan operators carry the `*(n)` codegen markers)
     assert(plan.contains("*("), "flagship plan lost whole-stage codegen:\n" + plan.take(400))
   }
+
+  test("plan invariants: round-5 operators keep their at-scale shapes") {
+    import spark.implicits._
+    // jdbc_streaming-style grouped-dim lookup: event side must NOT shuffle
+    // (dimension collapses then broadcasts)
+    val events = spark.range(0, 1000).select(col("id"), (col("id") % 5).cast("string").as("k"))
+    val dim = Seq(("0", "a"), ("0", "b"), ("1", "c")).toDF("k", "v")
+    val grouped = dim.groupBy("k").agg(array_sort(collect_list(col("v"))).as("vs"))
+    val joined = events.join(org.apache.spark.sql.functions.broadcast(grouped), Seq("k"), "left")
+    joined.collect()
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(jp.contains("BroadcastHashJoin"), "list-lookup lost the broadcast join")
+    assert(!jp.contains("SortMergeJoin"), "event side shuffled in a broadcast lookup")
+    // ecosystem filters are pure projections: no exchange at all
+    val ext = events.select(
+      graft.operators.Extras.parseBytes(concat(col("id").cast("string"), lit("kb"))).as("b"),
+      graft.operators.Extras.tldParse(lit("a.example.co.uk")).as("t"),
+      graft.operators.Extras.transliterate(lit("café")).as("x"))
+    ext.collect()
+    val ep = ext.queryExecution.executedPlan.toString
+    assert(!ep.contains("Exchange"), "ecosystem projections grew an exchange:\n" + ep.take(300))
+  }
 }
