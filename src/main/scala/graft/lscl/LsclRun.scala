@@ -1872,16 +1872,16 @@ object LsclRun {
       case _ => Nil
     }
     val stateful = statefulIn(cfg.filters)
-    // ONE TOP-LEVEL throttle streams exactly: its running count lowers onto
-    // flatMapGroupsWithState keyed on (key, slot) — counters PERSIST across
-    // micro-batches and checkpoint restarts (the reference's cross-batch
-    // counter contract; LsclStreamSpec proves batch == stream across a
-    // restart). Everything else stateful still rejects loudly below.
+    // ONE TOP-LEVEL stateful filter streams exactly: its counters/maps lower
+    // onto flatMapGroupsWithState — state PERSISTS across micro-batches and
+    // checkpoint restarts (the reference's cross-batch contract; LsclStreamSpec
+    // proves batch == stream across a restart for all four). Multiple stateful
+    // plugins or branch-nested ones still reject loudly below.
     val topStatefulIdx = cfg.filters.indexWhere {
-      case PluginItem(p) => p.name == "throttle" || p.name == "metrics"
+      case PluginItem(p) => statefulNames(p.name)
       case _ => false
     }
-    if ((stateful == Seq("throttle") || stateful == Seq("metrics")) && topStatefulIdx >= 0) {
+    if (stateful.size == 1 && topStatefulIdx >= 0) {
       val (pre, rest) = cfg.filters.splitAt(topStatefulIdx)
       val tp = rest.head.asInstanceOf[PluginItem].plugin
       val post = rest.tail
@@ -1894,9 +1894,12 @@ object LsclRun {
       // pre-stateful filters must be row-wise projections (they stream as-is;
       // window-based parses fail loudly in analysis at stream start)
       val preApplied = applyFilters(sourceStream(spark, cfg.inputs), pre)
-      val stated =
-        if (tp.name == "throttle") streamThrottle(preApplied, tp)
-        else streamMetrics(preApplied, tp)
+      val stated = tp.name match {
+        case "throttle"  => streamThrottle(preApplied, tp)
+        case "metrics"   => streamMetrics(preApplied, tp)
+        case "aggregate" => streamAggregate(preApplied, tp)
+        case _           => streamElapsed(preApplied, tp)
+      }
       graft.streaming.StreamPipeline.run(spark, stated,
         b => applyFilters(b, post), sinkSpecs(cfg.outputs), outDir,
         checkpoint, trigger)
@@ -1904,8 +1907,9 @@ object LsclRun {
       require(stateful.isEmpty,
         s"stateful filter plugins ${stateful.distinct.mkString(", ")} are batch-only " +
           "in config form: per-micro-batch windows would reset their counters at " +
-          "every batch boundary (a single TOP-LEVEL throttle or metrics is the exception — " +
-          "it lowers onto keyed state). Run the config in batch mode (runConfig), " +
+          "every batch boundary (a single TOP-LEVEL throttle, metrics, aggregate, or " +
+          "elapsed is the exception — it lowers onto keyed state). Run the config in " +
+          "batch mode (runConfig), " +
           "or use the keyed-state streaming operators in graft.streaming.StreamPipeline")
       val batchCodec = inputBatchCodec(cfg.inputs)
       graft.streaming.StreamPipeline.run(spark, sourceStream(spark, cfg.inputs),
@@ -2028,6 +2032,175 @@ object LsclRun {
     // @timestamp = emit time (the processing-time flush boundary)
     val stamped = decoratorOf(p)(synth.withColumn("@timestamp", current_timestamp()))
     df.unionByName(stamped, allowMissingColumns = true)
+  }
+
+  /** Streamed `aggregate`: per-task maps on `flatMapGroupsWithState` keyed by
+    * the rendered task_id — (n_events, first/last ts, numeric total)
+    * accumulate across micro-batches AND checkpoint restarts (the reference's
+    * per-task_id map, logstash-filter-aggregate), with one cumulative summary
+    * row emitted per (task, micro-batch that touched it). Flush cadence is
+    * the BATCH boundary — the processing-time analogue of
+    * push_map_as_event_on_timeout (same stance as streamed metrics: cadence
+    * differs from the batch lowering's single end-of-input flush; the
+    * CONTRACT is the counters — the LAST summary per task equals the batch
+    * summary bit-exactly, LsclStreamSpec). Maps are never evicted: a task may
+    * always receive more events, the same lifetime contract as the metrics
+    * registry — keep task_id templates bounded-cardinality (types, hosts),
+    * the reference's own operational rule for aggregate maps.
+    *
+    * total_value accumulates in exact scaled-long cents (each value first
+    * cast decimal(18,2), exactly the batch sum's per-value quantum) so
+    * stream == batch to the bit; first/last ts ride as micros and restore
+    * through the column's original type. Requires a timestamp-typed
+    * timestamp_field: the batch lowering min/maxes whatever type it finds,
+    * and a lexical-string min under keyed state would silently diverge, so
+    * non-timestamp types reject loudly.
+    */
+  private def streamAggregate(df: DataFrame, p: Plugin): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val taskTpl = strAttr(p, "task_id").getOrElse(
+      throw new IllegalArgumentException("aggregate: task_id required"))
+    val tsName = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+    val sumField = strAttr(p, "sum_field")
+    val tsType = df.schema(tsName).dataType
+    require(tsType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        tsType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+      s"streamed aggregate: timestamp_field `$tsName` must be timestamp-typed, got $tsType")
+    // null task keys ride as a NUL sentinel (groupByKey encoders reject null
+    // keys; batch groupBy keeps a null group) and restore to null on emit
+    val valCents: Column = sumField match {
+      case Some(f) => (col(f).cast("decimal(18,2)") * lit(100)).cast("long")
+      case None    => lit(null).cast("long")
+    }
+    val staged = df.select(
+      coalesce(Mutate.sprintfFor(df, taskTpl), lit("\u0000")).as("task"),
+      coalesce(unix_micros(col(tsName).cast("timestamp")), lit(Long.MinValue)).as("ts"),
+      coalesce(valCents, lit(Long.MinValue)).as("cents")
+    ).as[(String, Long, Long)]
+    val summar = staged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long),
+                              (String, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (task, rows, state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (n, nTs, firstM, lastM, nVal, cents) =
+            state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue, 0L, 0L))
+          rows.foreach { r =>
+            n += 1
+            if (r._2 != Long.MinValue) {
+              nTs += 1
+              if (r._2 < firstM) firstM = r._2
+              if (r._2 > lastM) lastM = r._2
+            }
+            if (r._3 != Long.MinValue) { nVal += 1; cents += r._3 }
+          }
+          state.update((n, nTs, firstM, lastM, nVal, cents))
+          Iterator((task, n, nTs, firstM, lastM, nVal, cents))
+      }.toDF("_task", "_n", "_nts", "_first", "_last", "_nval", "_cents")
+    def restoredTs(c: Column): Column = timestamp_micros(c).cast(tsType)
+    val cols = Seq(
+      when(col("_task") === "\u0000", lit(null).cast("string"))
+        .otherwise(col("_task")).as("task_id"),
+      col("_n").as("n_events"),
+      when(col("_nts") > 0, restoredTs(col("_first"))).as("first_ts"),
+      when(col("_nts") > 0, restoredTs(col("_last"))).as("last_ts")) ++
+      (if (sumField.isDefined)
+        // exact-rational route to double: decimal cents / 100 then one
+        // correctly-rounded conversion — identical to the batch
+        // sum(decimal(18,2)).cast(double)
+        Seq(when(col("_nval") > 0,
+          (col("_cents").cast("decimal(20,0)") / lit(100)).cast("double"))
+          .as("total_value"))
+      else Nil)
+    decoratorOf(p)(summar.select(cols: _*))
+  }
+
+  /** Streamed `elapsed`: start/end pair correlation on
+    * `flatMapGroupsWithState` keyed by the unique id — the recorded earliest
+    * start PERSISTS across micro-batches and checkpoint restarts, so an end
+    * arriving batches (or a restart) after its start still matches
+    * (logstash-filter-elapsed's in-memory start_event map). Rows pass through
+    * exactly once with the batch lowering's columns (elapsed_time,
+    * elapsed_timestamp_start, tags).
+    *
+    * Semantics follow the reference's ARRIVAL-ORDER contract (each batch's
+    * group processed in event-time order, ends after starts on ties): an end
+    * with no recorded start tags elapsed_end_without_start — including an end
+    * whose timestamp precedes every start, which whole-batch correlation
+    * matches instead (the documented batch divergence, Stateful.elapsed).
+    * The batch rule "start with no end ⇒ tagged elapsed_expired_error at
+    * end-of-input" has no streaming analogue — a start stays OPEN in state
+    * (the reference emits a synthetic expired event after `timeout` wall
+    * seconds; here the recorded start is simply evicted after 2×timeout of
+    * processing-time idleness, bounding state for abandoned ids — an end
+    * arriving later tags end_without_start, exactly the reference's
+    * post-expiry behavior).
+    */
+  private def streamElapsed(df: DataFrame, p: Plugin): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val startTag = strAttr(p, "start_tag").getOrElse(
+      throw new IllegalArgumentException("elapsed: start_tag required"))
+    val endTag = strAttr(p, "end_tag").getOrElse(
+      throw new IllegalArgumentException("elapsed: end_tag required"))
+    val idF = strAttr(p, "unique_id_field").getOrElse(
+      throw new IllegalArgumentException("elapsed: unique_id_field required"))
+    val tsF = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+    val timeoutSec = strAttr(p, "timeout").map(_.toLong).getOrElse(1800L)
+    val tsType = df.schema(tsF).dataType
+    require(tsType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        tsType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+      s"streamed elapsed: timestamp_field `$tsF` must be timestamp-typed, got $tsType")
+    val schema = df.schema
+    val staged = df.select(
+      coalesce(col(idF).cast("string"), lit("\u0000")).as("id"),
+      coalesce(unix_micros(col(tsF).cast("timestamp")), lit(Long.MinValue)).as("ts"),
+      coalesce(array_contains(col("tags"), startTag), lit(false)).as("isStart"),
+      coalesce(array_contains(col("tags"), endTag), lit(false)).as("isEnd"),
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("payload")
+    ).as[(String, Long, Boolean, Boolean, String)]
+    // state = earliest recorded start (micros); flag 0 = passthrough,
+    // 1 = matched end (with start micros), 2 = end without start
+    val flagged = staged.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._4))
+            var start = state.getOption.getOrElse(Long.MaxValue)
+            val out = sorted.map { r =>
+              if (r._3 && r._2 != Long.MinValue && r._2 < start) start = r._2
+              if (r._4) {
+                if (start != Long.MaxValue) (r._5, 1, start)
+                else (r._5, 2, 0L)
+              } else (r._5, 0, 0L)
+            }
+            if (start != Long.MaxValue) {
+              state.update(start)
+              state.setTimeoutDuration(timeoutSec * 2000L)
+            }
+            out.iterator
+          }
+      }.toDF("_payload", "_flag", "_startm")
+    val restored = flagged
+      .withColumn("_r", from_json(col("_payload"), schema))
+      .select(col("_r.*"), col("_flag"), col("_startm"))
+    val matched = col("_flag") === 1
+    val endNo = col("_flag") === 2
+    val startTs = timestamp_micros(col("_startm")).cast(tsType)
+    val base = coalesce(col("tags"), array().cast("array<string>"))
+    restored
+      .withColumn("elapsed_time",
+        when(matched, col(tsF).cast("double") - startTs.cast("double")))
+      .withColumn("elapsed_timestamp_start", when(matched, startTs))
+      .withColumn("tags",
+        when(matched, concat(base, array(lit("elapsed"), lit("elapsed_match"))))
+          .when(endNo, concat(base, array(lit("elapsed"), lit("elapsed_end_without_start"))))
+          .otherwise(base))
+      .drop("_flag", "_startm")
   }
 
   /** Execute a complete config text: input -> filter -> routed outputs

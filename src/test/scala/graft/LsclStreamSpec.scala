@@ -232,4 +232,107 @@ class LsclStreamSpec extends SparkSpec {
       .filter(!coalesce(array_contains(col("tags"), "metric"), lit(false))).count()
     assert(passthrough == 40L)
   }
+
+  test("top-level aggregate streams: per-task maps span a restart, final summaries equal batch") {
+    val f = java.nio.file.Files.createTempFile("graft_lscl_sagg", ".log")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lscl_sagg")
+    def line(i: Int): String = {
+      val k = if (i % 2 == 0) "a" else "b"
+      f"2025-06-01 00:00:$i%02d $k ${i}%d.25\n"
+    }
+    val cfg =
+      s"""input { file { path => "$f" mode => "tail" } }
+         |filter {
+         |  dissect { mapping => { "message" => "%{d} %{t} %{k} %{v}" } }
+         |  mutate { add_field => { "tfull" => "%{d} %{t}" } }
+         |  date { match => ["tfull", "yyyy-MM-dd HH:mm:ss"] target => "ts" }
+         |  aggregate { task_id => "%{k}" timestamp_field => "ts" sum_field => "v"
+         |              add_tag => ["agg"] }
+         |}
+         |output { sink { id => "s" } }
+         |""".stripMargin
+    append(f, (0 until 20).map(line).mkString)
+    graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+      .awaitTermination(120000)
+    append(f, (20 until 40).map(line).mkString)
+    graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+      .awaitTermination(120000)
+    graft.lscl.LsclRun.runConfig(spark, cfg, s"$tmp/batch", Map.empty)
+    // flush cadence differs by design (batch = one end-of-input summary,
+    // stream = cumulative summary per touched micro-batch); the CONTRACT is
+    // the maps: the LAST summary per task must equal the batch summary
+    // bit-exactly — and its n_events can only reach 20 if phase-1 state
+    // survived the restart
+    def summaries(dir: String): Map[String, (Long, java.sql.Timestamp, java.sql.Timestamp, Double)] =
+      spark.read.parquet(s"$tmp/$dir/s")
+        .orderBy(col("task_id"), col("n_events"))
+        .collect().map(r => r.getAs[String]("task_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[java.sql.Timestamp]("first_ts"),
+            r.getAs[java.sql.Timestamp]("last_ts"), r.getAs[Double]("total_value"))))
+        .toMap // toMap keeps the LAST (max n_events) row per task
+    val streamFinal = summaries("out")
+    assert(streamFinal == summaries("batch"),
+      s"final per-task summaries differ from batch: $streamFinal")
+    assert(streamFinal.keySet == Set("a", "b"))
+    assert(streamFinal("a")._1 == 20L && streamFinal("b")._1 == 20L,
+      "per-task n_events did not span the restart")
+    // exact cents accumulation: sum of i.25 over the task's 20 events
+    val expA = (0 until 40 by 2).map(i => i + 0.25).sum
+    assert(streamFinal("a")._4 == expA, s"total_value ${streamFinal("a")._4} != $expA")
+    // decorator applied to summaries
+    val tagged = spark.read.parquet(s"$tmp/out/s")
+      .filter(array_contains(col("tags"), "agg")).count()
+    assert(tagged == spark.read.parquet(s"$tmp/out/s").count())
+  }
+
+  test("top-level elapsed streams: a start recorded before a restart matches a later end, equals batch") {
+    val f = java.nio.file.Files.createTempFile("graft_lscl_sela", ".log")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lscl_sela")
+    def line(sec: Int, id: String, w: String): String =
+      f"2025-06-01 00:$sec%02d:00 $id $w\n"
+    val cfg =
+      s"""input { file { path => "$f" mode => "tail" } }
+         |filter {
+         |  dissect { mapping => { "message" => "%{d} %{t} %{id} %{w}" } }
+         |  mutate { add_field => { "tfull" => "%{d} %{t}" } }
+         |  date { match => ["tfull", "yyyy-MM-dd HH:mm:ss"] target => "ts" }
+         |  if [w] == "start" { mutate { add_tag => ["ts_start"] } }
+         |  if [w] == "end" { mutate { add_tag => ["ts_end"] } }
+         |  elapsed { start_tag => "ts_start" end_tag => "ts_end"
+         |            unique_id_field => "id" timestamp_field => "ts" }
+         |}
+         |output { sink { id => "s" } }
+         |""".stripMargin
+    // phase 1: starts for ids 0..9 (t=i min), ends for ids 0..4 (t=20+i)
+    val p1 = (0 until 10).map(i => line(i, s"id$i", "start")) ++
+      (0 until 5).map(i => line(20 + i, s"id$i", "end"))
+    append(f, p1.mkString)
+    graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+      .awaitTermination(120000)
+    // phase 2 after a full stop: ends for ids 5..9 — they match ONLY if the
+    // recorded starts survived the restart — plus an end with no start ever
+    val p2 = (5 until 10).map(i => line(40 + i, s"id$i", "end")) :+
+      line(55, "zz", "end")
+    append(f, p2.mkString)
+    graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out", s"$tmp/ck", Map.empty)
+      .awaitTermination(120000)
+    graft.lscl.LsclRun.runConfig(spark, cfg, s"$tmp/batch", Map.empty)
+    def rows(dir: String) = spark.read.parquet(s"$tmp/$dir/s")
+      .select(col("id"), col("w"), col("elapsed_time"),
+        col("elapsed_timestamp_start").cast("string"),
+        array_join(col("tags"), ",").as("tg"))
+      .orderBy(col("id"), col("w"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), r.getString(4))).toSeq
+    val streamed = rows("out")
+    assert(streamed == rows("batch"), "streamed elapsed differs from batch")
+    assert(streamed.size == 21)
+    // every end for ids 0..9 matched; elapsed_time for id7 = (47-7) minutes
+    val m = streamed.filter(r => r._2 == "end" && r._1 != "zz")
+    assert(m.size == 10 && m.forall(_._5.contains("elapsed_match")))
+    assert(streamed.find(r => r._1 == "id7" && r._2 == "end")
+      .get._3.contains(40.0 * 60))
+    // the never-started end tags end_without_start in both engines
+    assert(streamed.find(_._1 == "zz").get._5.contains("elapsed_end_without_start"))
+  }
 }
