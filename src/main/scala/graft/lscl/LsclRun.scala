@@ -1277,20 +1277,27 @@ object LsclRun {
           // driver-printing an unbounded frame is cluster-inappropriate, so
           // this prints a bounded sample plus the total (set `limit` for
           // more). codec => dots prints the progress dots (bounded render).
-          val isDots = p.attr("codec") match {
-            case Some(VString("dots")) => true
-            case Some(VPlugin(c)) => c.name == "dots"
-            case _ => false
+          val codecName = p.attr("codec") match {
+            case Some(VString(s)) => s
+            case Some(VPlugin(c)) => c.name
+            case _ => "rubydebug" // the reference stdout default
           }
           val total = frame.count()
-          if (isDots) {
-            val shown = math.min(total, 10000L).toInt
-            println("." * shown +
-              (if (total > shown) s" (+${total - shown} more)" else ""))
-          } else {
-            val n = strAttr(p, "limit").map(_.toInt).getOrElse(20)
-            println(s"stdout output ($total events, first $n):")
-            frame.show(n, truncate = false)
+          val n = strAttr(p, "limit").map(_.toInt).getOrElse(20)
+          codecName match {
+            case "dots" =>
+              val shown = math.min(total, 10000L).toInt
+              println("." * shown +
+                (if (total > shown) s" (+${total - shown} more)" else ""))
+            case "json" | "json_lines" =>
+              println(s"stdout output ($total events, first $n):")
+              frame.select(to_json(struct(frame.columns.map(col).toIndexedSeq: _*)))
+                .take(n).foreach(r => println(r.getString(0)))
+            case _ =>
+              // rubydebug: the awesome_print event hash (Codec.rubydebug)
+              println(s"stdout output ($total events, first $n):")
+              frame.select(graft.operators.Codec.rubydebug(frame))
+                .take(n).foreach(r => println(r.getString(0)))
           }
         case "null" =>
           // null output: swallow after materialization (the reference's

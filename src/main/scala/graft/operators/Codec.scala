@@ -253,4 +253,45 @@ object Codec {
         array().cast("array<string>").as("tags"))
     docs.unionByName(deletes)
   }
+
+  /** rubydebug codec (reference logstash-codec-rubydebug: the stdout
+    * output's DEFAULT codec — awesome_print of the event hash): one pretty
+    * `{\n  "key" => value,\n ... \n}` block per event, keys right-aligned so
+    * every `=>` lines up (pad = 4 + longest-inspected-key − key). Value
+    * rendering follows Ruby inspect: strings double-quoted with \\, \",
+    * \n, \r, \t escaped; numerics/booleans bare; nil for NULL; timestamps
+    * as unquoted ISO8601 with milliseconds and a Z (the LogStash::Timestamp
+    * print form); string arrays as ["a", "b"].
+    *
+    * The schema is static, so key widths fold at PLAN time and the whole
+    * render is one codegen'd concat — no per-row reflection like the
+    * reference's Ruby formatter.
+    */
+  def rubydebug(df: DataFrame, cols: Seq[String] = Nil): Column = {
+    import org.apache.spark.sql.types._
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val maxw = names.map(_.length + 2).max
+    def rubyEscape(c: Column): Column =
+      replace(replace(replace(replace(replace(c,
+        lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\"")),
+        lit("\n"), lit("\\n")),
+        lit("\r"), lit("\\r")),
+        lit("\t"), lit("\\t"))
+    def quoted(c: Column): Column = concat(lit("\""), rubyEscape(c), lit("\""))
+    def render(n: String): Column = df.schema(n).dataType match {
+      case StringType => quoted(col(n))
+      case _: TimestampType | _: TimestampNTZType =>
+        concat(date_format(col(n), "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z"))
+      case ArrayType(StringType, _) =>
+        concat(lit("["),
+          array_join(transform(col(n), quoted _), ", ", "nil"), lit("]"))
+      case _ => col(n).cast("string")
+    }
+    val lines = names.map { n =>
+      val pad = " " * (4 + maxw - (n.length + 2))
+      concat(lit(pad + "\"" + n + "\" => "), coalesce(render(n), lit("nil")))
+    }
+    concat(lit("{\n"), concat_ws(",\n", lines: _*), lit("\n}"))
+  }
 }

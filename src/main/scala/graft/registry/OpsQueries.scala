@@ -661,6 +661,18 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // rubydebug codec (the stdout output's default): awesome_print event
+    // hash — keys right-aligned at plan time (static schema), Ruby-inspect
+    // value rendering (quoted/escaped strings, bare numerics, nil,
+    // ISO8601+Z timestamps). The props column carries JSON quotes, so the
+    // escape chain is exercised on every row.
+    "evt_rubydebug" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("ts"), col("props"))
+      e.select(col("event_id"), graft.operators.Codec.rubydebug(e).as("debug"))
+        .orderBy("event_id")
+    }),
+
     // codec => multiline on an LSCL file input (mixed_codec_spec.yml
     // surface): continuation lines (leading space) reassemble into their
     // head line's event via the offset-ordered tail source; event_group is
@@ -1450,6 +1462,22 @@ object OpsQueries {
         |       CASE WHEN event_id % 4 = 0 THEN NULL
         |            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_parsed,
         |       CASE WHEN event_id % 4 = 0 THEN 'not-a-time-' || event_id END AS "_@timestamp"
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_rubydebug" ->
+      """SELECT event_id,
+        |  '{' || chr(10) ||
+        |  '      "event_id" => ' || COALESCE(CAST(event_id AS VARCHAR), 'nil') || ',' || chr(10) ||
+        |  '    "event_type" => ' || COALESCE('"' ||
+        |     replace(replace(replace(replace(replace(event_type,
+        |       '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+        |     || '"', 'nil') || ',' || chr(10) ||
+        |  '            "ts" => ' || COALESCE(strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z', 'nil') || ',' || chr(10) ||
+        |  '         "props" => ' || COALESCE('"' ||
+        |     replace(replace(replace(replace(replace(props,
+        |       '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+        |     || '"', 'nil') ||
+        |  chr(10) || '}' AS debug
         |FROM events ORDER BY event_id""".stripMargin,
 
     "lscl_multiline" ->
