@@ -1634,6 +1634,19 @@ object LsclRun {
         val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
         codecPlugin(p).filter(_.name == "multiline")
           .fold(loaded)(cp => applyMultiline(cp, loaded, s"tcp:$port"))
+      case PluginItem(p) if p.name == "unix" =>
+        // unix input (logstash-input-unix server mode): AF_UNIX stream
+        // listener journals received lines; batch reads the journal so far
+        val sock = strAttr(p, "path").getOrElse(
+          throw new IllegalArgumentException("unix input: path required"))
+        strAttr(p, "mode").foreach(m => require(m == "server",
+          s"unix input: only mode => server is supported, got $m"))
+        val rd = spark.read.format("graft.sources.UnixSource")
+          .option("socket", sock)
+          .option("force_unlink", strAttr(p, "force_unlink").getOrElse("false"))
+        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        codecPlugin(p).filter(_.name == "multiline")
+          .fold(loaded)(cp => applyMultiline(cp, loaded, s"unix:$sock"))
       case PluginItem(p) if p.name == "udp" =>
         // udp input: datagram listener journals lines (one event per
         // datagram, embedded newlines split); batch reads the journal so far
@@ -1783,6 +1796,13 @@ object LsclRun {
           case _ => "graft.sources.TcpSource"
         }
         val rd = spark.readStream.format(fmt).option("port", port)
+        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+      case PluginItem(p) if p.name == "unix" =>
+        val sock = strAttr(p, "path").getOrElse(
+          throw new IllegalArgumentException("unix input: path required"))
+        val rd = spark.readStream.format("graft.sources.UnixSource")
+          .option("socket", sock)
+          .option("force_unlink", strAttr(p, "force_unlink").getOrElse("false"))
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "syslog" =>
         // listener/tail front door + the narrow RFC 3164 parse chain — all
