@@ -1231,7 +1231,7 @@ object LsclRun {
     */
   def netSinkSpecs(items: Seq[Item]): Seq[(Plugin, Cond)] = {
     val out = Seq.newBuilder[(Plugin, Cond)]
-    val names = Set("tcp", "http", "stdout", "null")
+    val names = Set("tcp", "http", "stdout", "null", "graphite", "statsd")
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if names(p.name) => out += p -> path
       case PluginItem(_) => ()
@@ -1272,6 +1272,63 @@ object LsclRun {
             case _ => strAttr(p, "batch_size").map(_.toInt).getOrElse(50)
           }
           Route.httpSink(frame, url, batch)
+        case "graphite" =>
+          // logstash-output-graphite: one `metric value epoch` line per
+          // (event, metrics-hash entry) over tcp; names and values are
+          // sprintf'd, metrics_format wraps the rendered name at its '*'
+          val host = strAttr(p, "host").getOrElse("localhost")
+          val port = strAttr(p, "port").map(_.toInt).getOrElse(2003)
+          val tsF = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+          val fmt = strAttr(p, "metrics_format").getOrElse("*")
+          require(fmt.contains("*"),
+            s"graphite output: metrics_format must contain '*', got $fmt")
+          val (pre, suf) = {
+            val i = fmt.indexOf('*'); (fmt.substring(0, i), fmt.substring(i + 1))
+          }
+          val metrics = p.attr("metrics") match {
+            case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }
+            case _ => throw new IllegalArgumentException(
+              "graphite output: metrics hash required")
+          }
+          val epoch = unix_timestamp(col(tsF).cast("timestamp")).cast("string")
+          val lines = metrics.map { case (nameTpl, valTpl) =>
+            concat(lit(pre), Mutate.sprintfFor(frame, nameTpl), lit(suf),
+              lit(" "), Mutate.sprintfFor(frame, valTpl).cast("double").cast("string"),
+              lit(" "), epoch)
+          }
+          Route.tcpSink(frame.select(explode(array(lines: _*)).as("line")),
+            host, port, Some(col("line")))
+        case "statsd" =>
+          // logstash-output-statsd: one `ns.sender.metric:value|type`
+          // datagram per (event, configured metric) — increment/decrement
+          // (|c, ±1), count (|c), gauge (|g), timing (|ms)
+          val host = strAttr(p, "host").getOrElse("localhost")
+          val port = strAttr(p, "port").map(_.toInt).getOrElse(8125)
+          val ns = strAttr(p, "namespace").getOrElse("logstash")
+          val sender = strAttr(p, "sender").getOrElse("%{host}")
+          def renderName(metric: String): Column =
+            Mutate.sprintfFor(frame, s"$ns.$sender.$metric")
+          def hashOf(attr: String): Seq[(String, String)] = p.attr(attr) match {
+            case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }
+            case Some(other) => throw new IllegalArgumentException(
+              s"statsd output: $attr expects a hash, got $other")
+            case None => Nil
+          }
+          def listOf(attr: String): Seq[String] =
+            p.attr(attr).map(strList).getOrElse(Nil)
+          val grams: Seq[Column] =
+            listOf("increment").map(m => concat(renderName(m), lit(":1|c"))) ++
+            listOf("decrement").map(m => concat(renderName(m), lit(":-1|c"))) ++
+            hashOf("count").map { case (m, v) =>
+              concat(renderName(m), lit(":"), Mutate.sprintfFor(frame, v), lit("|c")) } ++
+            hashOf("gauge").map { case (m, v) =>
+              concat(renderName(m), lit(":"), Mutate.sprintfFor(frame, v), lit("|g")) } ++
+            hashOf("timing").map { case (m, v) =>
+              concat(renderName(m), lit(":"), Mutate.sprintfFor(frame, v), lit("|ms")) }
+          require(grams.nonEmpty, "statsd output: at least one of increment/" +
+            "decrement/count/gauge/timing required")
+          Route.udpSink(frame.select(explode(array(grams: _*)).as("line")),
+            host, port, Some(col("line")))
         case "stdout" =>
           // debug output: the reference prints EVERY event (rubydebug) —
           // driver-printing an unbounded frame is cluster-inappropriate, so
@@ -1318,7 +1375,7 @@ object LsclRun {
     var k = 0
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if p.name == "pipeline" => () // bus send, not a sink
-      case PluginItem(p) if p.name == "tcp" || p.name == "http" =>
+      case PluginItem(p) if Set("tcp", "http", "graphite", "statsd")(p.name) =>
         () // network sinks — applied executor-side by runConfig, not file sinks
       case PluginItem(p) if p.name == "stdout" || p.name == "null" =>
         () // debug sinks — driver-side sample / swallow, applied by runConfig
@@ -1879,7 +1936,7 @@ object LsclRun {
     // net/debug sinks run driver/executor-side AFTER batch materialization;
     // silently dropping them in a stream would violate the fail-loud stance
     require(netSinkSpecs(cfg.outputs).isEmpty,
-      "tcp/http/stdout/null outputs are batch-only in config form " +
+      "tcp/http/graphite/statsd/stdout/null outputs are batch-only in config form " +
         "(foreachBatch sinks write files; wire a custom foreachBatch for " +
         "streaming network delivery) — run this config via runConfig")
     // stateful filters carry counters that must SPAN the period — inside

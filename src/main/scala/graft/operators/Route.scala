@@ -412,6 +412,26 @@ object Route {
         }
       }
 
+  /** udp datagram sink (the statsd transport): one datagram per payload
+    * row, executor-side, one socket per partition. Fire-and-forget like the
+    * protocol itself — UDP has no delivery contract to fail loudly on.
+    */
+  def udpSink(df: DataFrame, host: String, port: Int,
+              payload: Option[Column] = None): Unit =
+    df.select(payload.getOrElse(jsonPayload(df)).cast("string").as("line"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val sock = new java.net.DatagramSocket()
+          try {
+            val addr = java.net.InetAddress.getByName(host)
+            it.foreach { r =>
+              val b = r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              sock.send(new java.net.DatagramPacket(b, b.length, addr, port))
+            }
+          } finally sock.close()
+        }
+      }
+
   /** http output (logstash-output-http): POST payloads to `url`,
     * `batchSize` events per request as a JSON array (the reference's
     * `format => json_batch` — the only shape that survives scale; 1 = the

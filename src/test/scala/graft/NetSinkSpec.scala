@@ -109,6 +109,84 @@ class NetSinkSpec extends SparkSpec {
       ("index", "2", """{"plain":"doc"}""")))
   }
 
+  test("graphite output: sprintf'd metric lines with metrics_format wrap and epoch") {
+    val received = new ConcurrentLinkedQueue[String]()
+    val ss = new java.net.ServerSocket(0, 50,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val s = ss.accept()
+        new Thread(() => {
+          val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+            s.getInputStream, "UTF-8"))
+          var l = rd.readLine()
+          while (l != null) { received.add(l); l = rd.readLine() }
+          s.close()
+        }).start()
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    val out = java.nio.file.Files.createTempDirectory("graft_graphout").toString
+    try {
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 6 lines => ["a", "b"] } }
+           |filter { mutate { add_field => { "ts" => "2025-01-01 00:00:00" } } }
+           |output {
+           |  graphite { host => "127.0.0.1" port => ${ss.getLocalPort}
+           |             metrics => { "svc.%{message}.count" => "%{seq}" }
+           |             metrics_format => "prod.*.g"
+           |             timestamp_field => "ts" }
+           |}""".stripMargin, out, Map.empty)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (received.size < 6 && System.nanoTime() < deadline) Thread.sleep(50)
+      val lines = received.toArray(Array.empty[String]).toSeq
+      assert(lines.size == 6, s"got $lines")
+      val parsed = lines.map { l =>
+        val Array(name, v, epoch) = l.split(" ")
+        assert(epoch.matches("\\d+"), s"bad epoch in $l")
+        (name, v)
+      }.sorted
+      assert(parsed == Seq(
+        ("prod.svc.a.count.g", "0.0"), ("prod.svc.a.count.g", "2.0"),
+        ("prod.svc.a.count.g", "4.0"), ("prod.svc.b.count.g", "1.0"),
+        ("prod.svc.b.count.g", "3.0"), ("prod.svc.b.count.g", "5.0")),
+        s"got $parsed")
+      assert(lines.map(_.split(" ")(2)).distinct.size == 1, "epochs differ")
+    } finally ss.close()
+  }
+
+  test("statsd output: namespaced datagrams for increment and gauge") {
+    val received = new ConcurrentLinkedQueue[String]()
+    val ds = new java.net.DatagramSocket(0,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val rx = new Thread(() => {
+      try while (true) {
+        val p = new java.net.DatagramPacket(new Array[Byte](2048), 2048)
+        ds.receive(p)
+        received.add(new String(p.getData, 0, p.getLength, "UTF-8"))
+      } catch { case _: Exception => () }
+    })
+    rx.setDaemon(true); rx.start()
+    val out = java.nio.file.Files.createTempDirectory("graft_statsdout").toString
+    try {
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 4 lines => ["a", "b"] } }
+           |output {
+           |  statsd { host => "127.0.0.1" port => ${ds.getLocalPort}
+           |           namespace => "ls" sender => "h1"
+           |           increment => ["hits.%{message}"]
+           |           gauge => { "depth" => "%{seq}" } }
+           |}""".stripMargin, out, Map.empty)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (received.size < 8 && System.nanoTime() < deadline) Thread.sleep(50)
+      val grams = received.toArray(Array.empty[String]).toSeq.sorted
+      assert(grams == Seq(
+        "ls.h1.depth:0|g", "ls.h1.depth:1|g", "ls.h1.depth:2|g", "ls.h1.depth:3|g",
+        "ls.h1.hits.a:1|c", "ls.h1.hits.a:1|c", "ls.h1.hits.b:1|c", "ls.h1.hits.b:1|c"),
+        s"got $grams")
+    } finally ds.close()
+  }
+
   test("stdout and null outputs: bounded debug print + swallow, conditional") {
     val out = java.nio.file.Files.createTempDirectory("graft_stdnull").toString
     val res = graft.lscl.LsclRun.runConfig(spark,
