@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for training-data pipelines: language ID,
@@ -167,6 +168,32 @@ object Text {
   /** Count of matches of `pattern` in `text` (for PII audit columns). */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Canonicalize a URL for dedup keys — the standard web-corpus
+    * normalization (one crawl page appears under dozens of surface forms):
+    * drop the fragment; lowercase scheme and authority (path stays
+    * case-sensitive); strip default ports (:80 http, :443 https); remove
+    * tracking params (utm_*, fbclid, gclid) keeping the rest in order;
+    * collapse duplicate path slashes; strip one trailing slash. A chain of
+    * codegen'd regexp_replace — narrow map fused into the scan, so URL
+    * dedup shuffles only the canonical key.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase only the scheme://authority prefix
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/?#]+//[^/?#]*)", 1)),
+      regexp_replace(noFrag, "^[^/?#]+//[^/?#]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/?#:]+):80(?=[/?#]|$)", "$1"),
+      "^(https://[^/?#:]+):443(?=[/?#]|$)", "$1")
+    val noTrack =
+      regexp_replace(noPort, "([?&])(?:utm_[^=&]*|fbclid|gclid)=[^&]*", "$1")
+    val cleanQ = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    val collapsed = regexp_replace(cleanQ, "(?<!:)/{2,}", "/")
+    regexp_replace(collapsed, "(?<=[^:/])/$", "")
+  }
 
   // ---- fingerprints over token arrays ----
 
@@ -395,6 +422,42 @@ object Text {
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))))
+  }
+
+  /** EXACT stratified sampling — keep ceil(frac·n_g) rows per group (the
+    * per-language / per-source quota cut every curated pre-training mix
+    * needs), selected uniformly and deterministically by an md5 key.
+    *
+    * Scale shape: a plain `row_number over (partition by group)` serializes
+    * each group onto one reducer — a 100 TB corpus with 30 languages is 30
+    * reducers. Instead the rank is two-phase over (group, salt = first md5
+    * byte): per-bucket counts (G×256 rows, driver-broadcast) give exclusive
+    * prefix offsets per group in salt order, and the big frame ranks only
+    * WITHIN (group, salt) buckets — parallelism G×256, one shuffle of the
+    * corpus. Global order within a group is (salt, md5, id) bucket-major;
+    * since the salt is itself hash-derived, the first k_g rows in that
+    * order are a uniform sample, and any SQL engine reproduces the
+    * selection with a single window ordered the same way.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                       idCol: String, frac: Double): org.apache.spark.sql.DataFrame = {
+    val keyed = df
+      .withColumn("_sk", md5(col(idCol).cast("string")))
+      .withColumn("_salt", conv(substring(col("_sk"), 1, 2), 16, 10).cast("long"))
+    val counts = keyed.groupBy(col(groupCol), col("_salt")).agg(count(lit(1)).as("_c"))
+    val wPre = Window.partitionBy(col(groupCol)).orderBy(col("_salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(groupCol))
+    val pre = counts
+      .withColumn("_prefix", coalesce(sum(col("_c")).over(wPre), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(wTot))
+      .drop("_c")
+    val wIn = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col("_sk"), col(idCol))
+    keyed.join(broadcast(pre), Seq(groupCol, "_salt"))
+      .withColumn("_rk", row_number().over(wIn).cast("long") + col("_prefix"))
+      .filter(col("_rk") <= ceil(col("_n") * lit(frac)))
+      .drop("_sk", "_salt", "_prefix", "_n", "_rk")
   }
 
   /** Jaccard similarity of two DISTINCT-element array<long> columns (sets).

@@ -114,6 +114,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization + dedup: each doc gets a deterministic MESSY url
+    // (case-shuffled scheme/host, default ports, tracking params, duplicate
+    // slashes, trailing slash, fragment); the oracle constructs the EXPECTED
+    // canonical form analytically, so the gate verifies the normalizer
+    // rather than mirroring it. Dedup keeps min doc_id per canonical key —
+    // the shuffle key is the canonical url, never the raw text.
+    "txt_urlnorm" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 3 === 0, lit("HTTP://")).when(d % 3 === 1, lit("https://"))
+          .otherwise(lit("Http://")),
+        lit("WWW.Site"), (d % 7).cast("string"), lit(".COM"),
+        when(d % 4 === 0, when(d % 3 === 1, lit(":443")).otherwise(lit(":80")))
+          .otherwise(lit("")),
+        lit("/A/"), (d % 50).cast("string"),
+        when(d % 5 === 0, lit("//b")).otherwise(lit("")),
+        when(d % 2 === 1 && d % 3 === 1, lit("/")).otherwise(lit("")),
+        when(d % 2 === 0,
+          when(d % 10 === 0, lit("?utm_source=x&utm_medium=y"))
+            .otherwise(concat(lit("?utm_source=x&q="), (d % 10).cast("string"))))
+          .otherwise(lit("")),
+        when(d % 3 === 0, lit("#sec")).otherwise(lit("")))
+      docs(s, dir).select(Text.urlNormalize(url).as("canon"), d)
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .orderBy("canon")
+    }),
+
     // repetition filters (Gopher-style): duplicate word / 2-gram / 3-gram
     // fractions + the composed keep decision, all narrow HOFs on the scan
     "txt_rep" -> ((s, dir) => {
@@ -196,6 +224,18 @@ object TextQueries {
             Seq("src0" -> 50, "src1" -> 10, "src2" -> 0), defaultPct = 25).as("keep"))
         .groupBy("source", "keep").agg(count(lit(1)).as("n"))
         .orderBy("source", "keep")
+    }),
+
+    // EXACT stratified sampling: ceil(10%·n_lang) docs per language through
+    // the two-phase salted rank (parallelism = langs × 256 salt buckets, no
+    // per-group single-reducer window); the gate checksums the SELECTION
+    // (count + id sum per lang), which matches only if both engines picked
+    // the identical doc set
+    "doc_strat" -> ((s, dir) => {
+      Text.stratifiedSample(docs(s, dir), "lang", "doc_id", 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
     }),
 
     // deterministic shard assignment (reproducible global shuffle for
@@ -528,6 +568,21 @@ object TextQueries {
          |       CAST(len(regexp_extract_all(t, '${graft.functions.Text.PiiPhone}')) AS INTEGER) AS n_phone
          |FROM p ORDER BY doc_id""".stripMargin,
 
+    "txt_urlnorm" ->
+      // the oracle CONSTRUCTS the expected canonical form analytically from
+      // the same residues the Spark side uses to build the messy url — the
+      // normalizer is verified against ground truth, not against itself
+      """SELECT canon, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id FROM (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'http://' END) ||
+        |    'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+        |    '/A/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/b' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 AND doc_id % 10 <> 0
+        |          THEN '?q=' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END) AS canon
+        |  FROM documents) t
+        |GROUP BY canon ORDER BY canon""".stripMargin,
+
     "txt_rep" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -667,6 +722,20 @@ object TextQueries {
         |                            WHEN 'src2' THEN 0 ELSE 25 END AS keep,
         |       COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY source, keep""".stripMargin,
+
+    "doc_strat" ->
+      // single-window form: global order within a group is (salt, md5, id)
+      // bucket-major — identical selection to the two-phase Spark rank
+      """WITH s AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS key,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS salt
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY salt, key, doc_id) AS rk,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM s)
+        |SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk <= ceil(n * 0.1) GROUP BY lang ORDER BY lang""".stripMargin,
 
     "doc_shard" ->
       """WITH b AS (
