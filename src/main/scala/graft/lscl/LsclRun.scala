@@ -1231,7 +1231,8 @@ object LsclRun {
     */
   def netSinkSpecs(items: Seq[Item]): Seq[(Plugin, Cond)] = {
     val out = Seq.newBuilder[(Plugin, Cond)]
-    val names = Set("tcp", "http", "stdout", "null", "graphite", "statsd")
+    val names = Set("tcp", "http", "stdout", "null", "graphite", "statsd",
+      "syslog", "udp", "kafka")
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if names(p.name) => out += p -> path
       case PluginItem(_) => ()
@@ -1329,6 +1330,70 @@ object LsclRun {
             "decrement/count/gauge/timing required")
           Route.udpSink(frame.select(explode(array(grams: _*)).as("line")),
             host, port, Some(col("line")))
+        case "udp" =>
+          // logstash-output-udp: one datagram per event, json payload (the
+          // plugin's default codec); host+port required
+          Route.udpSink(frame,
+            strAttr(p, "host").getOrElse(throw new IllegalArgumentException(
+              "udp output: host required")),
+            strAttr(p, "port").getOrElse(throw new IllegalArgumentException(
+              "udp output: port required")).toInt)
+        case "syslog" =>
+          // logstash-output-syslog: render one RFC 3164/5424 line per event
+          // (facility/severity/appname/procid/msgid/sourcehost/message all
+          // sprintf'd), ship over udp (default) or tcp. PRI = facility*8 +
+          // severity from the label tables; `use_labels => false` takes the
+          // raw sprintf'd `priority` instead.
+          val host = strAttr(p, "host").getOrElse(throw new IllegalArgumentException(
+            "syslog output: host required"))
+          val port = strAttr(p, "port").getOrElse(throw new IllegalArgumentException(
+            "syslog output: port required")).toInt
+          val proto = strAttr(p, "protocol").getOrElse("udp")
+          val rfc = strAttr(p, "rfc").getOrElse("rfc3164")
+          def sp(tpl: String): Column = Mutate.sprintfFor(frame, tpl)
+          val useLabels = strAttr(p, "use_labels").forall(_.toBoolean)
+          val pri =
+            if (useLabels)
+              graft.operators.Net.facilityCode(
+                sp(strAttr(p, "facility").getOrElse("user-level"))) * 8 +
+                graft.operators.Net.severityCode(
+                  sp(strAttr(p, "severity").getOrElse("notice")))
+            else sp(strAttr(p, "priority").getOrElse("13")).cast("int")
+          // events carry @timestamp from ingest; sources without one (e.g.
+          // generator) stamp at emit time like the reference's Event.new
+          val ts =
+            if (frame.columns.contains("@timestamp"))
+              col("@timestamp").cast("timestamp")
+            else current_timestamp()
+          val line = graft.operators.Net.syslogLine(rfc, pri, ts,
+            sp(strAttr(p, "sourcehost").getOrElse("%{host}")),
+            sp(strAttr(p, "appname").getOrElse("LOGSTASH")),
+            sp(strAttr(p, "procid").getOrElse("-")),
+            sp(strAttr(p, "msgid").getOrElse("-")),
+            sp(strAttr(p, "message").getOrElse("%{message}")))
+          proto match {
+            case "udp" => Route.udpSink(frame, host, port, Some(line))
+            case "tcp" => Route.tcpSink(frame, host, port, Some(line))
+            case other => throw new IllegalArgumentException(
+              s"syslog output: protocol must be tcp|udp, got $other")
+          }
+        case "kafka" =>
+          // logstash-output-kafka: option mapping onto the spark-sql-kafka
+          // writer (symmetric with the kafka input); fails loudly when the
+          // connector jars are absent — no broker in this environment
+          val opts = kafkaOutputOptions(p)
+          val payload = frame.select(
+            Route.jsonPayload(frame).as("value"))
+          try payload.write.format("kafka").options(opts).save()
+          catch {
+            case e: Exception if String.valueOf(e.getMessage).contains("kafka") ||
+              e.isInstanceOf[ClassNotFoundException] =>
+              throw new IllegalStateException(
+                "kafka output: the spark-sql-kafka connector jars are not on " +
+                  "the classpath (this environment has no broker or " +
+                  "connector); add org.apache.spark:spark-sql-kafka-0-10 to " +
+                  "run this config", e)
+          }
         case "stdout" =>
           // debug output: the reference prints EVERY event (rubydebug) —
           // driver-printing an unbounded frame is cluster-inappropriate, so
@@ -1375,7 +1440,8 @@ object LsclRun {
     var k = 0
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if p.name == "pipeline" => () // bus send, not a sink
-      case PluginItem(p) if Set("tcp", "http", "graphite", "statsd")(p.name) =>
+      case PluginItem(p) if Set("tcp", "http", "graphite", "statsd",
+          "syslog", "udp", "kafka")(p.name) =>
         () // network sinks — applied executor-side by runConfig, not file sinks
       case PluginItem(p) if p.name == "stdout" || p.name == "null" =>
         () // debug sinks — driver-side sample / swallow, applied by runConfig
@@ -1553,6 +1619,26 @@ object LsclRun {
       case other => throw new IllegalArgumentException(
         s"kafka input: auto_offset_reset `$other` (expected earliest|latest)")
     }
+    strAttr(p, "security_protocol").foreach(sp =>
+      b += "kafka.security.protocol" -> sp)
+    b.result()
+  }
+
+  /** Map the LSCL `kafka` OUTPUT's option surface (logstash-output-kafka)
+    * onto spark-sql-kafka writer options — the mirror of [[kafkaOptions]].
+    * Pure translation, unit-testable without a broker; the write itself
+    * fails loudly when the connector jars are absent.
+    */
+  private[graft] def kafkaOutputOptions(p: Plugin): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    b += "kafka.bootstrap.servers" ->
+      strAttr(p, "bootstrap_servers").getOrElse("localhost:9092")
+    b += "topic" -> strAttr(p, "topic_id").getOrElse(
+      throw new IllegalArgumentException("kafka output: topic_id required"))
+    strAttr(p, "client_id").foreach(c => b += "kafka.client.id" -> c)
+    strAttr(p, "compression_type").foreach(c =>
+      b += "kafka.compression.type" -> c)
+    strAttr(p, "acks").foreach(a => b += "kafka.acks" -> a)
     strAttr(p, "security_protocol").foreach(sp =>
       b += "kafka.security.protocol" -> sp)
     b.result()

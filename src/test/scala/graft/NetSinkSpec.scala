@@ -187,6 +187,114 @@ class NetSinkSpec extends SparkSpec {
     } finally ds.close()
   }
 
+  private def udpListener(): (java.net.DatagramSocket, ConcurrentLinkedQueue[String]) = {
+    val received = new ConcurrentLinkedQueue[String]()
+    val ds = new java.net.DatagramSocket(0,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val rx = new Thread(() => {
+      try while (true) {
+        val p = new java.net.DatagramPacket(new Array[Byte](65536), 65536)
+        ds.receive(p)
+        received.add(new String(p.getData, 0, p.getLength, "UTF-8"))
+      } catch { case _: Exception => () }
+    })
+    rx.setDaemon(true); rx.start()
+    (ds, received)
+  }
+
+  private def drain(received: ConcurrentLinkedQueue[String], n: Int): Seq[String] = {
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (received.size < n && System.nanoTime() < deadline) Thread.sleep(50)
+    received.toArray(Array.empty[String]).toSeq.sorted
+  }
+
+  test("udp output: one json datagram per event") {
+    val (ds, received) = udpListener()
+    val out = java.nio.file.Files.createTempDirectory("graft_udpout").toString
+    try {
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 3 lines => ["x"] } }
+           |output { udp { host => "127.0.0.1" port => ${ds.getLocalPort} } }
+           |""".stripMargin, out, Map.empty)
+      val grams = drain(received, 3)
+      assert(grams.size == 3, s"got $grams")
+      val seqs = grams.map(g => "\"seq\":(\\d+)".r.findFirstMatchIn(g)
+        .map(_.group(1).toLong).getOrElse(-1L)).sorted
+      assert(seqs == Seq(0L, 1L, 2L), s"got $grams")
+    } finally ds.close()
+  }
+
+  test("syslog output: RFC3164 lines with label-derived PRI over udp") {
+    val (ds, received) = udpListener()
+    val out = java.nio.file.Files.createTempDirectory("graft_syslogout").toString
+    try {
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 2 lines => ["boom"] } }
+           |output {
+           |  syslog { host => "127.0.0.1" port => ${ds.getLocalPort}
+           |           facility => "local4" severity => "error"
+           |           appname => "app" procid => "%{seq}"
+           |           sourcehost => "h1" }
+           |}""".stripMargin, out, Map.empty)
+      val lines = drain(received, 2)
+      assert(lines.size == 2, s"got $lines")
+      // local4=20, error=3 -> PRI 163; day-of-month is space-padded
+      val re = ("^<163>[A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2} " +
+        "h1 app\\[(\\d)\\]: boom$").r
+      val ids = lines.map { l =>
+        val m = re.findFirstMatchIn(l)
+        assert(m.isDefined, s"line does not match RFC3164 shape: $l")
+        m.get.group(1).toLong
+      }.sorted
+      assert(ids == Seq(0L, 1L))
+    } finally ds.close()
+  }
+
+  test("syslog output: RFC5424 with numeric codes and use_labels false") {
+    val (ds, received) = udpListener()
+    val out = java.nio.file.Files.createTempDirectory("graft_syslog5424").toString
+    try {
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 1 lines => ["m1"] } }
+           |output {
+           |  syslog { host => "127.0.0.1" port => ${ds.getLocalPort}
+           |           rfc => "rfc5424" use_labels => false priority => "165"
+           |           appname => "svc" msgid => "ID7" sourcehost => "h2" }
+           |}""".stripMargin, out, Map.empty)
+      val lines = drain(received, 1)
+      assert(lines.size == 1, s"got $lines")
+      val re = ("^<165>1 \\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{3}" +
+        "(Z|[+-]\\d{2}:\\d{2}) h2 svc - ID7 - m1$").r
+      assert(re.findFirstMatchIn(lines.head).isDefined,
+        s"line does not match RFC5424 shape: ${lines.head}")
+    } finally ds.close()
+  }
+
+  test("kafka output: option mapping is exact, write fails loudly without jars") {
+    val cfg = graft.lscl.Lscl.parse(
+      """output { kafka { bootstrap_servers => "b1:9092" topic_id => "t"
+        |  client_id => "c" compression_type => "lz4" acks => "all" } }""".stripMargin)
+    val p = cfg.outputs.collect {
+      case graft.lscl.Lscl.PluginItem(pl) if pl.name == "kafka" => pl }.head
+    assert(graft.lscl.LsclRun.kafkaOutputOptions(p) == Map(
+      "kafka.bootstrap.servers" -> "b1:9092", "topic" -> "t",
+      "kafka.client.id" -> "c", "kafka.compression.type" -> "lz4",
+      "kafka.acks" -> "all"))
+    // topic_id required
+    val bad = graft.lscl.Lscl.parse("""output { kafka { } }""").outputs.collect {
+      case graft.lscl.Lscl.PluginItem(pl) => pl }.head
+    intercept[IllegalArgumentException] {
+      graft.lscl.LsclRun.kafkaOutputOptions(bad) }
+    // the write path fails loudly when the connector is absent
+    val out = java.nio.file.Files.createTempDirectory("graft_kafkaout").toString
+    val e = intercept[IllegalStateException] {
+      graft.lscl.LsclRun.runConfig(spark,
+        """input { generator { count => 1 lines => ["x"] } }
+          |output { kafka { topic_id => "t" } }""".stripMargin, out, Map.empty)
+    }
+    assert(e.getMessage.contains("connector"))
+  }
+
   test("stdout and null outputs: bounded debug print + swallow, conditional") {
     val out = java.nio.file.Files.createTempDirectory("graft_stdnull").toString
     val res = graft.lscl.LsclRun.runConfig(spark,
