@@ -1848,6 +1848,41 @@ object LsclRun {
           case _ => throw new IllegalArgumentException("syslog input: port or path required")
         }
         syslogParse(raw)
+      case PluginItem(p) if p.name == "elasticsearch" =>
+        // logstash-input-elasticsearch over the LOCAL index model (the live
+        // cluster is external — same boundary as the elasticsearch filter):
+        // `index_path` is the exported index root (what the elasticsearch
+        // OUTPUT writes, partitioned by `_index`), `index` an ES wildcard
+        // over index names (lowered onto the `_index` partition column —
+        // partition-pruned scan, never a full read), `query` the DSL subset
+        // lowered to native predicates (EsQuery — pushed to the scan).
+        // `docinfo => true` keeps _index/_docid as [@metadata] fields like
+        // the reference's docinfo_target.
+        val idxPath = strAttr(p, "index_path").getOrElse(
+          throw new IllegalArgumentException(
+            "elasticsearch input: index_path required (the local index root " +
+              "— the live-cluster half is external; see COVERAGE.md)"))
+        val raw = spark.read.parquet(idxPath)
+        val byIndex = strAttr(p, "index") match {
+          case Some(pat) if raw.columns.contains("_index") =>
+            raw.filter(col("_index").rlike(
+              graft.operators.EsQuery.wildcardRegex(pat)))
+          case Some(pat) if pat != "*" => throw new IllegalArgumentException(
+            s"elasticsearch input: index => `$pat` but the export at " +
+              s"$idxPath has no _index partition column")
+          case _ => raw
+        }
+        val queried = strAttr(p, "query") match {
+          case Some(q) => byIndex.filter(graft.operators.EsQuery.predicate(q))
+          case None => byIndex
+        }
+        if (strAttr(p, "docinfo").exists(_.toBoolean)) {
+          val d1 = if (queried.columns.contains("_index"))
+            queried.withColumnRenamed("_index", "_meta__index") else queried
+          if (d1.columns.contains("_docid"))
+            d1.withColumnRenamed("_docid", "_meta__id") else d1
+        } else queried.drop("_index", "_docid")
+
       case PluginItem(p) if p.name == "file" =>
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("file input: path required"))

@@ -291,6 +291,36 @@ object OpsQueries {
         .orderBy("idx")
     }),
 
+    // elasticsearch INPUT over the local index model: the ES output writes
+    // daily indices (partitionBy _index), the input reads them back with an
+    // ES wildcard over index names (lowered onto the partition column —
+    // pruned scan) and a bool query DSL (terms/range/must_not lowered to
+    // native predicates, pushed to the scan); docinfo => true rides the
+    // index name along as [@metadata][_index]
+    "pipe_es_input" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_esin").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("@timestamp", col("ts").cast("timestamp"))
+      val wcfg = graft.lscl.Lscl.parse(
+        """output { elasticsearch { index => "logs-%{+YYYY.MM.dd}" } }""",
+        Map.empty)
+      graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(wcfg.outputs), out, writeDefault = false)
+      val rcfg = graft.lscl.Lscl.parse(
+        s"""input {
+           |  elasticsearch {
+           |    index_path => "$out/elasticsearch_1"
+           |    index => "logs-2024.01.?2"
+           |    query => '{"query":{"bool":{"must":[{"terms":{"event_type":["click","view"]}},{"range":{"value":{"gte":1.0,"lt":50.0}}}],"must_not":[{"term":{"user_id":7}}]}}}'
+           |    docinfo => true
+           |  }
+           |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.source(s, rcfg.inputs)
+        .groupBy(col("_meta__index").cast("string").as("idx"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy("idx")
+    }),
+
     // dns filter (hostsfile mode): resolve hostname fields -> addresses and
     // reverse addresses -> names against an /etc/hosts-format dimension,
     // case-insensitive names, miss leaves field unchanged + failure tag;
@@ -1672,6 +1702,16 @@ object OpsQueries {
         |UNION ALL
         |SELECT 'sink:es_rest', COUNT(*) FROM events WHERE event_type <> 'click'
         |ORDER BY idx""".stripMargin,
+
+    "pipe_es_input" ->
+      """SELECT 'logs-' || strftime(ts, '%Y.%m.%d') AS idx,
+        |       COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE strftime(ts, '%Y.%m.%d') LIKE '2024.01._2'
+        |  AND event_type IN ('click', 'view')
+        |  AND value >= 1.0 AND value < 50.0
+        |  AND user_id <> 7
+        |GROUP BY 1 ORDER BY idx""".stripMargin,
 
     "evt_dns" ->
       """SELECT event_id,
