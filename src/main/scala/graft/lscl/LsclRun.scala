@@ -1910,6 +1910,11 @@ object LsclRun {
             // (byte-offset sincedb contract; streaming-capable)
             tailRead
           case (_, "line" | "plain") => spark.read.text(path).withColumnRenamed("value", "message")
+          case (_, "cef") =>
+            // CEF codec: one ArcSight CEF line per event -> decoded header
+            // fields + extension map (Codec.cefDecode sentinel parse)
+            graft.operators.Codec.cefDecode(
+              spark.read.text(path).withColumnRenamed("value", "message"), "message")
           case (_, "json" | "json_lines") =>
             // codec json_lines { schema => "a STRING, n BIGINT" } skips the
             // inference scan — the 100 TB path (schemaless inference reads

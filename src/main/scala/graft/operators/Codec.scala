@@ -254,6 +254,92 @@ object Codec {
     docs.unionByName(deletes)
   }
 
+  /** CEF codec — encode (logstash-codec-cef encode path): render one
+    * ArcSight Common Event Format line per event,
+    * `CEF:0|vendor|product|deviceVersion|signatureId|name|severity|k=v ...`.
+    * Header values escape `\` then `|` (the published CEF escaping order);
+    * extension values escape `\`, `=`, and literal newlines as `\n`/`\r`.
+    * Pure codegen'd string concat — no UDF.
+    */
+  def cefEncode(vendor: Column, product: Column, deviceVersion: Column,
+                signature: Column, name: Column, severity: Column,
+                ext: Seq[(String, Column)]): Column = {
+    def hdr(c: Column): Column =
+      replace(replace(c.cast("string"), lit("\\"), lit("\\\\")), lit("|"), lit("\\|"))
+    def extv(c: Column): Column =
+      replace(replace(replace(replace(c.cast("string"),
+        lit("\\"), lit("\\\\")),
+        lit("="), lit("\\=")),
+        lit("\n"), lit("\\n")),
+        lit("\r"), lit("\\r"))
+    val extStr = concat_ws(" ",
+      ext.map { case (k, v) => concat(lit(k + "="), extv(v)) }: _*)
+    concat(lit("CEF:0|"),
+      concat_ws("|", hdr(vendor), hdr(product), hdr(deviceVersion),
+        hdr(signature), hdr(name), hdr(severity)),
+      lit("|"), extStr)
+  }
+
+  /** CEF codec — decode. The seven header fields split on UNESCAPED pipes;
+    * the extension is `key=value` pairs where values may contain spaces (a
+    * value runs until the next `key=` token — the published CEF extension
+    * grammar). RE2-class engines (and DuckDB's oracle) have no lookbehind,
+    * so escape handling is sentinel-substitution instead of regex: `\\` and
+    * `\|`/`\=` swap to control characters, the split runs on bare
+    * delimiters, and each piece restores its sentinels. Pair recovery from
+    * the `=`-split is positional: segment j carries value_j plus the NEXT
+    * pair's key as its trailing token — one `transform` over the segment
+    * array peels both, no per-row parser loop.
+    *
+    * Output columns: `cef_version, cef_vendor, cef_product,
+    * cef_device_version, cef_signature, cef_name, cef_severity,
+    * cef_ext` (map) plus `_cefparsefailure` in `tags` when the line has no
+    * `CEF:` marker. A syslog prefix before `CEF:` lands in `cef_prefix`.
+    */
+  def cefDecode(df: DataFrame, source: String): DataFrame = {
+    val B = "\u0001" // escaped backslash sentinel
+    val P = "\u0002" // escaped pipe sentinel
+    val E = "\u0003" // escaped equals sentinel
+    val pos = locate("CEF:", col(source))
+    val ok = pos > 0
+    // prefix = chars before the marker, rest = after "CEF:"
+    val pre = when(pos > 1, trim(expr(s"substring($source, 1, locate('CEF:', $source) - 1)")))
+    val rest = expr(s"substring($source, locate('CEF:', $source) + 4)")
+    val masked = replace(replace(rest, lit("\\\\"), lit(B)), lit("\\|"), lit(P))
+    val parts = split(masked, java.util.regex.Pattern.quote("|"), 8)
+    def hdr(i: Int): Column =
+      replace(replace(try_element_at(parts, lit(i)), lit(P), lit("|")), lit(B), lit("\\"))
+    val extRaw = when(size(parts) >= 8, try_element_at(parts, lit(8)))
+    val extMasked = replace(extRaw, lit("\\="), lit(E))
+    val segs = split(extMasked, "=", -1)
+    val n = size(segs)
+    def unesc(c: Column): Column =
+      replace(replace(replace(replace(c,
+        lit(E), lit("=")),
+        lit("\\n"), lit("\n")),
+        lit("\\r"), lit("\r")),
+        lit(B), lit("\\"))
+    val entries = transform(sequence(lit(1), n - 1), j =>
+      struct(
+        regexp_extract(element_at(segs, j), "(\\S+)\\s*$", 1).as("key"),
+        unesc(when(j < n - 1,
+          regexp_replace(element_at(segs, j + 1), "\\s+\\S+$", ""))
+          .otherwise(element_at(segs, j + 1))).as("value")))
+    val extMap = when(ok && extRaw.isNotNull && trim(extRaw) =!= "" && n >= 2,
+      map_from_entries(entries))
+    df.withColumn("cef_prefix", when(ok, pre))
+      .withColumn("cef_version", when(ok, hdr(1)).cast("int"))
+      .withColumn("cef_vendor", when(ok, hdr(2)))
+      .withColumn("cef_product", when(ok, hdr(3)))
+      .withColumn("cef_device_version", when(ok, hdr(4)))
+      .withColumn("cef_signature", when(ok, hdr(5)))
+      .withColumn("cef_name", when(ok, hdr(6)))
+      .withColumn("cef_severity", when(ok, hdr(7)))
+      .withColumn("cef_ext", extMap)
+      .withColumn("tags", when(ok, array().cast("array<string>"))
+        .otherwise(array(lit("_cefparsefailure"))))
+  }
+
   /** rubydebug codec (reference logstash-codec-rubydebug: the stdout
     * output's DEFAULT codec — awesome_print of the event hash): one pretty
     * `{\n  "key" => value,\n ... \n}` block per event, keys right-aligned so

@@ -331,9 +331,81 @@ object EventQueries {
         .select(col("event_id"), col("fp"))
         .orderBy("event_id")
     }),
+
+    // CEF codec round trip: encode (pinned by a SQL-reconstructed expected
+    // line in the oracle) then decode back; header pipe/backslash escapes,
+    // extension `\=` escapes, values with spaces, a syslog prefix on every
+    // 5th row, and a non-CEF line on every 97th (failure tag)
+    "evt_cef" -> ((s, dir) => {
+      import graft.operators.Codec
+      val ev = events(s, dir)
+        .withColumn("prod", concat(lit("engine|"), col("event_type")))
+        .withColumn("sig", concat(lit("SIG-"), (col("event_id") % 100).cast("string")))
+        .withColumn("nm", concat(lit("event "), col("event_type")))
+        .withColumn("sev", (col("event_id") % 10).cast("string"))
+        .withColumn("srcip", concat(lit("10.0.0."), (col("user_id") % 256).cast("string")))
+        .withColumn("msgv", concat(lit("uid="), col("user_id").cast("string"),
+          lit(" path C:\\tmp")))
+      val enc = ev.withColumn("cef_line",
+        Codec.cefEncode(lit("Graft"), col("prod"), lit("1.0\\beta"),
+          col("sig"), col("nm"), col("sev"),
+          Seq("src" -> col("srcip"), "msg" -> col("msgv"), "act" -> col("event_type"))))
+        .withColumn("wire",
+          when(col("event_id") % 97 === 0, lit("malformed line without marker"))
+            .when(col("event_id") % 5 === 0, concat(lit("<13>Jan  1 host "), col("cef_line")))
+            .otherwise(col("cef_line")))
+      Codec.cefDecode(enc.select(col("event_id"), col("wire")), "wire")
+        .select(col("event_id"), col("wire"), col("cef_prefix"),
+          col("cef_vendor"), col("cef_product"), col("cef_device_version"),
+          col("cef_signature"), col("cef_name"),
+          col("cef_severity").cast("int").as("cef_sev"),
+          col("cef_ext")("src").as("ext_src"),
+          col("cef_ext")("msg").as("ext_msg"),
+          col("cef_ext")("act").as("ext_act"),
+          array_contains(col("tags"), "_cefparsefailure").as("cef_fail"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // encode pinned by SQL reconstruction (same replace order as cefEncode);
+    // decode pinned by the ground-truth columns the line was built from
+    "evt_cef" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type,
+        |         'engine|' || event_type AS prod,
+        |         'SIG-' || CAST(event_id % 100 AS VARCHAR) AS sig,
+        |         'event ' || event_type AS nm,
+        |         CAST(event_id % 10 AS VARCHAR) AS sev,
+        |         '10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS srcip,
+        |         'uid=' || CAST(user_id AS VARCHAR) || ' path C:\tmp' AS msgv
+        |  FROM events),
+        |enc AS (
+        |  SELECT *,
+        |         'CEF:0|Graft|' || replace(replace(prod, '\', '\\'), '|', '\|') ||
+        |         '|1.0\\beta|' || sig || '|' || nm || '|' || sev || '|' ||
+        |         'src=' || srcip || ' msg=' ||
+        |         replace(replace(msgv, '\', '\\'), '=', '\=') ||
+        |         ' act=' || event_type AS cef_line
+        |  FROM base)
+        |SELECT event_id,
+        |       CASE WHEN event_id % 97 = 0 THEN 'malformed line without marker'
+        |            WHEN event_id % 5 = 0 THEN '<13>Jan  1 host ' || cef_line
+        |            ELSE cef_line END AS wire,
+        |       CASE WHEN event_id % 97 <> 0 AND event_id % 5 = 0
+        |            THEN '<13>Jan  1 host' END AS cef_prefix,
+        |       CASE WHEN event_id % 97 <> 0 THEN 'Graft' END AS cef_vendor,
+        |       CASE WHEN event_id % 97 <> 0 THEN prod END AS cef_product,
+        |       CASE WHEN event_id % 97 <> 0 THEN '1.0\beta' END AS cef_device_version,
+        |       CASE WHEN event_id % 97 <> 0 THEN sig END AS cef_signature,
+        |       CASE WHEN event_id % 97 <> 0 THEN nm END AS cef_name,
+        |       CASE WHEN event_id % 97 <> 0 THEN CAST(event_id % 10 AS INTEGER) END AS cef_sev,
+        |       CASE WHEN event_id % 97 <> 0 THEN srcip END AS ext_src,
+        |       CASE WHEN event_id % 97 <> 0 THEN msgv END AS ext_msg,
+        |       CASE WHEN event_id % 97 <> 0 THEN event_type END AS ext_act,
+        |       (event_id % 97 = 0) AS cef_fail
+        |FROM enc ORDER BY event_id""".stripMargin,
+
     "evt_ua2" ->
       """SELECT event_id,
         |       CASE event_type WHEN 'view' THEN 'TB TestBrowser' WHEN 'click' THEN 'FetchLib'
