@@ -1775,8 +1775,22 @@ object LsclRun {
           throw new IllegalArgumentException("tcp input: port required")).toInt
         val rd = spark.read.format("graft.sources.TcpSource").option("port", port)
         val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
-        codecPlugin(p).filter(_.name == "multiline")
-          .fold(loaded)(cp => applyMultiline(cp, loaded, s"tcp:$port"))
+        codecPlugin(p) match {
+          case Some(cp) if cp.name == "multiline" =>
+            applyMultiline(cp, loaded, s"tcp:$port")
+          case Some(cp) if cp.name == "cef" =>
+            graft.operators.Codec.cefDecode(loaded, "message")
+          case Some(cp) if cp.name == "graphite" =>
+            graft.operators.Codec.graphiteDecode(loaded, "message")
+          case _ => loaded
+        }
+      case PluginItem(p) if p.name == "graphite" =>
+        // graphite input (logstash-input-graphite = tcp input + graphite
+        // codec): line-framed listener journal -> metric/value/@timestamp
+        val port = strAttr(p, "port").map(_.toInt).getOrElse(2003)
+        val rd = spark.read.format("graft.sources.TcpSource").option("port", port)
+        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        graft.operators.Codec.graphiteDecode(loaded, "message")
       case PluginItem(p) if p.name == "unix" =>
         // unix input (logstash-input-unix server mode): AF_UNIX stream
         // listener journals received lines; batch reads the journal so far
@@ -1914,6 +1928,11 @@ object LsclRun {
             // CEF codec: one ArcSight CEF line per event -> decoded header
             // fields + extension map (Codec.cefDecode sentinel parse)
             graft.operators.Codec.cefDecode(
+              spark.read.text(path).withColumnRenamed("value", "message"), "message")
+          case (_, "graphite") =>
+            // graphite codec: `metric value timestamp` lines -> metric/
+            // value/@timestamp (Ruby to_f/to_i prefix-parse semantics)
+            graft.operators.Codec.graphiteDecode(
               spark.read.text(path).withColumnRenamed("value", "message"), "message")
           case (_, "json" | "json_lines") =>
             // codec json_lines { schema => "a STRING, n BIGINT" } skips the

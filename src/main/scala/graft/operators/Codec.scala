@@ -340,6 +340,42 @@ object Codec {
         .otherwise(array(lit("_cefparsefailure"))))
   }
 
+  /** graphite codec — decode (logstash-codec-graphite decode path): each
+    * line is `metric value timestamp`, split on whitespace runs; the decoded
+    * event carries the metric name, its numeric value, and `@timestamp`
+    * taken from the epoch field. Value/timestamp parse with Ruby's
+    * `to_f`/`to_i` semantics (longest numeric PREFIX, 0 for garbage) so
+    * lines like `cpu.load 1.5e2x 170abc` decode the way the reference does.
+    * Lines without three fields tag `_graphiteparsefailure` (the reference
+    * raises per-line; a columnar engine tags and carries on). The reference
+    * sets the metric as a dynamic FIELD NAME (`event.set(name, value)`);
+    * per-row schemas don't exist in a columnar engine, so the same
+    * information lands as the (`metric`, `value`) pair plus a one-entry
+    * `metrics` map for map-typed consumers. Pure codegen'd split/extract —
+    * no UDF, streams as-is.
+    */
+  def graphiteDecode(df: DataFrame, source: String): DataFrame = {
+    // Ruby String#to_f / #to_i: parse the longest leading numeric prefix
+    // (after optional whitespace), 0 when there is none (regexp_extract
+    // yields "" on no-match — nullif before the ANSI cast)
+    def rubyToF(c: Column): Column = coalesce(
+      nullif(regexp_extract(c, "^\\s*[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?", 0),
+        lit("")).cast("double"), lit(0.0))
+    def rubyToI(c: Column): Column = coalesce(
+      nullif(regexp_extract(c, "^\\s*[+-]?\\d+", 0), lit("")).cast("long"), lit(0L))
+    val toks = split(trim(col(source)), "\\s+")
+    val ok = size(toks) === 3
+    val metric = when(ok, try_element_at(toks, lit(1)))
+    val value = when(ok, rubyToF(try_element_at(toks, lit(2))))
+    val ts = when(ok, timestamp_seconds(rubyToI(try_element_at(toks, lit(3)))))
+    df.withColumn("metric", metric)
+      .withColumn("value", value)
+      .withColumn("@timestamp", ts)
+      .withColumn("metrics", when(ok, map(metric, value)))
+      .withColumn("tags", when(ok, array().cast("array<string>"))
+        .otherwise(array(lit("_graphiteparsefailure"))))
+  }
+
   /** rubydebug codec (reference logstash-codec-rubydebug: the stdout
     * output's DEFAULT codec — awesome_print of the event hash): one pretty
     * `{\n  "key" => value,\n ... \n}` block per event, keys right-aligned so

@@ -365,9 +365,55 @@ object EventQueries {
           array_contains(col("tags"), "_cefparsefailure").as("cef_fail"))
         .orderBy("event_id")
     }),
+
+    // graphite codec decode: `metric value epoch` lines with Ruby to_f
+    // prefix-parse semantics (suffix junk parses, garbage -> 0.0) and a
+    // short line every 41st (failure tag); map entry proves the metrics map
+    "evt_graphite" -> ((s, dir) => {
+      import graft.operators.Codec
+      val ev = events(s, dir)
+        .withColumn("m", concat(lit("app."), col("event_type"), lit(".v")))
+        .withColumn("valstr",
+          when(col("event_id") % 17 === 0, lit("garbage"))
+            .when(col("event_id") % 13 === 0,
+              concat((col("user_id") % 1000).cast("string"), lit(".25x")))
+            .otherwise(concat((col("user_id") % 1000).cast("string"), lit(".25"))))
+        .withColumn("wire",
+          when(col("event_id") % 41 === 0, lit("short line"))
+            .otherwise(concat_ws(" ", col("m"), col("valstr"),
+              (lit(1700000000L) + col("event_id")).cast("string"))))
+      Codec.graphiteDecode(ev.select(col("event_id"), col("wire")), "wire")
+        .select(col("event_id"), col("wire"), col("metric"),
+          col("value").as("g_value"),
+          unix_timestamp(col("@timestamp")).as("ts_epoch"),
+          try_element_at(col("metrics"), col("metric")).as("map_value"),
+          array_contains(col("tags"), "_graphiteparsefailure").as("g_fail"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "evt_graphite" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type,
+        |         'app.' || event_type || '.v' AS m,
+        |         CAST(user_id % 1000 AS VARCHAR) AS istr,
+        |         CAST(user_id % 1000 AS DOUBLE) + 0.25 AS v
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN event_id % 41 = 0 THEN 'short line'
+        |       WHEN event_id % 17 = 0 THEN m || ' garbage ' || CAST(1700000000 + event_id AS VARCHAR)
+        |       WHEN event_id % 13 = 0 THEN m || ' ' || istr || '.25x ' || CAST(1700000000 + event_id AS VARCHAR)
+        |       ELSE m || ' ' || istr || '.25 ' || CAST(1700000000 + event_id AS VARCHAR) END AS wire,
+        |  CASE WHEN event_id % 41 <> 0 THEN m END AS metric,
+        |  CASE WHEN event_id % 41 = 0 THEN CAST(NULL AS DOUBLE)
+        |       WHEN event_id % 17 = 0 THEN 0.0 ELSE v END AS g_value,
+        |  CASE WHEN event_id % 41 <> 0 THEN 1700000000 + event_id END AS ts_epoch,
+        |  CASE WHEN event_id % 41 = 0 THEN CAST(NULL AS DOUBLE)
+        |       WHEN event_id % 17 = 0 THEN 0.0 ELSE v END AS map_value,
+        |  (event_id % 41 = 0) AS g_fail
+        |FROM base ORDER BY event_id""".stripMargin,
+
     // encode pinned by SQL reconstruction (same replace order as cefEncode);
     // decode pinned by the ground-truth columns the line was built from
     "evt_cef" ->
