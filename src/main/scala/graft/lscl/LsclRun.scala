@@ -1934,6 +1934,18 @@ object LsclRun {
             // value/@timestamp (Ruby to_f/to_i prefix-parse semantics)
             graft.operators.Codec.graphiteDecode(
               spark.read.text(path).withColumnRenamed("value", "message"), "message")
+          case (_, "msgpack" | "fluent") =>
+            // binary codecs: a file is a byte stream of consecutive
+            // self-delimiting packed objects; schema => DDL is required
+            // (same contract as the schema'd json codec — no inference)
+            val ddl = codecPlugin(p).flatMap(c => strAttr(c, "schema")).getOrElse(
+              throw new IllegalArgumentException(
+                s"codec => $codec requires schema => \"<ddl>\""))
+            val bin = spark.read.format("binaryFile").load(path)
+              .select(col("content"))
+            if (codec == "msgpack")
+              graft.operators.Codec.msgpackDecode(bin, "content", ddl)
+            else graft.operators.Codec.fluentDecode(bin, "content", ddl)
           case (_, "json" | "json_lines") =>
             // codec json_lines { schema => "a STRING, n BIGINT" } skips the
             // inference scan — the 100 TB path (schemaless inference reads

@@ -376,6 +376,52 @@ object Codec {
         .otherwise(array(lit("_graphiteparsefailure"))))
   }
 
+  private val msgpackUnpackAll = udf((b: Array[Byte]) =>
+    if (b == null) Seq.empty[String] else Msgpack.toJsonAll(b))
+  private val msgpackPack = udf((s: String) =>
+    if (s == null) null else Msgpack.fromJson(s))
+  private val fluentUnpack = udf((b: Array[Byte]) =>
+    if (b == null) Seq.empty[(String, Long, String)] else Msgpack.fluentEvents(b))
+
+  /** msgpack codec (logstash-codec-msgpack): a binary payload holds one or
+    * more CONSECUTIVE packed objects (self-delimiting — the wire form is one
+    * pack per event, no outer framing); each unpacks to an event whose
+    * fields follow the caller's schema. The binary seam is a narrow
+    * bytes->JSON transcode ([[Msgpack.toJsonAll]]); the typed work stays on
+    * codegen'd `from_json`, exactly like the schema'd json codec.
+    */
+  def msgpackDecode(df: DataFrame, source: String, schemaDdl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val rest = df.columns.filter(_ != source).map(col).toSeq
+    df.withColumn("_mp", explode(msgpackUnpackAll(col(source))))
+      .select(rest :+ from_json(col("_mp"), schema).as("_ev"): _*)
+      .select(rest :+ col("_ev.*"): _*)
+  }
+
+  /** msgpack codec — encode: pack the given columns as one msgpack map per
+    * event (through `to_json` with nulls KEPT — the reference packs nil
+    * values, not absent keys).
+    */
+  def msgpackEncode(cols: Seq[(String, Column)]): Column =
+    msgpackPack(to_json(
+      struct(cols.map { case (n, c) => c.as(n) }: _*),
+      java.util.Map.of("ignoreNullFields", "false")))
+
+  /** fluent codec (logstash-codec-fluent; Fluentd forward protocol, public
+    * spec): each packed object is `[tag, time, record]` (Message mode),
+    * `[tag, [[time, record], ...]]` (Forward mode), or `[tag, <packed
+    * entries as bin>]` (PackedForward). Events carry `fl_tag`,
+    * `fl_epoch`, and the record fields per the caller's schema.
+    */
+  def fluentDecode(df: DataFrame, source: String, schemaDdl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val rest = df.columns.filter(_ != source).map(col).toSeq
+    df.withColumn("_fl", explode(fluentUnpack(col(source))))
+      .select(rest ++ Seq(col("_fl._1").as("fl_tag"), col("_fl._2").as("fl_epoch"),
+        from_json(col("_fl._3"), schema).as("_ev")): _*)
+      .select(rest ++ Seq(col("fl_tag"), col("fl_epoch")) :+ col("_ev.*"): _*)
+  }
+
   /** rubydebug codec (reference logstash-codec-rubydebug: the stdout
     * output's DEFAULT codec — awesome_print of the event hash): one pretty
     * `{\n  "key" => value,\n ... \n}` block per event, keys right-aligned so
