@@ -1934,6 +1934,15 @@ object LsclRun {
             // value/@timestamp (Ruby to_f/to_i prefix-parse semantics)
             graft.operators.Codec.graphiteDecode(
               spark.read.text(path).withColumnRenamed("value", "message"), "message")
+          case (_, "edn" | "edn_lines") =>
+            // EDN codec: one EDN value per line, transcoded to JSON at the
+            // boundary, typed via the required schema (no inference)
+            val ddl = codecPlugin(p).flatMap(c => strAttr(c, "schema")).getOrElse(
+              throw new IllegalArgumentException(
+                s"codec => $codec requires schema => \"<ddl>\""))
+            graft.operators.Codec.ednLines(
+              spark.read.text(path).withColumnRenamed("value", "message"),
+              "message", ddl)
           case (_, "msgpack" | "fluent") =>
             // binary codecs: a file is a byte stream of consecutive
             // self-delimiting packed objects; schema => DDL is required

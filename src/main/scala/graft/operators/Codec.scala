@@ -422,6 +422,51 @@ object Codec {
       .select(rest ++ Seq(col("fl_tag"), col("fl_epoch")) :+ col("_ev.*"): _*)
   }
 
+  private val ednToJson = udf((s: String) => if (s == null) null else Edn.toJson(s))
+
+  /** edn / edn_lines codec — decode (logstash-codec-edn_lines): each line is
+    * one EDN value; [[Edn.toJson]] transcodes at the ingest boundary and the
+    * typed work stays on schema'd `from_json` (same contract as the json /
+    * msgpack codecs — no inference scan).
+    */
+  def ednLines(df: DataFrame, source: String, schemaDdl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val rest = df.columns.filter(_ != source).map(col).toSeq
+    df.select(rest :+ from_json(ednToJson(col(source)), schema).as("_ev"): _*)
+      .select(rest :+ col("_ev.*"): _*)
+  }
+
+  /** edn codec — encode: render the given columns as one EDN map per event,
+    * `{:key value ...}` with keyword keys. Strings quote with \\ \" \n \t \r
+    * escapes; numerics/booleans bare; NULL renders nil; timestamps as
+    * `#inst "ISO8601"` tagged elements; string arrays as vectors. The whole
+    * render folds into one codegen'd concat — no per-row formatter.
+    */
+  def ednEncode(df: DataFrame, cols: Seq[String] = Nil): Column = {
+    import org.apache.spark.sql.types._
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    def esc(c: Column): Column =
+      replace(replace(replace(replace(replace(c,
+        lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\"")),
+        lit("\n"), lit("\\n")),
+        lit("\r"), lit("\\r")),
+        lit("\t"), lit("\\t"))
+    def quoted(c: Column): Column = concat(lit("\""), esc(c), lit("\""))
+    def render(n: String): Column = df.schema(n).dataType match {
+      case StringType => quoted(col(n))
+      case _: TimestampType | _: TimestampNTZType =>
+        concat(lit("#inst \""), date_format(col(n), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+          lit("Z\""))
+      case ArrayType(StringType, _) =>
+        concat(lit("["), array_join(transform(col(n), quoted _), " ", "nil"), lit("]"))
+      case _ => col(n).cast("string")
+    }
+    val pairs = names.map(n =>
+      concat(lit(":" + n + " "), coalesce(render(n), lit("nil"))))
+    concat(lit("{"), concat_ws(" ", pairs: _*), lit("}"))
+  }
+
   /** rubydebug codec (reference logstash-codec-rubydebug: the stdout
     * output's DEFAULT codec — awesome_print of the event hash): one pretty
     * `{\n  "key" => value,\n ... \n}` block per event, keys right-aligned so

@@ -390,9 +390,51 @@ object EventQueries {
           array_contains(col("tags"), "_graphiteparsefailure").as("g_fail"))
         .orderBy("event_id")
     }),
+
+    // edn_lines codec decode: EDN maps with keyword keys, string escapes,
+    // nil, booleans, keyword-and-string vectors, a #_ discard on every 23rd
+    // id and a trailing ; comment on every 11th line
+    "evt_edn" -> ((s, dir) => {
+      import graft.operators.Codec
+      val ev = events(s, dir)
+        .withColumn("istr", (col("user_id") % 1000).cast("string"))
+        .withColumn("idtok",
+          when(col("event_id") % 23 === 0,
+            concat(lit("#_ -1 "), col("event_id").cast("string")))
+            .otherwise(col("event_id").cast("string")))
+        .withColumn("note",
+          when(col("event_id") % 7 === 0, lit("nil"))
+            .otherwise(concat(lit("\"say \\\"hi\\\"\\t"), col("event_type"), lit("\""))))
+        .withColumn("wire", concat(
+          lit("{:id "), col("idtok"),
+          lit(" :type \""), col("event_type"),
+          lit("\" :score "), col("istr"), lit(".25"),
+          lit(" :ok "), (col("event_id") % 2 === 0).cast("string"),
+          lit(" :note "), col("note"),
+          lit(" :tags [:k_"), col("event_type"), lit(" \"x y\"]}"),
+          when(col("event_id") % 11 === 0, lit(" ; trailing comment"))
+            .otherwise(lit(""))))
+      Codec.ednLines(ev.select(col("event_id"), col("wire")), "wire",
+          "id BIGINT, type STRING, score DOUBLE, ok BOOLEAN, note STRING, tags ARRAY<STRING>")
+        .select(col("event_id"), col("id").as("e_id"), col("type").as("e_type"),
+          col("score").as("e_score"), col("ok").as("e_ok"), col("note").as("e_note"),
+          array_join(col("tags"), ",").as("e_tags"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "evt_edn" ->
+      """SELECT event_id,
+        |       event_id AS e_id,
+        |       event_type AS e_type,
+        |       CAST(user_id % 1000 AS DOUBLE) + 0.25 AS e_score,
+        |       (event_id % 2 = 0) AS e_ok,
+        |       CASE WHEN event_id % 7 = 0 THEN NULL
+        |            ELSE 'say "hi"' || chr(9) || event_type END AS e_note,
+        |       'k_' || event_type || ',x y' AS e_tags
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "evt_graphite" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type,
