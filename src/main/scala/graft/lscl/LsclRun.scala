@@ -1943,6 +1943,15 @@ object LsclRun {
             graft.operators.Codec.ednLines(
               spark.read.text(path).withColumnRenamed("value", "message"),
               "message", ddl)
+          case (_, "avro") =>
+            // avro codec: consecutive raw binary datums; schema => the avro
+            // schema JSON (the Spark schema derives from it)
+            val avsc = codecPlugin(p).flatMap(c => strAttr(c, "schema")).getOrElse(
+              throw new IllegalArgumentException(
+                "codec => avro requires schema => '<avro schema json>'"))
+            graft.operators.Codec.avroDecode(
+              spark.read.format("binaryFile").load(path).select(col("content")),
+              "content", avsc)
           case (_, "msgpack" | "fluent") =>
             // binary codecs: a file is a byte stream of consecutive
             // self-delimiting packed objects; schema => DDL is required

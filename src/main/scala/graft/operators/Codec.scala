@@ -422,6 +422,32 @@ object Codec {
       .select(rest ++ Seq(col("fl_tag"), col("fl_epoch")) :+ col("_ev.*"): _*)
   }
 
+  private val avroUnpackAll = udf((b: Array[Byte], schemaJson: String) =>
+    if (b == null) Seq.empty[String] else AvroCodec.toJsonAll(b, schemaJson))
+  private val avroPack = udf((s: String, schemaJson: String) =>
+    if (s == null) null else AvroCodec.fromJson(s, schemaJson))
+
+  /** avro codec — decode consecutive raw binary datums against the given
+    * avro schema; the Spark-side schema derives from the SAME avro schema
+    * ([[AvroCodec.ddlFor]]), so there is one source of truth.
+    */
+  def avroDecode(df: DataFrame, source: String, avroSchemaJson: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      AvroCodec.ddlFor(avroSchemaJson))
+    val rest = df.columns.filter(_ != source).map(col).toSeq
+    df.withColumn("_av", explode(avroUnpackAll(col(source), lit(avroSchemaJson))))
+      .select(rest :+ from_json(col("_av"), schema).as("_ev"): _*)
+      .select(rest :+ col("_ev.*"): _*)
+  }
+
+  /** avro codec — encode the given columns as one binary datum per event
+    * (schema field order; union-free schemas, see [[AvroCodec.fromJson]]).
+    */
+  def avroEncode(cols: Seq[(String, Column)], avroSchemaJson: String): Column =
+    avroPack(to_json(
+      struct(cols.map { case (n, c) => c.as(n) }: _*),
+      java.util.Map.of("ignoreNullFields", "false")), lit(avroSchemaJson))
+
   private val ednToJson = udf((s: String) => if (s == null) null else Edn.toJson(s))
 
   /** edn / edn_lines codec — decode (logstash-codec-edn_lines): each line is
