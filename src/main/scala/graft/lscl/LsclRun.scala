@@ -1810,9 +1810,32 @@ object LsclRun {
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException("udp input: port required")).toInt
         val rd = spark.read.format("graft.sources.UdpSource").option("port", port)
-        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
-        codecPlugin(p).filter(_.name == "multiline")
-          .fold(loaded)(cp => applyMultiline(cp, loaded, s"udp:$port"))
+        codecPlugin(p) match {
+          case Some(cp) if Set("gelf", "collectd", "netflow")(cp.name) =>
+            // binary datagram codecs: the listener journals WHOLE datagrams
+            // base64-line-framed (compressed/chunked/packed frames are
+            // binary); each codec's decode reassembles + parses
+            val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j))
+              .option("frames", "base64").load()
+            val bin = loaded.select(unbase64(col("message")).as("frame"))
+            cp.name match {
+              case "gelf" =>
+                val ddl = strAttr(cp, "schema").getOrElse(
+                  throw new IllegalArgumentException(
+                    "codec => gelf requires schema => \"<ddl>\" (JSON field names, " +
+                      "additional fields WITH the leading underscore)"))
+                graft.operators.Gelf.decode(bin, "frame", ddl,
+                  remap = !strAttr(cp, "remap").contains("false"),
+                  stripLeadingUnderscore =
+                    !strAttr(cp, "strip_leading_underscore").contains("false"))
+              case "collectd" => graft.operators.Collectd.decode(bin, "frame")
+              case _ => graft.operators.Netflow.decode(bin, "frame")
+            }
+          case other =>
+            val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+            other.filter(_.name == "multiline")
+              .fold(loaded)(cp => applyMultiline(cp, loaded, s"udp:$port"))
+        }
       case PluginItem(p) if p.name == "http" =>
         // http input (webhook front door): POST bodies journal line-framed;
         // batch reads the journal so far, stream reads offset deltas
@@ -1952,6 +1975,28 @@ object LsclRun {
             graft.operators.Codec.avroDecode(
               spark.read.format("binaryFile").load(path).select(col("content")),
               "content", avsc)
+          case (_, "gelf") =>
+            // gelf archive form: one base64 frame per line (the udp
+            // listener's binary journal format) — chunked/compressed frames
+            // replay byte-exactly through the same decode
+            val ddl = codecPlugin(p).flatMap(c => strAttr(c, "schema")).getOrElse(
+              throw new IllegalArgumentException(
+                "codec => gelf requires schema => \"<ddl>\""))
+            graft.operators.Gelf.decode(
+              spark.read.text(path).select(unbase64(col("value")).as("frame")),
+              "frame", ddl)
+          case (_, "collectd") =>
+            // collectd binary protocol, base64-frame archive form: one
+            // packet per line, one event per VALUES part
+            graft.operators.Collectd.decode(
+              spark.read.text(path).select(unbase64(col("value")).as("frame")),
+              "frame")
+          case (_, "netflow") =>
+            // NetFlow v5 export packets, base64-frame archive form: one
+            // packet per line, one event per 48-byte flow record
+            graft.operators.Netflow.decode(
+              spark.read.text(path).select(unbase64(col("value")).as("frame")),
+              "frame")
           case (_, "msgpack" | "fluent") =>
             // binary codecs: a file is a byte stream of consecutive
             // self-delimiting packed objects; schema => DDL is required

@@ -1210,6 +1210,96 @@ object OpsQueries {
         .orderBy(coalesce(col("bulk_id"), lit("zzz")), col("action"))
     }),
 
+    // gelf codec over the base64-frame archive form: plain/zlib/gzip frame
+    // bodies, every 5th message CHUNKED into 3 frames (reassembled via one
+    // bounded hash agg on the 8-byte message id), remap + underscore strip +
+    // @timestamp promotion per the reference gelf input's defaults
+    "pipe_gelf" -> ((s, dir) => {
+      def gz(j: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val o = new java.util.zip.GZIPOutputStream(bos)
+        o.write(j.getBytes("UTF-8")); o.close(); bos.toByteArray
+      }
+      val frames: Seq[Array[Byte]] = (0 until 150).flatMap { i =>
+        val full = if (i % 3 == 0) s""","full_message":"fm$i"""" else ""
+        val json = s"""{"version":"1.1","host":"h${i % 5}","short_message":"sm$i"$full""" +
+          s""","timestamp":${1700000000L + i}.5,"level":${i % 8}""" +
+          s""","_facility":"f${i % 4}","_seq":$i}"""
+        val body = i % 3 match {
+          case 0 => json.getBytes("UTF-8")
+          case 1 => graft.operators.Gelf.deflate(json)
+          case _ => gz(json)
+        }
+        if (i % 5 == 0) graft.operators.Gelf.chunk(body, 3, 1000L + i)
+        else Seq(body)
+      }
+      val f = java.nio.file.Files.createTempFile("graft_gelf", ".b64")
+      java.nio.file.Files.writeString(f, frames.map(
+        java.util.Base64.getEncoder.encodeToString).mkString("", "\n", "\n"))
+      val ddl = "version STRING, host STRING, short_message STRING, " +
+        "full_message STRING, timestamp DOUBLE, level BIGINT, " +
+        "_facility STRING, _seq BIGINT"
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { file { path => "$f" codec => gelf { schema => "$ddl" } } }""",
+        Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("seq"), col("host"), col("message"), col("level"),
+          col("facility"), col("@timestamp").cast("double").as("epoch"))
+        .orderBy("seq")
+    }),
+
+    // collectd binary-protocol codec: typed parts prefix-scanned per packet,
+    // one event per VALUES part carrying the metadata accumulated so far;
+    // GAUGE doubles are little-endian (the protocol's x86 wart), counters
+    // big-endian u64
+    "pipe_collectd" -> ((s, dir) => {
+      val pkts = (0 until 100).map { i =>
+        graft.operators.Collectd.packet(
+          host = s"h${i % 4}", timeSec = 1000L + i, plugin = "cpu",
+          pluginInstance = s"core${i % 2}", typ = "usage",
+          typeInstance = s"ti$i", intervalSec = 10L,
+          valueSets = Seq(
+            Seq(("gauge", i * 0.5), ("counter", (i * 3).toDouble)),
+            Seq(("derive", (i * 7).toDouble))))
+      }
+      val f = java.nio.file.Files.createTempFile("graft_collectd", ".b64")
+      java.nio.file.Files.writeString(f, pkts.map(
+        java.util.Base64.getEncoder.encodeToString).mkString("", "\n", "\n"))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { file { path => "$f" codec => collectd } }""", Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("host"), col("collectd_time"), col("plugin_instance"),
+          col("type_instance"), col("interval"),
+          element_at(col("values"), 1).as("v0"),
+          try_element_at(col("values"), lit(2)).as("v1"),
+          array_join(col("dstypes"), ",").as("dstype_str"))
+        .orderBy(col("type_instance"), col("dstype_str"))
+    }),
+
+    // NetFlow v5 codec: 24-byte header + 48-byte records, one event per
+    // record; first/last_switched reconstructed from sys_uptime the
+    // reference way (unix_secs - (uptime - first)/1000)
+    "pipe_netflow" -> ((s, dir) => {
+      val pkts = (0 until 20).map { p =>
+        graft.operators.Netflow.packet(
+          unixSecs = 1600000000L + p, uptimeMs = 360000L, flowSeq = p * 5L,
+          recs = (0 until 5).map(i => (
+            (10 << 24) | (p << 8) | i, (192 << 24) | (168 << 16) | i,
+            (p * 10 + i).toLong, (p * 10 + i) * 64L,
+            1000 + i, 80, if (i % 2 == 0) 6 else 17)))
+      }
+      val f = java.nio.file.Files.createTempFile("graft_netflow", ".b64")
+      java.nio.file.Files.writeString(f, pkts.map(
+        java.util.Base64.getEncoder.encodeToString).mkString("", "\n", "\n"))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { file { path => "$f" codec => netflow } }""", Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("flow_seq_num"), col("ipv4_src_addr"), col("ipv4_dst_addr"),
+          col("in_pkts"), col("in_bytes"), col("l4_src_port"), col("protocol"),
+          col("first_switched"), col("last_switched"), col("src_as"), col("dst_mask"))
+        .orderBy("flow_seq_num")
+    }),
+
     // heartbeat + http_poller inputs: generator-backed liveness ticks and
     // one LIVE poll tick per named url (the gate builder runs a JDK
     // httpserver; fetches happen at lowering time, driver-side, so the
@@ -1894,6 +1984,52 @@ object OpsQueries {
         |SELECT * FROM (SELECT * FROM docs UNION ALL SELECT * FROM dels
         |               UNION ALL SELECT * FROM orph)
         |ORDER BY coalesce(bulk_id, 'zzz'), action""".stripMargin,
+
+    "pipe_gelf" ->
+      """SELECT i AS seq,
+        |       'h' || CAST(i % 5 AS VARCHAR) AS host,
+        |       CASE WHEN i % 3 = 0 THEN 'fm' || CAST(i AS VARCHAR)
+        |            ELSE 'sm' || CAST(i AS VARCHAR) END AS message,
+        |       CAST(i % 8 AS BIGINT) AS level,
+        |       'f' || CAST(i % 4 AS VARCHAR) AS facility,
+        |       CAST(1700000000.5 AS DOUBLE) + i AS epoch
+        |FROM (SELECT unnest(generate_series(0, 149)) AS i)
+        |ORDER BY seq""".stripMargin,
+
+    "pipe_collectd" ->
+      """WITH i AS (SELECT unnest(generate_series(0, 99)) AS i)
+        |SELECT * FROM (
+        |  SELECT 'h' || CAST(i % 4 AS VARCHAR) AS host,
+        |         CAST(1000 + i AS DOUBLE) AS collectd_time,
+        |         'core' || CAST(i % 2 AS VARCHAR) AS plugin_instance,
+        |         'ti' || CAST(i AS VARCHAR) AS type_instance,
+        |         CAST(10 AS DOUBLE) AS "interval",
+        |         i * 0.5 AS v0, CAST(i * 3 AS DOUBLE) AS v1,
+        |         'gauge,counter' AS dstype_str
+        |  FROM i
+        |  UNION ALL
+        |  SELECT 'h' || CAST(i % 4 AS VARCHAR), CAST(1000 + i AS DOUBLE),
+        |         'core' || CAST(i % 2 AS VARCHAR), 'ti' || CAST(i AS VARCHAR),
+        |         CAST(10 AS DOUBLE), CAST(i * 7 AS DOUBLE),
+        |         CAST(NULL AS DOUBLE), 'derive'
+        |  FROM i)
+        |ORDER BY type_instance, dstype_str""".stripMargin,
+
+    "pipe_netflow" ->
+      """WITH g AS (SELECT p, i FROM (SELECT unnest(generate_series(0, 19)) AS p),
+        |                          (SELECT unnest(generate_series(0, 4)) AS i))
+        |SELECT CAST(p * 5 + i AS BIGINT) AS flow_seq_num,
+        |       '10.0.' || CAST(p AS VARCHAR) || '.' || CAST(i AS VARCHAR) AS ipv4_src_addr,
+        |       '192.168.0.' || CAST(i AS VARCHAR) AS ipv4_dst_addr,
+        |       CAST(p * 10 + i AS BIGINT) AS in_pkts,
+        |       CAST((p * 10 + i) * 64 AS BIGINT) AS in_bytes,
+        |       CAST(1000 + i AS INTEGER) AS l4_src_port,
+        |       CAST(CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS INTEGER) AS protocol,
+        |       CAST(1600000000 + p - (i + 1) AS DOUBLE) AS first_switched,
+        |       CAST(1600000000 + p AS DOUBLE) AS last_switched,
+        |       CAST(100 AS INTEGER) AS src_as,
+        |       CAST(16 AS INTEGER) AS dst_mask
+        |FROM g ORDER BY flow_seq_num""".stripMargin,
 
     "lscl_poll" ->
       """SELECT * FROM (VALUES

@@ -43,11 +43,13 @@ object UdpSource {
     * received datagram's non-empty lines atomically.
     */
   final class Listener(port: Int, journal: java.nio.file.Path,
-                       sizeLimit: Int = DefaultSizeLimit) {
+                       sizeLimit: Int = DefaultSizeLimit,
+                       base64Frames: Boolean = false) {
     private val socket = new java.net.DatagramSocket(port)
     @volatile private var closed = false
     def localPort: Int = socket.getLocalPort
     def journalPath: java.nio.file.Path = journal
+    def framesBase64: Boolean = base64Frames
 
     private def append(lines: String): Unit = synchronized {
       java.nio.file.Files.writeString(journal, lines,
@@ -61,10 +63,20 @@ object UdpSource {
         try {
           val pkt = new java.net.DatagramPacket(buf, buf.length)
           socket.receive(pkt)
-          val text = new String(pkt.getData, pkt.getOffset, pkt.getLength,
-            java.nio.charset.StandardCharsets.UTF_8)
-          val lines = text.split("\n").filter(_.nonEmpty)
-          if (lines.nonEmpty) append(lines.mkString("", "\n", "\n"))
+          if (base64Frames) {
+            // binary-codec mode (e.g. gelf): journal the WHOLE datagram as
+            // one base64 line — line-framed for the FileTail machinery,
+            // byte-safe for compressed/chunked frames
+            val raw = java.util.Arrays.copyOfRange(
+              pkt.getData, pkt.getOffset, pkt.getOffset + pkt.getLength)
+            if (raw.nonEmpty)
+              append(java.util.Base64.getEncoder.encodeToString(raw) + "\n")
+          } else {
+            val text = new String(pkt.getData, pkt.getOffset, pkt.getLength,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val lines = text.split("\n").filter(_.nonEmpty)
+            if (lines.nonEmpty) append(lines.mkString("", "\n", "\n"))
+          }
         } catch { case _: Throwable if closed => () case _: Throwable => () }
       }
     }, s"graft-udp-recv-$port")
@@ -82,11 +94,16 @@ object UdpSource {
     * [[TcpSource.ensureListener]]).
     */
   def ensureListener(port: Int, journal: java.nio.file.Path,
-                     sizeLimit: Int = DefaultSizeLimit): Listener = {
-    val l = listeners.getOrElseUpdate(port, new Listener(port, journal, sizeLimit))
+                     sizeLimit: Int = DefaultSizeLimit,
+                     base64Frames: Boolean = false): Listener = {
+    val l = listeners.getOrElseUpdate(port,
+      new Listener(port, journal, sizeLimit, base64Frames))
     require(l.journalPath == journal,
       s"udp port $port already journals to ${l.journalPath}, not $journal — " +
         "stopListener first or reuse the existing journal")
+    require(l.framesBase64 == base64Frames,
+      s"udp port $port already listens in ${if (l.framesBase64) "base64-frame"
+        else "line"} mode — stopListener first")
     l
   }
 
@@ -112,7 +129,8 @@ private class UdpTable(options: CaseInsensitiveStringMap)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     UdpSource.ensureListener(port, journal,
-      options.getInt("size_limit", UdpSource.DefaultSizeLimit))
+      options.getInt("size_limit", UdpSource.DefaultSizeLimit),
+      "base64".equalsIgnoreCase(options.getOrDefault("frames", "line")))
     val merged = new util.HashMap[String, String](options)
     merged.putAll(opts)
     merged.put("path", journal.toString)
