@@ -316,4 +316,41 @@ object Dedup {
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
       .withColumn("is_canonical", (col(idCol) === col("cluster")).cast("int"))
   }
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, public): k-means-cluster
+    * the embedding space, then compare pairs only WITHIN a cluster —
+    * documents whose embeddings land in different clusters are by
+    * construction not semantic duplicates, so the all-pairs blow-up is
+    * bounded to cluster_size² per cluster. A doc is dropped when a
+    * LOWER-id doc in its cluster has cosine ≥ `minSim` (deterministic
+    * lowest-id-wins; the paper keeps the point farthest from the centroid —
+    * swap the rank key to do that).
+    *
+    * 100 TB design: the quantizer is the SAME deterministic/Lloyd-trained
+    * centroid set as IVF ([[graft.functions.Similarity.ivfCentroids]] /
+    * `ivfTrain`) — assignment is one broadcast-literal projection (no
+    * shuffle), the pair generation is one hash join keyed on `list_id`,
+    * and C must scale with N so cluster populations stay bounded (C ≈
+    * N/target_cluster_size), exactly how the paper runs on LAION.
+    * Returns (id, list_id, keep).
+    */
+  def semDedup(embeddings: DataFrame, embCol: String, idCol: String,
+               centroids: Seq[(Long, Array[Float])], minSim: Double): DataFrame = {
+    val asg = graft.plans.CacheScope.persist(
+      Similarity.ivfAssign(embeddings, embCol, centroids)
+        .select(col(idCol).cast("long").as("_sd_id"), col(embCol).as("_sd_ev"),
+          col("list_id")))
+    asg.count() // eager: self-joins race cache population within one job
+    val a = asg.select(col("_sd_id").as("id_a"), col("_sd_ev").as("ev_a"),
+      col("list_id"))
+    val b = asg.select(col("_sd_id").as("id_b"), col("_sd_ev").as("ev_b"),
+      col("list_id"))
+    val dropped = a.join(b, "list_id")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.cosine(col("ev_a"), col("ev_b")), 6) >= minSim)
+      .select(col("id_b").as("_sd_id")).distinct()
+    asg.join(dropped.withColumn("_dup", lit(true)), Seq("_sd_id"), "left")
+      .select(col("_sd_id").as(idCol), col("list_id"),
+        coalesce(col("_dup"), lit(false)).unary_!.as("keep"))
+  }
 }

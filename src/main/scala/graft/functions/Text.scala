@@ -369,6 +369,35 @@ object Text {
   def shardAssign(id: Column, numShards: Int): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % numShards
 
+  /** Hashed-n-gram LINEAR quality classifier (the fastText-style scorer
+    * quality-filtering pipelines run at corpus scale — e.g. the CCNet /
+    * GPT-3 "quality classifier" stage): each token hashes into one of
+    * `buckets` feature buckets, the model is a weight per bucket, and the
+    * doc score is the weight sum. Inference is what matters at 100 TB and
+    * it is ZERO-shuffle here: one codegen'd `transform` + `aggregate`
+    * projection per row, pushable right after the scan.
+    *
+    * Weights here derive from the bucket id by a fixed integer mix
+    * (`w(b) = (b * 2654435761) mod 2001 - 1000`, Knuth multiplicative hash)
+    * so tests and the DuckDB oracle agree bit-exactly; a real model swaps
+    * in a broadcast weight array with the same shape. Integer weights keep
+    * the sum engine-exact (no float fold-order concerns).
+    *
+    * Returns the input plus `score` (long), `n_tok` (int), and
+    * `keep` = score > 0.
+    */
+  def hashedClassify(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val weight = (t: Column) =>
+      (conv(substring(md5(t), 1, 6), 16, 10).cast("long") % buckets) *
+        2654435761L % 2001L - 1000L
+    df.withColumn("score",
+        aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x))
+      .withColumn("n_tok", size(toks))
+      .withColumn("keep", col("score") > 0)
+  }
+
   /** One round of BPE merge statistics: the K most frequent ADJACENT token
     * pairs across the corpus — the merge-candidate table a distributed BPE
     * trainer materializes per iteration. One narrow bigram explode -> a

@@ -912,6 +912,63 @@ object LsclRun {
                   else if (target == source) col(source) else lit(null)
         df.withColumn(target, when(m, enc).otherwise(cur))
 
+      case "math" =>
+        // logstash-filter-math: calculate => [[op, left, right, target],...]
+        // run in order (later entries see earlier targets), all arithmetic in
+        // DOUBLE. div/mod by zero -> null (the reference skips the event
+        // field on error). `round`'s right operand is the decimal places,
+        // computed as floor(x*10^p + 0.5)/10^p — pure IEEE half-up, the
+        // engine-stable form (round(x, p) double-rounds at half boundaries
+        // differently across engines; see CLAUDE.md bit-safety note).
+        val calcs = p.attr("calculate") match {
+          case Some(VList(items)) => items.map {
+            case VList(Seq(VString(op), l, r, VString(tgt))) => (op, l, r, tgt)
+            case other => throw new IllegalArgumentException(
+              s"math: calculate entries are [op, left, right, target], got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "math: calculate => [[op, left, right, target], ...] required")
+        }
+        def operand(d: DataFrame, v: Value): Column = v match {
+          case VNumber(x, _) => lit(x)
+          case VString(s) => graft.model.FieldRef.column(s).cast("double")
+          case other => throw new IllegalArgumentException(s"math: bad operand $other")
+        }
+        calcs.foldLeft(df) { case (d, (op, lv, rv, tgtRef)) =>
+          val l = operand(d, lv); val r = operand(d, rv)
+          val res = op match {
+            case "add" | "+" => l + r
+            case "sub" | "subtract" | "-" => l - r
+            case "mpx" | "multiply" | "*" => l * r
+            case "div" | "divide" | "/" => when(r === 0, lit(null)).otherwise(l / r)
+            case "mod" | "%" => when(r === 0, lit(null)).otherwise(l % r)
+            case "power" | "**" => pow(l, r)
+            case "round" =>
+              val scale = pow(lit(10.0), r)
+              floor(l * scale + 0.5) / scale
+            case other => throw new IllegalArgumentException(
+              s"math: unsupported operation `$other`")
+          }
+          val tgt = graft.model.FieldRef.parse(tgtRef)
+          require(tgt.path.size == 1 && !tgt.meta,
+            s"math: only top-level targets supported, got $tgtRef")
+          val cur = if (d.columns.contains(tgt.path.head))
+            col(tgt.path.head).cast("double") else lit(null).cast("double")
+          d.withColumn(tgt.path.head, when(m, res).otherwise(cur))
+        }
+
+      case "punct" =>
+        // logstash-filter-punct: strip alphanumerics + whitespace from
+        // `source`, leaving the punctuation skeleton (a cheap structural
+        // fingerprint for log-shape clustering)
+        val source = strAttr(p, "source").getOrElse("message")
+        val target = strAttr(p, "target").getOrElse("punct")
+        val cur = if (df.columns.contains(target)) col(target).cast("string")
+                  else lit(null).cast("string")
+        df.withColumn(target,
+          when(m, regexp_replace(col(source).cast("string"), "[A-Za-z0-9 \\t]", ""))
+            .otherwise(cur))
+
       case "alter" =>
         // logstash-filter-alter: coalesce (first non-null among rendered
         // values — a pure `%{field}` template reads the field, null when
@@ -1064,7 +1121,8 @@ object LsclRun {
             "useragent, jdbc_static, http, throttle, metrics, aggregate, " +
             "elapsed, anonymize, syslog_pri, cidr, bytes, range, " +
             "extractnumbers, environment, json_encode, tld, metricize, " +
-            "age, cipher, alter, i18n, elasticsearch, jdbc_streaming")
+            "age, cipher, alter, i18n, elasticsearch, jdbc_streaming, " +
+            "math, punct")
     }
   }
 

@@ -1300,6 +1300,38 @@ object OpsQueries {
         .orderBy("flow_seq_num")
     }),
 
+    // math filter: ordered calculate entries in DOUBLE, later entries see
+    // earlier targets; div/mod-by-zero -> null; round is IEEE half-up
+    // (floor(x*10^p+0.5)/10^p — the engine-stable form)
+    "lscl_math" -> ((s, dir) => {
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  math { calculate => [
+          |    ["add", "[value]", 10, "[v_add]"],
+          |    ["multiply", "[v_add]", "[user_id]", "[v_mul]"],
+          |    ["divide", "[value]", "[user_id]", "[v_div]"],
+          |    ["mod", "[user_id]", 7, "[v_mod]"],
+          |    ["round", "[v_div]", 3, "[v_round]"]
+          |  ] }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(
+          s.read.parquet(s"$dir/events.parquet"), cfg.filters)
+        .select(col("event_id"), col("v_add"), col("v_mul"), col("v_div"),
+          col("v_mod"), col("v_round"))
+        .orderBy("event_id")
+    }),
+
+    // punct filter: strip alphanumerics + whitespace, keep the punctuation
+    // skeleton (log-shape fingerprint)
+    "evt_punct" -> ((s, dir) => {
+      val cfg = graft.lscl.Lscl.parse(
+        """filter { punct { source => "text" target => "shape" } }""", Map.empty)
+      graft.lscl.LsclRun.applyFilters(
+          s.read.parquet(s"$dir/documents.parquet"), cfg.filters)
+        .select(col("doc_id"), col("shape"))
+        .orderBy("doc_id")
+    }),
+
     // heartbeat + http_poller inputs: generator-backed liveness ticks and
     // one LIVE poll tick per named url (the gate builder runs a JDK
     // httpserver; fetches happen at lowering time, driver-side, so the
@@ -2030,6 +2062,21 @@ object OpsQueries {
         |       CAST(100 AS INTEGER) AS src_as,
         |       CAST(16 AS INTEGER) AS dst_mask
         |FROM g ORDER BY flow_seq_num""".stripMargin,
+
+    "lscl_math" ->
+      """SELECT event_id,
+        |       value + 10 AS v_add,
+        |       (value + 10) * user_id AS v_mul,
+        |       CASE WHEN user_id = 0 THEN NULL ELSE value / user_id END AS v_div,
+        |       CAST(user_id AS DOUBLE) % 7 AS v_mod,
+        |       floor((CASE WHEN user_id = 0 THEN NULL ELSE value / user_id END)
+        |             * 1000 + 0.5) / 1000 AS v_round
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evt_punct" ->
+      """SELECT doc_id,
+        |       regexp_replace(text, '[A-Za-z0-9 \t]', '', 'g') AS shape
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lscl_poll" ->
       """SELECT * FROM (VALUES

@@ -422,6 +422,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC dedup (SemDeDup): cluster the embedding space on the IVF
+    // quantizer, pairwise cosine ONLY within a cluster, lowest-id-wins —
+    // the all-pairs blow-up stays bounded to cluster_size² per cluster
+    "dedup_sem" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8)
+      graft.functions.Dedup.semDedup(e, "embedding", "vec_id", cents, 0.3)
+        .orderBy("vec_id")
+    }),
+
+    // hashed-n-gram linear quality classifier: zero-shuffle inference
+    // (transform + aggregate projection), integer weights for engine-exact
+    // score sums
+    "txt_classify" -> ((s, dir) => {
+      Text.hashedClassify(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tok"), col("score"),
+          (col("score").cast("double") / col("n_tok")).as("score_per_tok"),
+          col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // sign-LSH bucket histogram (the ANN partition key)
     "sim_buckets" -> ((s, dir) => {
       embs(s, dir)
@@ -909,5 +930,44 @@ object TextQueries {
       s"""SELECT CAST(${bits.mkString(" + ")} AS INTEGER) AS bucket, COUNT(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
     },
+
+    "dedup_sem" -> {
+      val cos = (x: String, y: String) =>
+        s"round(list_dot_product($x, $y) / " +
+          s"(sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y))), 6)"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, ev, cid,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY ${cos("ev", "cv")} DESC, cid) AS rk
+         |  FROM base, cent),
+         |lists AS (SELECT vec_id, ev, cid AS list_id FROM asg WHERE rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM lists a JOIN lists b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.ev", "b.ev")} >= 0.3)
+         |SELECT l.vec_id, l.list_id, (d.vec_id IS NULL) AS keep
+         |FROM lists l LEFT JOIN dropped d ON l.vec_id = d.vec_id
+         |ORDER BY l.vec_id""".stripMargin
+    },
+
+    "txt_classify" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         (CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 1024)
+        |           * 2654435761 % 2001 - 1000 AS wt
+        |  FROM t),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score,
+        |         CAST(COUNT(*) AS INTEGER) AS n_tok
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_tok, score, CAST(score AS DOUBLE) / n_tok AS score_per_tok,
+        |       score > 0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }
