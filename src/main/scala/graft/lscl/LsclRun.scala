@@ -1636,15 +1636,33 @@ object LsclRun {
     * (AvailableNow over a complete file = one batch = exact equality).
     */
   def inputBatchCodec(items: Seq[Item]): DataFrame => DataFrame = {
-    val ml = items.collect {
+    val codecs = items.collect {
       case PluginItem(p) if Set("file", "tcp", "udp")(p.name) =>
-        codecPlugin(p).filter(_.name == "multiline")
+        codecPlugin(p).filter(c => c.name == "multiline" ||
+          Set("gelf", "collectd", "netflow")(c.name))
     }.flatten
-    require(ml.size <= 1,
-      "multiple inputs with multiline codecs: streaming applies ONE batch " +
+    require(codecs.size <= 1,
+      "multiple inputs with batch codecs: streaming applies ONE batch " +
         "codec over the unioned stream — give each input its own pipeline")
-    ml.headOption match {
-      case Some(cp) => b => applyMultiline(cp, b, "stream")
+    codecs.headOption match {
+      case Some(cp) if cp.name == "multiline" =>
+        b => applyMultiline(cp, b, "stream")
+      case Some(cp) =>
+        // binary datagram codecs per micro-batch: whole frames decode
+        // statelessly; a gelf CHUNK GROUP split across micro-batches drops
+        // (same auto_flush-style per-batch boundary as multiline — the
+        // reference's chunk reaper is likewise time-bounded at 5 s)
+        val ddl = strAttr(cp, "schema")
+        b => {
+          val bin = b.select(unbase64(col("message")).as("frame"))
+          cp.name match {
+            case "gelf" => graft.operators.Gelf.decode(bin, "frame",
+              ddl.getOrElse(throw new IllegalArgumentException(
+                "codec => gelf requires schema => \"<ddl>\"")))
+            case "collectd" => graft.operators.Collectd.decode(bin, "frame")
+            case _ => graft.operators.Netflow.decode(bin, "frame")
+          }
+        }
       case None => identity
     }
   }
@@ -2043,6 +2061,27 @@ object LsclRun {
             graft.operators.Gelf.decode(
               spark.read.text(path).select(unbase64(col("value")).as("frame")),
               "frame", ddl)
+          case (_, "protobuf") =>
+            // protobuf codec: one message per base64 line, field numbers
+            // declared in config (`fields` hash) — no compiled classes
+            val cp = codecPlugin(p).getOrElse(throw new IllegalArgumentException(
+              "codec => protobuf requires a block with schema + fields"))
+            val ddl = strAttr(cp, "schema").getOrElse(
+              throw new IllegalArgumentException(
+                "codec => protobuf requires schema => \"<ddl>\""))
+            val nums = cp.attr("fields") match {
+              case Some(VHash(entries)) => entries.map { case (k, v) => k -> (v match {
+                case VNumber(d, _) => d.toInt
+                case VString(s) => s.toInt
+                case other => throw new IllegalArgumentException(
+                  s"protobuf fields: bad number $other for $k")
+              }) }.toMap
+              case _ => throw new IllegalArgumentException(
+                "codec => protobuf requires fields => { \"<col>\" => <number> }")
+            }
+            graft.operators.Protobuf.decode(
+              spark.read.text(path).select(unbase64(col("value")).as("frame")),
+              "frame", ddl, nums)
           case (_, "collectd") =>
             // collectd binary protocol, base64-frame archive form: one
             // packet per line, one event per VALUES part
@@ -2130,7 +2169,11 @@ object LsclRun {
           case "beats" => "graft.sources.BeatsSource"
           case _ => "graft.sources.TcpSource"
         }
-        val rd = spark.readStream.format(fmt).option("port", port)
+        val rd0 = spark.readStream.format(fmt).option("port", port)
+        // binary datagram codecs need the base64 whole-frame journal mode
+        val rd = if (p.name == "udp" && codecPlugin(p).exists(c =>
+            Set("gelf", "collectd", "netflow")(c.name)))
+          rd0.option("frames", "base64") else rd0
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "unix" =>
         val sock = strAttr(p, "path").getOrElse(

@@ -1300,6 +1300,30 @@ object OpsQueries {
         .orderBy("flow_seq_num")
     }),
 
+    // protobuf codec: config-declared field numbers over the public wire
+    // format — varint/fixed64/fixed32/length-delimited, unknown field 99
+    // skipped by wire type, missing optional fields null
+    "pipe_protobuf" -> ((s, dir) => {
+      val msgs = (0 until 200).map { i =>
+        val base = Seq[(Int, Any)](
+          1 -> s"n$i", 2 -> (i * 3L), 3 -> (i * 0.25), 4 -> (i % 2 == 1),
+          99 -> s"unknown$i") // undeclared: must be skipped
+        graft.operators.Protobuf.pack(
+          if (i % 4 == 0) base.filterNot(_._1 == 2) else base) // field 2 optional
+      }
+      val f = java.nio.file.Files.createTempFile("graft_protobuf", ".b64")
+      java.nio.file.Files.writeString(f, msgs.map(
+        java.util.Base64.getEncoder.encodeToString).mkString("", "\n", "\n"))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { file { path => "$f" codec => protobuf {
+           |  schema => "name STRING, count BIGINT, score DOUBLE, flag BOOLEAN"
+           |  fields => { "name" => 1 "count" => 2 "score" => 3 "flag" => 4 }
+           |} } }""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("name"), col("count"), col("score"), col("flag"))
+        .orderBy(length(col("name")), col("name"))
+    }),
+
     // math filter: ordered calculate entries in DOUBLE, later entries see
     // earlier targets; div/mod-by-zero -> null; round is IEEE half-up
     // (floor(x*10^p+0.5)/10^p — the engine-stable form)
@@ -2062,6 +2086,14 @@ object OpsQueries {
         |       CAST(100 AS INTEGER) AS src_as,
         |       CAST(16 AS INTEGER) AS dst_mask
         |FROM g ORDER BY flow_seq_num""".stripMargin,
+
+    "pipe_protobuf" ->
+      """SELECT 'n' || CAST(i AS VARCHAR) AS name,
+        |       CASE WHEN i % 4 = 0 THEN NULL ELSE CAST(i * 3 AS BIGINT) END AS count,
+        |       i * 0.25 AS score,
+        |       i % 2 = 1 AS flag
+        |FROM (SELECT unnest(generate_series(0, 199)) AS i)
+        |ORDER BY strlen(name), name""".stripMargin,
 
     "lscl_math" ->
       """SELECT event_id,

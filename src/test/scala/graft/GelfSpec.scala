@@ -104,4 +104,51 @@ class GelfSpec extends SparkSpec {
       assert(out.forall(_.getString(2) == "net"))
     } finally graft.sources.UdpSource.stopListener(port)
   }
+
+  test("runConfigStream: udp gelf config streams, restart picks up only the delta") {
+    val port = 15958
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gelf_stream")
+    val journal = tmp.resolve("gelf.journal")
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    graft.sources.UdpSource.ensureListener(port, journal, base64Frames = true)
+    try {
+      def send(ids: Range): Unit = {
+        val sock = new java.net.DatagramSocket()
+        try ids.foreach { i =>
+          val b = Gelf.deflate(
+            s"""{"version":"1.1","host":"s$i","short_message":"m$i","timestamp":$i.0,"level":1,"_facility":"f"}""")
+          sock.send(new java.net.DatagramPacket(b, b.length,
+            java.net.InetAddress.getLoopbackAddress, port))
+        } finally sock.close()
+      }
+      def awaitLines(n: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while ((!java.nio.file.Files.exists(journal) ||
+            java.nio.file.Files.readAllLines(journal).size() < n) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+      }
+      val cfg =
+        s"""input { udp { port => $port journal => "$journal"
+           |  codec => gelf { schema => "$Ddl" } } }
+           |filter { mutate { add_field => { "src" => "gelf-stream" } } }
+           |output { sink { id => "s_gelf" } }
+           |""".stripMargin
+      def runOnce(): Unit = {
+        val q = graft.lscl.LsclRun.runConfigStream(spark, cfg, out, ck, Map.empty)
+        q.awaitTermination(120000); ()
+      }
+      send(0 until 20); awaitLines(20)
+      runOnce()
+      val first = spark.read.parquet(s"$out/s_gelf")
+      assert(first.count() == 20)
+      assert(first.filter(col("src") === "gelf-stream").count() == 20)
+      assert(first.select("host").distinct().count() == 20)
+      // restart: only the 5 new frames land (exactly-once over the journal)
+      send(20 until 25); awaitLines(25)
+      runOnce()
+      val all = spark.read.parquet(s"$out/s_gelf")
+      assert(all.count() == 25)
+      assert(all.select("host").distinct().count() == 25)
+    } finally graft.sources.UdpSource.stopListener(port)
+  }
 }
