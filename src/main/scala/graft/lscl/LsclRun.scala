@@ -322,6 +322,24 @@ object LsclRun {
         jsonParse(df, source, strAttr(p, "target"), m,
           strAttr(p, "schema").orElse(strAttr(p, "target_schema")))
 
+      case "yaml" =>
+        // logstash-filter-yaml: YAML.load(source) -> fields (or `target`),
+        // parse failure tags _yamlparsefailure. Lowered as a codegen'd
+        // YAML->JSON transcode (YamlOps, SafeConstructor) feeding the SAME
+        // schema'd expansion as the json filter — one narrow pass with an
+        // explicit `schema` DDL, inference double-scan otherwise.
+        val source = strAttr(p, "source").getOrElse("message")
+        val tagFail = p.attr("tag_on_failure").map(strList)
+          .getOrElse(Seq("_yamlparsefailure"))
+        val tmp = "__lscl_yaml_json"
+        val transcoded = df.withColumn(tmp,
+          graft.plans.YamlExprs.yamlToJson(col(source)))
+        val failed = m && col(source).isNotNull && col(tmp).isNull
+        val parsed = jsonParse(transcoded, tmp, strAttr(p, "target"), m,
+          strAttr(p, "schema").orElse(strAttr(p, "target_schema")))
+        tagFail.foldLeft(parsed)((d, t) => Mutate.addTagWhen(d, failed, t))
+          .drop(tmp)
+
       case "translate" =>
         val source = strAttr(p, "source").orElse(strAttr(p, "field")).getOrElse(
           throw new IllegalArgumentException("translate: source required"))
@@ -1115,7 +1133,7 @@ object LsclRun {
 
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported filter plugin `$other`; supported: mutate, drop, json, " +
+          s"unsupported filter plugin `$other`; supported: mutate, drop, json, yaml, " +
             "translate, grok, dissect, kv, csv, xml, date, fingerprint, prune, " +
             "truncate, uuid, clone, split, urldecode, de_dot, geoip, dns, " +
             "useragent, jdbc_static, http, throttle, metrics, aggregate, " +
@@ -1290,7 +1308,8 @@ object LsclRun {
   def netSinkSpecs(items: Seq[Item]): Seq[(Plugin, Cond)] = {
     val out = Seq.newBuilder[(Plugin, Cond)]
     val names = Set("tcp", "http", "stdout", "null", "graphite", "statsd",
-      "syslog", "udp", "kafka")
+      "syslog", "udp", "kafka", "pipe", "lumberjack", "exec", "opentsdb",
+      "gelf", "zabbix")
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if names(p.name) => out += p -> path
       case PluginItem(_) => ()
@@ -1435,6 +1454,96 @@ object LsclRun {
             case other => throw new IllegalArgumentException(
               s"syslog output: protocol must be tcp|udp, got $other")
           }
+        case "exec" =>
+          // logstash-output-exec: run `command` (sprintf'd) once per event —
+          // the reference's alert/trigger sink; per-event fork documented
+          Route.execSink(frame, Mutate.sprintfFor(frame,
+            strAttr(p, "command").getOrElse(throw new IllegalArgumentException(
+              "exec output: command required"))))
+        case "opentsdb" =>
+          // logstash-output-opentsdb: `put <metric> <epoch> <value>
+          // [tag=val ...]` telnet lines over tcp. `metrics` is the
+          // reference's flat list: [metric, value, tagname, tagvalue, ...]
+          val host = strAttr(p, "host").getOrElse("localhost")
+          val port = strAttr(p, "port").map(_.toInt).getOrElse(4242)
+          val ms = p.attr("metrics").map(strList).getOrElse(
+            throw new IllegalArgumentException("opentsdb output: metrics required"))
+          require(ms.length >= 2 && ms.length % 2 == 0,
+            s"opentsdb output: metrics wants [metric, value, (tag, value)*], got $ms")
+          val tsF = strAttr(p, "timestamp_field").getOrElse("@timestamp")
+          val epoch = unix_timestamp(col(tsF).cast("timestamp")).cast("string")
+          val tags = ms.drop(2).grouped(2).flatMap { pair =>
+            Seq(lit(" "), Mutate.sprintfFor(frame, pair(0)), lit("="),
+              Mutate.sprintfFor(frame, pair(1)))
+          }.toSeq
+          val line = concat(Seq(lit("put "), Mutate.sprintfFor(frame, ms(0)),
+            lit(" "), epoch, lit(" "),
+            Mutate.sprintfFor(frame, ms(1)).cast("double").cast("string")) ++ tags: _*)
+          Route.tcpSink(frame.select(line.as("line")), host, port, Some(col("line")))
+        case "gelf" =>
+          // logstash-output-gelf: GELF-via-UDP datagrams — version 1.1,
+          // host = sprintf'd `sender`, short_message from the named field
+          // (falling back to message), level, custom_fields as _additional
+          val host = strAttr(p, "host").getOrElse(
+            throw new IllegalArgumentException("gelf output: host required"))
+          val port = strAttr(p, "port").map(_.toInt).getOrElse(12201)
+          val smField = strAttr(p, "short_message").getOrElse("short_message")
+          val sm = if (frame.columns.contains(smField)) col(smField)
+            else col("message")
+          val custom = p.attr("custom_fields") match {
+            case Some(VHash(es)) => es.map { case (k, v) =>
+              ("_" + k) -> Mutate.sprintfFor(frame, str(litVal(v))) }
+            case _ => Nil
+          }
+          val ts: Seq[(String, Column)] =
+            if (frame.columns.contains("@timestamp"))
+              Seq("timestamp" -> unix_timestamp(col("@timestamp").cast("timestamp"))
+                .cast("double"))
+            else Nil
+          val cols = Seq(
+            "host" -> Mutate.sprintfFor(frame, strAttr(p, "sender").getOrElse("%{host}")),
+            "short_message" -> sm,
+            "level" -> lit(strAttr(p, "level").map(_.toInt).getOrElse(6))) ++ ts ++ custom
+          Route.gelfSink(frame, host, port, graft.operators.Gelf.encode(cols))
+        case "zabbix" =>
+          // logstash-output-zabbix: (host, key, value) items to a trapper
+          // via the public sender protocol; the three selectors are FIELD
+          // REFERENCES in the reference (value defaults to message)
+          val zserver = strAttr(p, "zabbix_server_host").getOrElse("localhost")
+          val zport = strAttr(p, "zabbix_server_port").map(_.toInt).getOrElse(10051)
+          def fieldCol(attr: String, default: Option[String]): Column = {
+            val name = strAttr(p, attr).orElse(default).getOrElse(
+              throw new IllegalArgumentException(s"zabbix output: $attr required"))
+            graft.model.FieldRef.column(name)
+          }
+          val item = to_json(struct(
+            fieldCol("zabbix_host", None).cast("string").as("host"),
+            fieldCol("zabbix_key", None).cast("string").as("key"),
+            fieldCol("zabbix_value", Some("message")).cast("string").as("value")))
+          Route.zabbixSink(frame, zserver, zport, item,
+            strAttr(p, "batch_size").map(_.toInt).getOrElse(250))
+        case "pipe" =>
+          // logstash-output-pipe: rendered lines into the stdin of a
+          // (possibly sprintf'd per event) command; message_format renders
+          // the line, json payload otherwise — one process per distinct
+          // rendered command per partition, non-zero exit fails the task
+          val cmdTpl = strAttr(p, "command").getOrElse(
+            throw new IllegalArgumentException("pipe output: command required"))
+          Route.pipeSink(frame, Mutate.sprintfFor(frame, cmdTpl),
+            strAttr(p, "message_format").map(t => Mutate.sprintfFor(frame, t)))
+        case "lumberjack" =>
+          // logstash-output-lumberjack: lumberjack v2 client to a beats
+          // receiver — windows of flush_size '2J' frames zlib-packed into
+          // '2C', blocking on the window ack (at-least-once). The reference
+          // requires TLS; transport security is deployment-external here.
+          val hosts = p.attr("hosts").map(strList).getOrElse(
+            strAttr(p, "host").map(Seq(_)).getOrElse(
+              throw new IllegalArgumentException("lumberjack output: hosts required")))
+          Route.lumberjackSink(frame, hosts.head,
+            strAttr(p, "port").getOrElse(throw new IllegalArgumentException(
+              "lumberjack output: port required")).toInt,
+            windowSize = strAttr(p, "flush_size").map(_.toInt).getOrElse(500),
+            compress = !strAttr(p, "compress").contains("false"))
         case "kafka" =>
           // logstash-output-kafka: option mapping onto the spark-sql-kafka
           // writer (symmetric with the kafka input); fails loudly when the
@@ -1499,7 +1608,8 @@ object LsclRun {
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if p.name == "pipeline" => () // bus send, not a sink
       case PluginItem(p) if Set("tcp", "http", "graphite", "statsd",
-          "syslog", "udp", "kafka")(p.name) =>
+          "syslog", "udp", "kafka", "pipe", "lumberjack", "exec", "opentsdb",
+          "gelf", "zabbix")(p.name) =>
         () // network sinks — applied executor-side by runConfig, not file sinks
       case PluginItem(p) if p.name == "stdout" || p.name == "null" =>
         () // debug sinks — driver-side sample / swallow, applied by runConfig
@@ -1720,6 +1830,60 @@ object LsclRun {
     b.result()
   }
 
+  /** jdbc input (logstash-input-jdbc): one event per result row of
+    * `statement` against `jdbc_connection_string`; batch = one schedule tick
+    * (like exec/http_poller — the reference's scheduler re-runs the query).
+    * Lowered onto Spark's JDBC source, so the scan is EXECUTOR-side; with
+    * `partition_column`/`lower_bound`/`upper_bound`/`num_partitions` (the
+    * scale extension — the reference's jdbc_paging is a single-threaded
+    * cursor) it becomes a parallel range-partitioned read with predicate
+    * pushdown. `parameters` substitute `:name` placeholders with config
+    * literals BEFORE submission (an input has no per-event context, unlike
+    * jdbc_streaming's row-parameterized lookups). Column names fold to
+    * lowercase unless `lowercase_column_names => false` (the reference
+    * default). Tested against embedded Derby (JdbcInputSpec, lscl_jdbc_in).
+    */
+  private def jdbcInputFrame(spark: org.apache.spark.sql.SparkSession,
+                             p: Plugin): DataFrame = {
+    val url = strAttr(p, "jdbc_connection_string").getOrElse(
+      throw new IllegalArgumentException("jdbc input: jdbc_connection_string required"))
+    val stmtRaw = strAttr(p, "statement").getOrElse(
+      throw new IllegalArgumentException("jdbc input: statement required"))
+    def sqlLit(v: String): String =
+      if (v.matches("-?\\d+(\\.\\d+)?")) v
+      else "'" + v.replace("'", "''") + "'"
+    val params = p.attr("parameters") match {
+      case Some(VHash(es)) => es.map { case (k, v) => k -> str(litVal(v)) }
+      case _ => Nil
+    }
+    // longest names first so :rate_min substitutes before :rate
+    val stmt = params.sortBy(-_._1.length).foldLeft(stmtRaw) {
+      case (s, (k, v)) => s.replace(":" + k, sqlLit(v))
+    }
+    var rd = spark.read.format("jdbc").option("url", url)
+    strAttr(p, "jdbc_user").foreach(u => rd = rd.option("user", u))
+    strAttr(p, "jdbc_password").foreach(w => rd = rd.option("password", w))
+    strAttr(p, "jdbc_driver_class").foreach(d => rd = rd.option("driver", d))
+    strAttr(p, "partition_column") match {
+      case Some(c) =>
+        // Spark forbids query+partitionColumn together: wrap the statement
+        // as a derived table so the ranged WHERE clauses push into it
+        rd = rd.option("dbtable", s"($stmt) AS graft_jdbc_sub")
+          .option("partitionColumn", c)
+          .option("lowerBound", strAttr(p, "lower_bound").getOrElse(
+            throw new IllegalArgumentException(
+              "jdbc input: partition_column requires lower_bound/upper_bound")))
+          .option("upperBound", strAttr(p, "upper_bound").getOrElse(
+            throw new IllegalArgumentException(
+              "jdbc input: partition_column requires lower_bound/upper_bound")))
+          .option("numPartitions", strAttr(p, "num_partitions").getOrElse("4"))
+      case None => rd = rd.option("query", stmt)
+    }
+    val df = rd.load()
+    if (strAttr(p, "lowercase_column_names").contains("false")) df
+    else df.toDF(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
+  }
+
   /** Build the kafka source frame (batch or stream), failing loudly when the
     * spark-sql-kafka connector is not on the classpath (this sandbox ships
     * no connector jars — the option mapping is still unit-tested).
@@ -1784,6 +1948,8 @@ object LsclRun {
         }
       case PluginItem(p) if p.name == "kafka" =>
         kafkaFrame(spark, p, streaming = false)
+      case PluginItem(p) if p.name == "jdbc" =>
+        jdbcInputFrame(spark, p)
       case PluginItem(p) if p.name == "heartbeat" =>
         // logstash-input-heartbeat: periodic liveness events. Batch = `count`
         // ticks through the generator source; message => "sequence" adds the
@@ -1927,13 +2093,15 @@ object LsclRun {
           throw new IllegalArgumentException("beats input: port required")).toInt
         val rd = spark.read.format("graft.sources.BeatsSource").option("port", port)
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
-      case PluginItem(p) if p.name == "exec" =>
+      case PluginItem(p) if p.name == "exec" || p.name == "pipe" =>
         // exec input (logstash-input-exec): run `command`, one event per
         // stdout line with the command recorded — batch = one tick of the
         // reference's interval loop, driver-side like the reference's
-        // single plugin thread
+        // single plugin thread. The `pipe` input (logstash-input-pipe) is
+        // the same shape minus the interval: a long-running command whose
+        // stdout lines are events — batch drains what the command emits.
         val cmd = strAttr(p, "command").getOrElse(
-          throw new IllegalArgumentException("exec input: command required"))
+          throw new IllegalArgumentException(s"${p.name} input: command required"))
         val proc = new ProcessBuilder("/bin/sh", "-c", cmd)
           .redirectErrorStream(true).start()
         val outBytes = proc.getInputStream.readAllBytes()

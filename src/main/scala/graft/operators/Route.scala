@@ -458,4 +458,203 @@ object Route {
           require(code / 100 == 2, s"http output: POST $url returned $code")
         }
       }
+
+  /** lumberjack output (logstash-output-lumberjack): ship events to a
+    * lumberjack v2 receiver (a beats listener — [[graft.sources.BeatsSource]]
+    * speaks the same public protocol, so the pair round-trips in-process).
+    * Per PARTITION: one connection, windows of `windowSize` events as '2J'
+    * json data frames (zlib-packed into one '2C' frame when `compress`),
+    * then BLOCK until the receiver acks the window's last seq — ack implies
+    * the receiver journaled every event, the protocol's at-least-once
+    * contract. seq is cumulative per connection (real beats clients never
+    * reset it). The reference plugin requires TLS; transport security is
+    * deployment-external here, like the other socket sinks.
+    */
+  def lumberjackSink(df: DataFrame, host: String, port: Int,
+                     windowSize: Int = 500, compress: Boolean = true,
+                     payload: Option[Column] = None): Unit =
+    df.select(payload.getOrElse(jsonPayload(df)).cast("string").as("line"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val sock = new java.net.Socket(host, port)
+          try {
+            val out = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(sock.getOutputStream))
+            val in = new java.io.DataInputStream(sock.getInputStream)
+            var seq = 0
+            it.grouped(math.max(1, windowSize)).foreach { batch =>
+              out.writeByte('2'); out.writeByte('W'); out.writeInt(batch.size)
+              val frames = new java.io.ByteArrayOutputStream()
+              val fd = new java.io.DataOutputStream(frames)
+              batch.foreach { r =>
+                seq += 1
+                val p = r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                fd.writeByte('2'); fd.writeByte('J')
+                fd.writeInt(seq); fd.writeInt(p.length); fd.write(p)
+              }
+              if (compress) {
+                val raw = frames.toByteArray
+                val packed = new java.io.ByteArrayOutputStream()
+                val dos = new java.util.zip.DeflaterOutputStream(packed)
+                dos.write(raw); dos.close()
+                val pb = packed.toByteArray
+                out.writeByte('2'); out.writeByte('C'); out.writeInt(pb.length)
+                out.write(pb)
+              } else out.write(frames.toByteArray)
+              out.flush()
+              var acked = -1
+              while (acked < seq) {
+                val v = in.readByte(); val t = in.readByte()
+                require(v == '2' && t == 'A',
+                  s"lumberjack output: expected ack frame, got $v$t")
+                acked = in.readInt()
+              }
+            }
+          } finally sock.close()
+        }
+      }
+
+  /** pipe output (logstash-output-pipe): stream rendered lines into the
+    * stdin of `command`. The command may be sprintf'd per event (the
+    * reference keeps one TTL'd pipe per rendered command string); here each
+    * PARTITION keeps one process per distinct rendered command, executor-
+    * side. stdout/stderr of the child are discarded (the reference inherits
+    * them). A non-zero exit fails the task — loud, like a broken pipe in
+    * the reference's retry-then-fail.
+    */
+  def pipeSink(df: DataFrame, cmd: Column, payload: Option[Column] = None): Unit =
+    df.select(cmd.cast("string").as("cmd"),
+        payload.getOrElse(jsonPayload(df)).cast("string").as("line"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val procs = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Process, java.io.BufferedWriter)]
+        var ok = false
+        try {
+          it.foreach { r =>
+            val c = r.getString(0)
+            val (_, w) = procs.getOrElseUpdate(c, {
+              val p = new ProcessBuilder("/bin/sh", "-c", c)
+                .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+                .redirectError(ProcessBuilder.Redirect.DISCARD)
+                .start()
+              (p, new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                p.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)))
+            })
+            w.write(r.getString(1)); w.write('\n')
+          }
+          ok = true
+        } finally {
+          procs.values.foreach { case (_, w) =>
+            try w.close() catch { case _: java.io.IOException => () }
+          }
+          if (ok) procs.foreach { case (c, (p, _)) =>
+            val code = p.waitFor()
+            require(code == 0, s"pipe output: `$c` exited $code")
+          } else procs.values.foreach(_._1.destroyForcibly())
+        }
+      }
+
+  /** exec output (logstash-output-exec): run the (sprintf'd per event)
+    * `command` once PER EVENT, executor-side. The reference documents the
+    * per-event fork cost and so does this scaladoc: this sink is for
+    * low-volume alert/trigger streams, not the bulk path — at bulk volume
+    * use [[pipeSink]] (one process per distinct command per partition,
+    * lines streamed to stdin). A non-zero exit fails the task, loud.
+    */
+  def execSink(df: DataFrame, cmd: Column): Unit =
+    df.select(cmd.cast("string").as("cmd"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val c = r.getString(0)
+          val p = new ProcessBuilder("/bin/sh", "-c", c)
+            .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+            .redirectError(ProcessBuilder.Redirect.DISCARD)
+            .start()
+          val code = p.waitFor()
+          require(code == 0, s"exec output: `$c` exited $code")
+        }
+      }
+
+  /** gelf output (logstash-output-gelf): one GELF-via-UDP datagram per
+    * event. `frame` is an encoded GELF body ([[Gelf.encode]] — zlib'd 1.1
+    * JSON); bodies larger than `chunkThreshold` split into spec chunks
+    * (magic 1e 0f, 8-byte message id, seq/count — ≤128) with a
+    * deterministic-per-(content, partition, ordinal) message id, so the
+    * receiver's id-keyed reassembly never collides within a batch. One
+    * socket per partition, fire-and-forget like every UDP transport.
+    */
+  def gelfSink(df: DataFrame, host: String, port: Int, frame: Column,
+               chunkThreshold: Int = 8192): Unit =
+    df.select(frame.cast("binary").as("f"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val sock = new java.net.DatagramSocket()
+          val addr = java.net.InetAddress.getByName(host)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var ordinal = 0L
+          def send(b: Array[Byte]): Unit =
+            sock.send(new java.net.DatagramPacket(b, b.length, addr, port))
+          try it.foreach { r =>
+            val b = r.getAs[Array[Byte]](0)
+            if (b != null) {
+              if (b.length <= chunkThreshold) send(b)
+              else {
+                val n = math.min(128, (b.length + chunkThreshold - 1) / chunkThreshold)
+                require(n.toLong * chunkThreshold >= b.length,
+                  s"gelf output: body of ${b.length} B exceeds 128 chunks of $chunkThreshold B")
+                val seed = (scala.util.hashing.MurmurHash3.bytesHash(b).toLong << 32) ^
+                  (pid.toLong << 20) ^ ordinal
+                Gelf.chunk(b, n, seed).foreach(send)
+              }
+              ordinal += 1
+            }
+          } finally sock.close()
+        }
+      }
+
+  /** zabbix output (logstash-output-zabbix): ship (host, key, value) item
+    * triples to a Zabbix trapper with the PUBLIC sender protocol — "ZBXD"
+    * 0x01 header, 8-byte little-endian length, then
+    * `{"request":"sender data","data":[{host,key,value}...]}`; the server
+    * answers one envelope per request and closes. `item` is a pre-rendered
+    * per-event JSON object (`to_json(struct(host,key,value))` — the typed
+    * render stays codegen'd; the executor only frames bytes). One
+    * connection per `batchSize` window per partition, matching the
+    * trapper's one-request-per-connection contract; a non-`success`
+    * response fails the task. Item-level rejects surface in the trapper's
+    * `info` counts — the reference logs and drops those, so they are NOT
+    * task failures here either.
+    */
+  def zabbixSink(df: DataFrame, host: String, port: Int, item: Column,
+                 batchSize: Int = 250): Unit =
+    df.select(item.cast("string").as("item"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.grouped(math.max(1, batchSize)).foreach { batch =>
+          val body = batch.map(_.getString(0))
+            .mkString("{\"request\":\"sender data\",\"data\":[", ",", "]}")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val sock = new java.net.Socket(host, port)
+          try {
+            val out = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(sock.getOutputStream))
+            out.write('Z'); out.write('B'); out.write('X'); out.write('D')
+            out.write(0x01)
+            val len = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(body.length.toLong)
+            out.write(len.array()); out.write(body); out.flush()
+            val in = new java.io.DataInputStream(sock.getInputStream)
+            val hdr = new Array[Byte](13)
+            in.readFully(hdr)
+            require(hdr(0) == 'Z' && hdr(1) == 'B' && hdr(2) == 'X' && hdr(3) == 'D',
+              "zabbix output: malformed response header")
+            val rlen = java.nio.ByteBuffer.wrap(hdr, 5, 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+            val resp = new Array[Byte](rlen)
+            in.readFully(resp)
+            val rs = new String(resp, java.nio.charset.StandardCharsets.UTF_8)
+            require(rs.contains("\"response\":\"success\""),
+              s"zabbix output: trapper rejected the request: $rs")
+          } finally sock.close()
+        }
+      }
 }

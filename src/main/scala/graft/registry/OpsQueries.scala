@@ -597,6 +597,45 @@ object OpsQueries {
         .orderBy("event_id")
     }),
 
+    // jdbc INPUT against a real embedded database (Derby): statement with
+    // :name parameter substitution runs through Spark's JDBC source
+    // executor-side; lowercase column folding; dimension joined back to
+    // events broadcast (the reference's scheduled-SELECT ingest shape)
+    "lscl_jdbc_in" -> ((s, dir) => {
+      val dbPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jdbc_in_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val url = s"jdbc:derby:$dbPath;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate("DROP TABLE DIM")
+        catch { case _: java.sql.SQLException => () }
+        st.executeUpdate(
+          "CREATE TABLE DIM (EVENT_TYPE VARCHAR(16), LABEL VARCHAR(8), FACTOR INT)")
+        val ins = conn.prepareStatement("INSERT INTO DIM VALUES (?, ?, ?)")
+        Seq(("click", "c", 2), ("view", "v", 3), ("signup", "s", 5),
+            ("error", "e", 7), ("purchase", "p", 1)).foreach { case (t, l, f) =>
+          ins.setString(1, t); ins.setString(2, l); ins.setInt(3, f); ins.addBatch()
+        }
+        ins.executeBatch()
+      } finally conn.close()
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input {
+           |  jdbc {
+           |    jdbc_connection_string => "$url"
+           |    statement => "SELECT EVENT_TYPE, LABEL, FACTOR FROM DIM WHERE FACTOR >= :minf"
+           |    parameters => { "minf" => "3" }
+           |  }
+           |}""".stripMargin, Map.empty)
+      val dim = graft.lscl.LsclRun.source(s, cfg.inputs)
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.join(broadcast(dim), Seq("event_type"), "left")
+        .groupBy("event_type", "label", "factor")
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id") * coalesce(col("factor"), lit(0))).as("wsum"))
+        .orderBy("event_type")
+    }),
+
     // csv + schema'd json_lines INPUT codecs on the file input: named
     // columns (no header), explicit DDL schema (no inference scan)
     "lscl_csvcodec" -> ((s, dir) => {
@@ -619,6 +658,31 @@ object OpsQueries {
       graft.lscl.LsclRun.source(s, cfg.inputs)
         .select(col("rid"), col("numstr"), col("tag"), col("jn"))
         .orderBy("rid")
+    }),
+
+    // yaml filter from CONFIG TEXT: codegen'd SnakeYAML->JSON transcode
+    // feeding the schema'd one-pass expansion (no inference scan); invalid
+    // documents tag _yamlparsefailure with all extracted fields null
+    "lscl_yaml" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("message",
+          when(col("event_id") % 5 === 0, lit("lvl: [unclosed"))
+            .otherwise(concat(
+              lit("lvl: "), col("event_type"),
+              lit("\nn: "), (col("user_id") % 100).cast("string"),
+              lit("\nmeta:\n  flag: "), (col("event_id") % 2 === 0).cast("string"))))
+      val cfg = graft.lscl.Lscl.parse(
+        """filter {
+          |  yaml {
+          |    source => "message"
+          |    schema => "lvl STRING, n BIGINT, meta STRUCT<flag: BOOLEAN>"
+          |  }
+          |}""".stripMargin, Map.empty)
+      graft.lscl.LsclRun.applyFilters(e, cfg.filters)
+        .select(col("event_id"), col("lvl"), col("n"),
+          col("meta").getField("flag").as("flag"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy("event_id")
     }),
 
     // syslog_pri + cidr + anonymize driven from CONFIG TEXT: PRI decompose,
@@ -1604,6 +1668,17 @@ object OpsQueries {
         |            WHEN 'signup' THEN 's1,s2,s3' ELSE '' END AS tags_j
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "lscl_jdbc_in" ->
+      """SELECT event_type,
+        |       CASE event_type WHEN 'view' THEN 'v' WHEN 'signup' THEN 's'
+        |            WHEN 'error' THEN 'e' END AS label,
+        |       CAST(CASE event_type WHEN 'view' THEN 3 WHEN 'signup' THEN 5
+        |            WHEN 'error' THEN 7 END AS INTEGER) AS factor,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(user_id * CASE event_type WHEN 'view' THEN 3
+        |            WHEN 'signup' THEN 5 WHEN 'error' THEN 7 ELSE 0 END) AS BIGINT) AS wsum
+        |FROM events GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
     "lscl_csvcodec" ->
       """SELECT * FROM (
         |  SELECT 'r' || CAST(i AS VARCHAR) AS rid, CAST(i * 2 AS VARCHAR) AS numstr,
@@ -1614,6 +1689,14 @@ object OpsQueries {
         |         CAST(NULL AS VARCHAR), CAST(i * 3 AS BIGINT)
         |  FROM (SELECT unnest(generate_series(0, 99)) AS i))
         |ORDER BY rid""".stripMargin,
+
+    "lscl_yaml" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS lvl,
+        |       CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id % 100 END AS n,
+        |       CASE WHEN event_id % 5 = 0 THEN NULL ELSE (event_id % 2 = 0) END AS flag,
+        |       CASE WHEN event_id % 5 = 0 THEN '_yamlparsefailure' ELSE '' END AS tag_str
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "lscl_net" ->
       """SELECT event_id,
