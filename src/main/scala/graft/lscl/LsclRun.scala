@@ -2093,6 +2093,15 @@ object LsclRun {
           throw new IllegalArgumentException("beats input: port required")).toInt
         val rd = spark.read.format("graft.sources.BeatsSource").option("port", port)
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+      case PluginItem(p) if p.name == "relp" =>
+        // relp input (logstash-input-relp): RELP listener journals one line
+        // per syslog command, acking only AFTER the durable append — the
+        // protocol's reliability contract; grok/syslog_pri decompose
+        // downstream like the syslog input
+        val port = strAttr(p, "port").getOrElse(
+          throw new IllegalArgumentException("relp input: port required")).toInt
+        val rd = spark.read.format("graft.sources.RelpSource").option("port", port)
+        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "exec" || p.name == "pipe" =>
         // exec input (logstash-input-exec): run `command`, one event per
         // stdout line with the command recorded — batch = one tick of the
@@ -2328,13 +2337,14 @@ object LsclRun {
         strAttr(p, "max_bytes_per_trigger")
           .fold(rd)(v => rd.option("max_bytes_per_trigger", parseByteSize(v)))
           .load()
-      case PluginItem(p) if Set("tcp", "udp", "http", "beats")(p.name) =>
+      case PluginItem(p) if Set("tcp", "udp", "http", "beats", "relp")(p.name) =>
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
         val fmt = p.name match {
           case "udp" => "graft.sources.UdpSource"
           case "http" => "graft.sources.HttpSource"
           case "beats" => "graft.sources.BeatsSource"
+          case "relp" => "graft.sources.RelpSource"
           case _ => "graft.sources.TcpSource"
         }
         val rd0 = spark.readStream.format(fmt).option("port", port)
