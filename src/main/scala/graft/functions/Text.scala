@@ -609,4 +609,34 @@ object Text {
       .withColumn("surprisal", floor(col("_s") / col("n_bigrams") * 1e6 + 0.5) / 1e6)
       .drop("_s")
   }
+
+  /** Canonical URL for URL-keyed web dedup (the normalization every
+    * web-corpus pipeline runs before exact dedup — RFC 3986 syntax-based
+    * normalization plus the de-facto tracking-parameter strip): lowercase
+    * scheme and authority, drop userinfo and a leading `www.`, drop the
+    * scheme's default port (http:80 / https:443), collapse trailing slashes
+    * on the path, drop the fragment, remove tracking parameters (`utm_*`,
+    * `gclid`, `fbclid`, `ref`), and SORT the surviving query parameters so
+    * parameter order never splits a duplicate. NULL for unparseable URLs.
+    *
+    * Scale: a pure codegen'd projection (parse_url + HOFs — no UDF, no
+    * exchange); the downstream dedup is an ordinary groupBy on the
+    * canonical key, a hash shuffle whose key cardinality is the distinct
+    * URL count, never content-keyed.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    val auth = regexp_replace(regexp_replace(
+      lower(parse_url(url, lit("AUTHORITY"))), "^[^@/]*@", ""), "^www\\.", "")
+    val host = when(proto === "http", regexp_replace(auth, ":80$", ""))
+      .when(proto === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = regexp_replace(coalesce(parse_url(url, lit("PATH")), lit("")), "/+$", "")
+    val kept = array_sort(filter(split(coalesce(parse_url(url, lit("QUERY")),
+        lit("")), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)")))
+    val q = array_join(kept, "&")
+    concat(proto, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
 }

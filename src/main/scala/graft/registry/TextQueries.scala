@@ -238,6 +238,37 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // canonical-URL dedup: messy URL variants (scheme/host case, www,
+    // userinfo, default ports, trailing slash, param order, utm/fbclid/ref
+    // junk, fragments) normalize to one canonical key; dedup = groupBy on
+    // that key. The messy strings are BUILT from doc_id so the oracle can
+    // compute the canonical form arithmetically while Spark actually parses.
+    "doc_url" -> ((s, dir) => {
+      val id = col("doc_id").cast("long")
+      val page = (id % 97).cast("string")
+      val scheme0 = when(id % 97 % 2 === 0, lit("http")).otherwise(lit("https"))
+      val scheme = when(id % 2 === 0, upper(scheme0)).otherwise(scheme0)
+      val host = when(id % 3 === 0, lit("WWW.Example.COM"))
+        .when(id % 3 === 1, lit("u:pw@Example.Com"))
+        .otherwise(lit("example.com"))
+      val port = when(id % 5 === 0,
+        when(id % 97 % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit(""))
+      val path = concat(lit("/p/"), page,
+        when(id % 4 === 0, lit("/")).otherwise(lit("")))
+      val qa = concat(lit("a="), (id % 97 % 5).cast("string"))
+      val query = when(id % 2 === 0, concat(lit("?"), qa, lit("&z=9")))
+        .otherwise(concat(lit("?z=9&"), qa))
+      val junk = when(id % 3 === 0, lit("&utm_source=x&fbclid=1&ref")).otherwise(lit(""))
+      val frag = when(id % 6 === 0, lit("#sec-2")).otherwise(lit(""))
+      val url = concat(scheme, lit("://"), host, port, path, query, junk, frag)
+      docs(s, dir)
+        .select(id.as("doc_id"), Text.canonicalUrl(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+        .orderBy("canonical_url")
+    }),
+
     // deterministic shard assignment (reproducible global shuffle for
     // training-output writes) + per-shard occupancy
     "doc_shard" -> ((s, dir) => {
@@ -757,6 +788,16 @@ object TextQueries {
         |  FROM s)
         |SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM r WHERE rk <= ceil(n * 0.1) GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "doc_url" ->
+      """WITH c AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         (CASE WHEN (doc_id % 97) % 2 = 0 THEN 'http' ELSE 'https' END)
+        |           || '://example.com/p/' || CAST(doc_id % 97 AS VARCHAR)
+        |           || '?a=' || CAST((doc_id % 97) % 5 AS VARCHAR) || '&z=9' AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     "doc_shard" ->
       """WITH b AS (
