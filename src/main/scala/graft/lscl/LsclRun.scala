@@ -2432,12 +2432,12 @@ object LsclRun {
     require(pipelineSends(cfg.outputs).isEmpty,
       "pipeline { send_to } outputs are batch-only (the address bus resolves " +
         "at converge time); run this config via Pipelines.Registry")
-    // net/debug sinks run driver/executor-side AFTER batch materialization;
-    // silently dropping them in a stream would violate the fail-loud stance
-    require(netSinkSpecs(cfg.outputs).isEmpty,
-      "tcp/http/graphite/statsd/stdout/null outputs are batch-only in config form " +
-        "(foreachBatch sinks write files; wire a custom foreachBatch for " +
-        "streaming network delivery) — run this config via runConfig")
+    // net/debug sinks apply PER MICRO-BATCH over the transformed frame
+    // (StreamPipeline.run perBatch hook) — at-least-once on replay, the
+    // reference's PQ-replay output contract; file sinks stay exactly-once
+    val perBatch: DataFrame => Unit =
+      if (netSinkSpecs(cfg.outputs).isEmpty) _ => ()
+      else b => runNetSinks(b, cfg.outputs)
     // stateful filters carry counters that must SPAN the period — inside
     // foreachBatch each micro-batch would get its own window, silently
     // resetting counts at every batch boundary (the reference's counters
@@ -2485,7 +2485,7 @@ object LsclRun {
       }
       graft.streaming.StreamPipeline.run(spark, stated,
         b => applyFilters(b, post), sinkSpecs(cfg.outputs), outDir,
-        checkpoint, trigger)
+        checkpoint, trigger, perBatch)
     } else {
       require(stateful.isEmpty,
         s"stateful filter plugins ${stateful.distinct.mkString(", ")} are batch-only " +
@@ -2497,7 +2497,7 @@ object LsclRun {
       val batchCodec = inputBatchCodec(cfg.inputs)
       graft.streaming.StreamPipeline.run(spark, sourceStream(spark, cfg.inputs),
         b => applyFilters(batchCodec(b), cfg.filters), sinkSpecs(cfg.outputs), outDir,
-        checkpoint, trigger)
+        checkpoint, trigger, perBatch)
     }
   }
 

@@ -22,10 +22,18 @@ object StreamPipeline {
     * persisted once, every sink appended, per-batch counts appended to a
     * `_counts` table (sink, n, batch_id). Returns the running query.
     */
+  /** `perBatch` runs once per micro-batch over the transformed (flag-free)
+    * frame AFTER the file sinks commit — the hook the config frontend uses
+    * for network outputs. Delivery through it is AT-LEAST-ONCE: a replayed
+    * micro-batch after a crash re-sends its events (exactly the reference's
+    * PQ-replay output contract; the file sinks stay exactly-once via the
+    * checkpoint).
+    */
   def run(spark: SparkSession, source: DataFrame,
           transform: DataFrame => DataFrame,
           sinks: Seq[Route.SinkSpec], outDir: String,
-          checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+          checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+          perBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -39,6 +47,8 @@ object StreamPipeline {
           Route.sinkCounts(flagged, sinks)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$outDir/_counts")
+          perBatch(flagged.drop(
+            flagged.columns.filter(_.startsWith("_m_")).toIndexedSeq: _*))
           ()
         } finally { flagged.unpersist(); () }
       }

@@ -187,6 +187,44 @@ class SinkSurfaceSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("runConfigStream delivers network sinks per micro-batch, delta-only on restart") {
+    val f = java.nio.file.Files.createTempFile("graft_streamnet", ".log")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_streamnet")
+    def append(s: String): Unit =
+      java.nio.file.Files.writeString(f, s,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    append((0 until 5).map(i => s"ev-$i\n").mkString)
+    val srv = new LineServer
+    try {
+      val cfg =
+        s"""input { file { path => "$f" mode => "tail" } }
+           |output {
+           |  tcp { host => "127.0.0.1" port => ${srv.port} }
+           |  sink { id => "s" }
+           |}""".stripMargin
+      def runOnce(): Unit = {
+        val q = graft.lscl.LsclRun.runConfigStream(spark, cfg, s"$tmp/out",
+          s"$tmp/ck", Map.empty)
+        q.awaitTermination(120000); ()
+      }
+      runOnce()
+      srv.await(5)
+      def messages: Seq[String] = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(srv.lines.iterator()).asScala.toSeq
+        .flatMap(l => "\"message\":\"(ev-\\d+)\"".r.findFirstMatchIn(l).map(_.group(1)))
+      assert(messages.sorted == (0 until 5).map(i => s"ev-$i").sorted)
+      // restart from the checkpoint: only the appended delta re-sends
+      append((5 until 8).map(i => s"ev-$i\n").mkString)
+      runOnce()
+      srv.await(8)
+      assert(messages.sorted == (0 until 8).map(i => s"ev-$i").sorted,
+        s"got $messages")
+      // the file sink stayed exactly-once alongside
+      assert(spark.read.parquet(s"$tmp/out/s").count() == 8)
+    } finally srv.close()
+  }
+
   test("zabbix output: non-success response fails the task loudly") {
     val server = new java.net.ServerSocket(0)
     val t = new Thread(() => {
