@@ -1749,7 +1749,10 @@ object LsclRun {
     val codecs = items.collect {
       case PluginItem(p) if Set("file", "tcp", "udp")(p.name) =>
         codecPlugin(p).filter(c => c.name == "multiline" ||
-          Set("gelf", "collectd", "netflow")(c.name))
+          Set("gelf", "collectd", "netflow", "snmptrap")(c.name))
+      // the named snmptrap input IS its codec (udp + BER decode)
+      case PluginItem(p) if p.name == "snmptrap" =>
+        Some(Plugin("snmptrap", Nil))
     }.flatten
     require(codecs.size <= 1,
       "multiple inputs with batch codecs: streaming applies ONE batch " +
@@ -1770,6 +1773,7 @@ object LsclRun {
               ddl.getOrElse(throw new IllegalArgumentException(
                 "codec => gelf requires schema => \"<ddl>\"")))
             case "collectd" => graft.operators.Collectd.decode(bin, "frame")
+            case "snmptrap" => graft.operators.Snmp.decode(bin, "frame")
             case _ => graft.operators.Netflow.decode(bin, "frame")
           }
         }
@@ -2053,7 +2057,7 @@ object LsclRun {
           throw new IllegalArgumentException("udp input: port required")).toInt
         val rd = spark.read.format("graft.sources.UdpSource").option("port", port)
         codecPlugin(p) match {
-          case Some(cp) if Set("gelf", "collectd", "netflow")(cp.name) =>
+          case Some(cp) if Set("gelf", "collectd", "netflow", "snmptrap")(cp.name) =>
             // binary datagram codecs: the listener journals WHOLE datagrams
             // base64-line-framed (compressed/chunked/packed frames are
             // binary); each codec's decode reassembles + parses
@@ -2071,6 +2075,7 @@ object LsclRun {
                   stripLeadingUnderscore =
                     !strAttr(cp, "strip_leading_underscore").contains("false"))
               case "collectd" => graft.operators.Collectd.decode(bin, "frame")
+              case "snmptrap" => graft.operators.Snmp.decode(bin, "frame")
               case _ => graft.operators.Netflow.decode(bin, "frame")
             }
           case other =>
@@ -2078,6 +2083,17 @@ object LsclRun {
             other.filter(_.name == "multiline")
               .fold(loaded)(cp => applyMultiline(cp, loaded, s"udp:$port"))
         }
+      case PluginItem(p) if p.name == "snmptrap" =>
+        // snmptrap input (logstash-input-snmptrap): a udp listener in
+        // base64 whole-frame mode + the BER trap decode — one event per
+        // datagram, v1 and v2c PDUs
+        val port = strAttr(p, "port").getOrElse(
+          throw new IllegalArgumentException("snmptrap input: port required")).toInt
+        val rd = spark.read.format("graft.sources.UdpSource").option("port", port)
+          .option("frames", "base64")
+        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        graft.operators.Snmp.decode(
+          loaded.select(unbase64(col("message")).as("frame")), "frame")
       case PluginItem(p) if p.name == "http" =>
         // http input (webhook front door): POST bodies journal line-framed;
         // batch reads the journal so far, stream reads offset deltas
@@ -2271,6 +2287,12 @@ object LsclRun {
             graft.operators.Netflow.decode(
               spark.read.text(path).select(unbase64(col("value")).as("frame")),
               "frame")
+          case (_, "snmptrap") =>
+            // SNMP trap datagrams, base64-frame archive form: one BER
+            // message per line, one trap event per datagram (v1 + v2c)
+            graft.operators.Snmp.decode(
+              spark.read.text(path).select(unbase64(col("value")).as("frame")),
+              "frame")
           case (_, "msgpack" | "fluent") =>
             // binary codecs: a file is a byte stream of consecutive
             // self-delimiting packed objects; schema => DDL is required
@@ -2337,11 +2359,12 @@ object LsclRun {
         strAttr(p, "max_bytes_per_trigger")
           .fold(rd)(v => rd.option("max_bytes_per_trigger", parseByteSize(v)))
           .load()
-      case PluginItem(p) if Set("tcp", "udp", "http", "beats", "relp")(p.name) =>
+      case PluginItem(p) if Set("tcp", "udp", "http", "beats", "relp",
+          "snmptrap")(p.name) =>
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
         val fmt = p.name match {
-          case "udp" => "graft.sources.UdpSource"
+          case "udp" | "snmptrap" => "graft.sources.UdpSource"
           case "http" => "graft.sources.HttpSource"
           case "beats" => "graft.sources.BeatsSource"
           case "relp" => "graft.sources.RelpSource"
@@ -2349,8 +2372,9 @@ object LsclRun {
         }
         val rd0 = spark.readStream.format(fmt).option("port", port)
         // binary datagram codecs need the base64 whole-frame journal mode
-        val rd = if (p.name == "udp" && codecPlugin(p).exists(c =>
-            Set("gelf", "collectd", "netflow")(c.name)))
+        val rd = if ((p.name == "udp" && codecPlugin(p).exists(c =>
+            Set("gelf", "collectd", "netflow", "snmptrap")(c.name))) ||
+            p.name == "snmptrap")
           rd0.option("frames", "base64") else rd0
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "unix" =>

@@ -1364,6 +1364,39 @@ object OpsQueries {
         .orderBy("flow_seq_num")
     }),
 
+    // snmptrap: BER/ASN.1 trap decode over the base64-frame archive form —
+    // v1 Trap-PDUs (enterprise/agent/generic/specific/timeticks) and v2c
+    // TRAPs (request-id), varbinds as an oid->rendered-value map; garbage
+    // datagrams tag _snmptrapparsefailure with all fields null
+    "pipe_snmptrap" -> ((s, dir) => {
+      val pkts = (0 until 120).map { i =>
+        if (i % 2 == 0)
+          graft.operators.Snmp.trapV1(s"pub${i % 3}", s"1.3.6.1.4.1.${i % 50}",
+            s"10.0.${i % 4}.${i % 200}", genericTrap = 6, specificTrap = i % 9,
+            timeticks = i * 100L,
+            vbs = Seq("1.3.6.1.2.1.1.5.0" -> Left(s"host$i"),
+              s"1.3.6.1.4.1.42.$i" -> Right(i * 7L)))
+        else
+          graft.operators.Snmp.trapV2c("pub", requestId = 1000L + i,
+            vbs = Seq("1.3.6.1.2.1.1.5.0" -> Left(s"host$i"),
+              "1.3.6.1.6.3.1.1.4.1.0" -> Left(s"1.3.6.1.4.1.${i % 50}")))
+      } ++ Seq.fill(3)(Array[Byte](1, 2, 3)) // not BER: parse-failure rows
+      val f = java.nio.file.Files.createTempFile("graft_snmp", ".b64")
+      java.nio.file.Files.writeString(f, pkts.map(
+        java.util.Base64.getEncoder.encodeToString).mkString("", "\n", "\n"))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { file { path => "$f" codec => snmptrap } }""", Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("snmp_version"), col("community"), col("enterprise"),
+          col("agent_addr"), col("generic_trap"), col("specific_trap"),
+          col("timeticks"), col("request_id"),
+          array_join(array_sort(transform(map_entries(col("varbinds")),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))),
+            ";").as("vb_str"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy(coalesce(col("vb_str"), lit("")))
+    }),
+
     // protobuf codec: config-declared field numbers over the public wire
     // format — varint/fixed64/fixed32/length-delimited, unknown field 99
     // skipped by wire type, missing optional fields null
@@ -2169,6 +2202,33 @@ object OpsQueries {
         |       CAST(100 AS INTEGER) AS src_as,
         |       CAST(16 AS INTEGER) AS dst_mask
         |FROM g ORDER BY flow_seq_num""".stripMargin,
+
+    "pipe_snmptrap" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 119)) AS i),
+        |t AS (
+        |  SELECT
+        |    CASE WHEN i % 2 = 0 THEN '1' ELSE '2c' END AS snmp_version,
+        |    CASE WHEN i % 2 = 0 THEN 'pub' || CAST(i % 3 AS VARCHAR) ELSE 'pub' END AS community,
+        |    CASE WHEN i % 2 = 0 THEN '1.3.6.1.4.1.' || CAST(i % 50 AS VARCHAR) END AS enterprise,
+        |    CASE WHEN i % 2 = 0 THEN '10.0.' || CAST(i % 4 AS VARCHAR) || '.' || CAST(i % 200 AS VARCHAR) END AS agent_addr,
+        |    CASE WHEN i % 2 = 0 THEN CAST(6 AS INTEGER) END AS generic_trap,
+        |    CASE WHEN i % 2 = 0 THEN CAST(i % 9 AS INTEGER) END AS specific_trap,
+        |    CASE WHEN i % 2 = 0 THEN CAST(i * 100 AS BIGINT) END AS timeticks,
+        |    CASE WHEN i % 2 = 1 THEN CAST(1000 + i AS BIGINT) END AS request_id,
+        |    CASE WHEN i % 2 = 0 THEN
+        |      '1.3.6.1.2.1.1.5.0=host' || CAST(i AS VARCHAR) || ';1.3.6.1.4.1.42.'
+        |        || CAST(i AS VARCHAR) || '=' || CAST(i * 7 AS VARCHAR)
+        |    ELSE
+        |      '1.3.6.1.2.1.1.5.0=host' || CAST(i AS VARCHAR)
+        |        || ';1.3.6.1.6.3.1.1.4.1.0=1.3.6.1.4.1.' || CAST(i % 50 AS VARCHAR)
+        |    END AS vb_str,
+        |    '' AS tag_str
+        |  FROM g
+        |  UNION ALL
+        |  SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |         '_snmptrapparsefailure'
+        |  FROM generate_series(1, 3))
+        |SELECT * FROM t ORDER BY COALESCE(vb_str, '')""".stripMargin,
 
     "pipe_protobuf" ->
       """SELECT 'n' || CAST(i AS VARCHAR) AS name,
