@@ -37,28 +37,30 @@ class GraphiteCodecSpec extends SparkSpec {
   }
 
   test("LSCL graphite input decodes lines from a live tcp listener") {
-    val port = 15961
+    val port = 15984
     val tmp = java.nio.file.Files.createTempDirectory("graft_graphite")
     val journal = tmp.resolve("graphite.journal")
     graft.sources.TcpSource.ensureListener(port, journal)
-    val s = new java.net.Socket("127.0.0.1", port)
     try {
-      val w = new java.io.OutputStreamWriter(s.getOutputStream,
-        java.nio.charset.StandardCharsets.UTF_8)
-      w.write("a.b.c 1.25 1700000001\nd.e.f 2.5 1700000002\n")
-      w.flush()
-    } finally s.close()
-    val deadline = System.currentTimeMillis() + 30000
-    while ((!java.nio.file.Files.exists(journal) ||
-        java.nio.file.Files.size(journal) < 44) &&
-        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val s = new java.net.Socket("127.0.0.1", port)
+      try {
+        val w = new java.io.OutputStreamWriter(s.getOutputStream,
+          java.nio.charset.StandardCharsets.UTF_8)
+        w.write("a.b.c 1.25 1700000001\nd.e.f 2.5 1700000002\n")
+        w.flush()
+      } finally s.close()
+      val deadline = System.currentTimeMillis() + 30000
+      while ((!java.nio.file.Files.exists(journal) ||
+          java.nio.file.Files.size(journal) < 44) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
 
-    val cfg = Lscl.parse(
-      s"""input { graphite { port => $port journal => "$journal" } }
-         |filter { }
-         |output { }""".stripMargin, Map.empty)
-    val rows = LsclRun.source(spark, cfg.inputs).orderBy("metric").collect()
-    assert(rows.map(_.getAs[String]("metric")).toSeq == Seq("a.b.c", "d.e.f"))
-    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(1.25, 2.5))
+      val cfg = Lscl.parse(
+        s"""input { graphite { port => $port journal => "$journal" } }
+           |filter { }
+           |output { }""".stripMargin, Map.empty)
+      val rows = LsclRun.source(spark, cfg.inputs).orderBy("metric").collect()
+      assert(rows.map(_.getAs[String]("metric")).toSeq == Seq("a.b.c", "d.e.f"))
+      assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(1.25, 2.5))
+    } finally graft.sources.TcpSource.stopListener(port)
   }
 }

@@ -81,7 +81,7 @@ class SinkSurfaceSpec extends SparkSpec {
   }
 
   test("gelf output round-trips through the udp gelf listener, chunking included") {
-    val port = 15971
+    val port = 15983
     val tmp = java.nio.file.Files.createTempDirectory("graft_gelfout")
     val journal = tmp.resolve("gelf.journal")
     graft.sources.UdpSource.ensureListener(port, journal, base64Frames = true)

@@ -25,6 +25,26 @@ class SnmpSpec extends SparkSpec {
     assert(d.varbinds("1.3.6.1.4.1.2") == "ok")
   }
 
+  test("plan invariants: canonicalUrl is a zero-exchange projection; url dedup has ONE exchange") {
+    import spark.implicits._
+    val df = Seq("https://WWW.Example.com:443/a/?b=2&utm_source=x#f",
+      "http://u@site.org:80/p/").toDF("u")
+    val proj = df.select(graft.functions.Text.canonicalUrl(col("u")).as("c"))
+    val projPlan = proj.queryExecution.executedPlan.toString
+    assert(!projPlan.contains("Exchange"),
+      s"canonicalUrl must not shuffle:\n$projPlan")
+    assert(!projPlan.contains("BatchEval") && !projPlan.contains("ScalaUDF"),
+      s"canonicalUrl must stay UDF-free:\n$projPlan")
+    assert(proj.as[String].collect().toSet ==
+      Set("https://example.com/a?b=2", "http://site.org/p"))
+
+    val dedup = df.select(graft.functions.Text.canonicalUrl(col("u")).as("c"))
+      .groupBy("c").count()
+    val n = dedup.queryExecution.executedPlan.toString
+      .sliding("Exchange".length).count(_ == "Exchange")
+    assert(n <= 2, s"url dedup wants one canonical-key exchange (+AQE read)") // partial agg -> one shuffle
+  }
+
   test("snmptrap input: live udp datagrams decode v1 + v2c, garbage tags failure") {
     val port = 15975
     val tmp = java.nio.file.Files.createTempDirectory("graft_snmp_udp")
