@@ -1749,10 +1749,12 @@ object LsclRun {
     val codecs = items.collect {
       case PluginItem(p) if Set("file", "tcp", "udp")(p.name) =>
         codecPlugin(p).filter(c => c.name == "multiline" ||
-          Set("gelf", "collectd", "netflow", "snmptrap")(c.name))
-      // the named snmptrap input IS its codec (udp + BER decode)
+          Set("gelf", "collectd", "netflow", "snmptrap", "ganglia")(c.name))
+      // the named snmptrap/ganglia inputs ARE their codecs (udp + decode)
       case PluginItem(p) if p.name == "snmptrap" =>
         Some(Plugin("snmptrap", Nil))
+      case PluginItem(p) if p.name == "ganglia" =>
+        Some(Plugin("ganglia", Nil))
     }.flatten
     require(codecs.size <= 1,
       "multiple inputs with batch codecs: streaming applies ONE batch " +
@@ -1774,6 +1776,7 @@ object LsclRun {
                 "codec => gelf requires schema => \"<ddl>\"")))
             case "collectd" => graft.operators.Collectd.decode(bin, "frame")
             case "snmptrap" => graft.operators.Snmp.decode(bin, "frame")
+            case "ganglia" => graft.operators.Ganglia.decode(bin, "frame")
             case _ => graft.operators.Netflow.decode(bin, "frame")
           }
         }
@@ -2057,7 +2060,8 @@ object LsclRun {
           throw new IllegalArgumentException("udp input: port required")).toInt
         val rd = spark.read.format("graft.sources.UdpSource").option("port", port)
         codecPlugin(p) match {
-          case Some(cp) if Set("gelf", "collectd", "netflow", "snmptrap")(cp.name) =>
+          case Some(cp) if Set("gelf", "collectd", "netflow", "snmptrap",
+              "ganglia")(cp.name) =>
             // binary datagram codecs: the listener journals WHOLE datagrams
             // base64-line-framed (compressed/chunked/packed frames are
             // binary); each codec's decode reassembles + parses
@@ -2076,6 +2080,7 @@ object LsclRun {
                     !strAttr(cp, "strip_leading_underscore").contains("false"))
               case "collectd" => graft.operators.Collectd.decode(bin, "frame")
               case "snmptrap" => graft.operators.Snmp.decode(bin, "frame")
+              case "ganglia" => graft.operators.Ganglia.decode(bin, "frame")
               case _ => graft.operators.Netflow.decode(bin, "frame")
             }
           case other =>
@@ -2093,6 +2098,17 @@ object LsclRun {
           .option("frames", "base64")
         val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
         graft.operators.Snmp.decode(
+          loaded.select(unbase64(col("message")).as("frame")), "frame")
+      case PluginItem(p) if p.name == "ganglia" =>
+        // ganglia input (logstash-input-ganglia): a udp listener in base64
+        // whole-frame mode + the XDR gmond decode — one event per value
+        // packet, metadata packets annotate via broadcast join
+        val port = strAttr(p, "port").getOrElse(
+          throw new IllegalArgumentException("ganglia input: port required")).toInt
+        val rd = spark.read.format("graft.sources.UdpSource").option("port", port)
+          .option("frames", "base64")
+        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        graft.operators.Ganglia.decode(
           loaded.select(unbase64(col("message")).as("frame")), "frame")
       case PluginItem(p) if p.name == "http" =>
         // http input (webhook front door): POST bodies journal line-framed;
@@ -2293,6 +2309,12 @@ object LsclRun {
             graft.operators.Snmp.decode(
               spark.read.text(path).select(unbase64(col("value")).as("frame")),
               "frame")
+          case (_, "ganglia") =>
+            // ganglia gmond XDR datagrams, base64-frame archive form: one
+            // event per value packet, metadata-annotated by broadcast join
+            graft.operators.Ganglia.decode(
+              spark.read.text(path).select(unbase64(col("value")).as("frame")),
+              "frame")
           case (_, "msgpack" | "fluent") =>
             // binary codecs: a file is a byte stream of consecutive
             // self-delimiting packed objects; schema => DDL is required
@@ -2360,11 +2382,11 @@ object LsclRun {
           .fold(rd)(v => rd.option("max_bytes_per_trigger", parseByteSize(v)))
           .load()
       case PluginItem(p) if Set("tcp", "udp", "http", "beats", "relp",
-          "snmptrap")(p.name) =>
+          "snmptrap", "ganglia")(p.name) =>
         val port = strAttr(p, "port").getOrElse(
           throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
         val fmt = p.name match {
-          case "udp" | "snmptrap" => "graft.sources.UdpSource"
+          case "udp" | "snmptrap" | "ganglia" => "graft.sources.UdpSource"
           case "http" => "graft.sources.HttpSource"
           case "beats" => "graft.sources.BeatsSource"
           case "relp" => "graft.sources.RelpSource"
@@ -2373,8 +2395,8 @@ object LsclRun {
         val rd0 = spark.readStream.format(fmt).option("port", port)
         // binary datagram codecs need the base64 whole-frame journal mode
         val rd = if ((p.name == "udp" && codecPlugin(p).exists(c =>
-            Set("gelf", "collectd", "netflow", "snmptrap")(c.name))) ||
-            p.name == "snmptrap")
+            Set("gelf", "collectd", "netflow", "snmptrap", "ganglia")(c.name))) ||
+            p.name == "snmptrap" || p.name == "ganglia")
           rd0.option("frames", "base64") else rd0
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "unix" =>

@@ -1397,6 +1397,40 @@ object OpsQueries {
         .orderBy(coalesce(col("vb_str"), lit("")))
     }),
 
+    // ganglia gmond codec: XDR metadata (id 128) + typed value packets
+    // (129-135) over the base64-frame archive form; each value event is
+    // annotated from its (host, metric)'s metadata via broadcast join;
+    // unknown metrics tag _gangliametadatamissing, garbage datagrams
+    // _gangliaparsefailure
+    "pipe_ganglia" -> ((s, dir) => {
+      val metas = for { h <- 0 until 3; m <- 0 until 5 } yield
+        graft.operators.Ganglia.metaPacket(s"h$h", s"m$m",
+          Seq("int32", "uint32", "string", "float", "double")(m), s"u$m",
+          slope = m, tmax = 20 + m, dmax = m * 10)
+      val vals = (0 until 120).map { i =>
+        val host = s"h${i % 3}"; val name = s"m${i % 5}"; val sp = i % 7 == 0
+        (i % 5) match {
+          case 0 => graft.operators.Ganglia.valueInt(host, name, i - 60, sp)
+          case 1 => graft.operators.Ganglia.valueUint(host, name, 4000000000L + i, sp)
+          case 2 => graft.operators.Ganglia.valueString(host, name, s"s$i", sp)
+          case 3 => graft.operators.Ganglia.valueFloat(host, name, i.toFloat, sp)
+          case _ => graft.operators.Ganglia.valueDouble(host, name, i + 0.5, sp)
+        }
+      } ++ (120 until 123).map(i =>
+        graft.operators.Ganglia.valueInt("h9", "ghost", i)) ++
+        Seq(Array[Byte](0, 0, 0, 1), Array[Byte](0, 0, 0, 0x85.toByte))
+      val f = java.nio.file.Files.createTempFile("graft_ganglia", ".b64")
+      java.nio.file.Files.writeString(f, (metas ++ vals).map(
+        java.util.Base64.getEncoder.encodeToString).mkString("", "\n", "\n"))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { file { path => "$f" codec => ganglia } }""", Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("log_host"), col("name"), col("val"), col("value_type"),
+          col("units"), col("slope"), col("tmax"), col("dmax"), col("spoof"),
+          array_join(col("tags"), ",").as("tag_str"))
+        .orderBy(coalesce(col("val"), lit("")), col("tag_str"))
+    }),
+
     // protobuf codec: config-declared field numbers over the public wire
     // format — varint/fixed64/fixed32/length-delimited, unknown field 99
     // skipped by wire type, missing optional fields null
@@ -2229,6 +2263,40 @@ object OpsQueries {
         |         '_snmptrapparsefailure'
         |  FROM generate_series(1, 3))
         |SELECT * FROM t ORDER BY COALESCE(vb_str, '')""".stripMargin,
+
+    "pipe_ganglia" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 119)) AS i),
+        |v AS (
+        |  SELECT 'h' || CAST(i % 3 AS VARCHAR) AS log_host,
+        |         'm' || CAST(i % 5 AS VARCHAR) AS name,
+        |         CASE i % 5
+        |           WHEN 0 THEN CAST(i - 60 AS VARCHAR)
+        |           WHEN 1 THEN CAST(4000000000 + i AS VARCHAR)
+        |           WHEN 2 THEN 's' || CAST(i AS VARCHAR)
+        |           WHEN 3 THEN CAST(i AS VARCHAR) || '.0'
+        |           ELSE CAST(i AS VARCHAR) || '.5'
+        |         END AS val,
+        |         CASE i % 5 WHEN 0 THEN 'int32' WHEN 1 THEN 'uint32'
+        |           WHEN 2 THEN 'string' WHEN 3 THEN 'float' ELSE 'double'
+        |         END AS value_type,
+        |         'u' || CAST(i % 5 AS VARCHAR) AS units,
+        |         CASE i % 5 WHEN 0 THEN 'zero' WHEN 1 THEN 'positive'
+        |           WHEN 2 THEN 'negative' WHEN 3 THEN 'both' ELSE 'unspecified'
+        |         END AS slope,
+        |         CAST(20 + i % 5 AS BIGINT) AS tmax,
+        |         CAST((i % 5) * 10 AS BIGINT) AS dmax,
+        |         i % 7 = 0 AS spoof,
+        |         '' AS tag_str
+        |  FROM g
+        |  UNION ALL
+        |  SELECT 'h9', 'ghost', CAST(i AS VARCHAR), NULL, NULL, NULL,
+        |         NULL, NULL, FALSE, '_gangliametadatamissing'
+        |  FROM (SELECT unnest(generate_series(120, 122)) AS i)
+        |  UNION ALL
+        |  SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |         CAST(NULL AS BOOLEAN), '_gangliaparsefailure'
+        |  FROM generate_series(1, 2))
+        |SELECT * FROM v ORDER BY COALESCE(val, ''), tag_str""".stripMargin,
 
     "pipe_protobuf" ->
       """SELECT 'n' || CAST(i AS VARCHAR) AS name,
