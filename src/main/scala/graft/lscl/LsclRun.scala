@@ -1309,7 +1309,7 @@ object LsclRun {
     val out = Seq.newBuilder[(Plugin, Cond)]
     val names = Set("tcp", "http", "stdout", "null", "graphite", "statsd",
       "syslog", "udp", "kafka", "pipe", "lumberjack", "exec", "opentsdb",
-      "gelf", "zabbix")
+      "gelf", "zabbix", "logstash")
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if names(p.name) => out += p -> path
       case PluginItem(_) => ()
@@ -1350,6 +1350,19 @@ object LsclRun {
             case _ => strAttr(p, "batch_size").map(_.toInt).getOrElse(50)
           }
           Route.httpSink(frame, url, batch)
+        case "logstash" =>
+          // logstash-to-logstash (logstash-integration-logstash OUTPUT
+          // half): ndjson event batches POSTed over HTTP to the downstream
+          // instance's `logstash` input — the integration's public wire
+          // shape. `hosts` takes one or more host:port pairs; batches go to
+          // the first (this model doesn't load-balance).
+          val hostPort = (p.attr("hosts") match {
+            case Some(v) => strList(v).headOption
+            case None => None
+          }).getOrElse(throw new IllegalArgumentException(
+            "logstash output: hosts => [\"host:port\"] required"))
+          val batch = strAttr(p, "batch_size").map(_.toInt).getOrElse(50)
+          Route.httpSink(frame, s"http://$hostPort/", batch, ndjson = true)
         case "graphite" =>
           // logstash-output-graphite: one `metric value epoch` line per
           // (event, metrics-hash entry) over tcp; names and values are
@@ -1609,10 +1622,16 @@ object LsclRun {
       case PluginItem(p) if p.name == "pipeline" => () // bus send, not a sink
       case PluginItem(p) if Set("tcp", "http", "graphite", "statsd",
           "syslog", "udp", "kafka", "pipe", "lumberjack", "exec", "opentsdb",
-          "gelf", "zabbix")(p.name) =>
+          "gelf", "zabbix", "logstash")(p.name) =>
         () // network sinks — applied executor-side by runConfig, not file sinks
       case PluginItem(p) if p.name == "stdout" || p.name == "null" =>
         () // debug sinks — driver-side sample / swallow, applied by runConfig
+      case PluginItem(p) if Set("email", "redis", "rabbitmq")(p.name) =>
+        throw new IllegalArgumentException(
+          s"output `${p.name}` talks to an external service (SMTP/broker) " +
+            "with no local model — route the frame to a supported sink " +
+            "(file/elasticsearch/csv/webhdfs/nagios or the tcp/http/udp " +
+            "network sinks) and deliver from there")
       case PluginItem(p) =>
         // sink naming: explicit id, else the elasticsearch output's index
         // (the reference's routing key), else <plugin>_<k>. An index
@@ -1657,14 +1676,28 @@ object LsclRun {
         val esAction = strAttr(p, "action").filterNot(_ == "index")
         require(esAction.isEmpty || strAttr(p, "document_id").nonEmpty,
           s"output `${p.name}`: action => ${esAction.getOrElse("")} requires document_id")
-        out += Route.SinkSpec(name, path, dec,
+        // nagios output (logstash-output-nagios): one Nagios external
+        // command line (the PUBLIC command-file format —
+        // `[epoch] PROCESS_SERVICE_CHECK_RESULT;host;service;level;output`)
+        // per event appended to the command file; events missing
+        // nagios_host/nagios_service are skipped (the reference warns and
+        // drops them). nagios_level is sprintf'd, default 2 (CRITICAL).
+        val (sinkCond, nagiosFmt) =
+          if (p.name == "nagios") {
+            val level = strAttr(p, "nagios_level").getOrElse("2")
+            (And(path, And(Truthy("nagios_host"), Truthy("nagios_service"))): Cond,
+              Some("[%{+%s}] PROCESS_SERVICE_CHECK_RESULT;%{nagios_host};" +
+                s"%{nagios_service};$level;%{message}"))
+          } else (path, None)
+        out += Route.SinkSpec(name, sinkCond, dec,
           indexTemplate = dynamicIdx.orElse(dynamicPath),
-          codec = if (p.name == "csv") Some("csv") else codec,
+          codec = if (p.name == "csv") Some("csv")
+            else if (p.name == "nagios") Some("line") else codec,
           documentId = strAttr(p, "document_id"),
           csvFields = csvFields,
           csvSep = strAttr(p, "separator").getOrElse(","),
           esAction = esAction,
-          lineFormat = lineFmt)
+          lineFormat = nagiosFmt.orElse(lineFmt))
       case Branch(arms, otherwise) =>
         var prev = Vector.empty[Cond]
         arms.foreach { case (e, body) =>
@@ -2110,11 +2143,50 @@ object LsclRun {
         val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
         graft.operators.Ganglia.decode(
           loaded.select(unbase64(col("message")).as("frame")), "frame")
-      case PluginItem(p) if p.name == "http" =>
+      case PluginItem(p) if p.name == "couchdb_changes" =>
+        // couchdb_changes input (logstash-input-couchdb_changes): consumes
+        // the CouchDB `_changes` feed — PUBLIC ndjson, one change per line:
+        // {"seq":..,"id":..,"changes":[{"rev":..}],"doc":{..},"deleted":..}.
+        // The live long-poll is an external service; the supported form is
+        // archive replay of a saved feed (`path =>`) — the same boundary as
+        // the syslog/dlq archive inputs. `schema` declares the doc fields
+        // (the schema'd-json contract, no inference double-scan). Emits the
+        // doc columns plus the reference's @metadata as _meta_id/_meta_rev/
+        // _meta_action ("update"/"delete" — deleted changes carry null doc
+        // columns) and _meta_seq.
+        val path = strAttr(p, "path").getOrElse(
+          throw new IllegalArgumentException(
+            "couchdb_changes input: path required (a saved _changes feed; " +
+              "the live long-poll is an external service)"))
+        val ddl = strAttr(p, "schema").getOrElse(
+          throw new IllegalArgumentException(
+            "couchdb_changes input: schema => \"<ddl>\" required (doc fields)"))
+        val docT = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val envT = new org.apache.spark.sql.types.StructType()
+          .add("seq", org.apache.spark.sql.types.StringType)
+          .add("id", org.apache.spark.sql.types.StringType)
+          .add("deleted", org.apache.spark.sql.types.BooleanType)
+          .add("changes", org.apache.spark.sql.types.ArrayType(
+            new org.apache.spark.sql.types.StructType()
+              .add("rev", org.apache.spark.sql.types.StringType)))
+          .add("doc", docT)
+        spark.read.text(path)
+          .select(from_json(col("value"), envT).as("_c"))
+          .select(docT.fieldNames.toSeq.map(f => col(s"_c.doc.`$f`").as(f)) ++ Seq(
+            col("_c.id").as("_meta_id"),
+            try_element_at(col("_c.changes"), lit(1)).getField("rev").as("_meta_rev"),
+            when(coalesce(col("_c.deleted"), lit(false)), lit("delete"))
+              .otherwise(lit("update")).as("_meta_action"),
+            col("_c.seq").as("_meta_seq")): _*)
+      case PluginItem(p) if p.name == "http" || p.name == "logstash" =>
         // http input (webhook front door): POST bodies journal line-framed;
-        // batch reads the journal so far, stream reads offset deltas
-        val port = strAttr(p, "port").getOrElse(
-          throw new IllegalArgumentException("http input: port required")).toInt
+        // batch reads the journal so far, stream reads offset deltas.
+        // `logstash` input (logstash-integration-logstash INPUT half) is the
+        // same machinery: it receives the output half's ndjson POSTs — one
+        // journal line per event (default port 9800).
+        val port = strAttr(p, "port")
+          .getOrElse(if (p.name == "logstash") "9800"
+            else throw new IllegalArgumentException("http input: port required")).toInt
         val rd = spark.read.format("graft.sources.HttpSource").option("port", port)
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "beats" =>
@@ -2382,12 +2454,13 @@ object LsclRun {
           .fold(rd)(v => rd.option("max_bytes_per_trigger", parseByteSize(v)))
           .load()
       case PluginItem(p) if Set("tcp", "udp", "http", "beats", "relp",
-          "snmptrap", "ganglia")(p.name) =>
-        val port = strAttr(p, "port").getOrElse(
-          throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
+          "snmptrap", "ganglia", "logstash")(p.name) =>
+        val port = strAttr(p, "port")
+          .getOrElse(if (p.name == "logstash") "9800"
+            else throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
         val fmt = p.name match {
           case "udp" | "snmptrap" | "ganglia" => "graft.sources.UdpSource"
-          case "http" => "graft.sources.HttpSource"
+          case "http" | "logstash" => "graft.sources.HttpSource"
           case "beats" => "graft.sources.BeatsSource"
           case "relp" => "graft.sources.RelpSource"
           case _ => "graft.sources.TcpSource"

@@ -439,16 +439,19 @@ object Route {
     * partition, executor-side. Non-2xx fails the task — loud.
     */
   def httpSink(df: DataFrame, url: String, batchSize: Int = 50,
-               payload: Option[Column] = None): Unit =
+               payload: Option[Column] = None,
+               ndjson: Boolean = false): Unit =
     df.select(payload.getOrElse(jsonPayload(df)).cast("string").as("line"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         it.map(_.getString(0)).grouped(math.max(1, batchSize)).foreach { batch =>
-          val body = if (batchSize == 1) batch.head
+          val body = if (ndjson) batch.mkString("\n")
+                     else if (batchSize == 1) batch.head
                      else batch.mkString("[", ",", "]")
           val conn = java.net.URI.create(url).toURL.openConnection()
             .asInstanceOf[java.net.HttpURLConnection]
           conn.setRequestMethod("POST")
-          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setRequestProperty("Content-Type",
+            if (ndjson) "application/x-ndjson" else "application/json")
           conn.setDoOutput(true)
           val os = conn.getOutputStream
           os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

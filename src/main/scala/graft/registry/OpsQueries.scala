@@ -1431,6 +1431,69 @@ object OpsQueries {
         .orderBy(coalesce(col("val"), lit("")), col("tag_str"))
     }),
 
+    // nagios output: one Nagios external-command line per event
+    // ([epoch] PROCESS_SERVICE_CHECK_RESULT;host;service;level;output — the
+    // public command-file format); events missing nagios_host or
+    // nagios_service are skipped; nagios_level sprintf'd per event
+    "pipe_nagios" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_nagios").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("nagios_host", when(col("event_id") % 5 =!= 0,
+          concat(lit("web"), (col("user_id") % 4).cast("string"))))
+        .withColumn("nagios_service", when(col("event_id") % 7 =!= 0,
+          col("event_type")))
+        .withColumn("level", (col("user_id") % 4).cast("string"))
+        .withColumn("message", concat(lit("chk"), col("event_id").cast("string")))
+      val cfg = graft.lscl.Lscl.parse(
+        """output { nagios { id => "ncmd" nagios_level => "%{level}" } }""",
+        Map.empty)
+      graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+      s.read.text(s"$out/ncmd").orderBy("value")
+    }),
+
+    // webhdfs output: line-oriented events at a sprintf'd HDFS path — the
+    // Spark-native model is the same rendered-path partition machinery as
+    // the file output (the path IS the hadoop filesystem write)
+    "pipe_webhdfs" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_webhdfs").toString
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val cfg = graft.lscl.Lscl.parse(
+        """output {
+          |  webhdfs { id => "hdfs" host => "nn1" port => 50070
+          |            path => "/user/graft/dt=%{event_type}/part.log" }
+          |}""".stripMargin, Map.empty)
+      graft.operators.Route.run(s, e,
+        graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+      s.read.parquet(s"$out/hdfs")
+        .groupBy(col("_index").cast("string").as("path"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .orderBy("path")
+    }),
+
+    // couchdb_changes input: archive replay of a saved _changes feed — doc
+    // columns by declared schema, deleted changes carry null docs, CouchDB
+    // identity/action/seq surfaced as _meta_* columns
+    "pipe_couchdb" -> ((s, dir) => {
+      val lines = (0 until 60).map { i =>
+        if (i % 10 == 0)
+          s"""{"seq":"$i-seq","id":"d$i","changes":[{"rev":"1-r$i"}],"deleted":true}"""
+        else
+          s"""{"seq":"$i-seq","id":"d$i","changes":[{"rev":"1-r$i"}],"doc":{"a":$i,"b":"x$i"}}"""
+      }
+      val f = java.nio.file.Files.createTempFile("graft_couchdb", ".jsonl")
+      java.nio.file.Files.writeString(f, lines.mkString("", "\n", "\n"))
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { couchdb_changes { path => "$f" schema => "a INT, b STRING" } }""",
+        Map.empty)
+      graft.lscl.LsclRun.source(s, cfg.inputs)
+        .select(col("a"), col("b"), col("_meta_id"), col("_meta_rev"),
+          col("_meta_action"), col("_meta_seq"))
+        .orderBy("_meta_id")
+    }),
+
     // protobuf codec: config-declared field numbers over the public wire
     // format — varint/fixed64/fixed32/length-delimited, unknown field 99
     // skipped by wire type, missing optional fields null
@@ -2297,6 +2360,30 @@ object OpsQueries {
         |         CAST(NULL AS BOOLEAN), '_gangliaparsefailure'
         |  FROM generate_series(1, 2))
         |SELECT * FROM v ORDER BY COALESCE(val, ''), tag_str""".stripMargin,
+
+    "pipe_nagios" ->
+      """SELECT '[' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+        |  || '] PROCESS_SERVICE_CHECK_RESULT;web' || CAST(user_id % 4 AS VARCHAR)
+        |  || ';' || event_type || ';' || CAST(user_id % 4 AS VARCHAR)
+        |  || ';chk' || CAST(event_id AS VARCHAR) AS value
+        |FROM events
+        |WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+        |ORDER BY value""".stripMargin,
+
+    "pipe_webhdfs" ->
+      """SELECT '/user/graft/dt=' || event_type || '/part.log' AS path,
+        |       COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY 1 ORDER BY path""".stripMargin,
+
+    "pipe_couchdb" ->
+      """SELECT CAST(CASE WHEN i % 10 = 0 THEN NULL ELSE i END AS INTEGER) AS a,
+        |       CASE WHEN i % 10 = 0 THEN NULL ELSE 'x' || CAST(i AS VARCHAR) END AS b,
+        |       'd' || CAST(i AS VARCHAR) AS _meta_id,
+        |       '1-r' || CAST(i AS VARCHAR) AS _meta_rev,
+        |       CASE WHEN i % 10 = 0 THEN 'delete' ELSE 'update' END AS _meta_action,
+        |       CAST(i AS VARCHAR) || '-seq' AS _meta_seq
+        |FROM (SELECT unnest(generate_series(0, 59)) AS i)
+        |ORDER BY _meta_id""".stripMargin,
 
     "pipe_protobuf" ->
       """SELECT 'n' || CAST(i AS VARCHAR) AS name,

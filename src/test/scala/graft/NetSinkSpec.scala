@@ -308,4 +308,40 @@ class NetSinkSpec extends SparkSpec {
     assert(res.counts("keep") == 30L)
     assert(spark.read.parquet(s"$out/keep").count() == 30L)
   }
+
+  test("logstash-to-logstash: output half ships ndjson to the input half") {
+    val port = 15990
+    val tmp = java.nio.file.Files.createTempDirectory("graft_l2l")
+    val journal = tmp.resolve("l2l.journal")
+    // input half first (listener registry factory + fixed port, so the
+    // config read below attaches to the same listener)
+    graft.sources.HttpSource.ensureListener(port, journal)
+    try {
+      val out = tmp.resolve("out").toString
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 8 message => "m" } }
+           |output { logstash { hosts => ["127.0.0.1:$port"] batch_size => 3 } }
+           |""".stripMargin, out, Map.empty)
+      // receiver acks only after the durable append, so the journal is
+      // complete once runConfig returns
+      val inCfg = graft.lscl.Lscl.parse(
+        s"""input { logstash { port => $port journal => "$journal" } }""",
+        Map.empty)
+      val got = graft.lscl.LsclRun.source(spark, inCfg.inputs)
+        .collect().map(_.getString(1)).toSeq
+      assert(got.size == 8, s"got ${got.size}: $got")
+      // each journal line is one event's json document (ndjson framing)
+      val seqs = got.map(ujsonSeq).sorted
+      assert(seqs == (0L until 8L).toSeq, s"got $seqs")
+    } finally graft.sources.HttpSource.stopListener(port)
+  }
+
+  test("email output fails loudly with a routing hint") {
+    val cfg = graft.lscl.Lscl.parse(
+      """output { email { to => "ops@example.com" } }""", Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      graft.lscl.LsclRun.sinkSpecs(cfg.outputs)
+    }
+    assert(e.getMessage.contains("external service"))
+  }
 }
