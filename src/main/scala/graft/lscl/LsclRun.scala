@@ -1131,6 +1131,16 @@ object LsclRun {
             "hatch — LogPipeline.transform / Dataset.map over the frame — " +
             "or as mutate/grok/translate config where the block is expressible")
 
+      case "elastic_integration" =>
+        // runs Elasticsearch ingest pipelines INSIDE logstash by fetching
+        // them from a live cluster — external service; the mappable halves
+        // (grok/date/kv/geoip processors et al.) are the same-named filters
+        throw new UnsupportedOperationException(
+          "the `elastic_integration` filter executes ingest pipelines " +
+            "fetched from a live Elasticsearch cluster (external service); " +
+            "express the pipeline's processors as the equivalent filters " +
+            "(grok, date, kv, geoip, mutate, ...) instead")
+
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported filter plugin `$other`; supported: mutate, drop, json, yaml, " +
@@ -1662,7 +1672,8 @@ object LsclRun {
         // (`codec => line { format => "%{message} %{tags}" }`,
         // env_variables_config fixture)
         val lineFmt = p.attr("codec") match {
-          case Some(VPlugin(c)) if c.name == "line" => strAttr(c, "format")
+          case Some(VPlugin(c)) if c.name == "line" || c.name == "plain" =>
+            strAttr(c, "format")
           case _ => None
         }
         // the csv OUTPUT plugin (logstash-output-csv): `fields` select the
@@ -1691,8 +1702,12 @@ object LsclRun {
           } else (path, None)
         out += Route.SinkSpec(name, sinkCond, dec,
           indexTemplate = dynamicIdx.orElse(dynamicPath),
+          // the plain output codec is the line codec's rendering (sprintf'd
+          // `format`, default = the message) without the framing distinction
+          // — framing is the sink layout's concern here
           codec = if (p.name == "csv") Some("csv")
-            else if (p.name == "nagios") Some("line") else codec,
+            else if (p.name == "nagios") Some("line")
+            else codec.map(c => if (c == "plain") "line" else c),
           documentId = strAttr(p, "document_id"),
           csvFields = csvFields,
           csvSep = strAttr(p, "separator").getOrElse(","),
@@ -2178,15 +2193,21 @@ object LsclRun {
             when(coalesce(col("_c.deleted"), lit(false)), lit("delete"))
               .otherwise(lit("update")).as("_meta_action"),
             col("_c.seq").as("_meta_seq")): _*)
-      case PluginItem(p) if p.name == "http" || p.name == "logstash" =>
+      case PluginItem(p) if Set("http", "logstash",
+          "elastic_serverless_forwarder")(p.name) =>
         // http input (webhook front door): POST bodies journal line-framed;
         // batch reads the journal so far, stream reads offset deltas.
         // `logstash` input (logstash-integration-logstash INPUT half) is the
         // same machinery: it receives the output half's ndjson POSTs — one
-        // journal line per event (default port 9800).
+        // journal line per event (default port 9800). So is
+        // `elastic_serverless_forwarder` (its public contract is likewise
+        // ndjson events POSTed over HTTP; default port 8080).
         val port = strAttr(p, "port")
-          .getOrElse(if (p.name == "logstash") "9800"
-            else throw new IllegalArgumentException("http input: port required")).toInt
+          .getOrElse(p.name match {
+            case "logstash" => "9800"
+            case "elastic_serverless_forwarder" => "8080"
+            case _ => throw new IllegalArgumentException("http input: port required")
+          }).toInt
         val rd = spark.read.format("graft.sources.HttpSource").option("port", port)
         strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
       case PluginItem(p) if p.name == "beats" =>
@@ -2426,6 +2447,13 @@ object LsclRun {
             }
           case _ => spark.read.parquet(path)
         }
+      case PluginItem(p) if Set("redis", "rabbitmq", "jms", "twitter",
+          "azure_event_hubs", "elasticsearch_eql", "snmp")(p.name) =>
+        throw new UnsupportedOperationException(
+          s"input `${p.name}` polls an external service/broker with no " +
+            "local model" + (if (p.name == "snmp")
+              " — received TRAPS are supported via the snmptrap input" else "") +
+            "; land the data as files/tcp/http/beats and ingest from there")
       case PluginItem(p) =>
         throw new UnsupportedOperationException(s"unsupported input plugin `${p.name}`")
     }
@@ -2454,13 +2482,18 @@ object LsclRun {
           .fold(rd)(v => rd.option("max_bytes_per_trigger", parseByteSize(v)))
           .load()
       case PluginItem(p) if Set("tcp", "udp", "http", "beats", "relp",
-          "snmptrap", "ganglia", "logstash")(p.name) =>
+          "snmptrap", "ganglia", "logstash",
+          "elastic_serverless_forwarder")(p.name) =>
         val port = strAttr(p, "port")
-          .getOrElse(if (p.name == "logstash") "9800"
-            else throw new IllegalArgumentException(s"${p.name} input: port required")).toInt
+          .getOrElse(p.name match {
+            case "logstash" => "9800"
+            case "elastic_serverless_forwarder" => "8080"
+            case _ => throw new IllegalArgumentException(s"${p.name} input: port required")
+          }).toInt
         val fmt = p.name match {
           case "udp" | "snmptrap" | "ganglia" => "graft.sources.UdpSource"
-          case "http" | "logstash" => "graft.sources.HttpSource"
+          case "http" | "logstash" | "elastic_serverless_forwarder" =>
+            "graft.sources.HttpSource"
           case "beats" => "graft.sources.BeatsSource"
           case "relp" => "graft.sources.RelpSource"
           case _ => "graft.sources.TcpSource"

@@ -169,4 +169,54 @@ class PluginSurfaceSpec extends SparkSpec {
       assert(got == (0L until 57L), s"got ${got.size}: $got")
     } finally listener.close()
   }
+
+  test("plain output codec renders its sprintf'd format (line-codec rendering)") {
+    import spark.implicits._
+    val out = tmpDir("graft_plainout")
+    graft.lscl.LsclRun.runConfig(spark,
+      s"""input { generator { count => 4 message => "m" } }
+         |output { file { id => "p" codec => plain { format => "s=%{seq}" } } }
+         |""".stripMargin, out, Map.empty)
+    val got = spark.read.text(s"$out/p").as[String].collect().sorted.toSeq
+    assert(got == Seq("s=0", "s=1", "s=2", "s=3"), got.mkString(","))
+  }
+
+  test("elastic_serverless_forwarder input: ndjson POSTs land one event per line") {
+    val port = 15991
+    val tmp = java.nio.file.Files.createTempDirectory("graft_esf")
+    val journal = tmp.resolve("esf.journal")
+    graft.sources.HttpSource.ensureListener(port, journal)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port/"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "{\"a\":1}\n{\"a\":2}"))
+        .build()
+      assert(client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { elastic_serverless_forwarder {
+           |  port => $port journal => "$journal" } }""".stripMargin, Map.empty)
+      val got = graft.lscl.LsclRun.source(spark, cfg.inputs)
+        .collect().map(_.getString(1)).sorted.toSeq
+      assert(got == Seq("{\"a\":1}", "{\"a\":2}"), got.mkString("|"))
+    } finally graft.sources.HttpSource.stopListener(port)
+  }
+
+  test("external-service inputs and the elastic_integration filter fail loudly") {
+    val e1 = intercept[UnsupportedOperationException] {
+      graft.lscl.LsclRun.source(spark, graft.lscl.Lscl.parse(
+        """input { snmp { get => ["1.3.6.1.2.1.1.1.0"] } }""",
+        Map.empty).inputs)
+    }
+    assert(e1.getMessage.contains("snmptrap"), e1.getMessage)
+    val e2 = intercept[UnsupportedOperationException] {
+      graft.lscl.LsclRun.applyFilters(
+        spark.range(1).toDF(),
+        graft.lscl.Lscl.parse("""filter { elastic_integration { } }""",
+          Map.empty).filters)
+    }
+    assert(e2.getMessage.contains("ingest pipelines"), e2.getMessage)
+  }
 }
