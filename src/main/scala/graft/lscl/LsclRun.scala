@@ -1366,6 +1366,8 @@ object LsclRun {
           // instance's `logstash` input — the integration's public wire
           // shape. `hosts` takes one or more host:port pairs; batches go to
           // the first (this model doesn't load-balance).
+          strAttr(p, "ssl_enabled").foreach(v => require(v == "false",
+            "logstash output: ssl_enabled => true is not supported (no TLS)"))
           val hostPort = (p.attr("hosts") match {
             case Some(v) => strList(v).headOption
             case None => None
@@ -2209,7 +2211,18 @@ object LsclRun {
             case _ => throw new IllegalArgumentException("http input: port required")
           }).toInt
         val rd = spark.read.format("graft.sources.HttpSource").option("port", port)
-        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        if (p.name == "http") loaded
+        else {
+          // the journal lines ARE json event documents (the sender encodes
+          // ndjson) — decode them into event fields. `schema => "<ddl>"`
+          // skips the inference scan (the 100 TB path); ssl/auth attrs are
+          // transport concerns the local listener doesn't model — TLS is
+          // rejected loudly, credentials are accepted but not enforced.
+          strAttr(p, "ssl_enabled").foreach(v => require(v == "false",
+            s"${p.name} input: ssl_enabled => true is not supported (no TLS listener)"))
+          jsonParse(loaded, "message", None, lit(true), strAttr(p, "schema"))
+        }
       case PluginItem(p) if p.name == "beats" =>
         // beats input: lumberjack v2 listener journals one JSON line per
         // event, acking after the durable append; a downstream json filter

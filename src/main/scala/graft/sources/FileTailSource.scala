@@ -52,6 +52,9 @@ object FileTailSource {
     * only the unfinished tail is ever scanned, not the file.
     */
   def lastLineEnd(path: String, len: Long): Long = {
+    // a listener that has received nothing yet has no journal file — that
+    // reads as empty, not as an error (scans can precede the first append)
+    if (!new java.io.File(path).exists()) return 0L
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
       val buf = new Array[Byte](64 * 1024)

@@ -65,4 +65,42 @@ class BinaryCodecsSpec extends SparkSpec {
     assert(out(1).getAs[Int]("protocol") == 6)
     assert(out(1).getAs[Long]("flow_seq_num") == 11L)
   }
+
+  test("ganglia: XDR round-trip across padding lengths, types, escapes") {
+    import spark.implicits._
+    val G = graft.operators.Ganglia
+    // hosts of length 0..8 hit every pad-to-4 remainder; values exercise all five
+    // wire types plus a quote/backslash/unicode string and an escape in name
+    val hosts = (0 to 8).map(n => "h" * n)
+    val frames = hosts.zipWithIndex.flatMap { case (h, i) =>
+      val name = if (i == 3) "m\"\\β" else s"m$i"
+      Seq(
+        G.metaPacket(h, name, "double", "u" * (i % 5), slope = i % 5,
+          tmax = 60, dmax = 0),
+        i % 5 match {
+          case 0 => G.valueInt(h, name, -i)
+          case 1 => G.valueUint(h, name, 4294967295L - i)
+          case 2 => G.valueString(h, name, s"v\"$i\\π")
+          case 3 => G.valueFloat(h, name, i.toFloat)
+          case 4 => G.valueDouble(h, name, i + 0.5)
+        })
+    }
+    val out = G.decode(frames.toDF("frame"), "frame")
+      .orderBy("name").collect()
+    assert(out.length == 9, out.length)
+    val byName = out.map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("m0").getAs[String]("val") == "0")
+    assert(byName("m1").getAs[String]("val") == "4294967294")
+    assert(byName("m2").getAs[String]("val") == "v\"2\\π")
+    assert(byName("m\"\\β").getAs[String]("val") == "3.0")
+    assert(byName("m4").getAs[String]("val") == "4.5")
+    assert(byName("m5").getAs[String]("val") == "-5")
+    // metadata annotation joined for every row (no missing tags)
+    assert(out.forall(_.getAs[scala.collection.Seq[String]]("tags").isEmpty))
+    assert(out.forall(_.getAs[String]("value_type") == "double"))
+    val slopes = hosts.indices.map(i =>
+      byName(if (i == 3) "m\"\\β" else s"m$i").getAs[String]("slope"))
+    assert(slopes == Seq("zero", "positive", "negative", "both", "unspecified",
+      "zero", "positive", "negative", "both"), slopes)
+  }
 }

@@ -327,13 +327,70 @@ class NetSinkSpec extends SparkSpec {
       val inCfg = graft.lscl.Lscl.parse(
         s"""input { logstash { port => $port journal => "$journal" } }""",
         Map.empty)
+      // the input half decodes the ndjson documents back into event fields
       val got = graft.lscl.LsclRun.source(spark, inCfg.inputs)
-        .collect().map(_.getString(1)).toSeq
+        .select("seq", "message").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(got.size == 8, s"got ${got.size}: $got")
-      // each journal line is one event's json document (ndjson framing)
-      val seqs = got.map(ujsonSeq).sorted
-      assert(seqs == (0L until 8L).toSeq, s"got $seqs")
+      assert(got.map(_._1).sorted == (0L until 8L).toSeq, s"got $got")
+      assert(got.forall(_._2 == "m"), s"got $got")
     } finally graft.sources.HttpSource.stopListener(port)
+  }
+
+  test("logstash_to_logstash fixture configs run VERBATIM (both halves)") {
+    // qa/integration/fixtures/logstash_to_logstash_spec.yml — basic_ls_input
+    // and basic_ls_output verbatim (ERB holes filled: output path, count 10);
+    // the input half names no port/journal, so the default port 9800 +
+    // default journal carry the round trip
+    val tmp = java.nio.file.Files.createTempDirectory("graft_l2lfix")
+    val dj = graft.sources.HttpSource.defaultJournal(9800)
+    graft.sources.HttpSource.stopListener(9800)
+    java.nio.file.Files.deleteIfExists(dj)
+    val inputCfgText =
+      s"""input {
+         |  logstash {
+         |    ssl_enabled => false
+         |    username => "logstash"
+         |    password => "$$e0re!"
+         |  }
+         |}
+         |output {
+         |  file {
+         |    path => '$tmp/out.log'
+         |    flush_interval => 0
+         |    codec => line { format => "%{message}" }
+         |  }
+         |}""".stripMargin
+    val outputCfgText =
+      """input {
+        |  generator {
+        |    count => '10'
+        |  }
+        |}
+        |output {
+        |  logstash {
+        |    ssl_enabled => false
+        |    hosts => ["127.0.0.1:9800"]
+        |    username => "logstash"
+        |    password => "$e0re!"
+        |  }
+        |}""".stripMargin
+    try {
+      val inCfg = graft.lscl.Lscl.parse(inputCfgText, Map.empty)
+      // reading the source starts the listener (registry factory, port 9800)
+      graft.lscl.LsclRun.source(spark, inCfg.inputs).count()
+      graft.lscl.LsclRun.runConfig(spark, outputCfgText,
+        tmp.resolve("sender").toString, Map.empty)
+      graft.lscl.LsclRun.runConfig(spark, inputCfgText,
+        tmp.resolve("receiver").toString, Map.empty)
+      val lines = spark.read.text(s"$tmp/receiver/file_1")
+        .collect().map(_.getString(0)).toSeq
+      assert(lines.size == 10 && lines.forall(_ == "hello world"),
+        s"${lines.size}: ${lines.take(3).mkString("|")}")
+    } finally {
+      graft.sources.HttpSource.stopListener(9800)
+      java.nio.file.Files.deleteIfExists(dj)
+    }
   }
 
   test("email output fails loudly with a routing hint") {
