@@ -1319,7 +1319,7 @@ object LsclRun {
     val out = Seq.newBuilder[(Plugin, Cond)]
     val names = Set("tcp", "http", "stdout", "null", "graphite", "statsd",
       "syslog", "udp", "kafka", "pipe", "lumberjack", "exec", "opentsdb",
-      "gelf", "zabbix", "logstash")
+      "gelf", "zabbix", "logstash", "java_stdout")
     def walk(items: Seq[Item], path: Cond): Unit = items.foreach {
       case PluginItem(p) if names(p.name) => out += p -> path
       case PluginItem(_) => ()
@@ -1586,7 +1586,7 @@ object LsclRun {
                   "connector); add org.apache.spark:spark-sql-kafka-0-10 to " +
                   "run this config", e)
           }
-        case "stdout" =>
+        case "stdout" | "java_stdout" =>
           // debug output: the reference prints EVERY event (rubydebug) —
           // driver-printing an unbounded frame is cluster-inappropriate, so
           // this prints a bounded sample plus the total (set `limit` for
@@ -1636,7 +1636,7 @@ object LsclRun {
           "syslog", "udp", "kafka", "pipe", "lumberjack", "exec", "opentsdb",
           "gelf", "zabbix", "logstash")(p.name) =>
         () // network sinks — applied executor-side by runConfig, not file sinks
-      case PluginItem(p) if p.name == "stdout" || p.name == "null" =>
+      case PluginItem(p) if Set("stdout", "java_stdout", "null")(p.name) =>
         () // debug sinks — driver-side sample / swallow, applied by runConfig
       case PluginItem(p) if Set("email", "redis", "rabbitmq")(p.name) =>
         throw new IllegalArgumentException(
@@ -2058,15 +2058,25 @@ object LsclRun {
         val path = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("dead_letter_queue input: path required"))
         spark.read.parquet(path)
-      case PluginItem(p) if p.name == "stdin" =>
-        // the reference's default input: stdin is inherently driver-local,
-        // so drain it to a spill file once (bounded by EOF in batch mode)
-        // and scan that — one line per event, like the stdin plugin's
-        // line codec
+      case PluginItem(p) if p.name == "stdin" || p.name == "java_stdin" =>
+        // the reference's default input (java_stdin is the same plugin's
+        // java-execution name, mixed_codec_spec.yml): stdin is inherently
+        // driver-local, so drain it to a spill file once (bounded by EOF in
+        // batch mode) and scan that — one line per event, like the stdin
+        // plugin's line codec
         val tmp = java.nio.file.Files.createTempFile("graft_stdin", ".log")
         java.nio.file.Files.copy(System.in, tmp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        spark.read.text(tmp.toString).withColumnRenamed("value", "message")
+        val raw = spark.read.text(tmp.toString).withColumnRenamed("value", "message")
+        val cdc = codecPlugin(p).orElse(p.attr("codec") match {
+          case Some(VString(c)) => Some(Plugin(c, Nil)); case _ => None
+        })
+        cdc match {
+          case Some(c) if c.name == "json" =>
+            jsonParse(raw, "message", None, lit(true), strAttr(c, "schema"))
+          // plain/line are the identity read (charset decodes leniently)
+          case _ => raw
+        }
       case PluginItem(p) if p.name == "tcp" =>
         // tcp input: listener journals received lines; batch reads the
         // journal so far (streaming deltas via sourceStream)

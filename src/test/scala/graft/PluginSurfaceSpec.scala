@@ -204,6 +204,63 @@ class PluginSurfaceSpec extends SparkSpec {
     } finally graft.sources.HttpSource.stopListener(port)
   }
 
+  test("mixed_codec fixture configs run VERBATIM (java_stdin codecs, java_stdout json)") {
+    // qa/integration/fixtures/mixed_codec_spec.yml — input_decode,
+    // input_decode_configured, output_encode verbatim (PATH_TO_OUT via env)
+    val tmp = tmpDir("graft_mixedcodec")
+    val oldIn = System.in
+    try {
+      System.setIn(new java.io.ByteArrayInputStream(
+        "{\"a\":1,\"m\":\"x\"}\n{\"a\":2,\"m\":\"y\"}\n".getBytes("UTF-8")))
+      graft.lscl.LsclRun.runConfig(spark,
+        """input {
+          |  java_stdin {
+          |      codec => json
+          |  }
+          |}
+          |output {
+          |  file {
+          |    path => "${PATH_TO_OUT}"
+          |  }
+          |}""".stripMargin, s"$tmp/dec", Map("PATH_TO_OUT" -> s"$tmp/out.log"))
+      val got = spark.read.parquet(s"$tmp/dec/file_1")
+        .select("a", "m").collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq((1L, "x"), (2L, "y")), got.mkString(","))
+
+      System.setIn(new java.io.ByteArrayInputStream("p1\np2\n".getBytes("UTF-8")))
+      graft.lscl.LsclRun.runConfig(spark,
+        """input {
+          |  java_stdin {
+          |      codec => plain {
+          |        charset => "ASCII-8BIT"
+          |      }
+          |  }
+          |}
+          |output {
+          |  file {
+          |    path => "${PATH_TO_OUT}"
+          |  }
+          |}""".stripMargin, s"$tmp/plain", Map("PATH_TO_OUT" -> s"$tmp/out2.log"))
+      val plain = spark.read.parquet(s"$tmp/plain/file_1")
+        .select("message").collect().map(_.getString(0)).sorted.toSeq
+      assert(plain == Seq("p1", "p2"), plain.mkString(","))
+    } finally System.setIn(oldIn)
+
+    // output_encode: generator -> java_stdout { codec => json } (driver print)
+    graft.lscl.LsclRun.runConfig(spark,
+      """input {
+        |  generator {
+        |    count => 4
+        |  }
+        |}
+        |output {
+        |  java_stdout {
+        |    codec => json
+        |  }
+        |}""".stripMargin, s"$tmp/enc", Map.empty)
+  }
+
   test("external-service inputs and the elastic_integration filter fail loudly") {
     val e1 = intercept[UnsupportedOperationException] {
       graft.lscl.LsclRun.source(spark, graft.lscl.Lscl.parse(
