@@ -2527,7 +2527,17 @@ object LsclRun {
             Set("gelf", "collectd", "netflow", "snmptrap", "ganglia")(c.name))) ||
             p.name == "snmptrap" || p.name == "ganglia")
           rd0.option("frames", "base64") else rd0
-        strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        val loadedS = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        if (Set("logstash", "elastic_serverless_forwarder")(p.name)) {
+          // same ndjson decode as the batch path, but a stream cannot scan
+          // ahead to infer — the schema must be declared (batch==stream
+          // parity: jsonParse with an explicit DDL is a stateless projection)
+          val ddl = strAttr(p, "schema").getOrElse(
+            throw new IllegalArgumentException(
+              s"${p.name} input under streaming: schema => \"<ddl>\" " +
+                "required (the batch path may infer; a stream cannot scan ahead)"))
+          jsonParse(loadedS, "message", None, lit(true), Some(ddl))
+        } else loadedS
       case PluginItem(p) if p.name == "unix" =>
         val sock = strAttr(p, "path").getOrElse(
           throw new IllegalArgumentException("unix input: path required"))

@@ -335,4 +335,36 @@ class LsclStreamSpec extends SparkSpec {
     // the never-started end tags end_without_start in both engines
     assert(streamed.find(_._1 == "zz").get._5.contains("elapsed_end_without_start"))
   }
+
+  test("logstash input streams with a declared schema; no schema fails loudly") {
+    val port = 15992
+    val tmp = java.nio.file.Files.createTempDirectory("graft_l2ls")
+    val journal = tmp.resolve("l2ls.journal")
+    graft.sources.HttpSource.ensureListener(port, journal)
+    try {
+      // sender half ships ndjson into the listener
+      graft.lscl.LsclRun.runConfig(spark,
+        s"""input { generator { count => 6 message => "sm" } }
+           |output { logstash { hosts => ["127.0.0.1:$port"] } }""".stripMargin,
+        tmp.resolve("sender").toString, Map.empty)
+      // streaming receiver must declare the schema (no inference on a stream)
+      val noSchema = intercept[IllegalArgumentException] {
+        graft.lscl.LsclRun.runConfigStream(spark,
+          s"""input { logstash { port => $port journal => "$journal" } }
+             |output { file { id => "s" } }""".stripMargin,
+          s"$tmp/out0", s"$tmp/ck0", Map.empty)
+      }
+      assert(noSchema.getMessage.contains("schema"), noSchema.getMessage)
+      val q = graft.lscl.LsclRun.runConfigStream(spark,
+        s"""input { logstash { port => $port journal => "$journal"
+           |  schema => "seq BIGINT, message STRING" } }
+           |output { file { id => "s" } }""".stripMargin,
+        s"$tmp/out", s"$tmp/ck", Map.empty)
+      q.awaitTermination(120000)
+      val got = spark.read.parquet(s"$tmp/out/s")
+        .select("seq", "message").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == (0L until 6L).map(i => (i, "sm")), got.mkString(","))
+    } finally graft.sources.HttpSource.stopListener(port)
+  }
 }
