@@ -228,7 +228,21 @@ object Cond {
   /** Schema-aware predicate for a concrete frame. */
   def predicateFor(df: org.apache.spark.sql.DataFrame, c: Cond): Column = {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    predicate(c, types.get _)
+    // a field that is ABSENT from the schema behaves like a null-valued
+    // field (the reference's missing-field semantics), not like an analysis
+    // error. For Truthy the equivalence is exact — Truthy over null is
+    // two-valued false — so the leaf rewrites to False instead of compiling
+    // an unresolvable col(f). (Nested refs keep their runtime resolution.)
+    def rw(c: Cond): Cond = c match {
+      case Truthy(f) if !types.contains(f) && !f.contains(".") => False
+      case And(a, b) => And(rw(a), rw(b))
+      case Or(a, b) => Or(rw(a), rw(b))
+      case Nand(a, b) => Nand(rw(a), rw(b))
+      case Xor(a, b) => Xor(rw(a), rw(b))
+      case Not(a) => Not(rw(a))
+      case other => other
+    }
+    predicate(rw(c), types.get _)
   }
 }
 

@@ -1366,8 +1366,7 @@ object LsclRun {
           // instance's `logstash` input — the integration's public wire
           // shape. `hosts` takes one or more host:port pairs; batches go to
           // the first (this model doesn't load-balance).
-          strAttr(p, "ssl_enabled").foreach(v => require(v == "false",
-            "logstash output: ssl_enabled => true is not supported (no TLS)"))
+          requirePlaintext(p, "output")
           val hostPort = (p.attr("hosts") match {
             case Some(v) => strList(v).headOption
             case None => None
@@ -1734,6 +1733,39 @@ object LsclRun {
   private def codecPlugin(p: Plugin): Option[Plugin] =
     p.attr("codec") match { case Some(VPlugin(c)) => Some(c); case _ => None }
 
+  /** The logstash integration and the serverless forwarder default
+    * `ssl_enabled` to TRUE in the reference; no TLS transport exists here,
+    * so a config that expects TLS (explicitly or by omission) must fail
+    * loudly rather than silently run plaintext. Credentials are accepted
+    * but not enforced (the local listener has no auth check).
+    */
+  /** Listener inputs' port: explicit, else the plugin's reference default
+    * (logstash 9800, elastic_serverless_forwarder 8080) — ONE mapping for
+    * the batch and streaming paths so they cannot drift.
+    */
+  private def listenerPort(p: Plugin): Int =
+    strAttr(p, "port").getOrElse(p.name match {
+      case "logstash" => "9800"
+      case "elastic_serverless_forwarder" => "8080"
+      case n => throw new IllegalArgumentException(s"$n input: port required")
+    }).toInt
+
+  private def requirePlaintext(p: Plugin, half: String): Unit =
+    require(strAttr(p, "ssl_enabled").contains("false"),
+      s"${p.name} $half: the reference defaults ssl_enabled => true and no " +
+        "TLS transport exists here — set ssl_enabled => false explicitly " +
+        "to run plaintext")
+
+  /** Like [[codecPlugin]], but a bareword `codec => name` counts as an
+    * attributeless plugin — name-dispatched codec sites must see both forms.
+    */
+  private def codecPluginOrName(p: Plugin): Option[Plugin] =
+    p.attr("codec") match {
+      case Some(VPlugin(c)) => Some(c)
+      case Some(VString(c)) => Some(Plugin(c, Nil))
+      case _ => None
+    }
+
   /** The syslog input's RFC 3164 parse chain over a line-framed frame —
     * narrow (one grok pass + PRI arithmetic), so it runs identically on
     * batch and streaming frames.
@@ -1798,7 +1830,10 @@ object LsclRun {
   def inputBatchCodec(items: Seq[Item]): DataFrame => DataFrame = {
     val codecs = items.collect {
       case PluginItem(p) if Set("file", "tcp", "udp")(p.name) =>
-        codecPlugin(p).filter(c => c.name == "multiline" ||
+        // bareword `codec => snmptrap` and block `codec => snmptrap { }`
+        // both count — the batch path dispatches on the name, so the
+        // streaming path must too (else the codec silently drops)
+        codecPluginOrName(p).filter(c => c.name == "multiline" ||
           Set("gelf", "collectd", "netflow", "snmptrap", "ganglia")(c.name))
       // the named snmptrap/ganglia inputs ARE their codecs (udp + decode)
       case PluginItem(p) if p.name == "snmptrap" =>
@@ -1810,6 +1845,17 @@ object LsclRun {
       "multiple inputs with batch codecs: streaming applies ONE batch " +
         "codec over the unioned stream — give each input its own pipeline")
     codecs.headOption match {
+      case Some(cp) if cp.name == "ganglia" =>
+        // NOT per-micro-batch-safe: value packets are annotated from
+        // metadata packets, which gmond sends RARELY (once + tmax resends).
+        // A per-batch decode loses the metadata cache across batches and
+        // batch==stream silently breaks — refuse loudly (replay the journal
+        // in batch mode instead), the same rule as stateful filter configs.
+        throw new UnsupportedOperationException(
+          "the ganglia input/codec is batch-only under streaming: metadata " +
+            "packets annotate value packets across the whole journal; a " +
+            "per-micro-batch decode would drop annotations for metadata " +
+            "seen in earlier batches. Replay the journal in batch mode.")
       case Some(cp) if cp.name == "multiline" =>
         b => applyMultiline(cp, b, "stream")
       case Some(cp) =>
@@ -2214,12 +2260,7 @@ object LsclRun {
         // journal line per event (default port 9800). So is
         // `elastic_serverless_forwarder` (its public contract is likewise
         // ndjson events POSTed over HTTP; default port 8080).
-        val port = strAttr(p, "port")
-          .getOrElse(p.name match {
-            case "logstash" => "9800"
-            case "elastic_serverless_forwarder" => "8080"
-            case _ => throw new IllegalArgumentException("http input: port required")
-          }).toInt
+        val port = listenerPort(p)
         val rd = spark.read.format("graft.sources.HttpSource").option("port", port)
         val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
         if (p.name == "http") loaded
@@ -2229,8 +2270,7 @@ object LsclRun {
           // skips the inference scan (the 100 TB path); ssl/auth attrs are
           // transport concerns the local listener doesn't model — TLS is
           // rejected loudly, credentials are accepted but not enforced.
-          strAttr(p, "ssl_enabled").foreach(v => require(v == "false",
-            s"${p.name} input: ssl_enabled => true is not supported (no TLS listener)"))
+          requirePlaintext(p, "input")
           jsonParse(loaded, "message", None, lit(true), strAttr(p, "schema"))
         }
       case PluginItem(p) if p.name == "beats" =>
@@ -2507,12 +2547,7 @@ object LsclRun {
       case PluginItem(p) if Set("tcp", "udp", "http", "beats", "relp",
           "snmptrap", "ganglia", "logstash",
           "elastic_serverless_forwarder")(p.name) =>
-        val port = strAttr(p, "port")
-          .getOrElse(p.name match {
-            case "logstash" => "9800"
-            case "elastic_serverless_forwarder" => "8080"
-            case _ => throw new IllegalArgumentException(s"${p.name} input: port required")
-          }).toInt
+        val port = listenerPort(p)
         val fmt = p.name match {
           case "udp" | "snmptrap" | "ganglia" => "graft.sources.UdpSource"
           case "http" | "logstash" | "elastic_serverless_forwarder" =>
@@ -2532,6 +2567,7 @@ object LsclRun {
           // same ndjson decode as the batch path, but a stream cannot scan
           // ahead to infer — the schema must be declared (batch==stream
           // parity: jsonParse with an explicit DDL is a stateless projection)
+          requirePlaintext(p, "input")
           val ddl = strAttr(p, "schema").getOrElse(
             throw new IllegalArgumentException(
               s"${p.name} input under streaming: schema => \"<ddl>\" " +

@@ -29,17 +29,7 @@ object Ganglia {
 
   private val SlopeNames = Array("zero", "positive", "negative", "both", "unspecified")
 
-  private def esc(s: String): String = {
-    // fixture-grade JSON escape (quotes/backslash/control) for field values
-    val sb = new java.lang.StringBuilder(s.length + 8)
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def esc(s: String): String = graft.model.Json.escape(s)
 
   /** Decode one XDR datagram into a tagged-union JSON row. */
   def toJson(b: Array[Byte]): String = {
@@ -94,9 +84,12 @@ object Ganglia {
   def decode(df: DataFrame, source: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ParseDdl)
     val rest = df.columns.filter(_ != source).map(col).toSeq
-    val parsed = df
+    // both the metadata aggregation and the value stream consume `parsed`
+    // (a self-join): persist so the XDR decode runs ONCE, not once per
+    // branch (CacheScope so the caller can release after materializing)
+    val parsed = graft.plans.CacheScope.persist(df
       .select(rest :+ from_json(unpack(col(source)), schema).as("_gg"): _*)
-      .select(rest :+ col("_gg.*"): _*)
+      .select(rest :+ col("_gg.*"): _*))
     val meta = parsed.filter(col("kind") === "meta")
       .groupBy(col("log_host"), col("name"))
       .agg(min(struct(col("value_type"), col("units"), col("slope"),

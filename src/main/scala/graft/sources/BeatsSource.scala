@@ -39,19 +39,7 @@ class BeatsSource extends TableProvider {
 
 object BeatsSource {
 
-  private def jsonEscape(s: String): String = {
-    val sb = new java.lang.StringBuilder
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def jsonEscape(s: String): String = graft.model.Json.escape(s)
 
   final class Listener(port: Int, journal: java.nio.file.Path) {
     private val server = new java.net.ServerSocket(port)

@@ -345,18 +345,18 @@ class LsclStreamSpec extends SparkSpec {
       // sender half ships ndjson into the listener
       graft.lscl.LsclRun.runConfig(spark,
         s"""input { generator { count => 6 message => "sm" } }
-           |output { logstash { hosts => ["127.0.0.1:$port"] } }""".stripMargin,
+           |output { logstash { ssl_enabled => false hosts => ["127.0.0.1:$port"] } }""".stripMargin,
         tmp.resolve("sender").toString, Map.empty)
       // streaming receiver must declare the schema (no inference on a stream)
       val noSchema = intercept[IllegalArgumentException] {
         graft.lscl.LsclRun.runConfigStream(spark,
-          s"""input { logstash { port => $port journal => "$journal" } }
+          s"""input { logstash { ssl_enabled => false port => $port journal => "$journal" } }
              |output { file { id => "s" } }""".stripMargin,
           s"$tmp/out0", s"$tmp/ck0", Map.empty)
       }
       assert(noSchema.getMessage.contains("schema"), noSchema.getMessage)
       val q = graft.lscl.LsclRun.runConfigStream(spark,
-        s"""input { logstash { port => $port journal => "$journal"
+        s"""input { logstash { ssl_enabled => false port => $port journal => "$journal"
            |  schema => "seq BIGINT, message STRING" } }
            |output { file { id => "s" } }""".stripMargin,
         s"$tmp/out", s"$tmp/ck", Map.empty)

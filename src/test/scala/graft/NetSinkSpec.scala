@@ -320,12 +320,14 @@ class NetSinkSpec extends SparkSpec {
       val out = tmp.resolve("out").toString
       graft.lscl.LsclRun.runConfig(spark,
         s"""input { generator { count => 8 message => "m" } }
-           |output { logstash { hosts => ["127.0.0.1:$port"] batch_size => 3 } }
+           |output { logstash { ssl_enabled => false
+           |                    hosts => ["127.0.0.1:$port"] batch_size => 3 } }
            |""".stripMargin, out, Map.empty)
       // receiver acks only after the durable append, so the journal is
       // complete once runConfig returns
       val inCfg = graft.lscl.Lscl.parse(
-        s"""input { logstash { port => $port journal => "$journal" } }""",
+        s"""input { logstash { ssl_enabled => false
+           |          port => $port journal => "$journal" } }""".stripMargin,
         Map.empty)
       // the input half decodes the ndjson documents back into event fields
       val got = graft.lscl.LsclRun.source(spark, inCfg.inputs)
@@ -391,6 +393,20 @@ class NetSinkSpec extends SparkSpec {
       graft.sources.HttpSource.stopListener(9800)
       java.nio.file.Files.deleteIfExists(dj)
     }
+  }
+
+  test("nagios output: events without the nagios fields skip, absent COLUMNS do not crash") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_nagios_abs").toString
+    // frame has NO nagios_host/nagios_service columns at all — the
+    // reference drops such events with a warning; the Truthy-gated sink
+    // cond must resolve to false, not throw UNRESOLVED_COLUMN
+    val cfg = graft.lscl.Lscl.parse(
+      """output { nagios { id => "n" } }""", Map.empty)
+    val df = Seq((1L, "m1"), (2L, "m2")).toDF("seq", "message")
+    val res = graft.operators.Route.run(spark, df,
+      graft.lscl.LsclRun.sinkSpecs(cfg.outputs), out, writeDefault = false)
+    assert(res.counts("n") == 0L, res.counts.toString)
   }
 
   test("email output fails loudly with a routing hint") {

@@ -196,7 +196,7 @@ class PluginSurfaceSpec extends SparkSpec {
       assert(client.send(req,
         java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
       val cfg = graft.lscl.Lscl.parse(
-        s"""input { elastic_serverless_forwarder {
+        s"""input { elastic_serverless_forwarder { ssl_enabled => false
            |  port => $port journal => "$journal" } }""".stripMargin, Map.empty)
       val got = graft.lscl.LsclRun.source(spark, cfg.inputs)
         .collect().map(_.getString(1)).sorted.toSeq
