@@ -1747,6 +1747,7 @@ object LsclRun {
     strAttr(p, "port").getOrElse(p.name match {
       case "logstash" => "9800"
       case "elastic_serverless_forwarder" => "8080"
+      case "gelf" => "12201"
       case n => throw new IllegalArgumentException(s"$n input: port required")
     }).toInt
 
@@ -1840,6 +1841,9 @@ object LsclRun {
         Some(Plugin("snmptrap", Nil))
       case PluginItem(p) if p.name == "ganglia" =>
         Some(Plugin("ganglia", Nil))
+      // the named gelf input IS its codec too; its attrs carry the schema
+      case PluginItem(p) if p.name == "gelf" =>
+        Some(Plugin("gelf", p.attrs))
     }.flatten
     require(codecs.size <= 1,
       "multiple inputs with batch codecs: streaming applies ONE batch " +
@@ -2251,6 +2255,23 @@ object LsclRun {
             when(coalesce(col("_c.deleted"), lit(false)), lit("delete"))
               .otherwise(lit("update")).as("_meta_action"),
             col("_c.seq").as("_meta_seq")): _*)
+      case PluginItem(p) if p.name == "gelf" =>
+        // gelf input (logstash-input-gelf): a udp listener (default port
+        // 12201) with the gelf codec built in — the same lowering as
+        // `udp { codec => gelf }`; schema => DDL required (codec contract)
+        val port = listenerPort(p)
+        val rd = spark.read.format("graft.sources.UdpSource").option("port", port)
+          .option("frames", "base64")
+        val loaded = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
+        val ddl = strAttr(p, "schema").getOrElse(
+          throw new IllegalArgumentException(
+            "gelf input requires schema => \"<ddl>\" (JSON field names, " +
+              "additional fields WITH the leading underscore)"))
+        graft.operators.Gelf.decode(
+          loaded.select(unbase64(col("message")).as("frame")), "frame", ddl,
+          remap = !strAttr(p, "remap").contains("false"),
+          stripLeadingUnderscore =
+            !strAttr(p, "strip_leading_underscore").contains("false"))
       case PluginItem(p) if Set("http", "logstash",
           "elastic_serverless_forwarder")(p.name) =>
         // http input (webhook front door): POST bodies journal line-framed;
@@ -2545,11 +2566,11 @@ object LsclRun {
           .fold(rd)(v => rd.option("max_bytes_per_trigger", parseByteSize(v)))
           .load()
       case PluginItem(p) if Set("tcp", "udp", "http", "beats", "relp",
-          "snmptrap", "ganglia", "logstash",
+          "snmptrap", "ganglia", "gelf", "logstash",
           "elastic_serverless_forwarder")(p.name) =>
         val port = listenerPort(p)
         val fmt = p.name match {
-          case "udp" | "snmptrap" | "ganglia" => "graft.sources.UdpSource"
+          case "udp" | "snmptrap" | "ganglia" | "gelf" => "graft.sources.UdpSource"
           case "http" | "logstash" | "elastic_serverless_forwarder" =>
             "graft.sources.HttpSource"
           case "beats" => "graft.sources.BeatsSource"
@@ -2560,7 +2581,7 @@ object LsclRun {
         // binary datagram codecs need the base64 whole-frame journal mode
         val rd = if ((p.name == "udp" && codecPlugin(p).exists(c =>
             Set("gelf", "collectd", "netflow", "snmptrap", "ganglia")(c.name))) ||
-            p.name == "snmptrap" || p.name == "ganglia")
+            Set("snmptrap", "ganglia", "gelf")(p.name))
           rd0.option("frames", "base64") else rd0
         val loadedS = strAttr(p, "journal").fold(rd)(j => rd.option("journal", j)).load()
         if (Set("logstash", "elastic_serverless_forwarder")(p.name)) {

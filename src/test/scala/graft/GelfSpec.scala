@@ -105,6 +105,39 @@ class GelfSpec extends SparkSpec {
     } finally graft.sources.UdpSource.stopListener(port)
   }
 
+  test("the NAMED gelf input is the udp+codec lowering (default-able port)") {
+    val port = 15993
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gelf_named")
+    val journal = tmp.resolve("gelf_named.journal")
+    graft.sources.UdpSource.ensureListener(port, journal, base64Frames = true)
+    try {
+      val sock = new java.net.DatagramSocket()
+      val b = Gelf.deflate(
+        """{"version":"1.1","host":"nmd","short_message":"hi","level":4}""")
+      try sock.send(new java.net.DatagramPacket(b, b.length,
+        java.net.InetAddress.getLoopbackAddress, port))
+      finally sock.close()
+      val deadline = System.currentTimeMillis() + 30000
+      while ((!java.nio.file.Files.exists(journal) ||
+          java.nio.file.Files.readAllLines(journal).size() < 1) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val cfg = graft.lscl.Lscl.parse(
+        s"""input { gelf { port => $port journal => "$journal"
+           |  schema => "$Ddl" } }""".stripMargin, Map.empty)
+      val out = graft.lscl.LsclRun.source(spark, cfg.inputs)
+        .select("host", "message", "level").collect()
+      assert(out.length == 1)
+      assert(out(0).getString(0) == "nmd" && out(0).getString(1) == "hi")
+      // schema is the codec contract on the named form too
+      val e = intercept[IllegalArgumentException] {
+        graft.lscl.LsclRun.source(spark, graft.lscl.Lscl.parse(
+          s"""input { gelf { port => $port journal => "$journal" } }""",
+          Map.empty).inputs)
+      }
+      assert(e.getMessage.contains("schema"), e.getMessage)
+    } finally graft.sources.UdpSource.stopListener(port)
+  }
+
   test("runConfigStream: udp gelf config streams, restart picks up only the delta") {
     val port = 15958
     val tmp = java.nio.file.Files.createTempDirectory("graft_gelf_stream")
