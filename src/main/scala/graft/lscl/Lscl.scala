@@ -66,7 +66,7 @@ object Lscl {
   }
 
   def parse(text: String, env: Map[String, String] = sys.env): Config =
-    new Parser(text, env).parseConfig()
+    new Parser(text, Keystore.resolve(env)).parseConfig()
 
   /** Operator precedence, exactly the reference's `precedence` method
     * (lscl.rb:355-364): `and` = 2 binds tighter than `or` = 1, and ANY other
@@ -124,7 +124,9 @@ object Lscl {
 
   // ---------------- parser ----------------
 
-  private val EnvRef = "\\$\\{(\\w+)(?::([^}]*))?\\}".r
+  // names may contain dots: secret-store keys are dotted by convention
+  // (`input.count`, `output.path` — reference secret_store fixture)
+  private val EnvRef = "\\$\\{([A-Za-z_.][A-Za-z0-9_.]*)(?::([^}]*))?\\}".r
 
   /** `${VAR}` / `${VAR:default}` substitution into a string literal. */
   private[lscl] def substEnv(s: String, env: Map[String, String]): String =

@@ -1649,7 +1649,11 @@ object LsclRun {
         // containing %{...} is the ES output's per-event SPRINTF'D index
         // (daily indices et al.) — it becomes the sink's partition template
         // rather than its static name.
-        val idxAttr = strAttr(p, "index")
+        // `elasticsearch {}` with no index writes the reference's legacy
+        // default daily index `logstash-%{+yyyy.MM.dd}` (the pre-data-stream
+        // default; es_output_how fixture runs a bare `elasticsearch {}`)
+        val idxAttr = strAttr(p, "index").orElse(
+          if (p.name == "elasticsearch") Some("logstash-%{+yyyy.MM.dd}") else None)
         val dynamicIdx = idxAttr.filter(_.contains("%{"))
         // a file output's sprintf'd `path` (`path => "/logs/%{type}.log"`,
         // fixture env_variables_condition_spec.yml:74-80) routes events to
@@ -2039,7 +2043,7 @@ object LsclRun {
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val lines = p.attr("lines").map(strList)
           .orElse(strAttr(p, "message").map(Seq(_))) // generator's single-message form
-          .getOrElse(Seq("hello world"))
+          .getOrElse(Seq("Hello world!"))
         val gen = spark.read.format("graft.sources.GeneratorSource")
           .option("count", count)
           .option("partitions", spark.sparkContext.defaultParallelism)
@@ -2642,7 +2646,7 @@ object LsclRun {
         val count = strAttr(p, "count").map(_.toLong).getOrElse(1000L)
         val lines = p.attr("lines").map(strList)
           .orElse(strAttr(p, "message").map(Seq(_)))
-          .getOrElse(Seq("hello world"))
+          .getOrElse(Seq("Hello world!"))
         spark.readStream.format("graft.sources.GeneratorSource")
           .option("count", count)
           .option("partitions", spark.sparkContext.defaultParallelism)

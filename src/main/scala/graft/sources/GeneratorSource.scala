@@ -62,7 +62,7 @@ private class GeneratorScan(options: CaseInsensitiveStringMap)
   private val count = options.getLong("count", 1000L)
   private val partitions = options.getInt("partitions", 8)
   private val lines: Array[String] =
-    Option(options.get("lines")).map(_.split("\\|", -1)).getOrElse(Array("hello world"))
+    Option(options.get("lines")).map(_.split("\\|", -1)).getOrElse(Array("Hello world!"))
 
   override def build(): Scan = this
   override def readSchema(): StructType = GeneratorSource.Schema

@@ -387,7 +387,7 @@ class NetSinkSpec extends SparkSpec {
         tmp.resolve("receiver").toString, Map.empty)
       val lines = spark.read.text(s"$tmp/receiver/file_1")
         .collect().map(_.getString(0)).toSeq
-      assert(lines.size == 10 && lines.forall(_ == "hello world"),
+      assert(lines.size == 10 && lines.forall(_ == "Hello world!"),
         s"${lines.size}: ${lines.take(3).mkString("|")}")
     } finally {
       graft.sources.HttpSource.stopListener(9800)
