@@ -3040,7 +3040,13 @@ object LsclRun {
                 outDir: String, env: Map[String, String] = sys.env,
                 bus: Option[PipelineBus] = None): Route.RunResult = {
     val cfg = Lscl.parse(configText, env)
-    val trunk = applyFilters(source(spark, cfg.inputs, bus), cfg.filters)
+    val src = source(spark, cfg.inputs, bus)
+    // the monitoring API's events.in/filtered counters: events entering the
+    // pipeline (and hence the filter stage — drop/clone fan-out changes OUT,
+    // not in/filtered, monitoring_api_spec.rb:142-172). Parquet-lake sources
+    // count from row-group metadata; journal sources are ingest-sized.
+    val inCount = src.count()
+    val trunk = applyFilters(src, cfg.filters)
     // register pipeline-output frames on the bus BEFORE materializing sinks,
     // so downstream configs in the same converge can resolve them
     val sends = pipelineSends(cfg.outputs)
@@ -3067,7 +3073,8 @@ object LsclRun {
         t
       }
     try {
-      val res = Route.run(spark, pinned, sinkSpecs(cfg.outputs), outDir)
+      val res = Route.run(spark, pinned, sinkSpecs(cfg.outputs), outDir,
+        extraCounts = Map("_in" -> inCount))
       runNetSinks(pinned, cfg.outputs)
       res
     } finally if (nets.nonEmpty) { pinned.unpersist(); () }

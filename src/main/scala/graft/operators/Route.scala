@@ -254,7 +254,7 @@ object Route {
     */
   def run(spark: SparkSession, trunk: DataFrame, sinks: Seq[SinkSpec], outDir: String,
           writeDefault: Boolean = true, ordered: Boolean = false,
-          buckets: Int = 0): RunResult = {
+          buckets: Int = 0, extraCounts: Map[String, Long] = Map.empty): RunResult = {
     val trunk1 =
       if (ordered) trunk.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       else trunk
@@ -373,8 +373,14 @@ object Route {
          else Map.empty[String, String])
       writeIfNeeded("_lineage", lineage(flagged, sinks))
       val countsDf = sinkCounts(flagged, sinks)
-      countsDf.write.mode("overwrite").parquet(s"$outDir/_counts")
-      val counts = countsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // callers may ride extra run-level counters along (runConfig records
+      // the SOURCE event count as `_in` — the monitoring API's events.in)
+      val withExtra =
+        if (extraCounts.isEmpty) countsDf
+        else countsDf.unionByName(
+          spark.createDataFrame(extraCounts.toSeq.sortBy(_._1)).toDF(countsDf.columns.toIndexedSeq: _*))
+      withExtra.write.mode("overwrite").parquet(s"$outDir/_counts")
+      val counts = countsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ++ extraCounts
       val manifest = writeManifest(spark, outDir, counts, paths, resumed.result())
       RunResult(counts, paths, resumed.result(), manifest)
     } finally flagged.unpersist()

@@ -1606,9 +1606,11 @@ object OpsQueries {
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES
         |  ('aux',  1, '_default', CAST(0    AS BIGINT)),
+        |  ('aux',  1, '_in',      CAST(500  AS BIGINT)),
         |  ('aux',  1, '_total',   CAST(500  AS BIGINT)),
         |  ('aux',  1, 'out',      CAST(500  AS BIGINT)),
         |  ('main', 2, '_default', CAST(0    AS BIGINT)),
+        |  ('main', 2, '_in',      CAST(9000 AS BIGINT)),
         |  ('main', 2, '_total',   CAST(9000 AS BIGINT)),
         |  ('main', 2, 'errors',   CAST(3000 AS BIGINT)),
         |  ('main', 2, 'rest',     CAST(6000 AS BIGINT)),
@@ -1630,9 +1632,11 @@ object OpsQueries {
       """SELECT * FROM (VALUES
         |  ('down', 'ERROR:via-bus', CAST(2000 AS BIGINT)),
         |  ('down', '_default',      CAST(0    AS BIGINT)),
+        |  ('down', '_in',           CAST(2000 AS BIGINT)),
         |  ('down', '_total',        CAST(2000 AS BIGINT)),
         |  ('down', 'down',          CAST(2000 AS BIGINT)),
         |  ('up',   '_default',      CAST(2000 AS BIGINT)),
+        |  ('up',   '_in',           CAST(6000 AS BIGINT)),
         |  ('up',   '_total',        CAST(6000 AS BIGINT)),
         |  ('up',   'up_rest',       CAST(4000 AS BIGINT))
         |) AS t(pipeline, sink, n)
