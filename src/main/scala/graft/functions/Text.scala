@@ -302,6 +302,51 @@ object Text {
       org.apache.spark.sql.types.StructField("pack_offset", org.apache.spark.sql.types.LongType))))
   }
 
+  /** Materialize the PACKED training sequences themselves (the consumer of
+    * [[packAssignments]]'s concat-and-chunk layout): documents concatenated
+    * in id order are cut every `seqLen` tokens, and each output row IS one
+    * fixed-length training sequence. A document spanning a pack boundary
+    * contributes a SLICE to every pack it touches.
+    *
+    * Shape at scale: the assignment is [[packAssignments]]'s two-phase
+    * cumsum (never a global window); the spans explode is a narrow map
+    * (a doc touches ceil(n/seqLen)+1 packs at most); assembly is ONE
+    * shuffle keyed on pack_id whose groups are bounded by construction —
+    * a pack holds at most `seqLen` tokens and `seqLen` pieces — so no
+    * group can exceed the sequence length no matter the corpus size. The
+    * FINAL pack may be shorter than `seqLen` (exposed via pack_len; drop
+    * or pad downstream, both conventions exist).
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    tokensCol: String, nTokCol: String, seqLen: Int,
+                    partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    val l = lit(seqLen.toLong)
+    val asg = packAssignments(df, idCol, nTokCol, seqLen, partitions)
+      .withColumn("_before", col("pack_id") * l + col("pack_offset"))
+      .select(col("doc_id"), col("_before"))
+    val joined = df.select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).as("_toks"), col(nTokCol).cast("long").as("_n"))
+      .join(asg, "doc_id")
+      .filter(col("_n") > 0)
+    val spans = joined
+      // `div` = exact integer division (Column./ is DOUBLE division)
+      .withColumn("pack_id",
+        explode(sequence(expr(s"_before div $seqLen"),
+          expr(s"(_before + _n - 1) div $seqLen"))))
+      .withColumn("_slice_from", greatest(col("pack_id") * l - col("_before"), lit(0L)))
+      .withColumn("_slice_until",
+        least(col("_n"), (col("pack_id") + 1) * l - col("_before")))
+      .select(col("pack_id"),
+        greatest(col("_before") - col("pack_id") * l, lit(0L)).as("_pos"),
+        expr("slice(_toks, CAST(_slice_from + 1 AS INT), CAST(_slice_until - _slice_from AS INT))")
+          .as("_piece"))
+    spans.groupBy("pack_id")
+      .agg(count(lit(1)).cast("int").as("n_pieces"),
+        flatten(transform(array_sort(collect_list(struct(col("_pos"), col("_piece")))),
+          x => x.getField("_piece"))).as("pack_tokens"))
+      .withColumn("pack_len", size(col("pack_tokens")))
+  }
+
   /** Long-document CHUNKING: split each token sequence into windows of at
     * most `maxLen` tokens advancing by `stride` (overlap = maxLen - stride).
     * Pure plan surgery — sequence + explode + slice, a narrow map whose

@@ -294,6 +294,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the packed TRAINING SEQUENCES themselves (concat-and-chunk at 2048):
+    // every pack's token content byte-pinned via the comma-joined tok_str
+    // convention; boundary-spanning docs contribute slices to both packs
+    "doc_packseq" -> ((s, dir) => {
+      Text.packSequences(Tok.rawSequences(docs(s, dir)), "doc_id",
+          "tokens", "n_tok", seqLen = 2048)
+        .select(col("pack_id"), col("n_pieces"), col("pack_len"),
+          concat_ws(",", col("pack_tokens")).as("tok_str"))
+        .orderBy("pack_id")
+    }),
+
     // long-document CHUNKING: max-48-token windows, stride 32; contents
     // pinned by the rolling fingerprint of each chunk
     "doc_chunk" -> ((s, dir) => {
@@ -826,6 +837,29 @@ object TextQueries {
          |SELECT doc_id, CAST(before // 2048 AS BIGINT) AS pack_id,
          |       CAST(before % 2048 AS BIGINT) AS pack_offset
          |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "doc_packseq" ->
+      s"""${Tok.sqlRawSequences},
+         |cum AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, tokens, CAST(n_tok AS BIGINT) AS n,
+         |         CAST(coalesce(SUM(CAST(n_tok AS BIGINT)) OVER (ORDER BY CAST(doc_id AS BIGINT)
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+         |  FROM raw),
+         |spans AS (
+         |  SELECT doc_id, tokens, n, before,
+         |         unnest(generate_series(before // 2048, (before + n - 1) // 2048)) AS pack_id
+         |  FROM cum WHERE n > 0),
+         |pieces AS (
+         |  SELECT pack_id,
+         |         greatest(before - pack_id * 2048, 0) AS pos,
+         |         tokens[greatest(pack_id * 2048 - before, 0) + 1 :
+         |                least(n, (pack_id + 1) * 2048 - before)] AS piece
+         |  FROM spans)
+         |SELECT pack_id,
+         |       CAST(count(*) AS INTEGER) AS n_pieces,
+         |       CAST(len(flatten(list(piece ORDER BY pos))) AS INTEGER) AS pack_len,
+         |       array_to_string(flatten(list(piece ORDER BY pos)), ',') AS tok_str
+         |FROM pieces GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
     "doc_chunk" ->
       s"""${Tok.sqlRawSequences},
