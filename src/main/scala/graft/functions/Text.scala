@@ -463,6 +463,62 @@ object Text {
       .limit(topK)
   }
 
+  /** Top-`m` BPE merge rules from ONE training round over int-token
+    * sequences: the most frequent adjacent DISTINCT-token pairs, ranked
+    * (count DESC, a ASC, b ASC) for engine-determinism. Same shape as
+    * [[bpePairStats]] — explode + count + TakeOrdered, driver-sized result
+    * (a merge table is tokenizer config, broadcast like real tokenizers
+    * ship it). Same-token pairs are excluded: their merge needs run-length
+    * parity (a left-to-right scan), which breaks the order-independent
+    * one-pass formulation [[bpeApply]] relies on.
+    */
+  def bpeTopMerges(df: org.apache.spark.sql.DataFrame, tokensCol: String,
+                   m: Int): Seq[(Int, Int)] = {
+    val w = greatest(size(col(tokensCol)) - 1, lit(0))
+    df.select(explode(arrays_zip(
+        slice(col(tokensCol), lit(1), w).as("a"),
+        slice(col(tokensCol), lit(2), w).as("b"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(m)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+  }
+
+  /** Apply BPE merges in rank order, one pass per rule — EXACT for
+    * distinct-token pairs with fresh merged ids: merging `(a,b) -> nid`
+    * can never create a new `(a,b)` adjacency (the replacement id differs
+    * from both), so a single order-independent pass IS the fixpoint, and
+    * overlapping matches are impossible (`t[i+1]=a` would need `b=a`).
+    * Each pass is a narrow codegen'd HOF rebuild: positions matching the
+    * pair start become `nid`, the consumed right element drops via a `-1`
+    * sentinel (tokens are nonnegative vocab positions), everything else
+    * passes through — no shuffle anywhere, the merge table rides as
+    * literals.
+    */
+  def bpeApply(df: org.apache.spark.sql.DataFrame, tokensCol: String,
+               as: String, merges: Seq[(Int, Int)], newIdBase: Int)
+      : org.apache.spark.sql.DataFrame = {
+    def step(c: Column, a: Int, b: Int, nid: Int): Column =
+      filter(
+        transform(c, (x, i) =>
+          // i is 0-based; element_at is 1-based: next = i+2, prev = i
+          when(x === a && try_element_at(c, i + 2) === b, lit(nid))
+            // (i > 0) must guard the prev lookup: index ZERO is an error
+            // even under try_element_at; And short-circuits in codegen
+            .when((x === b && i > 0) && element_at(c, i) === a, lit(-1))
+            .otherwise(x)),
+        x => x =!= -1)
+    // one PROJECTION per rule, each reading the previous step's BOUND
+    // attribute: a single folded expression would nest the whole prior
+    // chain at every of its 3 references (3^m blowup); as separate aliases
+    // Catalyst keeps the non-cheap multi-referenced producers uncollapsed
+    merges.zipWithIndex.foldLeft(df.withColumn(as, col(tokensCol))) {
+      case (d, ((a, b), k)) => d.withColumn(as, step(col(as), a, b, newIdBase + k))
+    }
+  }
+
   /** GLOBAL rank without a single-partition window — the curriculum/
     * ordering primitive (rank every document by a score at any corpus
     * size): range-partition on the sort key, per-partition counts (one row

@@ -441,6 +441,19 @@ object TextQueries {
       Text.bpePairStats(docs(s, dir), "text", topK = 50)
     }),
 
+    // BPE APPLICATION: learn the top-8 merges from one round of int-token
+    // pair stats (count desc, pair asc — engine-deterministic), apply them
+    // in rank order. Encoded sequences byte-pinned via tok_str.
+    "txt_bpe_apply" -> ((s, dir) => {
+      val seqs = Tok.rawSequences(docs(s, dir))
+      val merges = Text.bpeTopMerges(seqs, "tokens", 8)
+      require(merges.size == 8, s"corpus yields only ${merges.size} merge pairs")
+      Text.bpeApply(seqs, "tokens", "enc", merges, newIdBase = 1000000)
+        .select(col("doc_id"), size(col("enc")).as("n_enc"),
+          concat_ws(",", col("enc")).as("tok_str"))
+        .orderBy("doc_id")
+    }),
+
     // GLOBAL curriculum rank by a quality score (two-phase distributed
     // rank: range partition + broadcast offsets, no single-partition window)
     "doc_rank" -> ((s, dir) => {
@@ -542,6 +555,34 @@ object TextQueries {
         |bg AS (SELECT toks[i] AS prev, toks[i+1] AS cur FROM pos)
         |SELECT prev, cur, COUNT(*) AS n FROM bg
         |GROUP BY prev, cur ORDER BY n DESC, prev, cur LIMIT 50""".stripMargin,
+
+    "txt_bpe_apply" -> {
+      val m = 8; val base = 1000000
+      // one CTE per rule: the chained encodings stay bound relations (the
+      // same reason the Spark side is one projection per rule)
+      val steps = (0 until m).map { k =>
+        s"""e${k + 1} AS (
+           |  SELECT doc_id, list_filter(list_transform(generate_series(1, len(t)), i ->
+           |    CASE WHEN i < len(t) AND t[i] = r.a AND t[i+1] = r.b THEN ${base + k}
+           |         WHEN i > 1 AND t[i-1] = r.a AND t[i] = r.b THEN -1
+           |         ELSE t[i] END), x -> x <> -1) AS t
+           |  FROM e$k, (SELECT a, b FROM rules WHERE rk = $k) r)""".stripMargin
+      }.mkString(",\n")
+      s"""${Tok.sqlRawSequences},
+         |pos AS (SELECT tokens AS t, unnest(generate_series(1, n_tok - 1)) AS i
+         |        FROM raw WHERE n_tok > 1),
+         |bg AS (SELECT t[i] AS a, t[i+1] AS b FROM pos WHERE t[i] <> t[i+1]),
+         |rules AS (
+         |  SELECT a, b, rk FROM (
+         |    SELECT a, b, row_number() OVER (ORDER BY n DESC, a, b) - 1 AS rk
+         |    FROM (SELECT a, b, COUNT(*) AS n FROM bg GROUP BY a, b))
+         |  WHERE rk < $m),
+         |e0 AS (SELECT doc_id, tokens AS t FROM raw),
+         |$steps
+         |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_enc,
+         |       array_to_string(t, ',') AS tok_str
+         |FROM e$m ORDER BY doc_id""".stripMargin
+    },
 
     "doc_rank" ->
       """SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,

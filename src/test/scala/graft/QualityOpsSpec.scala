@@ -76,4 +76,39 @@ class QualityOpsSpec extends SparkSpec {
     val plan = Text.hashedClassify(df, "text").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"classifier inference must not shuffle:\n$plan")
   }
+
+  test("bpeApply: overlap suppression, rule chaining, short arrays, packSequences boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // rule 0: (5,7)->100, rule 1: (7,9)->101 — rank order means rule 1 only
+    // sees 7s that survived rule 0
+    val df = Seq(
+      (1L, Seq(5, 7, 7, 9)),   // (5,7) at 0 -> 100; leftover (7,9) -> 101
+      (2L, Seq(5, 7, 5, 7)),   // two non-overlapping (5,7)
+      (3L, Seq(7, 9, 5)),      // only rule 1 fires
+      (4L, Seq(5)),            // singleton: untouched
+      (5L, Seq.empty[Int]))    // empty: untouched
+      .toDF("id", "toks")
+    val enc = graft.functions.Text.bpeApply(df, "toks", "enc",
+        Seq((5, 7), (7, 9)), newIdBase = 100)
+      .select(col("id"), col("enc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(1L) == Seq(100, 101), enc(1L))
+    assert(enc(2L) == Seq(100, 100), enc(2L))
+    assert(enc(3L) == Seq(101, 5), enc(3L))
+    assert(enc(4L) == Seq(5))
+    assert(enc(5L) == Seq.empty[Int])
+
+    // packSequences: a doc spanning the pack boundary contributes slices to
+    // BOTH packs, ordered by in-pack position
+    val docs = Seq((1L, Seq(1, 2, 3), 3), (2L, Seq(4, 5, 6, 7), 4), (3L, Seq(8), 1))
+      .toDF("doc_id", "tokens", "n_tok")
+    val packs = graft.functions.Text.packSequences(docs, "doc_id", "tokens", "n_tok",
+        seqLen = 4)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Int]]("pack_tokens"), r.getAs[Int]("n_pieces")))
+    assert(packs.toSeq == Seq(
+      (0L, Seq(1, 2, 3, 4), 2),  // doc 2 split across packs 0 and 1
+      (1L, Seq(5, 6, 7, 8), 2)), packs.mkString("|"))
+  }
 }
