@@ -146,6 +146,24 @@ final class ApiServer(spark: SparkSession, explicitPort: Option[Int] = None) {
       s""""jvm":{"pid":${ProcessHandle.current().pid()}}}"""
   }
 
+  /** `GET /_node/hot_threads` (api/modules/node.rb hot_threads): the
+    * busiest JVM threads by cpu time with their stacks — REAL ThreadMXBean
+    * data, the reference's human-text report shape inside a JSON envelope.
+    */
+  private def hotThreads(n: Int): String = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+    val infos = mx.dumpAllThreads(false, false).toSeq
+      .map(ti => (ti, mx.getThreadCpuTime(ti.getThreadId)))
+      .sortBy(-_._2).take(n)
+    val report = new StringBuilder
+    report.append(s"::: {graft}\n   Hot threads at ${java.time.Instant.now()}:\n")
+    infos.foreach { case (ti, cpu) =>
+      report.append(f"   ${cpu / 1e9}%.2f s cpu | ${ti.getThreadName} [${ti.getThreadState}]%n")
+      ti.getStackTrace.take(3).foreach(f => report.append(s"     $f\n"))
+    }
+    s"""{"hot_threads":{"threads":${infos.size},"report":${Json.quote(report.toString)}}}"""
+  }
+
   // ---- logging API (api/modules/logging.rb): GET levels, PUT overrides
   // applied to the LIVE log4j2 runtime, PUT /reset restores ---------------
 
@@ -192,6 +210,10 @@ final class ApiServer(spark: SparkSession, explicitPort: Option[Int] = None) {
       case ("GET", "/_health_report") => (200, healthReport)
       case ("GET", "/_node") => (200, nodeDoc)
       case ("GET", "/_node/stats") => (200, statsDoc)
+      case ("GET", "/_node/hot_threads") =>
+        val q = Option(x.getRequestURI.getQuery).getOrElse("")
+        val n = "threads=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(10)
+        (200, hotThreads(n))
       case ("GET", "/_node/logging") => (200, loggingDoc)
       case ("PUT", "/_node/logging") =>
         loggingPut(new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))

@@ -130,6 +130,10 @@ class ApiServerSpec extends SparkSpec {
       assert(health.contains("\"status\":\"green\""), health)
       val (c404, _) = get(a.port, "/_nothing")
       assert(c404 == 404)
+      // hot_threads: real ThreadMXBean dump in the reference report shape
+      val (chs, hs) = get(a.port, "/_node/hot_threads?threads=3")
+      assert(chs == 200 && hs.contains("\"threads\":3") &&
+        hs.contains("Hot threads at"), hs.take(200))
     } finally { a.stop(); b.stop() }
   }
 }

@@ -168,4 +168,25 @@ class PipelineSpec extends SparkSpec {
     val ep = ext.queryExecution.executedPlan.toString
     assert(!ep.contains("Exchange"), "ecosystem projections grew an exchange:\n" + ep.take(300))
   }
+
+  test("plan invariants: packSequences and bpeApply keep their at-scale shapes") {
+    import spark.implicits._
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.sequence(lit(1), (col("id") % 20 + 2).cast("int")).as("tokens"),
+      (col("id") % 20 + 2).cast("int").as("n_tok"))
+    // bpeApply: pure chained projections — ZERO exchanges, and the chain
+    // must stay one-projection-per-rule (a collapsed fold would nest 3^m)
+    val enc = graft.functions.Text.bpeApply(docs, "tokens", "enc",
+      Seq((1, 2), (3, 4), (5, 6), (7, 8)), newIdBase = 1000000)
+    enc.collect()
+    val ep = enc.queryExecution.executedPlan.toString
+    assert(!ep.contains("Exchange"), "bpeApply grew an exchange:\n" + ep.take(300))
+    // packSequences: no Window (the global cumsum is the two-phase rdd
+    // machinery), and the assembly exchange is keyed on pack_id
+    val packs = graft.functions.Text.packSequences(docs, "doc_id", "tokens", "n_tok", 64)
+    packs.collect()
+    val pp = packs.queryExecution.executedPlan.toString
+    assert(!pp.contains("Window"), "packSequences grew a Window:\n" + pp.take(300))
+    assert(pp.contains("pack_id"), pp.take(300))
+  }
 }
