@@ -191,6 +191,112 @@ object Similarity {
     cents
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the third scale path (Jégou et al. 2011,
+  // the FAISS IVF-PQ construction). Split the d-dim space into m subspaces;
+  // quantize each subvector to one of k codebook entries; a vector becomes
+  // m small ints (m bytes at k<=256) instead of d floats — at d=64/m=4 a
+  // 64x index-size cut — and query scoring becomes m table LOOKUPS (ADC,
+  // asymmetric distance computation) instead of d multiplies: per-row cost
+  // is dimension-independent. At 100 TB the PQ code table is what gets
+  // scanned (codes only, raw vectors stay cold), and it composes with the
+  // IVF index: partition-prune lists first, ADC-score the survivors.
+  // ------------------------------------------------------------------
+
+  /** floor-round to 6dp in pure IEEE double math (floor(x*1e6+0.5)/1e6) —
+    * bit-stable across engines, unlike decimal HALF_UP round(x,6) which can
+    * disagree exactly at half boundaries.
+    */
+  private def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private def fr6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Left-to-right double fold — the same op order as [[dot]] and DuckDB's
+    * list_dot_product, so driver-side table entries are bit-equal to what
+    * the engines compute from the same floats.
+    */
+  private def dotSeq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Deterministic PQ codebooks: entry (j, c) = subvector j of the vector
+    * with id c+1 — the same fixed-quantizer convention as [[ivfCentroids]]
+    * (k-means refinement improves recall but is orthogonal to the encode/
+    * ADC machinery, and a fixed quantizer keeps the oracle exact).
+    */
+  def pqCodebooks(embeddings: DataFrame, embCol: String, idCol: String,
+                  m: Int, k: Int): Array[Array[Array[Float]]] = {
+    val rows = embeddings.filter(col(idCol) >= 1 && col(idCol) <= k)
+      .select(col(idCol).cast("long"), col(embCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(rows.length == k, s"pqCodebooks: need ids 1..$k present, got ${rows.length}")
+    val dim = rows.head._2.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m, k)((j, c) => rows(c)._2.slice(j * sub, (j + 1) * sub))
+  }
+
+  /** PQ-encode: per subspace j, code = argmin over codebook entries of
+    * L2²(subvector, entry), distances floor-rounded to 6dp (ties -> lowest
+    * code) so assignment is reproducible across engines. ONE narrow
+    * projection over broadcast codebook literals — no shuffle; the L2² is
+    * expanded as dot(a,a) - 2·dot(a,c) + dot(c,c) with the constant dot(c,c)
+    * folded driver-side. Output: `code_0..code_{m-1}` ints + a `codes`
+    * array — the m-byte row representation an index table persists.
+    */
+  def pqEncode(embeddings: DataFrame, embCol: String,
+               codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val withCodes = (0 until m).foldLeft(embeddings) { (d, j) =>
+      val subv = slice(col(embCol), j * sub + 1, sub)
+      val scored = codebooks(j).zipWithIndex.map { case (cv, c) =>
+        val d2 = dot(subv, subv) - lit(2.0) * dot(subv, typedLit(cv.toSeq)) +
+          lit(dotSeq(cv, cv))
+        struct(fr6(d2).as("d"), lit(c).as("code"))
+      }
+      d.withColumn(s"code_$j", least(scored.toSeq: _*).getField("code"))
+    }
+    withCodes.withColumn("codes",
+      array((0 until m).map(j => col(s"code_$j")): _*))
+  }
+
+  /** ADC lookup table for one query: dtable(j)(c) = floor-rounded
+    * L2²(query subvector j, codebook(j)(c)), computed ONCE driver-side with
+    * the same left-to-right fold as the engine paths. m×k doubles — the
+    * per-query cost that replaces any per-row vector math.
+    */
+  def pqAdcTable(query: Array[Float],
+                 codebooks: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val sub = codebooks(0)(0).length
+    Array.tabulate(codebooks.length, codebooks(0).length) { (j, c) =>
+      val qs = query.slice(j * sub, (j + 1) * sub)
+      val cv = codebooks(j)(c)
+      fr6d(dotSeq(qs, qs) - 2.0 * dotSeq(qs, cv) + dotSeq(cv, cv))
+    }
+  }
+
+  /** Approximate distance of an ENCODED row to the query: m literal-array
+    * lookups summed in explicit left-to-right order (deterministic double
+    * addition). Reads only the code columns — scoring cost is independent
+    * of the embedding dimension, and a scan over a codes-only table moves
+    * m bytes/row instead of 4·d.
+    */
+  def pqAdcDistance(dtable: Array[Array[Double]]): Column =
+    dtable.zipWithIndex.map { case (row, j) =>
+      element_at(typedLit(row.toSeq), col(s"code_$j") + 1)
+    }.reduceLeft(_ + _)
+
+  /** PQ top-k: encode (or read a pre-encoded codes table) + ADC-score +
+    * TakeOrdered — per-partition top-k merged on the driver, no global sort.
+    */
+  def pqTopK(encoded: DataFrame, idCol: String,
+             dtable: Array[Array[Double]], k: Int): DataFrame =
+    encoded.select(col(idCol), pqAdcDistance(dtable).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k)
+
   /** Sign-LSH band bucket id for band `b`: bit i = (emb[b*bitsPerBand+i] > 0).
     * Each band is a SEPARATE, narrow bucket key — 2^bitsPerBand buckets per
     * band — so per-bucket population shrinks exponentially with bitsPerBand

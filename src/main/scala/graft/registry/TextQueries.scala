@@ -498,6 +498,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PRODUCT QUANTIZATION (the IVF-PQ scale path): 64-dim vectors -> 4
+    // codes of 3 bits here (codebooks = subvectors of vec_ids 1..8), then
+    // ADC distance to the vec_id=0 query = 4 table lookups per row. Output
+    // is EVERY base vector's codes + ADC distance — encode and scoring both
+    // checked row-for-row, not just a top-k tail.
+    "sim_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cbs = Similarity.pqCodebooks(e, "embedding", "vec_id", m = 4, k = 8)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      val dt = Similarity.pqAdcTable(q, cbs)
+      Similarity.pqEncode(e.filter(col("vec_id") > 8), "embedding", cbs)
+        .select(col("vec_id"),
+          concat_ws(",", (0 until 4).map(j => col(s"code_$j").cast("string")): _*)
+            .as("code_str"),
+          Similarity.pqAdcDistance(dt).as("adc_dist"))
+        .orderBy("vec_id")
+    }),
+
     // sign-LSH bucket histogram (the ANN partition key)
     "sim_buckets" -> ((s, dir) => {
       embs(s, dir)
@@ -1040,6 +1059,46 @@ object TextQueries {
         |             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
         |FROM lists, q WHERE list_id IN (SELECT cid FROM probes)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_pq" -> {
+      // same construction: subspace slices, floor-rounded L2² via the
+      // dot(a,a) - 2·dot(a,c) + dot(c,c) expansion, argmin (ties -> lowest
+      // code), ADC summed in explicit left-to-right order
+      val l2 = (a: String, b: String) =>
+        s"floor((list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + " +
+          s"list_dot_product($b, $b)) * 1000000 + 0.5) / 1000000"
+      s"""WITH sub AS (SELECT unnest(range(4)) AS j),
+         |cb AS (SELECT j, vec_id - 1 AS code,
+         |              list_slice(CAST(embedding AS DOUBLE[]), j*16 + 1, j*16 + 16) AS cv
+         |       FROM embeddings, sub WHERE vec_id BETWEEN 1 AND 8),
+         |q AS (SELECT j, list_slice(CAST(embedding AS DOUBLE[]), j*16 + 1, j*16 + 16) AS qv
+         |      FROM embeddings, sub WHERE vec_id = 0),
+         |base AS (SELECT vec_id, j, list_slice(CAST(embedding AS DOUBLE[]), j*16 + 1, j*16 + 16) AS ev
+         |         FROM embeddings, sub WHERE vec_id > 8),
+         |scored AS (SELECT b.vec_id, b.j, cb.code, ${l2("ev", "cv")} AS d2
+         |           FROM base b JOIN cb ON b.j = cb.j),
+         |enc AS (SELECT vec_id, j, code,
+         |               row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+         |        FROM scored),
+         |codes AS (SELECT vec_id, j, code FROM enc WHERE rk = 1),
+         |dt AS (SELECT cb.j, cb.code, ${l2("qv", "cv")} AS d
+         |       FROM cb JOIN q ON cb.j = q.j),
+         |cd AS (SELECT c.vec_id, c.j, c.code, dt.d
+         |       FROM codes c JOIN dt ON c.j = dt.j AND c.code = dt.code),
+         |piv AS (SELECT vec_id,
+         |          MAX(CASE WHEN j = 0 THEN code END) AS c0,
+         |          MAX(CASE WHEN j = 1 THEN code END) AS c1,
+         |          MAX(CASE WHEN j = 2 THEN code END) AS c2,
+         |          MAX(CASE WHEN j = 3 THEN code END) AS c3,
+         |          MAX(CASE WHEN j = 0 THEN d END) AS d0,
+         |          MAX(CASE WHEN j = 1 THEN d END) AS d1,
+         |          MAX(CASE WHEN j = 2 THEN d END) AS d2,
+         |          MAX(CASE WHEN j = 3 THEN d END) AS d3
+         |        FROM cd GROUP BY vec_id)
+         |SELECT vec_id, concat_ws(',', c0, c1, c2, c3) AS code_str,
+         |       ((d0 + d1) + d2) + d3 AS adc_dist
+         |FROM piv ORDER BY vec_id""".stripMargin
+    },
 
     "sim_buckets" -> {
       val bits = (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")

@@ -125,6 +125,37 @@ class FunctionsSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(list_id"), scan.take(500))
   }
 
+  test("PQ: codes in range, encode is zero-shuffle, ADC exact on codebook vectors") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = Similarity.pqCodebooks(embs, "embedding", "vec_id", m = 4, k = 8)
+    assert(cbs.length == 4 && cbs(0).length == 8 && cbs(0)(0).length == 16)
+    val enc = Similarity.pqEncode(embs.filter(col("vec_id") > 8), "embedding", cbs)
+    // every code is a valid codebook index
+    val rng = enc.agg(min("code_0"), max("code_0"), min("code_3"), max("code_3")).collect()(0)
+    assert(rng.getInt(0) >= 0 && rng.getInt(1) <= 7 && rng.getInt(3) <= 7)
+    // encode + ADC scoring is pure projection — zero exchanges
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val dt = Similarity.pqAdcTable(q, cbs)
+    val scored = enc.select(col("vec_id"), Similarity.pqAdcDistance(dt).as("d"))
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "PQ encode/ADC grew an exchange:\n" + plan.take(400))
+    // a CODEBOOK vector (vec_id 1..8) encodes to its own entry in every
+    // subspace with per-subspace residual 0: encode it and check codes
+    val self = Similarity.pqEncode(embs.filter(col("vec_id") === 3), "embedding", cbs)
+      .select("code_0", "code_1", "code_2", "code_3").collect()(0)
+    assert((0 until 4).forall(j => self.getInt(j) == 2), self.toString)
+    // pqTopK agrees with a driver-side recomputation of ADC order
+    val top = Similarity.pqTopK(enc, "vec_id", dt, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val all = enc.select(col("vec_id"), col("codes")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Int](1).zipWithIndex.map { case (c, j) => dt(j)(c) }.reduceLeft(_ + _)))
+      .sortBy { case (id, d) => (d, id) }.take(5).toSeq
+    assert(top.toSeq == all, s"topK=$top vs driver=$all")
+  }
+
   test("banded sign-LSH pairs: no false positives vs brute force, bounded buckets") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val banded = Similarity.bandedPairs(embs, "embedding", "vec_id",
