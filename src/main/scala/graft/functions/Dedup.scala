@@ -26,6 +26,30 @@ object Dedup {
       .withColumn("is_dup", row_number().over(w) > 1)
   }
 
+  /** STREAMING-ingest exact dedup: the first arrival of each content hash
+    * survives, across micro-batches AND restarts — Structured Streaming's
+    * `dropDuplicates` keeps the seen-key set in the checkpointed state
+    * store, so a restarted job does not re-admit keys seen before the stop.
+    * The state key is the 256-bit content hash, NOT the document: state
+    * size is 32 bytes per distinct doc regardless of doc size — the knob
+    * that makes continuous corpus dedup feasible (a 100 TB corpus of 100 B
+    * docs needs ~32 GB of state across all executors, not 100 TB).
+    * Works identically on a batch frame (plain hash-keyed distinct).
+    * For unbounded streams with event time, pass `watermark = Some((tsCol,
+    * delay))` to prune state past the lateness horizon
+    * (`dropDuplicatesWithinWatermark`) — dedup then only spans the horizon.
+    */
+  def firstSeenStream(df: DataFrame, textCol: String,
+                      watermark: Option[(String, String)] = None): DataFrame = {
+    val hashed = df.withColumn("content_hash", sha2(col(textCol), 256))
+    watermark match {
+      case Some((tsCol, delay)) =>
+        hashed.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
   /** MinHash+LSH candidate pairs: signature -> `bands` bands of `rowsPerBand`
     * hashes -> bucket join. Returns (id_a, id_b) candidate pairs (a < b),
     * deduplicated across bands, with their exact Jaccard over shingles.

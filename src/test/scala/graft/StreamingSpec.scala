@@ -129,4 +129,42 @@ class StreamingSpec extends SparkSpec {
     val total = spark.read.parquet(s"$tmp/in").count()
     assert(streamed > 0 && streamed <= total)
   }
+
+  test("streaming exact dedup: first-seen survives across micro-batches AND restart") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+      val q = graft.functions.Dedup.firstSeenStream(src, "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // run 1: two files (>=2 micro-batches under AvailableNow's per-file
+    // admission) with a duplicate spanning them — 'beta' must survive once
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Seq((3L, "beta"), (4L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    val after1 = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after1.map(_._2).sorted.toSeq == Seq("alpha", "beta", "gamma"), after1.toSeq)
+    // restart with new files: duplicates of PRE-restart keys are dropped from
+    // the checkpointed seen-set — only 'delta' is new
+    Seq((5L, "alpha"), (6L, "delta"), (7L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    val after2 = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after2.map(_._2).sorted.toSeq == Seq("alpha", "beta", "delta", "gamma"),
+      after2.toSeq)
+    assert(after2.toMap.get(6L).contains("delta"))
+    // and the batch call over the same accumulated input yields the same key set
+    val batchKeys = graft.functions.Dedup
+      .firstSeenStream(spark.read.parquet(s"$tmp/in"), "text")
+      .select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(batchKeys == after2.map(_._2).sorted.toSeq)
+  }
 }
