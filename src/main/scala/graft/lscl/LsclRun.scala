@@ -170,6 +170,36 @@ object LsclRun {
   def applyFilters(df: DataFrame, items: Seq[Item]): DataFrame =
     applyItems(df, items, None, new java.util.concurrent.atomic.AtomicInteger(0))
 
+  /** The LSCL-lowerable plugin inventory by section — what `GET
+    * /_node/plugins` (api/modules/plugins.rb) reports as installed. Kept in
+    * sync with the dispatch `case`s in this file (fail-loud names — ruby,
+    * sleep, memcached, elastic_integration, email, redis, rabbitmq, jms,
+    * twitter, azure_event_hubs, snmp poller — are deliberately absent: the
+    * reference's plugin list only shows what can actually run).
+    */
+  val pluginInventory: Map[String, Seq[String]] = Map(
+    "input" -> Seq("beats", "couchdb_changes", "dead_letter_queue",
+      "elastic_serverless_forwarder", "elasticsearch", "exec", "file",
+      "ganglia", "gelf", "generator", "graphite", "heartbeat", "http",
+      "http_poller", "java_stdin", "jdbc", "kafka", "logstash", "pipe",
+      "pipeline", "relp", "snmptrap", "stdin", "syslog", "tcp", "udp", "unix"),
+    "filter" -> Seq("age", "aggregate", "alter", "anonymize", "bytes", "cidr",
+      "cipher", "clone", "csv", "date", "de_dot", "dissect", "dns", "drop",
+      "elapsed", "elasticsearch", "environment", "extractnumbers",
+      "fingerprint", "geoip", "grok", "http", "i18n", "jdbc_static",
+      "jdbc_streaming", "json", "json_encode", "kv", "math", "metricize",
+      "metrics", "mutate", "prune", "punct", "range", "split", "syslog_pri",
+      "throttle", "tld", "translate", "truncate", "urldecode", "useragent",
+      "uuid", "xml", "yaml"),
+    "output" -> Seq("csv", "elasticsearch", "exec", "file", "gelf", "graphite",
+      "http", "kafka", "logstash", "lumberjack", "nagios", "null", "opentsdb",
+      "pipe", "pipeline", "statsd", "stdout", "syslog", "tcp", "udp",
+      "webhdfs", "zabbix"),
+    "codec" -> Seq("avro", "cef", "collectd", "csv", "dots", "edn",
+      "edn_lines", "es_bulk", "fluent", "ganglia", "gelf", "graphite", "json",
+      "json_lines", "line", "msgpack", "multiline", "netflow", "plain",
+      "protobuf", "rubydebug", "snmptrap"))
+
   private def applyItems(df0: DataFrame, items: Seq[Item], pathCol: Option[String],
                          ctr: java.util.concurrent.atomic.AtomicInteger): DataFrame =
     items.foldLeft(df0) {

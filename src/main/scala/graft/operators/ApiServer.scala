@@ -164,6 +164,19 @@ final class ApiServer(spark: SparkSession, explicitPort: Option[Int] = None) {
     s"""{"hot_threads":{"threads":${infos.size},"report":${Json.quote(report.toString)}}}"""
   }
 
+  /** `GET /_node/plugins` (api/modules/plugins.rb): the installed-plugin
+    * inventory — the LSCL-lowerable names by section, the analogue of the
+    * reference's gem list.
+    */
+  private def pluginsDoc: String = {
+    val items = graft.lscl.LsclRun.pluginInventory.toSeq.sortBy(_._1)
+      .flatMap { case (section, names) =>
+        names.sorted.map(n =>
+          s"""{"name":${Json.quote(n)},"type":${Json.quote(section)},"version":"graft"}""")
+      }
+    s"""{"total":${items.size},"plugins":[${items.mkString(",")}]}"""
+  }
+
   // ---- logging API (api/modules/logging.rb): GET levels, PUT overrides
   // applied to the LIVE log4j2 runtime, PUT /reset restores ---------------
 
@@ -214,6 +227,7 @@ final class ApiServer(spark: SparkSession, explicitPort: Option[Int] = None) {
         val q = Option(x.getRequestURI.getQuery).getOrElse("")
         val n = "threads=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(10)
         (200, hotThreads(n))
+      case ("GET", "/_node/plugins") => (200, pluginsDoc)
       case ("GET", "/_node/logging") => (200, loggingDoc)
       case ("PUT", "/_node/logging") =>
         loggingPut(new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))

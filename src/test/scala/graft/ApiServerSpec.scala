@@ -134,6 +134,29 @@ class ApiServerSpec extends SparkSpec {
       val (chs, hs) = get(a.port, "/_node/hot_threads?threads=3")
       assert(chs == 200 && hs.contains("\"threads\":3") &&
         hs.contains("Hot threads at"), hs.take(200))
+      // plugins inventory: implemented names present, fail-louds absent
+      val (cpl, pl) = get(a.port, "/_node/plugins")
+      assert(cpl == 200, pl.take(200))
+      assert(pl.contains("""{"name":"grok","type":"filter""""), pl.take(300))
+      assert(pl.contains("""{"name":"beats","type":"input""""))
+      assert(!pl.contains("\"ruby\"") && !pl.contains("\"memcached\""))
+      val total = "\"total\":(\\d+)".r.findFirstMatchIn(pl).get.group(1).toInt
+      assert(total > 100, s"inventory suspiciously small: $total")
     } finally { a.stop(); b.stop() }
+  }
+
+  test("plugin inventory: every listed filter name actually dispatches") {
+    import spark.implicits._
+    val df = Seq(("m1", "k=v")).toDF("message", "kvs")
+    LsclRun.pluginInventory("filter").foreach { name =>
+      val cfg = graft.lscl.Lscl.parse(s"filter { $name {} }", Map.empty)
+      try { LsclRun.applyFilters(df, cfg.filters); () }
+      catch {
+        case e: UnsupportedOperationException
+            if String.valueOf(e.getMessage).contains("unsupported filter plugin") =>
+          fail(s"inventory filter `$name` hit the unsupported path")
+        case _: Exception => () // missing required attrs etc. — still dispatched
+      }
+    }
   }
 }
