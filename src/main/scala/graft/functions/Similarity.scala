@@ -288,6 +288,35 @@ object Similarity {
       element_at(typedLit(row.toSeq), col(s"code_$j") + 1)
     }.reduceLeft(_ + _)
 
+  /** Lloyd refinement of PQ codebooks (k-means per subspace, `iters`
+    * rounds): encode -> per-(subspace, code) per-dimension mean -> new
+    * entries; empty cells keep their previous entry. One union-of-subspaces
+    * posexplode + groupBy per round; at corpus scale training runs on a
+    * sample (it's offline) — encode/ADC are what touch the full data.
+    */
+  def pqTrain(embeddings: DataFrame, embCol: String,
+              init: Array[Array[Array[Float]]], iters: Int): Array[Array[Array[Float]]] = {
+    var cbs = init
+    val m = init.length
+    val sub = init(0)(0).length
+    for (_ <- 0 until iters) {
+      val enc = pqEncode(embeddings, embCol, cbs)
+      val parts = (0 until m).map { j =>
+        enc.select(lit(j).as("j"), col(s"code_$j").as("code"),
+          posexplode(slice(col(embCol), j * sub + 1, sub)).as(Seq("pos", "v")))
+      }.reduce(_.unionAll(_))
+      val updated = parts.groupBy("j", "code", "pos").agg(avg("v").as("mean"))
+        .groupBy("j", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("ps"))
+        .select(col("j"), col("code"),
+          transform(col("ps"), p => p.getField("mean").cast("float")).as("cv"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray)).toMap
+      cbs = Array.tabulate(m, init(0).length)((j, c) => updated.getOrElse((j, c), cbs(j)(c)))
+    }
+    cbs
+  }
+
   /** PQ top-k: encode (or read a pre-encoded codes table) + ADC-score +
     * TakeOrdered — per-partition top-k merged on the driver, no global sort.
     */

@@ -517,6 +517,28 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // IVF + PQ composed (the FAISS IVF-PQ architecture): coarse-quantize to
+    // inverted lists, probe the query's top-2 lists (partition pruning at
+    // scale), PQ-encode ONLY the survivors and ADC-score them — the scan
+    // reads nprobe/C of the corpus and scoring is dimension-independent.
+    "sim_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8)
+      val cbs = Similarity.pqCodebooks(e, "embedding", "vec_id", m = 4, k = 8)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      val probed = Similarity.probeLists(cents, q, nprobe = 2)
+      val dt = Similarity.pqAdcTable(q, cbs)
+      val survivors = Similarity.ivfAssign(e.filter(col("vec_id") > 8), "embedding", cents)
+        .filter(col("list_id").isin(probed: _*))
+      Similarity.pqEncode(survivors, "embedding", cbs)
+        .select(col("vec_id"), col("list_id"),
+          concat_ws(",", (0 until 4).map(j => col(s"code_$j").cast("string")): _*)
+            .as("code_str"),
+          Similarity.pqAdcDistance(dt).as("adc_dist"))
+        .orderBy("vec_id")
+    }),
+
     // sign-LSH bucket histogram (the ANN partition key)
     "sim_buckets" -> ((s, dir) => {
       embs(s, dir)
@@ -1096,6 +1118,61 @@ object TextQueries {
          |          MAX(CASE WHEN j = 3 THEN d END) AS d3
          |        FROM cd GROUP BY vec_id)
          |SELECT vec_id, concat_ws(',', c0, c1, c2, c3) AS code_str,
+         |       ((d0 + d1) + d2) + d3 AS adc_dist
+         |FROM piv ORDER BY vec_id""".stripMargin
+    },
+
+    "sim_ivfpq" -> {
+      val l2 = (a: String, b: String) =>
+        s"floor((list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + " +
+          s"list_dot_product($b, $b)) * 1000000 + 0.5) / 1000000"
+      val cos = (x: String, y: String) =>
+        s"round(list_dot_product($x, $y) / " +
+          s"(sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y))), 6)"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |qf AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |basef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+         |          FROM embeddings WHERE vec_id > 8),
+         |asg AS (
+         |  SELECT vec_id, ev, cid,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY ${cos("ev", "cv")} DESC, cid) AS rk
+         |  FROM basef, cent),
+         |probes AS (
+         |  SELECT cid FROM cent, qf
+         |  ORDER BY ${cos("cv", "qv")} DESC, cid LIMIT 2),
+         |surv AS (SELECT vec_id, cid AS list_id, ev FROM asg
+         |         WHERE rk = 1 AND cid IN (SELECT cid FROM probes)),
+         |sub AS (SELECT unnest(range(4)) AS j),
+         |cb AS (SELECT j, e.vec_id - 1 AS code,
+         |              list_slice(CAST(e.embedding AS DOUBLE[]), j*16 + 1, j*16 + 16) AS cv
+         |       FROM embeddings e, sub WHERE e.vec_id BETWEEN 1 AND 8),
+         |qs AS (SELECT j, list_slice(qv, j*16 + 1, j*16 + 16) AS qv FROM qf, sub),
+         |bsub AS (SELECT vec_id, list_id, j, list_slice(ev, j*16 + 1, j*16 + 16) AS ev
+         |         FROM surv, sub),
+         |scored AS (SELECT b.vec_id, b.list_id, b.j, cb.code, ${l2("ev", "cv")} AS d2
+         |           FROM bsub b JOIN cb ON b.j = cb.j),
+         |enc AS (SELECT vec_id, list_id, j, code,
+         |               row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+         |        FROM scored),
+         |codes AS (SELECT vec_id, list_id, j, code FROM enc WHERE rk = 1),
+         |dt AS (SELECT cb.j, cb.code, ${l2("qs.qv", "cv")} AS d
+         |       FROM cb JOIN qs ON cb.j = qs.j),
+         |cd AS (SELECT c.vec_id, c.list_id, c.j, c.code, dt.d
+         |       FROM codes c JOIN dt ON c.j = dt.j AND c.code = dt.code),
+         |piv AS (SELECT vec_id, list_id,
+         |          MAX(CASE WHEN j = 0 THEN code END) AS c0,
+         |          MAX(CASE WHEN j = 1 THEN code END) AS c1,
+         |          MAX(CASE WHEN j = 2 THEN code END) AS c2,
+         |          MAX(CASE WHEN j = 3 THEN code END) AS c3,
+         |          MAX(CASE WHEN j = 0 THEN d END) AS d0,
+         |          MAX(CASE WHEN j = 1 THEN d END) AS d1,
+         |          MAX(CASE WHEN j = 2 THEN d END) AS d2,
+         |          MAX(CASE WHEN j = 3 THEN d END) AS d3
+         |        FROM cd GROUP BY vec_id, list_id)
+         |SELECT vec_id, list_id, concat_ws(',', c0, c1, c2, c3) AS code_str,
          |       ((d0 + d1) + d2) + d3 AS adc_dist
          |FROM piv ORDER BY vec_id""".stripMargin
     },

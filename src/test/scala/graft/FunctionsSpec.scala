@@ -156,6 +156,31 @@ class FunctionsSpec extends SparkSpec {
     assert(top.toSeq == all, s"topK=$top vs driver=$all")
   }
 
+  test("PQ Lloyd training keeps codebook shape and improves/holds distortion") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val init = Similarity.pqCodebooks(embs, "embedding", "vec_id", m = 4, k = 8)
+    val trained = Similarity.pqTrain(embs, "embedding", init, iters = 2)
+    assert(trained.length == 4 && trained.forall(_.length == 8) &&
+      trained.forall(_.forall(_.length == 16)))
+    // driver-side distortion: mean over rows of sum_j min_c L2²(sub_j, cb(j)(c))
+    val rows = embs.select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def distortion(cbs: Array[Array[Array[Float]]]): Double = {
+      def l2(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d.toDouble * d; i += 1 }
+        s
+      }
+      rows.map { v =>
+        (0 until 4).map { j =>
+          val subv = v.slice(j * 16, (j + 1) * 16)
+          cbs(j).map(cv => l2(subv, cv)).min
+        }.sum
+      }.sum / rows.length
+    }
+    val d0 = distortion(init); val d1 = distortion(trained)
+    assert(d1 <= d0 * 1.0001, s"training worsened distortion: $d0 -> $d1")
+  }
+
   test("banded sign-LSH pairs: no false positives vs brute force, bounded buckets") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val banded = Similarity.bandedPairs(embs, "embedding", "vec_id",
