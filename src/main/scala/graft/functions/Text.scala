@@ -554,6 +554,28 @@ object Text {
       org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))))
   }
 
+  /** Deterministic training-order shuffle: epoch e's permutation = the
+    * global rank over an integer multiplicative hash of (id, seed) —
+    * reshuffling between epochs changes the SEED, not the data (no second
+    * copy of the corpus, one range-partitioned rank per epoch). The hash is
+    * pure int64 arithmetic mod the Mersenne prime 2^31-1 with a SQUARING
+    * round — the nonlinearity matters: a linear mix (id·k + seed·c) only
+    * shifts every value by a constant mod p, which preserves the sort order
+    * almost everywhere, so consecutive seeds would yield the same
+    * permutation. Any engine reproduces the values exactly (all
+    * intermediates < 2^63); rank is the two-phase distributed
+    * [[globalRank]] — no single-partition window at any corpus size.
+    */
+  def shuffleOrder(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   seed: Long): org.apache.spark.sql.DataFrame = {
+    val p = 2147483647L
+    val m1 = pmod(col(idCol).cast("long") + lit(seed) * lit(7919L), lit(p))
+    val h = pmod(pmod(m1 * m1, lit(p)) * lit(2654435761L) + m1, lit(p))
+    globalRank(df.withColumn("_shuf", h), idCol, "_shuf")
+      .select(col("doc_id"), col("score").cast("long").as("h"),
+        col("rank").as("shuffle_pos"))
+  }
+
   /** EXACT stratified sampling — keep ceil(frac·n_g) rows per group (the
     * per-language / per-source quota cut every curated pre-training mix
     * needs), selected uniformly and deterministically by an md5 key.

@@ -278,6 +278,13 @@ object TextQueries {
         .orderBy("shard")
     }),
 
+    // deterministic per-EPOCH training-order shuffle: permutation = global
+    // rank over an integer hash of (doc_id, seed) — a new epoch is a new
+    // seed, not a new copy of the corpus; two-phase rank, no global window
+    "doc_shuffle" -> ((s, dir) => {
+      Text.shuffleOrder(docs(s, dir), "doc_id", seed = 3L).orderBy("shuffle_pos")
+    }),
+
     // deterministic train/val/test split assignment (hash buckets, replay-
     // identical) + per-split counts in one pass
     "doc_splitsets" -> ((s, dir) => {
@@ -899,6 +906,18 @@ object TextQueries {
         |  FROM documents)
         |SELECT shard, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM b GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "doc_shuffle" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         (CAST(doc_id AS BIGINT) + 3 * 7919) % 2147483647 AS m1
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, ((m1 * m1) % 2147483647 * 2654435761 + m1) % 2147483647 AS h
+        |  FROM m)
+        |SELECT doc_id, h,
+        |       row_number() OVER (ORDER BY h DESC, doc_id) AS shuffle_pos
+        |FROM h ORDER BY shuffle_pos""".stripMargin,
 
     "doc_splitsets" ->
       """WITH b AS (

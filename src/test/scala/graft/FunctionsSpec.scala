@@ -156,6 +156,24 @@ class FunctionsSpec extends SparkSpec {
     assert(top.toSeq == all, s"topK=$top vs driver=$all")
   }
 
+  test("shuffleOrder: a permutation, seed-stable, different seeds differ") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val s3a = Text.shuffleOrder(docs, "doc_id", 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // positions are exactly 1..n (a permutation), and re-running is identical
+    assert(s3a.values.toSeq.sorted == (1L to n).toSeq)
+    val s3b = Text.shuffleOrder(docs, "doc_id", 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s3a == s3b)
+    // a different epoch seed produces a genuinely different order
+    val s4 = Text.shuffleOrder(docs, "doc_id", 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s3a != s4)
+    val moved = s3a.count { case (id, pos) => s4(id) != pos }
+    assert(moved > n / 2, s"epoch reshuffle barely moved anything: $moved/$n")
+  }
+
   test("PQ Lloyd training keeps codebook shape and improves/holds distortion") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val init = Similarity.pqCodebooks(embs, "embedding", "vec_id", m = 4, k = 8)
