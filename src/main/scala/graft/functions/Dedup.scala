@@ -26,18 +26,22 @@ object Dedup {
       .withColumn("is_dup", row_number().over(w) > 1)
   }
 
-  /** STREAMING-ingest exact dedup: the first arrival of each content hash
-    * survives, across micro-batches AND restarts — Structured Streaming's
+  /** STREAMING-ingest exact dedup: the earliest MICRO-BATCH containing each
+    * content hash wins, across batches AND restarts — Structured Streaming's
     * `dropDuplicates` keeps the seen-key set in the checkpointed state
     * store, so a restarted job does not re-admit keys seen before the stop.
-    * The state key is the 256-bit content hash, NOT the document: state
-    * size is 32 bytes per distinct doc regardless of doc size — the knob
-    * that makes continuous corpus dedup feasible (a 100 TB corpus of 100 B
-    * docs needs ~32 GB of state across all executors, not 100 TB).
-    * Works identically on a batch frame (plain hash-keyed distinct).
-    * For unbounded streams with event time, pass `watermark = Some((tsCol,
-    * delay))` to prune state past the lateness horizon
-    * (`dropDuplicatesWithinWatermark`) — dedup then only spans the horizon.
+    * WITHIN one micro-batch (and on a batch frame) the surviving row per
+    * key is arbitrary, like any `dropDuplicates` — when the survivor's
+    * identity matters (oracle gates, replay-exact outputs), use [[exact]]
+    * (lowest-id-wins) on batch frames instead. The state key is the 256-bit
+    * content hash, NOT the document: state is 32 bytes per DISTINCT doc
+    * regardless of doc size — a 100 TB corpus of 1 MB docs is ~10^8 keys =
+    * ~3 GB of state across the cluster; short-doc corpora scale state with
+    * doc COUNT (10^12 × 100 B docs would need ~32 TB — bound it with the
+    * watermark variant). For unbounded streams with event time, pass
+    * `watermark = Some((tsCol, delay))` to prune state past the lateness
+    * horizon (`dropDuplicatesWithinWatermark`) — dedup then only spans the
+    * horizon.
     */
   def firstSeenStream(df: DataFrame, textCol: String,
                       watermark: Option[(String, String)] = None): DataFrame = {

@@ -256,7 +256,10 @@ object Similarity {
           lit(dotSeq(cv, cv))
         struct(fr6(d2).as("d"), lit(c).as("code"))
       }
-      d.withColumn(s"code_$j", least(scored.toSeq: _*).getField("code"))
+      // k=1 degenerates to code 0 (least() needs >=2 args)
+      val code = if (scored.length == 1) lit(0)
+        else least(scored.toSeq: _*).getField("code")
+      d.withColumn(s"code_$j", code)
     }
     withCodes.withColumn("codes",
       array((0 until m).map(j => col(s"code_$j")): _*))
@@ -285,14 +288,23 @@ object Similarity {
     */
   def pqAdcDistance(dtable: Array[Array[Double]]): Column =
     dtable.zipWithIndex.map { case (row, j) =>
-      element_at(typedLit(row.toSeq), col(s"code_$j") + 1)
+      // a pre-encoded codes table from a DIFFERENT k (or a corrupt code)
+      // must fail with a named error, not ANSI's opaque out-of-range (and
+      // never rank null-first in the top-k)
+      val c = col(s"code_$j")
+      when(c.between(0, row.length - 1), element_at(typedLit(row.toSeq), c + 1))
+        .otherwise(raise_error(concat(
+          lit(s"pqAdcDistance: code_$j out of range for k=${row.length}: "),
+          c.cast("string"))))
     }.reduceLeft(_ + _)
 
   /** Lloyd refinement of PQ codebooks (k-means per subspace, `iters`
     * rounds): encode -> per-(subspace, code) per-dimension mean -> new
-    * entries; empty cells keep their previous entry. One union-of-subspaces
-    * posexplode + groupBy per round; at corpus scale training runs on a
-    * sample (it's offline) — encode/ADC are what touch the full data.
+    * entries; empty cells keep their previous entry. ONE posexplode over the
+    * full embedding per round (subspace j = pos / sub, the per-row codes
+    * array supplies j's code) — a single scan per iteration; at corpus
+    * scale training runs on a sample (it's offline) — encode/ADC are what
+    * touch the full data.
     */
   def pqTrain(embeddings: DataFrame, embCol: String,
               init: Array[Array[Array[Float]]], iters: Int): Array[Array[Array[Float]]] = {
@@ -301,10 +313,11 @@ object Similarity {
     val sub = init(0)(0).length
     for (_ <- 0 until iters) {
       val enc = pqEncode(embeddings, embCol, cbs)
-      val parts = (0 until m).map { j =>
-        enc.select(lit(j).as("j"), col(s"code_$j").as("code"),
-          posexplode(slice(col(embCol), j * sub + 1, sub)).as(Seq("pos", "v")))
-      }.reduce(_.unionAll(_))
+      val parts = enc
+        .select(col("codes"), posexplode(col(embCol)).as(Seq("fullpos", "v")))
+        .select((col("fullpos") / sub).cast("int").as("j"),
+          element_at(col("codes"), (col("fullpos") / sub).cast("int") + 1).as("code"),
+          pmod(col("fullpos"), lit(sub)).as("pos"), col("v"))
       val updated = parts.groupBy("j", "code", "pos").agg(avg("v").as("mean"))
         .groupBy("j", "code")
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("ps"))

@@ -171,11 +171,14 @@ object LsclRun {
     applyItems(df, items, None, new java.util.concurrent.atomic.AtomicInteger(0))
 
   /** The LSCL-lowerable plugin inventory by section — what `GET
-    * /_node/plugins` (api/modules/plugins.rb) reports as installed. Kept in
-    * sync with the dispatch `case`s in this file (fail-loud names — ruby,
-    * sleep, memcached, elastic_integration, email, redis, rabbitmq, jms,
-    * twitter, azure_event_hubs, snmp poller — are deliberately absent: the
-    * reference's plugin list only shows what can actually run).
+    * /_node/plugins` (api/modules/plugins.rb) reports as installed.
+    * Fail-loud names (ruby, sleep, memcached, elastic_integration, email,
+    * redis, rabbitmq, jms, twitter, azure_event_hubs, snmp poller) are
+    * deliberately absent: the reference's plugin list only shows what can
+    * actually run. The FILTER section is drift-tested against the dispatch
+    * (ApiServerSpec lowers every name); input/output/codec entries are
+    * curated by hand — when touching a dispatch `case` in this file, update
+    * this map.
     */
   val pluginInventory: Map[String, Seq[String]] = Map(
     "input" -> Seq("beats", "couchdb_changes", "dead_letter_queue",

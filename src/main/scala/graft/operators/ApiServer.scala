@@ -225,7 +225,8 @@ final class ApiServer(spark: SparkSession, explicitPort: Option[Int] = None) {
       case ("GET", "/_node/stats") => (200, statsDoc)
       case ("GET", "/_node/hot_threads") =>
         val q = Option(x.getRequestURI.getQuery).getOrElse("")
-        val n = "threads=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(10)
+        val n = "threads=(\\d+)".r.findFirstMatchIn(q)
+          .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(10)
         (200, hotThreads(n))
       case ("GET", "/_node/plugins") => (200, pluginsDoc)
       case ("GET", "/_node/logging") => (200, loggingDoc)

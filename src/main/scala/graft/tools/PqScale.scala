@@ -64,7 +64,10 @@ object PqScale {
     }
     def dirBytes(p: String): Long = {
       val d = new java.io.File(p)
-      d.listFiles().filter(_.isFile).map(_.length).sum
+      // data files only — _SUCCESS markers and .crc sidecars would inflate
+      // the (tiny-file) codes side and understate the ratio
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length).sum
     }
     println(f"PQSCALE query n=$big%d adc_sec=$adcSec%.2f brute_sec=$bruteSec%.2f " +
       f"codes_bytes=${dirBytes(s"$dir/codes")}%d raw_bytes=${dirBytes(s"$dir/raw")}%d")

@@ -134,7 +134,11 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     def runOnce(): Unit = {
-      val src = spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+      // one file per micro-batch, so the duplicate genuinely SPANS batches
+      // (without this AvailableNow admits all files in a single batch and
+      // the cross-batch state carry-over is never exercised)
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
       val q = graft.functions.Dedup.firstSeenStream(src, "text")
         .writeStream.outputMode("append").format("parquet")
         .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
