@@ -113,6 +113,46 @@ object Similarity {
     embeddings.withColumn("list_id", (-greatest(scored: _*).getField("negc")).cast("long"))
   }
 
+  /** Prototype-based cluster pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): assign each embedding to its nearest centroid
+    * (prototype), measure prototypicality as the cosine to that centroid,
+    * and KEEP only the `keepNum/keepDen` hardest (least prototypical —
+    * lowest-cosine) fraction of each cluster. The published result: pruning
+    * easy/prototypical examples beats random pruning at large data scale.
+    *
+    * Output: id, `list_id` (cluster), `proto_cos` (6dp cosine to the
+    * prototype), `keep`. The per-cluster quota is exact integer math
+    * (`ceil(n·keepNum/keepDen)` as `(n·keepNum + keepDen−1) div keepDen`)
+    * so both engines agree without float thresholds.
+    *
+    * Scale: assignment is the [[ivfAssign]] zero-exchange projection over
+    * broadcast centroid literals; the rank-within-cluster window shuffles
+    * once keyed on `list_id` with per-key populations bounded by the
+    * cluster size — the same C-scales-with-N contract as
+    * [[graft.functions.Dedup.semDedup]] (keep cluster populations fixed as
+    * the corpus grows and no reducer ever sees more than one cluster).
+    */
+  def protoPrune(embeddings: DataFrame, embCol: String, idCol: String,
+                 centroids: Seq[(Long, Array[Float])],
+                 keepNum: Int = 1, keepDen: Int = 2): DataFrame = {
+    val scored = centroids.map { case (cid, cv) =>
+      struct(round(cosineToConst(col(embCol), cv.toSeq), 6).as("s"),
+        lit(-cid).as("negc"))
+    }
+    val best = greatest(scored: _*)
+    val asg = embeddings.select(col(idCol),
+      (-best.getField("negc")).cast("long").as("list_id"),
+      best.getField("s").as("proto_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("list_id").orderBy(col("proto_cos").asc, col(idCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("list_id")
+    asg.withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .withColumn("keep",
+        col("_rk") <= floor((col("_n") * keepNum + (keepDen - 1)) / keepDen))
+      .drop("_rk", "_n")
+  }
+
   /** Driver-side probe ranking: top-`nprobe` centroid ids by cosine vs the
     * query, rounded HALF_UP to 6dp — the SAME rounding as the engine path's
     * round(x, 6) and the DuckDB oracle, so a similarity landing exactly on a

@@ -733,6 +733,148 @@ object Text {
       .drop("_s")
   }
 
+  // ---- C4-style heuristic cleaning rules (Raffel et al. 2020 §2.2) ----
+
+  /** C4 cleaning-rule components at document granularity (the published
+    * rules operate per line; our corpora are one-line word streams, so the
+    * document IS the line): terminal-punctuation ending, "lorem ipsum"
+    * boilerplate, curly-brace (code/CSS) pages, the word "javascript", and
+    * a minimum word count. Each component is one codegen'd predicate —
+    * the composite keep is a scan-pushable filter at any corpus size.
+    */
+  def c4EndsPunct(text: Column): Column = text.rlike("[.!?\"']$")
+
+  def c4HasLorem(text: Column): Column = lower(text).contains("lorem ipsum")
+
+  def c4HasBrace(text: Column): Column = text.contains("{")
+
+  def c4HasJavascript(text: Column): Column =
+    array_contains(split(lower(text), " "), "javascript")
+
+  def c4Keep(text: Column, minWords: Int = 15): Column =
+    c4EndsPunct(text) && !c4HasLorem(text) && !c4HasBrace(text) &&
+      !c4HasJavascript(text) && nWords(text) >= minWords
+
+  // ---- Gopher quality rules (Rae et al. 2021 §A1.1 quality filters) ----
+
+  /** Stopword shortlist for the Gopher "contains at least N stop words"
+    * rule, tuned to this corpus' vocabulary (the published rule uses
+    * common English function words).
+    */
+  val GopherStops: Seq[String] = Seq("the", "a", "value", "data")
+
+  /** Symbol-to-word ratio (Gopher: `#` and `...` occurrences per word).
+    * Occurrence counts via length deltas — two codegen'd replaces, no
+    * regex scan. Exact integer-valued doubles, engine-stable.
+    */
+  def gopherSymbolRatio(text: Column): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    (hashes + ellipses) / nWords(text)
+  }
+
+  /** Fraction of words containing at least one alphabetic character. */
+  def gopherAlphaFrac(text: Column): Column =
+    size(filter(split(text, " "), w => w.rlike("[A-Za-z]"))).cast("double") /
+      nWords(text)
+
+  /** Count of distinct stopwords from `stops` present in the text. */
+  def gopherStopHits(text: Column, stops: Seq[String] = GopherStops): Column =
+    stops.map(sw => when(array_contains(split(text, " "), sw), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Composite Gopher quality gate: word-count band, mean-word-length band,
+    * symbol ratio cap, alphabetic-word floor, minimum stopword hits. All
+    * components are narrow projections; the composite is scan-pushable.
+    * Threshold comparisons run on the UNQUANTIZED exact-integer-ratio
+    * doubles (division of corpus-bounded integers is exact in IEEE double,
+    * so both engines agree without rounding).
+    */
+  def gopherKeep(text: Column, minWords: Int = 15, maxWords: Int = 120,
+                 minWlen: Double = 3.0, maxWlen: Double = 6.0,
+                 maxSymbol: Double = 0.01, minAlpha: Double = 0.9,
+                 minStops: Int = 2): Column =
+    nWords(text).between(minWords, maxWords) &&
+      meanWordLen(text).between(minWlen, maxWlen) &&
+      gopherSymbolRatio(text) <= maxSymbol &&
+      gopherAlphaFrac(text) >= minAlpha &&
+      gopherStopHits(text) >= minStops
+
+  // ---- line-level dedup (CCNet / RefinedWeb boilerplate removal) ----
+
+  /** Corpus-level LINE deduplication — the CCNet/RefinedWeb boilerplate
+    * stage: a line occurring in more than `maxDocs` distinct documents is
+    * dropped from EVERY document (navigation menus, cookie banners,
+    * "subscribe" footers). Input is a document frame with a `linesCol`
+    * array column; output keeps `idCol`, adds `n_lines`, `n_kept`, and
+    * `kept_text` (surviving lines rejoined in original order).
+    *
+    * Scale: the line-frequency table is one hash-keyed aggregate on line
+    * content (map-side combined — the per-partition distinct collapse does
+    * most of the work; CCNet keys this on a paragraph hash, which is the
+    * same shuffle with narrower rows); the join back is line-keyed, never
+    * doc-keyed, so hot boilerplate lines broadcast naturally under AQE.
+    * Reassembly is one groupBy on the doc id with groups bounded by the
+    * document's own line count.
+    */
+  def lineDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+                linesCol: String, maxDocs: Long): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(idCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
+    val exP = graft.plans.CacheScope.persist(ex)
+    val freq = exP.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("_docs"))
+    exP.join(freq, Seq("line"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_docs") <= maxDocs, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_docs") <= maxDocs, struct(col("pos"), col("line"))))),
+          s => s.getField("line")), " / ").as("kept_text"))
+  }
+
+  // ---- DSIR importance resampling (Xie et al. 2023, NeurIPS) ----
+
+  /** Data Selection via Importance Resampling: score each raw-corpus
+    * document by how target-like its hashed-token distribution is. Tokens
+    * hash into `buckets` feature buckets (md5-prefix hash — engine-exact);
+    * per bucket the importance weight is log p_target(b) − log p_raw(b),
+    * computed as INTEGER bit lengths of the (+1-smoothed) bucket counts —
+    * the same integer-log2 formulation as [[bigramSurprisal]], so the
+    * DuckDB oracle is bit-exact (libm `ln` is not reproducible across
+    * engines; a production scorer swaps in float logs of the estimated
+    * distributions). A document's score is the weight sum over its tokens;
+    * `keep` = positive score (the resampling acceptance proxy — real DSIR
+    * adds Gumbel noise before the global top-k).
+    *
+    * Scale: the bucket-weight table is `buckets` rows (config-sized →
+    * broadcast); the only data-sized exchanges are the bucket-count
+    * aggregate (map-side combined, key cardinality = `buckets`) and the
+    * per-doc score aggregate keyed on the doc id. Nothing is
+    * content-keyed; nothing is all-pairs.
+    */
+  def dsirScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, isTarget: Column,
+                 buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), isTarget.as("_t"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("bkt",
+        conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long") % buckets)
+    val toksP = graft.plans.CacheScope.persist(toks)
+    val weights = toksP.groupBy("bkt")
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("_cr"))
+      .withColumn("w",
+        (length(bin(col("_ct") + 1)) - length(bin(col("_cr") + 1))).cast("long"))
+      .select("bkt", "w")
+    toksP.filter(!col("_t"))
+      .join(broadcast(weights), Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum("w").as("dsir_score"))
+      .withColumn("dsir_avg",
+        floor(col("dsir_score") / col("n_tok") * 1e6 + 0.5) / 1e6)
+      .withColumn("keep", col("dsir_score") > 0)
+  }
+
   /** Canonical URL for URL-keyed web dedup (the normalization every
     * web-corpus pipeline runs before exact dedup — RFC 3986 syntax-based
     * normalization plus the de-facto tracking-parameter strip): lowercase

@@ -546,6 +546,83 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // C4-style heuristic cleaning rules (Raffel et al. 2020 §2.2): the
+    // corpus is a bare word stream, so rule-triggering decorations
+    // (terminal punct, lorem-ipsum / curly-brace / javascript boilerplate)
+    // are synthesized deterministically from doc_id — every rule branch
+    // fires on a known subset and the oracle rebuilds the same text
+    "txt_c4" -> ((s, dir) => {
+      val uid = col("doc_id").cast("long")
+      val t = concat(col("text"),
+        when(uid % 4 === 0, ".").when(uid % 4 === 1, "!")
+          .when(uid % 4 === 2, "?").otherwise(""),
+        when(uid % 7 === 0, " lorem ipsum dolor sit").otherwise(""),
+        when(uid % 11 === 0, " css { margin }").otherwise(""),
+        when(uid % 13 === 0, " please enable javascript").otherwise(""))
+      docs(s, dir).select(col("doc_id"),
+        Text.nWords(t).as("n_words"),
+        Text.c4EndsPunct(t).as("ends_punct"),
+        Text.c4HasLorem(t).as("has_lorem"),
+        Text.c4HasBrace(t).as("has_brace"),
+        Text.c4HasJavascript(t).as("has_js"),
+        Text.c4Keep(t).as("keep_c4"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1): word-count band, mean
+    // word length band, symbol ratio, alphabetic-word floor, stopword
+    // hits; symbol/digit decorations synthesized from doc_id
+    "txt_gopher" -> ((s, dir) => {
+      val uid = col("doc_id").cast("long")
+      val t = concat(col("text"),
+        when(uid % 5 === 0, " ### #### ...").otherwise(""),
+        when(uid % 9 === 0, " 123 4567 89 00 11 22").otherwise(""))
+      docs(s, dir).select(col("doc_id"),
+        Text.nWords(t).as("n_words"),
+        (floor(Text.meanWordLen(t) * 1e6 + 0.5) / 1e6).as("mean_wlen"),
+        (floor(Text.gopherSymbolRatio(t) * 1e6 + 0.5) / 1e6).as("symbol_ratio"),
+        (floor(Text.gopherAlphaFrac(t) * 1e6 + 0.5) / 1e6).as("alpha_frac"),
+        Text.gopherStopHits(t).as("stop_hits"),
+        Text.gopherKeep(t).as("keep_gopher"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-level LINE dedup (CCNet/RefinedWeb boilerplate removal): each
+    // doc becomes 4 lines — a per-source promo header, two text slices,
+    // and an alternating footer; lines in > 5 distinct docs drop from
+    // every doc, survivors rejoin in original order
+    "txt_linededup" -> ((s, dir) => {
+      val uid = col("doc_id").cast("long")
+      val lines = array(
+        concat(lit("promo "), col("source")),
+        substring(col("text"), 1, 30),
+        when(uid % 2 === 0, "subscribe to updates").otherwise("contact support"),
+        substring(col("text"), 31, 60))
+      Text.lineDedup(docs(s, dir).withColumn("_lines", lines),
+          "doc_id", "_lines", 5L)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): src0/src1 are the
+    // target corpus, everything else is raw; hashed-unigram bucket
+    // log-ratios (integer-log2) score each raw doc's target-likeness
+    "txt_dsir" -> ((s, dir) => {
+      Text.dsirScores(docs(s, dir), "doc_id", "text",
+          col("source").isin("src0", "src1"))
+        .orderBy("doc_id")
+    }),
+
+    // prototype-based cluster pruning (Sorscher et al. 2022): assign to
+    // the fixed quantizer's prototypes, keep the hardest (least
+    // prototypical) half of every cluster
+    "doc_proto" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8)
+      Similarity.protoPrune(e.filter(col("vec_id") > 8), "embedding",
+          "vec_id", cents)
+        .orderBy("vec_id")
+    }),
+
     // sign-LSH bucket histogram (the ANN partition key)
     "sim_buckets" -> ((s, dir) => {
       embs(s, dir)
@@ -700,6 +777,137 @@ object TextQueries {
         |  FROM m)
         |SELECT doc_id, source, CAST(unnest(range(n)) AS INTEGER) AS rep
         |FROM c WHERE n > 0 ORDER BY doc_id, rep""".stripMargin,
+
+    "txt_c4" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         concat(text,
+        |           CASE CAST(doc_id AS BIGINT) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+        |                WHEN 2 THEN '?' ELSE '' END,
+        |           CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+        |                THEN ' lorem ipsum dolor sit' ELSE '' END,
+        |           CASE WHEN CAST(doc_id AS BIGINT) % 11 = 0
+        |                THEN ' css { margin }' ELSE '' END,
+        |           CASE WHEN CAST(doc_id AS BIGINT) % 13 = 0
+        |                THEN ' please enable javascript' ELSE '' END) AS tx
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(tx, ' ')) AS INTEGER) AS n_words,
+        |         regexp_matches(tx, '[.!?"'']$') AS ends_punct,
+        |         contains(lower(tx), 'lorem ipsum') AS has_lorem,
+        |         contains(tx, '{') AS has_brace,
+        |         list_contains(string_split(lower(tx), ' '), 'javascript') AS has_js
+        |  FROM t)
+        |SELECT doc_id, n_words, ends_punct, has_lorem, has_brace, has_js,
+        |       (ends_punct AND NOT has_lorem AND NOT has_brace AND NOT has_js
+        |        AND n_words >= 15) AS keep_c4
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "txt_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         concat(text,
+        |           CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0
+        |                THEN ' ### #### ...' ELSE '' END,
+        |           CASE WHEN CAST(doc_id AS BIGINT) % 9 = 0
+        |                THEN ' 123 4567 89 00 11 22' ELSE '' END) AS tx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, string_split(tx, ' ') AS words,
+        |         length(tx) - length(replace(tx, '#', '')) AS hashes,
+        |         (length(tx) - length(replace(tx, '...', ''))) / 3 AS ell
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(words) AS INTEGER) AS n_words,
+        |         CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+        |           / len(words) AS mw,
+        |         (hashes + ell) / len(words) AS sr,
+        |         CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+        |           AS DOUBLE) / len(words) AS af,
+        |         CAST((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END)
+        |            + (CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END)
+        |            + (CASE WHEN list_contains(words, 'value') THEN 1 ELSE 0 END)
+        |            + (CASE WHEN list_contains(words, 'data') THEN 1 ELSE 0 END)
+        |           AS INTEGER) AS sh
+        |  FROM c)
+        |SELECT doc_id, n_words,
+        |       floor(mw * 1000000 + 0.5) / 1000000 AS mean_wlen,
+        |       floor(sr * 1000000 + 0.5) / 1000000 AS symbol_ratio,
+        |       floor(af * 1000000 + 0.5) / 1000000 AS alpha_frac,
+        |       sh AS stop_hits,
+        |       (n_words BETWEEN 15 AND 120 AND mw BETWEEN 3.0 AND 6.0
+        |        AND sr <= 0.01 AND af >= 0.9 AND sh >= 2) AS keep_gopher
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "txt_linededup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, 0 AS pos, 'promo ' || source AS line FROM documents
+        |  UNION ALL SELECT doc_id, 1, substring(text, 1, 30) FROM documents
+        |  UNION ALL SELECT doc_id, 2,
+        |    CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+        |         THEN 'subscribe to updates' ELSE 'contact support' END
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 3, substring(text, 31, 60) FROM documents),
+        |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS docs
+        |         FROM lines GROUP BY line)
+        |SELECT l.doc_id, COUNT(*) AS n_lines,
+        |       COUNT(*) FILTER (f.docs <= 5) AS n_kept,
+        |       COALESCE(string_agg(l.line, ' / ' ORDER BY l.pos)
+        |                  FILTER (f.docs <= 5), '') AS kept_text
+        |FROM lines l JOIN freq f USING (line)
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+
+    "txt_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source IN ('src0', 'src1') AS t,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t,
+        |         CAST('0x' || substring(md5(tok), 1, 6) AS BIGINT) % 256 AS bkt
+        |  FROM toks),
+        |w AS (
+        |  SELECT bkt,
+        |         CAST(length(bin(COUNT(*) FILTER (t) + 1)) -
+        |              length(bin(COUNT(*) FILTER (NOT t) + 1)) AS BIGINT) AS w
+        |  FROM b GROUP BY bkt),
+        |sc AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_tok, CAST(SUM(w.w) AS BIGINT) AS dsir_score
+        |  FROM b JOIN w USING (bkt) WHERE NOT b.t GROUP BY b.doc_id)
+        |SELECT doc_id, n_tok, dsir_score,
+        |       floor(CAST(dsir_score AS DOUBLE) / n_tok * 1000000 + 0.5) / 1000000
+        |         AS dsir_avg,
+        |       dsir_score > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "doc_proto" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |         FROM embeddings WHERE vec_id > 8),
+        |asg AS (
+        |  SELECT vec_id, cid,
+        |         round(list_dot_product(ev, cv) /
+        |               (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 6) AS s,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY
+        |           round(list_dot_product(ev, cv) /
+        |                 (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+        |           cid) AS rk
+        |  FROM base, cent),
+        |lists AS (SELECT vec_id, CAST(cid AS BIGINT) AS list_id, s AS proto_cos
+        |          FROM asg WHERE rk = 1),
+        |r AS (
+        |  SELECT vec_id, list_id, proto_cos,
+        |         row_number() OVER (PARTITION BY list_id
+        |                            ORDER BY proto_cos ASC, vec_id) AS rk,
+        |         COUNT(*) OVER (PARTITION BY list_id) AS n
+        |  FROM lists)
+        |SELECT vec_id, list_id, proto_cos,
+        |       rk <= floor((n + 1) / 2) AS keep
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     "txt_pii" ->
       // NB DuckDB single-quoted strings treat backslash literally, so the

@@ -111,4 +111,94 @@ class QualityOpsSpec extends SparkSpec {
       (0L, Seq(1, 2, 3, 4), 2),  // doc 2 split across packs 0 and 1
       (1L, Seq(5, 6, 7, 8), 2)), packs.mkString("|"))
   }
+
+  test("c4 rules: terminal punct, lorem/brace/javascript boilerplate, min words") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "good solid sentence with exactly fifteen total words here one two three four five six."),
+      (2L, "no terminal punctuation here but otherwise fine words words words words words words words"),
+      (3L, "short page that mentions lorem ipsum dolor sit amet in passing text words words words."),
+      (4L, "a page of css rules like body { margin } that c4 drops words words words words."),
+      (5L, "please enable javascript to view this page words words words words words words words."),
+      (6L, "too few words here.")).toDF("id", "t")
+    val out = df.select(col("id"), Text.c4Keep(col("t")).as("k"),
+        Text.c4EndsPunct(col("t")).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((true, true)))
+    assert(out(2L) == ((false, false))) // no terminal punctuation
+    assert(!out(3L)._1 && out(3L)._2)   // lorem ipsum
+    assert(!out(4L)._1)                 // curly brace
+    assert(!out(5L)._1)                 // the word javascript
+    assert(!out(6L)._1)                 // under min word count
+  }
+
+  test("gopher components: symbol ratio, alpha fraction, stop hits") {
+    import spark.implicits._
+    val df = Seq("the data value has ### and ... inside okay").toDF("t")
+    val r = df.select(
+      Text.gopherSymbolRatio(col("t")).as("sr"),
+      Text.gopherAlphaFrac(col("t")).as("af"),
+      Text.gopherStopHits(col("t")).as("sh")).head()
+    assert(r.getDouble(0) == 4.0 / 9.0, r.getDouble(0)) // 3 hashes + 1 ellipsis
+    assert(r.getDouble(1) == 7.0 / 9.0, r.getDouble(1)) // ### and ... non-alpha
+    assert(r.getInt(2) == 3) // the, data, value; no bare 'a'
+  }
+
+  test("lineDedup: corpus-frequent lines drop from every doc; all-boiler doc empties") {
+    import spark.implicits._
+    val boiler = "subscribe now"
+    val df = Seq(
+      (1L, Seq(boiler, "unique one", "tail a")),
+      (2L, Seq(boiler, "unique two")),
+      (3L, Seq("unique three", boiler)),
+      (4L, Seq(boiler))).toDF("doc_id", "lines")
+    val out = Text.lineDedup(df, "doc_id", "lines", maxDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out(1L) == ((3L, 2L, "unique one / tail a"))) // order preserved
+    assert(out(2L) == ((2L, 1L, "unique two")))
+    assert(out(3L) == ((2L, 1L, "unique three")))
+    assert(out(4L) == ((1L, 0L, ""))) // every line was boilerplate
+  }
+
+  test("dsirScores: target-like raw docs score above off-target ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "tgt", "common common common common common common common"),
+      (2L, "tgt", "common common common common"),
+      (10L, "raw", "common common common"),
+      (11L, "raw", "junk junk junk")).toDF("doc_id", "src", "text")
+    val out = Text.dsirScores(df, "doc_id", "text", col("src") === "tgt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("dsir_score"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out.keySet == Set(10L, 11L)) // only raw docs are scored
+    assert(out(10L)._1 == 3L && out(11L)._1 == 3L)
+    // common: ct=11, cr=3 -> bitlen(12)-bitlen(4)=4-3=1 per token;
+    // junk: ct=0, cr=3 -> bitlen(1)-bitlen(4)=1-3=-2 per token
+    assert(out(10L)._2 > out(11L)._2)
+    assert(out(10L)._3 && !out(11L)._3)
+  }
+
+  test("protoPrune: keeps the hardest half of each cluster, exact quota") {
+    import spark.implicits._
+    def v(x: Float, y: Float) = Seq(x, y)
+    val df = Seq(
+      (1L, v(1f, 0f)), (2L, v(0f, 1f)), // centroid seeds
+      (10L, v(10f, 1f)),  // most prototypical in cluster 1 -> pruned
+      (11L, v(2f, 1f)),
+      (12L, v(1f, 1f)),   // least prototypical (ties to cluster 1, lowest cid)
+      (20L, v(0.1f, 5f))) // singleton cluster: ceil(1/2)=1 -> kept
+      .toDF("vec_id", "embedding")
+    val cents = graft.functions.Similarity.ivfCentroids(df, "embedding", "vec_id", 2)
+    val out = graft.functions.Similarity
+      .protoPrune(df.filter(col("vec_id") >= 10), "embedding", "vec_id", cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("list_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(12L) == ((1L, true)))  // tie-broken to cluster 1, hardest
+    assert(out(11L) == ((1L, true)))  // second hardest; quota ceil(3/2)=2
+    assert(out(10L) == ((1L, false))) // most prototypical -> pruned
+    assert(out(20L) == ((2L, true)))
+  }
 }
