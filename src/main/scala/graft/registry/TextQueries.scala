@@ -461,6 +461,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // iterative BPE TRAINING with per-round recount (Sennrich et al. 2016):
+    // round k's winner depends on every prior merge having been applied, so
+    // the merge table pins the whole iterative process; n is the pair count
+    // at selection time
+    "txt_bpe_train" -> ((s, dir) => {
+      val seqs = Tok.rawSequences(docs(s, dir))
+      val merges = Text.bpeTrain(seqs, "tokens", rounds = 6, newIdBase = 1000000)
+      require(merges.size == 6, s"corpus dried up at ${merges.size} rounds")
+      import s.implicits._
+      merges.toDF("rk", "a", "b", "n").orderBy("rk")
+    }),
+
     // GLOBAL curriculum rank by a quality score (two-phase distributed
     // rank: range partition + broadcast offsets, no single-partition window)
     "doc_rank" -> ((s, dir) => {
@@ -707,6 +719,35 @@ object TextQueries {
          |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_enc,
          |       array_to_string(t, ',') AS tok_str
          |FROM e$m ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_bpe_train" -> {
+      val r = 6; val base = 1000000
+      // one (count, top-1, apply) CTE triple per round: round k's count runs
+      // over e_k, the encoding AFTER the first k merges — the recount that
+      // distinguishes training from the static-rank txt_bpe_apply oracle
+      val rounds = (0 until r).map { k =>
+        s"""c$k AS (
+           |  SELECT t[i] AS a, t[i+1] AS b, COUNT(*) AS n
+           |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+           |        FROM e$k WHERE len(t) > 1)
+           |  WHERE t[i] <> t[i+1] GROUP BY 1, 2),
+           |r$k AS (SELECT a, b, n FROM c$k ORDER BY n DESC, a, b LIMIT 1),
+           |e${k + 1} AS (
+           |  SELECT doc_id, list_filter(list_transform(generate_series(1, len(t)), i ->
+           |    CASE WHEN i < len(t) AND t[i] = r.a AND t[i+1] = r.b THEN ${base + k}
+           |         WHEN i > 1 AND t[i-1] = r.a AND t[i] = r.b THEN -1
+           |         ELSE t[i] END), x -> x <> -1) AS t
+           |  FROM e$k, r$k r)""".stripMargin
+      }.mkString(",\n")
+      val sel = (0 until r)
+        .map(k => s"SELECT $k AS rk, a, b, n FROM r$k")
+        .mkString("\nUNION ALL ")
+      s"""${Tok.sqlRawSequences},
+         |e0 AS (SELECT doc_id, tokens AS t FROM raw),
+         |$rounds
+         |$sel
+         |ORDER BY rk""".stripMargin
     },
 
     "doc_rank" ->

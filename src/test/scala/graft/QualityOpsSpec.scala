@@ -112,6 +112,20 @@ class QualityOpsSpec extends SparkSpec {
       (1L, Seq(5, 6, 7, 8), 2)), packs.mkString("|"))
   }
 
+  test("bpeTrain: recount lets later rounds merge earlier merged ids") {
+    import spark.implicits._
+    // 4x [5,7,9] + 1x [5,7]: round 0 merges (5,7)->100 (count 5); the
+    // recount then sees (100,9) four times — a pair that did not exist in
+    // the original corpus and that static top-m ranking can never pick
+    val df = (Seq.fill(4)(Seq(5, 7, 9)) :+ Seq(5, 7)).toDF("toks")
+    val merges = graft.functions.Text.bpeTrain(df, "toks", rounds = 2, newIdBase = 100)
+    assert(merges == Seq((0, 5, 7, 5L), (1, 100, 9, 4L)), merges)
+    // dries up once no distinct adjacent pair remains
+    val one = Seq(Seq(1, 2)).toDF("toks")
+    assert(graft.functions.Text.bpeTrain(one, "toks", rounds = 5, newIdBase = 100)
+      == Seq((0, 1, 2, 1L)))
+  }
+
   test("c4 rules: terminal punct, lorem/brace/javascript boilerplate, min words") {
     import spark.implicits._
     val df = Seq(
