@@ -111,6 +111,75 @@ object Text {
                      maxDupBigram: Double = 0.05): Column =
     dupFrac(words) <= maxDupWord && dupFrac(wordBigrams(words)) <= maxDupBigram
 
+  /** The CHARACTER-fraction half of the Gopher repetition family (Rae et
+    * al. 2021 §A1.1 — the rules [[repetitionKeep]]'s count-fraction subset
+    * doesn't cover): per document,
+    *   - `top_frac`  = chars inside ALL occurrences of the single most
+    *     frequent `topN`-gram / total word chars (ties → lexicographically
+    *     smallest gram, engine-deterministic);
+    *   - `dup_frac`  = chars covered by AT LEAST ONE duplicated
+    *     `dupN`-gram occurrence / total word chars (interval-UNION
+    *     coverage — overlapping duplicate grams count a position once,
+    *     the published semantics).
+    * `keep_rep` applies the Gopher thresholds on the unquantized ratios;
+    * the reported fractions are floor-quantized to 6dp (engine-stable).
+    *
+    * Scale: grams explode to one row per position; counts key on
+    * (doc, gram) — map-side combined, per-key population bounded by the
+    * document's own length, never corpus-global (a content-global key
+    * would hotspot on boilerplate; this stays per-doc by construction).
+    * Coverage is a distinct + per-doc aggregate with groups bounded by doc
+    * length, and the char lookup rides as one HOF over the doc's own words
+    * array — no all-pairs, no O(len²) per-row expression.
+    */
+  def ngramCharStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, topN: Int = 2, dupN: Int = 5,
+                     maxTop: Double = 0.20, maxDup: Double = 0.15)
+      : org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .withColumn("total_chars",
+        aggregate(col("_w"), lit(0L), (acc, w) => acc + length(w)))
+    val baseP = graft.plans.CacheScope.persist(base)
+
+    def grams(n: Int) = baseP.filter(size(col("_w")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("_w")) - n),
+        i => struct(i.as("pos"),
+          array_join(slice(col("_w"), i + 1, lit(n)), " ").as("gram")))).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
+
+    // top-N-gram: (doc, gram) counts -> per-doc argmax (count desc, gram asc)
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("_n").desc, col("gram"))
+    val top = grams(topN).groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_rn", row_number().over(topW)).filter(col("_rn") === 1)
+      .select(col(idCol), col("gram").as("top_gram"),
+        (col("_n") * (length(col("gram")) - (topN - 1))).cast("long").as("_tch"))
+
+    // dup-N-gram coverage: dup occurrences -> distinct covered word indices
+    val gd = grams(dupN)
+    val dups = gd.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
+    val idx = gd.join(dups, Seq(idCol, "gram"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (dupN - 1))).as("_wi"))
+      .distinct()
+    val cov = idx.groupBy(col(idCol)).agg(collect_list(col("_wi")).as("_wis"))
+
+    val q6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    baseP.join(top, Seq(idCol), "left").join(cov, Seq(idCol), "left")
+      .withColumn("_dch", coalesce(
+        aggregate(col("_wis"), lit(0L),
+          (acc, i) => acc + length(element_at(col("_w"), i + 1))), lit(0L)))
+      .withColumn("_tf", coalesce(col("_tch"), lit(0L)).cast("double") / col("total_chars"))
+      .withColumn("_df", col("_dch").cast("double") / col("total_chars"))
+      .select(col(idCol), col("total_chars"),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        q6(col("_tf")).as("top_frac"),
+        q6(col("_df")).as("dup_frac"),
+        (col("_tf") <= maxTop && col("_df") <= maxDup).as("keep_rep"))
+  }
+
   // ---- source-weighted mixing (training-data assembly) ----
 
   /** Deterministic uniform hash of an id into [0,1): a Knuth multiplicative

@@ -461,6 +461,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // character-fraction repetition rules (Gopher §A1.1 completion):
+    // top-2-gram char fraction + duplicated-5-gram char COVERAGE fraction;
+    // guaranteed repetition synthesized from doc_id (the doc's own first-5
+    // slice re-appended -> a certain dup 5-gram; a spam bigram run)
+    "txt_ngramrep" -> ((s, dir) => {
+      val uid = col("doc_id").cast("long")
+      val first5 = array_join(slice(split(col("text"), " "), 1, 5), " ")
+      val t = concat(col("text"),
+        when(uid % 3 === 0, concat(lit(" "), first5)).otherwise(""),
+        when(uid % 4 === 0, lit(" spam spam spam spam")).otherwise(""))
+      Text.ngramCharStats(docs(s, dir).withColumn("_t", t), "doc_id", "_t")
+        .orderBy("doc_id")
+    }),
+
     // iterative BPE TRAINING with per-round recount (Sennrich et al. 2016):
     // round k's winner depends on every prior merge having been applied, so
     // the merge table pins the whole iterative process; n is the pair count
@@ -720,6 +734,51 @@ object TextQueries {
          |       array_to_string(t, ',') AS tok_str
          |FROM e$m ORDER BY doc_id""".stripMargin
     },
+
+    "txt_ngramrep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    concat(text,
+        |      CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+        |           THEN ' ' || array_to_string(
+        |                  list_slice(string_split(text, ' '), 1, 5), ' ')
+        |           ELSE '' END,
+        |      CASE WHEN CAST(doc_id AS BIGINT) % 4 = 0
+        |           THEN ' spam spam spam spam' ELSE '' END) AS tx
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split(tx, ' ') AS words,
+        |         CAST(list_sum(list_transform(string_split(tx, ' '),
+        |                                      w -> length(w))) AS BIGINT) AS tc
+        |  FROM t),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(words, i, i + 1), ' ') AS gram
+        |       FROM base, LATERAL (SELECT unnest(range(1, len(words))) AS i) u
+        |       WHERE len(words) >= 2),
+        |c2 AS (SELECT doc_id, gram, COUNT(*) AS n FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, gram, CAST(n * (length(gram) - 1) AS BIGINT) AS tch
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                          ORDER BY n DESC, gram) AS rn
+        |             FROM c2)
+        |       WHERE rn = 1),
+        |g5 AS (SELECT doc_id, i, array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+        |       FROM base, LATERAL (SELECT unnest(range(1, len(words) - 3)) AS i) u
+        |       WHERE len(words) >= 5),
+        |d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+        |ix AS (SELECT DISTINCT doc_id, wi FROM (
+        |         SELECT g.doc_id, unnest(generate_series(g.i, g.i + 4)) AS wi
+        |         FROM g5 g JOIN d5 USING (doc_id, gram))),
+        |cov AS (SELECT ix.doc_id, CAST(SUM(length(b.words[ix.wi])) AS BIGINT) AS dch
+        |        FROM ix JOIN base b USING (doc_id) GROUP BY 1)
+        |SELECT b.doc_id, b.tc AS total_chars,
+        |       coalesce(t2.gram, '') AS top_gram,
+        |       floor(CAST(coalesce(t2.tch, 0) AS DOUBLE) / b.tc * 1000000 + 0.5)
+        |         / 1000000 AS top_frac,
+        |       floor(CAST(coalesce(cov.dch, 0) AS DOUBLE) / b.tc * 1000000 + 0.5)
+        |         / 1000000 AS dup_frac,
+        |       (CAST(coalesce(t2.tch, 0) AS DOUBLE) / b.tc <= 0.2
+        |        AND CAST(coalesce(cov.dch, 0) AS DOUBLE) / b.tc <= 0.15) AS keep_rep
+        |FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "txt_bpe_train" -> {
       val r = 6; val base = 1000000

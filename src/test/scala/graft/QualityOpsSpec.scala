@@ -112,6 +112,34 @@ class QualityOpsSpec extends SparkSpec {
       (1L, Seq(5, 6, 7, 8), 2)), packs.mkString("|"))
   }
 
+  test("ngramCharStats: interval-UNION dup coverage, top-gram all-occurrence chars") {
+    import spark.implicits._
+    // "x y z x y z w": dup 2-grams "x y","y z" at positions {0,1},{3,4} ->
+    // with dupN=2 covered indices {0,1,2,3,4,5} minus... compute: dup grams
+    // (x y)@0,3 and (y z)@1,4 cover indices 0,1 / 3,4 / 1,2 / 4,5 = {0..5};
+    // index 6 (w) uncovered. chars: 6 covered of 7 -> 6/7. Overlap between
+    // the two dup grams at index 1 and 4 counts ONCE (union semantics).
+    val df = Seq((1L, "x y z x y z w")).toDF("id", "t")
+    val r = graft.functions.Text.ngramCharStats(df, "id", "t", topN = 2, dupN = 2)
+      .head()
+    assert(r.getAs[Long]("total_chars") == 7L)
+    // top 2-gram: "x y" and "y z" both n=2; tie -> lexicographically
+    // smallest = "x y"; chars = 2 occurrences * 2 chars = 4/7
+    assert(r.getAs[String]("top_gram") == "x y")
+    assert(r.getAs[Double]("top_frac") == math.floor(4.0 / 7 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("dup_frac") == math.floor(6.0 / 7 * 1e6 + 0.5) / 1e6)
+    assert(!r.getAs[Boolean]("keep_rep"))
+
+    // no repetition: dup 0; all grams n=1 so top = lexicographically first
+    val clean = Seq((2L, "aa bb cc dd ee ff gg hh ii jj kk ll")).toDF("id", "t")
+    val c = graft.functions.Text.ngramCharStats(clean, "id", "t", topN = 2, dupN = 2)
+      .head()
+    assert(c.getAs[Double]("dup_frac") == 0.0 && c.getAs[Boolean]("keep_rep"))
+    assert(c.getAs[String]("top_gram") == "aa bb")
+    // 1 occurrence * 4 chars of 24 total
+    assert(c.getAs[Double]("top_frac") == math.floor(4.0 / 24 * 1e6 + 0.5) / 1e6)
+  }
+
   test("bpeTrain: recount lets later rounds merge earlier merged ids") {
     import spark.implicits._
     // 4x [5,7,9] + 1x [5,7]: round 0 merges (5,7)->100 (count 5); the
