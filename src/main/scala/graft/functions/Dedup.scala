@@ -54,6 +54,78 @@ object Dedup {
     }
   }
 
+  /** Per-(doc, band) verdict row emitted by [[nearDupStream]]. */
+  final case class NearDupVerdict(id: Long, band: Int, dup_of: Option[Long])
+
+  /** STREAMING MinHash-LSH near-dedup — the continuous-ingest counterpart
+    * of [[keepSet]] (which needs the whole corpus for its bucket joins).
+    * Each arriving document minhash-signs, fans out to its `bands` LSH
+    * bucket keys, and per bucket a keyed-state op compares the signature
+    * against those already admitted: near-dup when >= `minMatchFrac` of
+    * the minhash components agree (the unbiased estimator
+    * E[match fraction] = Jaccard). A stream cannot re-read earlier
+    * documents for the batch path's exact-Jaccard verify, so state stores
+    * the 8·bands·rowsPerBand-byte SKETCH per admitted doc instead of its
+    * shingle set — per-entry state is ~150 B regardless of document size,
+    * the classical sketch trade; `maxPerBucket` bounds each bucket for
+    * unbounded streams (first-seen admission, matching the batch
+    * lowest-id-wins policy under id-ordered arrival).
+    *
+    * Returns (id, band, dup_of): dup_of = the lowest-id earlier match in
+    * that bucket, null when none. All band rows of one document emit in
+    * the SAME micro-batch (the doc arrives once), so the per-doc
+    * OR-reduction is the stateless per-batch [[reduceNearDup]]. Within a
+    * micro-batch, admission processes ids ascending (deterministic
+    * replay). Works identically on a static frame (batch mode = one
+    * micro-batch), which is how the spec proves batch == stream.
+    */
+  def nearDupStream(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                    tokensCol: String, idCol: String, shingleK: Int = 3,
+                    bands: Int = 8, rowsPerBand: Int = 2,
+                    minMatchFrac: Double = 0.5,
+                    maxPerBucket: Int = 10000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val numHashes = bands * rowsPerBand
+    val banded = df.select(col(idCol).cast("long").as("id"),
+        Text.minhashSignature(
+          array_distinct(Text.shingleIds(col(tokensCol), shingleK)),
+          numHashes).as("_sig"))
+      .select(col("id"), col("_sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bh", array_join(transform(
+        slice(col("_sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+        _.cast("string")), "-"))
+      .select(col("band"), col("bh"), col("id"), col("_sig"))
+      .as[(Int, String, Long, Seq[Long])]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          var entries = state.getOption.getOrElse(Seq.empty)
+          val out = rows.toSeq.sortBy(_._3).map { case (_, _, id, sg) =>
+            val hit = entries.iterator.filter { case (_, esig) =>
+              var eq = 0; var i = 0
+              while (i < numHashes) { if (esig(i) == sg(i)) eq += 1; i += 1 }
+              eq.toDouble / numHashes >= minMatchFrac
+            }.map(_._1).reduceOption(math.min(_: Long, _: Long))
+            if (entries.size < maxPerBucket) entries = entries :+ ((id, sg))
+            NearDupVerdict(id, band, hit)
+          }
+          state.update(entries)
+          out.iterator
+      }.toDF()
+  }
+
+  /** Stateless per-batch reduction of [[nearDupStream]] verdicts: one row
+    * per doc with `dup_of` = lowest matching earlier id across bands and
+    * `keep` = no band matched. Correct per micro-batch because a doc's
+    * band rows never span batches.
+    */
+  def reduceNearDup(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("id").agg(min("dup_of").as("dup_of"))
+      .withColumn("keep", col("dup_of").isNull)
+
   /** MinHash+LSH candidate pairs: signature -> `bands` bands of `rowsPerBand`
     * hashes -> bucket join. Returns (id_a, id_b) candidate pairs (a < b),
     * deduplicated across bands, with their exact Jaccard over shingles.

@@ -171,4 +171,53 @@ class StreamingSpec extends SparkSpec {
       .select("text").collect().map(_.getString(0)).sorted.toSeq
     assert(batchKeys == after2.map(_._2).sorted.toSeq)
   }
+
+  test("streaming NEAR-dup (MinHash-LSH sketch state): cross-batch, restart, batch==stream") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, tokens ARRAY<INT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = graft.functions.Dedup.nearDupStream(spark, src, "tokens", "doc_id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def reduced(): Map[Long, (Option[Long], Boolean)] =
+      graft.functions.Dedup.reduceNearDup(spark.read.parquet(s"$tmp/out"))
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))).toMap
+    val d1 = (1 to 30).toVector
+    // file 1: d1; d2 = exact copy of d1; d3 disjoint
+    Seq((1L, d1), (2L, d1), (3L, (101 to 130).toVector)).toDF("doc_id", "tokens")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    // file 2 (separate micro-batch): d4 = d1 with one token changed (near,
+    // not exact — exercises the fractional-match path against CHECKPOINTED
+    // sketch state); d5 disjoint
+    Seq((4L, d1.init :+ 999), (5L, (201 to 230).toVector)).toDF("doc_id", "tokens")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    val r1 = reduced()
+    assert(r1(1L) == ((None, true)))
+    assert(r1(2L) == ((Some(1L), false))) // exact dup, same batch
+    assert(r1(3L) == ((None, true)))
+    assert(r1(4L)._1.contains(1L) && !r1(4L)._2, r1(4L)) // near-dup ACROSS batches
+    assert(r1(5L) == ((None, true)))
+    // restart: d6 duplicates d3 — only the checkpointed state can know that
+    Seq((6L, (101 to 130).toVector), (7L, (301 to 330).toVector)).toDF("doc_id", "tokens")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    val r2 = reduced()
+    assert(r2(6L) == ((Some(3L), false)), r2(6L))
+    assert(r2(7L) == ((None, true)))
+    // batch == stream: the same function over the static accumulated input
+    // (one "micro-batch", ids ascending) yields the same verdict map
+    val batch = graft.functions.Dedup.reduceNearDup(
+      graft.functions.Dedup.nearDupStream(spark,
+        spark.read.parquet(s"$tmp/in"), "tokens", "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))).toMap
+    assert(batch == r2, s"batch=$batch stream=$r2")
+  }
 }
