@@ -197,6 +197,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // batch SHADOW of the streaming sketch-state near-dedup (nearDupStream
+    // run as one micro-batch): dup_of = lowest earlier id sharing an LSH
+    // band bucket with >= 8/16 equal minhash components — the estimator
+    // rule the stream applies against checkpointed sketches
+    "dedup_stream" -> ((s, dir) => {
+      val raw = Tok.rawSequences(docs(s, dir)).withColumn("doc_id", col("doc_id").cast("long"))
+      Dedup.reduceNearDup(Dedup.nearDupStream(s, raw, "tokens", "doc_id"))
+        .orderBy("id")
+    }),
+
     // near-dup CLUSTERING: Jaccard pairs -> connected components (iterative
     // min-label propagation over the edge list) -> cluster id per document
     // (min doc_id transitively reachable; singletons cluster to themselves)
@@ -1100,6 +1110,33 @@ object TextQueries {
          |       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
          |FROM pairs WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_stream" -> {
+      val bands = 8; val rpb = 2; val nh = bands * rpb
+      val bandKeys = (0 until bands).map { b =>
+        val slice = (0 until rpb).map(r => s"CAST(sig[${b * rpb + r + 1}] AS VARCHAR)")
+          .mkString(" || '-' || ")
+        s"SELECT id, sig, $b AS band, $slice AS bh FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""${Tok.sqlRawSequences},
+         |sigs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |         ${sqlMinhashSig(s"list_distinct(${sqlShingles(3)})", nh)} AS sig
+         |  FROM raw
+         |), banded AS (
+         |  $bandKeys
+         |), cand AS (
+         |  SELECT b2.id AS id, a.id AS earlier, a.sig AS sa, b2.sig AS sb
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.bh = b2.bh AND a.id < b2.id
+         |), m AS (
+         |  SELECT id, MIN(earlier) AS dup_of FROM cand
+         |  WHERE len(list_filter(generate_series(1, $nh), i -> sa[i] = sb[i]))
+         |        >= ${nh / 2}
+         |  GROUP BY id)
+         |SELECT s.id, m.dup_of, m.dup_of IS NULL AS keep
+         |FROM sigs s LEFT JOIN m USING (id) ORDER BY s.id""".stripMargin
+    },
 
     "dedup_minhash" -> {
       val bands = 8; val rpb = 2
