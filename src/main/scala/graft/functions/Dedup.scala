@@ -126,13 +126,14 @@ object Dedup {
     verdicts.groupBy("id").agg(min("dup_of").as("dup_of"))
       .withColumn("keep", col("dup_of").isNull)
 
-  /** MinHash+LSH candidate pairs: signature -> `bands` bands of `rowsPerBand`
-    * hashes -> bucket join. Returns (id_a, id_b) candidate pairs (a < b),
-    * deduplicated across bands, with their exact Jaccard over shingles.
+  /** Deduplicated LSH band-candidate pairs (id_a < id_b) with both shingle
+    * sets riding along — the shared candidate generator behind the Jaccard
+    * ([[minhashCandidates]]) and edit-distance ([[editPairs]]) confirms.
+    * Never all-pairs: pair volume is bounded by band-bucket co-occupancy.
     */
-  def minhashCandidates(df: DataFrame, tokensCol: String, idCol: String,
-                        shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-                        jaccardThreshold: Double = 0.5): DataFrame = {
+  private def lshBandCandidates(df: DataFrame, tokensCol: String, idCol: String,
+                                shingleK: Int, bands: Int,
+                                rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     // persisted via CacheScope: feeds both join sides, eagerly populated
     // (see jaccardPairs); released by the caller's CacheScope.scoped/release
@@ -160,8 +161,88 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
       .repartition(parallelism, col("id_a"), col("id_b"))
+  }
+
+  /** MinHash+LSH candidate pairs: signature -> `bands` bands of `rowsPerBand`
+    * hashes -> bucket join. Returns (id_a, id_b) candidate pairs (a < b),
+    * deduplicated across bands, with their exact Jaccard over shingles.
+    */
+  def minhashCandidates(df: DataFrame, tokensCol: String, idCol: String,
+                        shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                        jaccardThreshold: Double = 0.5): DataFrame =
+    lshBandCandidates(df, tokensCol, idCol, shingleK, bands, rowsPerBand)
       .select(col("id_a"), col("id_b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
+
+  /** Near-dup pairs confirmed by EDIT DISTANCE instead of shingle Jaccard:
+    * the same MinHash-LSH band candidates, each confirmed with Levenshtein
+    * similarity `1 - lev / max(|a|, |b|)` over the raw text. The DP verify is
+    * O(|a|·|b|) per CANDIDATE — affordable exactly because banding bounds the
+    * pair volume; the all-pairs form would be quadratic in the corpus.
+    * Character-level confirm catches heavy local edits (typo storms, injected
+    * boilerplate) that token-shingle Jaccard mis-scores. `edit_sim` is
+    * floor-quantized to 1e-6 in pure IEEE double ops (the engine-stable
+    * rounding used by every ratio gate; see Flow.workerFlows).
+    */
+  def editPairs(df: DataFrame, textCol: String, tokensCol: String, idCol: String,
+                shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                simThreshold: Double = 0.8): DataFrame = {
+    val cands = lshBandCandidates(df, tokensCol, idCol, shingleK, bands, rowsPerBand)
+      .select(col("id_a"), col("id_b"))
+    // candidate pairs are byte-small; the text joins are hash joins keyed on
+    // the id (broadcast when the candidate set is small enough, AQE decides)
+    val txt = df.select(col(idCol), col(textCol))
+    val paired = cands
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
+    val lev = levenshtein(col("_ta"), col("_tb"))
+    val sim = floor((lit(1.0) - lev.cast("double") /
+      greatest(length(col("_ta")), length(col("_tb")))) * lit(1000000.0) + lit(0.5)) /
+      lit(1000000.0)
+    paired
+      .select(col("id_a"), col("id_b"), lev.as("lev"), sim.as("edit_sim"))
+      .filter(col("edit_sim") >= simThreshold)
+  }
+
+  /** INCREMENTAL exact dedup — the "new snapshot vs corpus history" pass a
+    * continuously-crawling pipeline runs per increment. Returns the
+    * `incoming` rows whose `textCol` content does not appear in `history`.
+    *
+    * Plan shape (the 100 TB contract — history is the 100 TB side and is
+    * NEVER shuffled):
+    *   1. a Bloom sketch of history content hashes (bounded bits at `fpp`)
+    *      broadcasts into a codegen'd probe over incoming
+    *      ([[graft.plans.BloomMightContainLong]]); rows the bloom rejects
+    *      are PROVEN new — blooms have no false negatives — and never reach
+    *      a join;
+    *   2. the surviving candidate hashes (≈ dups + fpp·|incoming|, small by
+    *      construction) broadcast-SEMI-join against history to pull the hit
+    *      set: history is scanned once behind a broadcast, zero exchange on
+    *      the history side;
+    *   3. incoming anti-joins the (small, again broadcast) hit set.
+    * Every exchange in the plan is candidate-sized. The classic formulation
+    * (shuffle anti-join incoming × history) moves the full history over the
+    * network every increment; this one moves only candidate hashes.
+    *
+    * `expectedItems` sizes the sketch to the history cardinality; an
+    * undersized sketch only RAISES the false-positive rate (more confirm
+    * work), never changes the result — the output is exact either way.
+    */
+  def incrementalNew(history: DataFrame, incoming: DataFrame, textCol: String,
+                     expectedItems: Long = 1L << 20,
+                     fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val hashOf = xxhash64(col(textCol))
+    val histH = history.select(hashOf.as("_h"))
+    val bc = spark.sparkContext.broadcast(
+      histH.stat.bloomFilter("_h", expectedItems, fpp))
+    val inH = incoming.withColumn("_h", hashOf)
+    val might = org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.BloomMightContainLong(
+        org.apache.spark.sql.graft.Bridge.expression(col("_h")), bc))
+    val candKeys = inH.filter(might).select("_h").distinct()
+    val hits = histH.join(broadcast(candKeys), Seq("_h"), "left_semi").distinct()
+    inH.join(broadcast(hits), Seq("_h"), "left_anti").drop("_h")
   }
 
   /** The end-to-end dedup DECISION for a corpus — what a 100 TB training-

@@ -207,6 +207,34 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // EDIT-DISTANCE near-dup confirm: the same LSH band candidates as
+    // dedup_minhash, each verified with Levenshtein similarity over the raw
+    // text (integer DP — bit-identical across engines) instead of Jaccard
+    "dedup_edit" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("doc_id", col("doc_id").cast("long"))
+        .withColumn("tokens", Tok.tokenize(col("text")))
+      Dedup.editPairs(d, "text", "tokens", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // INCREMENTAL dedup: new-snapshot rows not already in the corpus
+    // history — bloom-gated candidates, broadcast-confirmed, zero history
+    // shuffle. History = 80% of docs (doc_id % 5 != 4); incoming = the even
+    // half; survivors = even docs outside history. The deliberately
+    // UNDERSIZED sketch (high fpp) forces real false positives through the
+    // exact-confirm path — the result must stay exact regardless.
+    "dedup_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNew(
+          d.filter(col("doc_id") % 5 =!= 4),
+          d.filter(col("doc_id") % 2 === 0),
+          "text", expectedItems = 64, fpp = 0.3)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // near-dup CLUSTERING: Jaccard pairs -> connected components (iterative
     // min-label propagation over the edge list) -> cluster id per document
     // (min doc_id transitively reachable; singletons cluster to themselves)
@@ -1160,6 +1188,40 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "dedup_edit" -> {
+      val bands = 8; val rpb = 2
+      val bandKeys = (0 until bands).map { b =>
+        val slice = (0 until rpb).map(r => s"CAST(sig[${b * rpb + r + 1}] AS VARCHAR)").mkString(" || '-' || ")
+        s"SELECT id, $b AS band, $slice AS bh FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""${Tok.sqlRawSequences},
+         |sigs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |         ${sqlMinhashSig(s"list_distinct(${sqlShingles(3)})", bands * rpb)} AS sig
+         |  FROM raw
+         |), banded AS (
+         |  $bandKeys
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+         |), conf AS (
+         |  SELECT id_a, id_b,
+         |         CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev,
+         |         floor((1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |                greatest(len(da.text), len(db.text))) * 1000000.0 + 0.5) /
+         |           1000000.0 AS edit_sim
+         |  FROM cand JOIN documents da ON da.doc_id = id_a
+         |            JOIN documents db ON db.doc_id = id_b)
+         |SELECT id_a, id_b, lev, edit_sim FROM conf WHERE edit_sim >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_incr" ->
+      """SELECT i.doc_id, i.source, i.n_chars FROM documents i
+        |WHERE i.doc_id % 2 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h WHERE h.doc_id % 5 <> 4 AND h.text = i.text)
+        |ORDER BY i.doc_id""".stripMargin,
 
     "txt_contam" ->
       s"""${Tok.sqlRawSequences},
