@@ -93,7 +93,50 @@ object OpsQueries {
       |}
       |""".stripMargin
 
+  /** Snapshot-table fixture shared by the pipe_snap_* gates: append batch 1
+    * (doc_id%3 != 0) then batch 2 (%3 == 0), REPLAY batch 2's batch id (must
+    * be skipped — exactly-once), then compact (a replace snapshot). Chain:
+    * snap 0 = batch 1, snap 1 = batch 2, snap 2 = compaction.
+    */
+  private def snapshotFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.{SnapshotTable => ST}
+    val t = java.nio.file.Files.createTempDirectory("graft_snaptbl").toString
+    val raw = graft.model.Tok.rawSequences(s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("source"),
+        graft.model.Tok.tokStr(col("tokens")).as("tok_str"))
+    ST.append(s, raw.filter(col("doc_id").cast("long") % 3 =!= 0), t, Some("batch-1"))
+    ST.append(s, raw.filter(col("doc_id").cast("long") % 3 === 0), t, Some("batch-2"))
+    ST.append(s, raw.filter(col("doc_id").cast("long") % 3 === 0), t, Some("batch-2"))
+    ST.compact(s, t)
+    t
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // snapshot time travel: snapshot 0 is batch 1 alone — the later append,
+    // the replayed batch and the compaction are all invisible to asOf(0)
+    "pipe_snap_asof" -> ((s, dir) => {
+      graft.operators.SnapshotTable.asOf(s, snapshotFixture(s, dir), 0)
+        .orderBy("doc_id")
+    }),
+
+    // snapshot changelog (0, latest]: exactly batch 2's rows ONCE, tagged
+    // with the snapshot that committed them — the replayed batch id created
+    // no snapshot and the compaction's replace is not a row change
+    "pipe_snap_incr" -> ((s, dir) => {
+      graft.operators.SnapshotTable.changelog(s, snapshotFixture(s, dir), 0, 2)
+        .orderBy("doc_id")
+    }),
+
+    // snapshot read-after-expiry: expire all history (keepLast=1 retains the
+    // compacted replace snapshot), then read the table — the full row set
+    // survives compaction + physical deletion of the pre-compaction dirs
+    "pipe_snap_read" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = snapshotFixture(s, dir)
+      ST.expire(s, t, keepLast = 1)
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -1603,6 +1646,24 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_snap_asof" ->
+      s"""${graft.model.Tok.sqlRawSequences}
+         |SELECT doc_id, source, array_to_string(tokens, ',') AS tok_str
+         |FROM raw WHERE CAST(doc_id AS BIGINT) % 3 <> 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_snap_incr" ->
+      s"""${graft.model.Tok.sqlRawSequences}
+         |SELECT doc_id, source, array_to_string(tokens, ',') AS tok_str,
+         |       CAST(1 AS BIGINT) AS _snapshot_id
+         |FROM raw WHERE CAST(doc_id AS BIGINT) % 3 = 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_snap_read" ->
+      s"""${graft.model.Tok.sqlRawSequences}
+         |SELECT doc_id, source, array_to_string(tokens, ',') AS tok_str
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES
         |  ('aux',  1, '_default', CAST(0    AS BIGINT)),

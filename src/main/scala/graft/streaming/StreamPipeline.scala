@@ -55,6 +55,31 @@ object StreamPipeline {
       .start()
   }
 
+  /** Snapshot-table variant of [[run]]: every sink is an Iceberg-style
+    * [[graft.operators.SnapshotTable]] under `tableRoot/<sink>`, and each
+    * micro-batch commits with batch id `epoch-<batchId>`. A REPLAYED
+    * micro-batch — a crash between a sink write and the stream checkpoint
+    * commit, or a whole re-run after a lost checkpoint — is recognized by
+    * the manifest chain and skipped, upgrading [[run]]'s blind
+    * `mode("append")` file writes (at-least-once on replay) to exactly-once
+    * END TO END. Two ledgers, like real Iceberg streaming sinks: the stream
+    * checkpoint schedules batches; the snapshot chain commits data.
+    */
+  def runSnapshots(spark: SparkSession, source: DataFrame,
+                   transform: DataFrame => DataFrame,
+                   sinks: Seq[Route.SinkSpec], tableRoot: String,
+                   checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SnapshotTable.appendSinks(
+          spark, transform(batch), sinks, tableRoot, s"epoch-$batchId")
+        ()
+      }
+      .start()
+
   /** aggregate-filter analogue with timeout flush: correlate events per key,
     * emit one summary row when the key goes quiet for `timeoutMs` (reference:
     * the aggregate filter's per-task_id map + periodic flush; here exact via

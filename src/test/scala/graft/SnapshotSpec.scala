@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Route, SnapshotTable => ST}
+
+
+/** Snapshot-chained sink tables: append / time travel / incremental /
+  * exactly-once batch ids / compaction / expiry.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_snap").toString
+
+  private def batch(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+  }
+
+  test("append chains snapshots; read sees the union; asOf time-travels") {
+    val t = tmp()
+    val c0 = ST.append(spark, batch(0 until 4), t)
+    val c1 = ST.append(spark, batch(4 until 10), t)
+    assert(c0.snapshotId == 0 && c1.snapshotId == 1)
+    assert(ST.read(spark, t).count() == 10)
+    assert(ST.asOf(spark, t, 0).count() == 4)
+    val m1 = ST.manifest(spark, t, 1)
+    assert(m1.parentId.contains(0L) && m1.totalRows == 10 && m1.addedRows == 6)
+    assert(m1.live == Seq("snap-000000", "snap-000001"))
+  }
+
+  test("asOf of a never-committed snapshot fails loudly") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 2), t)
+    val e = intercept[IllegalArgumentException](ST.asOf(spark, t, 7))
+    assert(e.getMessage.contains("snapshot 7") && e.getMessage.contains("available: 0"))
+  }
+
+  test("a committed batch id is exactly-once: the retry is skipped") {
+    val t = tmp()
+    val first = ST.append(spark, batch(0 until 5), t, Some("ingest-001"))
+    val retry = ST.append(spark, batch(0 until 5), t, Some("ingest-001"))
+    assert(!first.skippedExisting && retry.skippedExisting)
+    assert(retry.snapshotId == first.snapshotId)
+    assert(ST.read(spark, t).count() == 5) // no duplicates
+  }
+
+  test("incremental reads only the delta; changelog tags the snapshot id") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t)  // snap 0
+    ST.append(spark, batch(3 until 7), t)  // snap 1
+    ST.append(spark, batch(7 until 9), t)  // snap 2
+    val delta = ST.incremental(spark, t, 0, 2)
+    assert(delta.agg(min("id"), max("id")).collect().head.toSeq == Seq(3L, 8L))
+    val log = ST.changelog(spark, t, 0, 2)
+      .groupBy("_snapshot_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(log == Map(1L -> 4L, 2L -> 2L))
+    // empty range yields an empty, correctly-shaped frame
+    assert(ST.incremental(spark, t, 2, 2).count() == 0)
+  }
+
+  test("compact rewrites files as a replace snapshot: rows identical, invisible to changelog") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 5), t)
+    ST.append(spark, batch(5 until 8), t)
+    val c = ST.compact(spark, t)
+    assert(c.snapshotId == 2 && !c.skippedExisting)
+    val m = ST.manifest(spark, t, 2)
+    assert(m.operation == "replace" && m.live == Seq("snap-000002") && m.totalRows == 8)
+    assert(ST.read(spark, t).count() == 8)
+    // replace contributes nothing to incremental/changelog
+    assert(ST.incremental(spark, t, 1, 2).count() == 0)
+    // compacting an already-compacted table is a no-op commit
+    assert(ST.compact(spark, t).skippedExisting)
+  }
+
+  test("expire deletes old manifests + unreferenced data dirs; latest still reads") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 5), t)   // snap 0
+    ST.append(spark, batch(5 until 8), t)   // snap 1
+    ST.compact(spark, t)                    // snap 2: live = [snap-000002]
+    val deleted = ST.expire(spark, t, keepLast = 1)
+    // snap-000000/1 are unreferenced by the retained snapshot 2 -> gone
+    assert(deleted == Seq("snap-000000", "snap-000001"))
+    assert(ST.read(spark, t).count() == 8)
+    val e = intercept[IllegalArgumentException](ST.asOf(spark, t, 0))
+    assert(e.getMessage.contains("expired"))
+    // physical dirs really deleted
+    val dataDirs = new java.io.File(s"$t/data").list().sorted.toSeq
+    assert(dataDirs == Seq("snap-000002"))
+  }
+
+  test("expire keeps a data dir still referenced by a retained snapshot") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t)   // snap 0: live [d0]
+    ST.append(spark, batch(3 until 5), t)   // snap 1: live [d0, d1]
+    val deleted = ST.expire(spark, t, keepLast = 1)
+    assert(deleted.isEmpty) // snap 1 still references snap-000000
+    assert(ST.read(spark, t).count() == 5)
+  }
+
+  test("appendSinks routes the fan-out into per-sink snapshot tables exactly-once") {
+    import spark.implicits._
+    val root = tmp()
+    val trunk = Seq((1L, "ERROR"), (2L, "WARN"), (3L, "ERROR"), (4L, "INFO"))
+      .toDF("doc_id", "severity")
+    val sinks = Seq(
+      Route.SinkSpec("errs", graft.conditions.Eq("severity", "ERROR")),
+      Route.SinkSpec("warns", graft.conditions.Eq("severity", "WARN")))
+    val c1 = ST.appendSinks(spark, trunk, sinks, root, "b1")
+    assert(c1.values.forall(!_.skippedExisting))
+    // replay of the same batch: both sinks skipped, row counts unchanged
+    val c2 = ST.appendSinks(spark, trunk, sinks, root, "b1")
+    assert(c2.values.forall(_.skippedExisting))
+    assert(ST.read(spark, s"$root/errs").count() == 2)
+    assert(ST.read(spark, s"$root/warns").count() == 1)
+    // a second batch appends a new snapshot per sink
+    ST.appendSinks(spark, trunk.filter($"doc_id" > 2), sinks, root, "b2")
+    assert(ST.read(spark, s"$root/errs").count() == 3)
+    assert(ST.latestId(spark, s"$root/errs").contains(1L))
+  }
+
+  test("runSnapshots stream sink is exactly-once across a full checkpoint loss") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val t = tmp()
+    Seq((1L, "ERROR"), (2L, "WARN"), (3L, "ERROR")).toDF("doc_id", "severity")
+      .write.parquet(s"$t/in")
+    val sinks = Seq(Route.SinkSpec("errs", graft.conditions.Eq("severity", "ERROR")))
+    def runOnce(chk: String): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, severity STRING").parquet(s"$t/in")
+      val q = graft.streaming.StreamPipeline.runSnapshots(
+        spark, src, identity, sinks, s"$t/tables", chk, Trigger.AvailableNow())
+      q.awaitTermination(120000); ()
+    }
+    runOnce(s"$t/chk1")
+    assert(ST.read(spark, s"$t/tables/errs").count() == 2)
+    // checkpoint LOST -> the whole stream replays from scratch with the same
+    // epoch ids; every (sink, epoch) is already in the manifest chain, so the
+    // replay commits nothing — row counts and snapshot ids are unchanged
+    runOnce(s"$t/chk2")
+    assert(ST.read(spark, s"$t/tables/errs").count() == 2)
+    assert(ST.latestId(spark, s"$t/tables/errs").contains(0L))
+  }
+}
