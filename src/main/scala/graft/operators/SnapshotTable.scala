@@ -48,12 +48,20 @@ object SnapshotTable {
   /** One committed snapshot. `operation` is `append` (new rows) or
     * `replace` (compaction — same rows, new files). `live` is the complete
     * data-dir set of the table as of this snapshot; `added` the dirs this
-    * snapshot introduced.
+    * snapshot introduced. `batchCommits` is the CUMULATIVE batch-id →
+    * snapshot-id ledger carried parent→child, so exactly-once replay
+    * detection reads ONE manifest (the latest) and SURVIVES snapshot expiry —
+    * an expired snapshot's rows are still in the table (expiry drops history,
+    * not data), so its batch id must keep skipping replays. The ledger grows
+    * with batch count, not data size (one ingest per minute for a year is
+    * ~500k short strings — low MBs of driver-side metadata, the same trade
+    * Iceberg's metadata.json snapshot log makes).
     */
   final case class Manifest(snapshotId: Long, parentId: Option[Long],
                             operation: String, batchId: Option[String],
                             added: Seq[String], live: Seq[String],
-                            addedRows: Long, totalRows: Long)
+                            addedRows: Long, totalRows: Long,
+                            batchCommits: Seq[(String, Long)] = Nil)
 
   final case class Commit(snapshotId: Long, skippedExisting: Boolean)
 
@@ -85,7 +93,10 @@ object SnapshotTable {
       s""""operation":${Json.quote(m.operation)},""" +
       s""""batch_id":${m.batchId.map(Json.quote).getOrElse("null")},""" +
       s""""added_rows":${m.addedRows},"total_rows":${m.totalRows},""" +
-      s""""added":${strList(m.added)},"live":${strList(m.live)}}"""
+      s""""added":${strList(m.added)},"live":${strList(m.live)},""" +
+      // '|' is outside the validated batch-id charset, so "bid|snap" is
+      // an unambiguous pair encoding
+      s""""batch_commits":${strList(m.batchCommits.map { case (b, s) => s"$b|$s" })}}"""
   }
 
   // Manifest fields are machine-written with constrained values (numeric ids,
@@ -107,7 +118,11 @@ object SnapshotTable {
       batchId = str("batch_id"),
       added = list("added"), live = list("live"),
       addedRows = num("added_rows").getOrElse(0L),
-      totalRows = num("total_rows").getOrElse(0L))
+      totalRows = num("total_rows").getOrElse(0L),
+      batchCommits = list("batch_commits").map { e =>
+        val cut = e.lastIndexOf('|')
+        (e.substring(0, cut), e.substring(cut + 1).toLong)
+      })
   }
 
   /** Manifest of snapshot `id`; fails loudly when it was never committed or
@@ -137,10 +152,14 @@ object SnapshotTable {
   }
 
   /** Append `df` as a new snapshot. `batchId` is the exactly-once token: a
-    * batch id already committed in the manifest chain is skipped (same
+    * batch id already committed in the table is skipped (the original
     * snapshot id returned), so a retried/replayed ingest job never
     * duplicates rows — the batch analogue of the PQ's acked-sequence
-    * dedup on replay (Checkpoint.java firstUnackedSeqNum).
+    * dedup on replay (Checkpoint.java firstUnackedSeqNum). The check reads
+    * ONE manifest (the latest, via its cumulative `batchCommits` ledger),
+    * so the cost is O(1) regardless of chain length, and a replay is still
+    * skipped after the committing snapshot has been EXPIRED — the rows are
+    * still in the table, only the history entry is gone.
     *
     * The row count is taken from the written parquet footers (a
     * metadata-only job at any scale — at production scale the writer's task
@@ -154,10 +173,11 @@ object SnapshotTable {
         s"batch id '$b' must match [A-Za-z0-9._:-]+")
     }
     val ids = manifestIds(fs, root)
-    val existing = batchId.flatMap(b =>
-      ids.map(manifest(spark, dir, _)).find(_.batchId.contains(b)))
+    val parent = ids.lastOption.map(manifest(spark, dir, _))
+    val ledger = parent.map(_.batchCommits).getOrElse(Nil)
+    val existing = batchId.flatMap(b => ledger.find(_._1 == b))
     existing match {
-      case Some(m) => Commit(m.snapshotId, skippedExisting = true)
+      case Some((_, snap)) => Commit(snap, skippedExisting = true)
       case None =>
         val next = ids.lastOption.map(_ + 1).getOrElse(0L)
         val name = f"snap-$next%06d"
@@ -166,10 +186,10 @@ object SnapshotTable {
         // (no manifest references it) — rewriting it is the recovery path.
         df.write.mode("overwrite").parquet(dataPath)
         val rows = spark.read.parquet(dataPath).count()
-        val parent = ids.lastOption.map(manifest(spark, dir, _))
         val m = Manifest(next, ids.lastOption, "append", batchId,
           added = Seq(name), live = parent.map(_.live).getOrElse(Nil) :+ name,
-          addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows)
+          addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
+          batchCommits = ledger ++ batchId.map(_ -> next))
         commitManifest(fs, root, m)
         Commit(next, skippedExisting = false)
     }
@@ -252,7 +272,8 @@ object SnapshotTable {
     require(rows == m.totalRows,
       s"compaction row mismatch: rewrote $rows rows, expected ${m.totalRows}")
     commitManifest(fs, root, Manifest(next, Some(last), "replace", None,
-      added = Seq(name), live = Seq(name), addedRows = 0L, totalRows = m.totalRows))
+      added = Seq(name), live = Seq(name), addedRows = 0L, totalRows = m.totalRows,
+      batchCommits = m.batchCommits))
     Commit(next, skippedExisting = false)
   }
 

@@ -28,6 +28,27 @@ class DedupExtrasSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1)))
   }
 
+  test("LevenshteinBand == builtin levenshtein-with-threshold on random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcde", "abcdefghij", "aéb☃c") // incl. non-ASCII
+    val cases = for (i <- 0 until 400) yield {
+      val al = alphabets(i % alphabets.size)
+      def str(n: Int) = Seq.fill(n)(al(rnd.nextInt(al.length))).mkString
+      (str(rnd.nextInt(30)), str(rnd.nextInt(30)), rnd.nextInt(12))
+    }
+    val df = cases.toDF("a", "b", "bound")
+    // builtin 3-arg levenshtein needs a literal bound -> check per distinct bound
+    val bad = (0 until 12).flatMap { k =>
+      df.filter(col("bound") === k)
+        .select(col("a"), col("b"),
+          graft.plans.TextDist.levenshteinBand(col("a"), col("b"), k).as("got"),
+          levenshtein(col("a"), col("b"), k).as("want"))
+        .filter(col("got") =!= col("want")).collect()
+    }
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+  }
+
   test("editPairs edit_sim quantization matches the floor(x*1e6+0.5)/1e6 rule") {
     val toks = Seq(1L, 2L, 3L, 4L)
     val d = docsDf(Seq(
