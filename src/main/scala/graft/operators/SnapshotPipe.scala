@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental table-to-table materialization over [[SnapshotTable]] chains —
+  * the "streaming read of an Iceberg table" surface, built as a resumable
+  * batch pipe rather than a DSv2 reader on purpose: a custom
+  * `PartitionReader` would have to re-implement parquet decoding (bypassing
+  * Spark's vectorized reader), while here every chunk is an ordinary
+  * `incremental(a, b]` DataFrame planned through the native parquet scan,
+  * and the SINK TABLE'S OWN batch-commit ledger is the checkpoint.
+  *
+  * Exactly-once by construction, with ZERO extra state files: chunk
+  * `(a, b]` commits under batch id `incr-<b>`; resume reads the max
+  * committed upper bound back out of the sink's ledger
+  * ([[SnapshotTable.Manifest.batchCommits]], one driver-side manifest
+  * read). A crash BEFORE the commit leaves no ledger entry — the rerun
+  * re-processes the chunk; a crash AFTER leaves the entry — the rerun's
+  * append is skipped. This is the same recovery contract as the
+  * reference's PQ `firstUnackedSeqNum` replay (Checkpoint.java:24-44),
+  * with the sink commit as the ack.
+  *
+  * The transform sees the chunk's delta AND the sink's history frame
+  * (`None` on a virgin sink), so incremental corpus maintenance composes
+  * directly: quality-gate the new shard, dedup it against everything
+  * already curated ([[graft.functions.Dedup.incrementalNew]] is the
+  * scale-shaped partner — bloom-gated, broadcast-only), append survivors.
+  * Cost per run scales with the DELTA (only the new snapshots' data dirs
+  * are listed or scanned) plus whatever the transform reads of history —
+  * never with the table size by construction.
+  */
+object SnapshotPipe {
+
+  private val BatchIdRe = "incr-(\\d+)".r
+
+  /** Upper bound (source snapshot id) of the last chunk committed into
+    * `sinkDir`, recovered from the sink ledger; None for a virgin sink or
+    * one never written by a pipe.
+    */
+  def lastProcessed(spark: SparkSession, sinkDir: String): Option[Long] =
+    SnapshotTable.latestId(spark, sinkDir).flatMap { id =>
+      val ledger = SnapshotTable.manifest(spark, sinkDir, id).batchCommits
+      val bounds = ledger.collect { case (BatchIdRe(b), _) => b.toLong }
+      if (bounds.isEmpty) None else Some(bounds.max)
+    }
+
+  /** Process every source snapshot not yet materialized into `sinkDir`, in
+    * chunks of at most `maxSnapshotsPerChunk` source snapshots (admission
+    * control — the `max_bytes_per_trigger` analogue: bound each run's
+    * working set under a backlog instead of swallowing it whole). Returns
+    * the commits made, in order; empty when already caught up.
+    *
+    * `transform(delta, history)` maps one chunk's incremental rows (plus
+    * the sink-so-far, `None` when the sink is empty) to the rows to
+    * append. Chunks run strictly in snapshot order, so arrival order is
+    * preserved across crashes and reruns.
+    */
+  def run(spark: SparkSession, srcDir: String, sinkDir: String,
+          maxSnapshotsPerChunk: Int = Int.MaxValue)
+         (transform: (DataFrame, Option[DataFrame]) => DataFrame): Seq[SnapshotTable.Commit] = {
+    require(maxSnapshotsPerChunk >= 1, "chunk size must be >= 1")
+    val latest = SnapshotTable.latestId(spark, srcDir).getOrElse(
+      return Nil) // virgin source: nothing to do
+    val from = lastProcessed(spark, sinkDir).getOrElse(-1L)
+    // chunk boundaries over (from, latest], each at most K snapshots wide
+    val bounds = (from until latest by maxSnapshotsPerChunk.toLong) :+ latest
+    bounds.sliding(2).collect { case Seq(a, b) if a < b =>
+      val delta = SnapshotTable.incremental(spark, srcDir, a, b)
+      val history =
+        if (SnapshotTable.latestId(spark, sinkDir).isEmpty) None
+        else Some(SnapshotTable.read(spark, sinkDir))
+      SnapshotTable.append(spark, transform(delta, history), sinkDir,
+        Some(s"incr-$b"))
+    }.toSeq
+  }
+}

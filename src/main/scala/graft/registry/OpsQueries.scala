@@ -137,6 +137,47 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id")
     }),
 
+    // incremental table-to-table materialization: documents arrive as three
+    // snapshot appends (batch k = doc_id%3 == k); SnapshotPipe curates each
+    // chunk IN ARRIVAL ORDER — quality gate, dedup within the chunk, then
+    // anti-join the sink history — so the surviving copy of a duplicated
+    // text is the min-(batch, doc_id) one, NOT the global min doc_id (the
+    // order-sensitivity is what distinguishes the pipe from a batch dedup).
+    // Run 1 sees only batch 0; the rest arrive later and run chunked (K=1);
+    // a final rerun must be a no-op (ledger-resumed exactly-once).
+    "pipe_snap_pipe" -> ((s, dir) => {
+      import graft.operators.{SnapshotPipe, SnapshotTable => ST}
+      val src = java.nio.file.Files.createTempDirectory("graft_sppipe_src").toString
+      val sink = java.nio.file.Files.createTempDirectory("graft_sppipe_sink").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // duplicates BY CONSTRUCTION (raw texts are near-unique at small SF):
+      // every 7th doc gets a clone at doc_id+10000, which lands in batch
+      // (d+1)%3 — so for d%3==2 the CLONE (the higher id) arrives first and
+      // must win, which is exactly what separates arrival-order curation
+      // from a batch-insensitive min-doc_id dedup
+      val docs = base.unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      def curate(delta: DataFrame, hist: Option[DataFrame]): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("h").orderBy("doc_id")
+        val dd = delta.filter(length(col("text")) >= 40)
+          .withColumn("h", md5(col("text")))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select("doc_id", "h")
+        hist.fold(dd)(hf => dd.join(hf.select("h").distinct(), Seq("h"), "left_anti"))
+      }
+      ST.append(s, docs.filter(col("doc_id") % 3 === 0), src, Some("b0"))
+      SnapshotPipe.run(s, src, sink)(curate)
+      ST.append(s, docs.filter(col("doc_id") % 3 === 1), src, Some("b1"))
+      ST.append(s, docs.filter(col("doc_id") % 3 === 2), src, Some("b2"))
+      SnapshotPipe.run(s, src, sink, maxSnapshotsPerChunk = 1)(curate)
+      require(SnapshotPipe.run(s, src, sink)(curate).isEmpty,
+        "caught-up pipe must be a no-op")
+      ST.read(s, sink).select("doc_id", "h").orderBy("doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -1663,6 +1704,25 @@ object OpsQueries {
       s"""${graft.model.Tok.sqlRawSequences}
          |SELECT doc_id, source, array_to_string(tokens, ',') AS tok_str
          |FROM raw ORDER BY doc_id""".stripMargin,
+
+    // arrival-order incremental curation: winner per text hash = the
+    // min-(batch, doc_id) quality-passing copy, batch = doc_id % 3
+    "pipe_snap_pipe" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |), cloned AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM base WHERE doc_id % 7 = 0
+        |), src AS (
+        |  SELECT doc_id, md5(text) AS h FROM cloned WHERE len(text) >= 40
+        |)
+        |SELECT doc_id, h FROM (
+        |  SELECT doc_id, h,
+        |         row_number() OVER (PARTITION BY h
+        |                            ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM src)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES
