@@ -80,6 +80,14 @@ object Bench {
     // local[4]: a 4-second job cannot out-average the host's co-tenant
     // bursts, and the round-2 capture showed exactly that instability
     val shReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE_REPS", (reps * 8).toString).toInt
+    // the flagship scaling pairs ALSO need a big enough job on the 4N side:
+    // at reps=3200 the 16-thread run is ~7 s, and ~2 s of fixed per-action
+    // cost (codegen compile, broadcast build, driver planning) masquerades
+    // as a scaling deficit — measured eff 0.77 at reps=3200 vs 0.94 at
+    // reps=12800 on the SAME quiet box (r5 session 7). Real 4N executors
+    // amortize those costs over cluster-scale inputs, so the honest
+    // measurement does too.
+    val flagReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLAG_REPS", (reps * 4).toString).toInt
 
     // ---- part 1: scaling experiment FIRST — the sandbox host visibly
     // degrades under sustained load, so measure parallelism scaling while
@@ -93,11 +101,11 @@ object Bench {
       try {
         // no cache: the job under test includes the scan+amplify map, all
         // deterministic and identical at both parallelism levels
-        val input = amplified(s, sfDir, reps, 128)
+        val input = amplified(s, sfDir, flagReps, 256)
         rowsMeasured = input.count()
-        pipelineJob(s, input)    // warmup (codegen/JIT)
+        pipelineJob(s, amplified(s, sfDir, reps, 128)) // warmup (codegen/JIT) at 1/4 scale
         val tPipe = time(pipelineJob(s, input))._2
-        shuffleJob(s, input)     // warmup at 1/8 scale (JIT only)
+        shuffleJob(s, amplified(s, sfDir, reps, 128)) // warmup at 1/8 scale (JIT only)
         val tShuf = time(shuffleJob(s, amplified(s, sfDir, shReps, 256)))._2
         (tPipe, tShuf)
       } finally s.stop()
@@ -147,7 +155,7 @@ object Bench {
       f""""local32_rows_per_sec":${thr32.toLong},""" +
       f""""scaling_pairs_sec":$pairsJson%s,""" +
       f""""scaling_efficiency_N_to_4N":$eff%.3f,""" +
-      f""""shuffle_rows":${rows32 / math.max(1, reps) * shReps},""" +
+      f""""shuffle_rows":${rows32 / math.max(1, flagReps) * shReps},""" +
       f""""shuffle_localN_sec":$tNSh%.3f,"shuffle_local4N_sec":$t4NSh%.3f,""" +
       f""""shuffle_pairs_sec":$shPairsJson%s,""" +
       f""""shuffle_scaling_efficiency_N_to_4N":$effSh%.3f}"""
