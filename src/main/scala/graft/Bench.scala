@@ -36,11 +36,16 @@ object Bench {
     * rows). Generated as range x broadcast(docs): fully parallel from the
     * first task, no single-threaded scan/shuffle warm-up phase.
     */
-  private def amplified(spark: SparkSession, dir: String, reps: Int, parts: Int): DataFrame = {
+  private def amplified(spark: SparkSession, dir: String, reps: Int, parts: Int,
+                        mult: Int = 0): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // `mult` defaults to reps; a warmup run passes the MEASURED job's reps
+    // here so the doc_id projection inlines the same literal and the
+    // measured job reuses the warmup's compiled whole-stage codegen
+    val m = if (mult > 0) mult else reps
     spark.range(0, reps, 1, parts).withColumnRenamed("id", "rep")
       .join(broadcast(docs))
-      .withColumn("doc_id", col("doc_id") * reps + col("rep"))
+      .withColumn("doc_id", col("doc_id") * m + col("rep"))
       .drop("rep")
   }
 
@@ -103,9 +108,12 @@ object Bench {
         // deterministic and identical at both parallelism levels
         val input = amplified(s, sfDir, flagReps, 256)
         rowsMeasured = input.count()
-        pipelineJob(s, amplified(s, sfDir, reps, 128)) // warmup (codegen/JIT) at 1/4 scale
+        // warmups run at 1/4 resp. 1/8 scale but with the measured job's
+        // multiplier literal, so whole-stage codegen is compiled ONCE in
+        // the warmup and reused by the timed run
+        pipelineJob(s, amplified(s, sfDir, reps, 128, mult = flagReps))
         val tPipe = time(pipelineJob(s, input))._2
-        shuffleJob(s, amplified(s, sfDir, reps, 128)) // warmup at 1/8 scale (JIT only)
+        shuffleJob(s, amplified(s, sfDir, reps, 128, mult = shReps))
         val tShuf = time(shuffleJob(s, amplified(s, sfDir, shReps, 256)))._2
         (tPipe, tShuf)
       } finally s.stop()

@@ -197,19 +197,19 @@ object Dedup {
     val paired = cands
       .join(txt.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
       .join(txt.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
-    // THRESHOLD-banded DP: sim >= t bounds the distance at (1-t)*maxlen, so
-    // the 3-arg levenshtein (banded O(n·k), -1 beyond the bound) replaces
-    // the full O(n·m) table — the bound uses the corpus-max text length
-    // (one column-pruned scan, conservative for every pair), and -1 rows
-    // are exactly the pairs the sim filter would drop. Surviving pairs get
-    // the EXACT distance, so results are unchanged — but the kernel is
-    // ~100x cheaper per pair (Spark's unbounded DP walks the full table
-    // with per-cell UTF8 decoding; measured 14 ms/pair at 300 chars).
-    val maxLen = df.agg(max(length(col(textCol)))).collect()(0) match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
-    }
-    val bound = math.max(0, math.ceil((1.0 - simThreshold) * maxLen).toInt)
+    // THRESHOLD-banded DP: sim >= t bounds the distance at (1-t)*maxPairLen,
+    // so the 3-arg levenshtein (banded O(n·k), -1 beyond the bound) replaces
+    // the full O(n·m) table. The bound is PER PAIR — each pair bands by its
+    // own max length, so one long outlier document cannot degrade every
+    // other pair back to the full table. The +1e-6 widening covers the
+    // floor-quantization of edit_sim exactly at every length (it rounds sim
+    // up by at most 5e-7, i.e. lev past the raw bound by <= 5e-7·len):
+    // -1 rows are therefore exactly the pairs the sim filter would drop,
+    // surviving pairs get the EXACT distance, and results are unchanged —
+    // but the kernel is ~100x cheaper per pair (Spark's unbounded DP walks
+    // the full table with per-cell UTF8 decoding; 14 ms/pair at 300 chars).
+    val pairLen = greatest(length(col("_ta")), length(col("_tb")))
+    val bound = ceil((lit(1.0) - simThreshold + 1e-6) * pairLen).cast("int")
     val lev = graft.plans.TextDist.levenshteinBand(col("_ta"), col("_tb"), bound)
     val sim = floor((lit(1.0) - lev.cast("double") /
       greatest(length(col("_ta")), length(col("_tb")))) * lit(1000000.0) + lit(0.5)) /

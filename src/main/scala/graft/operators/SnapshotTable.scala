@@ -86,6 +86,12 @@ object SnapshotTable {
     manifestIds(fs, root).lastOption
   }
 
+  /** Oldest RETAINED snapshot id (expiry moves this forward). */
+  def earliestId(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    manifestIds(fs, root).headOption
+  }
+
   private def render(m: Manifest): String = {
     def strList(xs: Seq[String]) = xs.map(Json.quote).mkString("[", ",", "]")
     s"""{"snapshot_id":${m.snapshotId},""" +
@@ -174,7 +180,20 @@ object SnapshotTable {
     }
     val ids = manifestIds(fs, root)
     val parent = ids.lastOption.map(manifest(spark, dir, _))
-    val ledger = parent.map(_.batchCommits).getOrElse(Nil)
+    // Legacy migration: a chain written before the ledger existed carries
+    // per-snapshot batch_id but no cumulative ledger — when a batch-id
+    // append lands on such a chain, reconstruct the ledger ONCE from the
+    // retained manifests (exactly what the old full-chain replay scan
+    // read); the new manifest then carries it forward, so this costs
+    // O(chain) at most once per table. Batch ids of legacy snapshots that
+    // were ALREADY expired are unrecoverable (the old format never
+    // persisted them cumulatively).
+    val ledger = parent.map(_.batchCommits).getOrElse(Nil) match {
+      case Nil if batchId.nonEmpty && ids.nonEmpty =>
+        ids.map(manifest(spark, dir, _))
+          .flatMap(m => m.batchId.map(_ -> m.snapshotId))
+      case l => l
+    }
     val existing = batchId.flatMap(b => ledger.find(_._1 == b))
     existing match {
       case Some((_, snap)) => Commit(snap, skippedExisting = true)

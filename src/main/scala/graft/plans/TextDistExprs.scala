@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -86,31 +86,43 @@ object TextKernels {
   * per-cell UTF8 handling — measured ~14 ms/pair at 300 chars in the
   * dedup_edit verify stage; the band computes O(n·bound) cells over raw
   * bytes). Same contract as the built-in 3-arg form: exact distance when
-  * <= `bound`, -1 otherwise.
+  * <= `bound`, -1 otherwise. `bound` is a PER-ROW expression, so callers
+  * can band each pair by its own lengths — a corpus-max bound would let
+  * one long outlier document degrade every other pair back to the full
+  * table.
   */
-case class LevenshteinBand(left: Expression, right: Expression, bound: Int)
-    extends BinaryExpression {
+case class LevenshteinBand(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "levenshtein_band"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextKernels.levBand(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], bound)
+  override protected def nullSafeEval(a: Any, b: Any, k: Any): Any =
+    TextKernels.levBand(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.TextKernels.levBand($a, $b, $bound)")
+    defineCodeGen(ctx, ev, (a, b, k) => s"graft.plans.TextKernels.levBand($a, $b, $k)")
 
-  override protected def withNewChildrenInternal(newLeft: Expression,
-                                                 newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+                                                 newSecond: Expression,
+                                                 newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object TextDist {
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
   import org.apache.spark.sql.graft.Bridge
 
-  /** Column wrapper for [[LevenshteinBand]]. */
+  /** Column wrapper for [[LevenshteinBand]]; `bound` evaluates per row
+    * (int). A negative bound returns -1 for every pair.
+    */
+  def levenshteinBand(a: Column, b: Column, bound: Column): Column =
+    Bridge.column(LevenshteinBand(Bridge.expression(a), Bridge.expression(b),
+      Bridge.expression(bound)))
+
   def levenshteinBand(a: Column, b: Column, bound: Int): Column =
-    Bridge.column(LevenshteinBand(Bridge.expression(a), Bridge.expression(b), bound))
+    levenshteinBand(a, b, lit(bound))
 }

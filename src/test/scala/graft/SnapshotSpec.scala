@@ -44,6 +44,34 @@ class SnapshotSpec extends SparkSpec {
     assert(ST.read(spark, t).count() == 5) // no duplicates
   }
 
+  test("legacy pre-ledger chains migrate: old batch ids still skip replays") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t, Some("legacy-1"))
+    ST.append(spark, batch(3 until 5), t, Some("legacy-2"))
+    // rewrite the manifests into the PRE-LEDGER format (no batch_commits
+    // key) — the shape commit 98cd25d wrote
+    for (i <- 0 to 1) {
+      val p = java.nio.file.Paths.get(t, "_manifests", f"manifest-$i%06d.json")
+      val legacy = java.nio.file.Files.readString(p)
+        .replaceAll(",\"batch_commits\":\\[[^\\]]*\\]", "")
+      java.nio.file.Files.writeString(p, legacy)
+      // the nio rewrite bypasses Hadoop's LocalFS, so its checksum sidecar
+      // is now stale — drop it or the next manifest read fails CRC
+      java.nio.file.Files.deleteIfExists(
+        p.getParent.resolve(f".manifest-$i%06d.json.crc"))
+    }
+    assert(ST.manifest(spark, t, 1).batchCommits.isEmpty) // really legacy now
+    // a replayed legacy batch id must be skipped (reconstructed ledger)...
+    val replay = ST.append(spark, batch(0 until 3), t, Some("legacy-1"))
+    assert(replay.skippedExisting && replay.snapshotId == 0)
+    // ...and a fresh append seeds the cumulative ledger going forward
+    val fresh = ST.append(spark, batch(5 until 6), t, Some("new-1"))
+    assert(!fresh.skippedExisting)
+    assert(ST.manifest(spark, t, fresh.snapshotId).batchCommits.toMap ==
+      Map("legacy-1" -> 0L, "legacy-2" -> 1L, "new-1" -> fresh.snapshotId))
+    assert(ST.read(spark, t).count() == 6)
+  }
+
   test("incremental reads only the delta; changelog tags the snapshot id") {
     val t = tmp()
     ST.append(spark, batch(0 until 3), t)  // snap 0
