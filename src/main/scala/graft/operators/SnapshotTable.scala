@@ -61,7 +61,15 @@ object SnapshotTable {
                             operation: String, batchId: Option[String],
                             added: Seq[String], live: Seq[String],
                             addedRows: Long, totalRows: Long,
-                            batchCommits: Seq[(String, Long)] = Nil)
+                            batchCommits: Seq[(String, Long)] = Nil,
+                            schemaJson: Option[String] = None) {
+    /** Table schema AS OF this snapshot (None on pre-schema manifests —
+      * readers fall back to parquet footer inference).
+      */
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   final case class Commit(snapshotId: Long, skippedExisting: Boolean)
 
@@ -102,7 +110,11 @@ object SnapshotTable {
       s""""added":${strList(m.added)},"live":${strList(m.live)},""" +
       // '|' is outside the validated batch-id charset, so "bid|snap" is
       // an unambiguous pair encoding
-      s""""batch_commits":${strList(m.batchCommits.map { case (b, s) => s"$b|$s" })}}"""
+      s""""batch_commits":${strList(m.batchCommits.map { case (b, s) => s"$b|$s" })},""" +
+      // base64 keeps the embedded schema JSON out of the regex decoder's way
+      s""""schema_b64":${m.schemaJson.map(j => Json.quote(
+        java.util.Base64.getEncoder.encodeToString(j.getBytes("UTF-8"))))
+        .getOrElse("null")}}"""
   }
 
   // Manifest fields are machine-written with constrained values (numeric ids,
@@ -128,7 +140,9 @@ object SnapshotTable {
       batchCommits = list("batch_commits").map { e =>
         val cut = e.lastIndexOf('|')
         (e.substring(0, cut), e.substring(cut + 1).toLong)
-      })
+      },
+      schemaJson = str("schema_b64").map(b =>
+        new String(java.util.Base64.getDecoder.decode(b), "UTF-8")))
   }
 
   /** Manifest of snapshot `id`; fails loudly when it was never committed or
@@ -205,18 +219,54 @@ object SnapshotTable {
         // (no manifest references it) — rewriting it is the recovery path.
         df.write.mode("overwrite").parquet(dataPath)
         val rows = spark.read.parquet(dataPath).count()
+        // schema evolution: fresh tables stamp the frame's schema; evolved
+        // appends merge new columns in. A LEGACY chain (parent without a
+        // stamped schema) stays in footer-inference mode — stamping only
+        // the new snapshot's columns would hide the older dirs' columns.
+        val schemaNow: Option[String] = parent match {
+          case None => Some(df.schema.json)
+          case Some(p) => p.schema.map(ps => mergeSchemas(ps, df.schema).json)
+        }
         val m = Manifest(next, ids.lastOption, "append", batchId,
           added = Seq(name), live = parent.map(_.live).getOrElse(Nil) :+ name,
           addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
-          batchCommits = ledger ++ batchId.map(_ -> next))
+          batchCommits = ledger ++ batchId.map(_ -> next),
+          schemaJson = schemaNow)
         commitManifest(fs, root, m)
         Commit(next, skippedExisting = false)
     }
   }
 
-  private def readDirs(spark: SparkSession, root: Path, dirs: Seq[String]): DataFrame = {
+  private def readDirs(spark: SparkSession, root: Path, dirs: Seq[String],
+                       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     require(dirs.nonEmpty, s"snapshot of $root has no data dirs")
-    spark.read.parquet(dirs.map(n => new Path(dataDir(root), n).toString): _*)
+    // Schema comes from the MANIFEST (schema-as-of-snapshot): data dirs
+    // written before a column was added simply read it as null, no parquet
+    // footer scan or mergeSchema pass is ever needed, and time travel sees
+    // the schema the table had THEN. Pre-schema (legacy) manifests fall
+    // back to footer inference.
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    reader.parquet(dirs.map(n => new Path(dataDir(root), n).toString): _*)
+  }
+
+  /** Evolved table schema: existing columns keep their types (a type
+    * change fails loudly — this surface models Iceberg ADD COLUMN, not
+    * type promotion), new columns append, everything nullable (old files
+    * have no values for new columns).
+    */
+  private def mergeSchemas(parent: org.apache.spark.sql.types.StructType,
+                           incoming: org.apache.spark.sql.types.StructType) = {
+    val byName = parent.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { pf =>
+        require(pf.dataType.catalogString == f.dataType.catalogString,
+          s"schema evolution cannot change column '${f.name}' from " +
+            s"${pf.dataType.catalogString} to ${f.dataType.catalogString}")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      parent.fields.map(_.copy(nullable = true)) ++
+        incoming.fields.filterNot(f => byName.contains(f.name)).map(_.copy(nullable = true)))
   }
 
   /** Time-travel read: the table exactly as of snapshot `id`, planned from
@@ -225,7 +275,8 @@ object SnapshotTable {
     */
   def asOf(spark: SparkSession, dir: String, id: Long): DataFrame = {
     val (_, root) = fsOf(spark, dir)
-    readDirs(spark, root, manifest(spark, dir, id).live)
+    val m = manifest(spark, dir, id)
+    readDirs(spark, root, m.live, m.schema)
   }
 
   /** Current table = latest snapshot. */
@@ -254,7 +305,9 @@ object SnapshotTable {
     val (_, root) = fsOf(spark, dir)
     val dirs = appendedIn(spark, dir, fromExclusive, toInclusive).flatMap(_.added)
     if (dirs.isEmpty) asOf(spark, dir, toInclusive).limit(0)
-    else readDirs(spark, root, dirs)
+    // rows surface with the range-END's schema: deltas written before a
+    // column was added read it as null, like any other read as of `to`
+    else readDirs(spark, root, dirs, manifest(spark, dir, toInclusive).schema)
   }
 
   /** Changelog read: incremental rows tagged with the `_snapshot_id` that
@@ -263,8 +316,10 @@ object SnapshotTable {
   def changelog(spark: SparkSession, dir: String,
                 fromExclusive: Long, toInclusive: Long): DataFrame = {
     val (_, root) = fsOf(spark, dir)
+    val toSchema = manifest(spark, dir, toInclusive).schema
     val parts = appendedIn(spark, dir, fromExclusive, toInclusive).map { m =>
-      readDirs(spark, root, m.added).withColumn("_snapshot_id", lit(m.snapshotId))
+      readDirs(spark, root, m.added, toSchema)
+        .withColumn("_snapshot_id", lit(m.snapshotId))
     }
     parts.reduceOption(_ unionByName _).getOrElse(
       asOf(spark, dir, toInclusive).limit(0).withColumn("_snapshot_id", lit(-1L)))
@@ -285,14 +340,14 @@ object SnapshotTable {
     val next = last + 1
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
-    readDirs(spark, root, m.live).coalesce(targetFiles)
+    readDirs(spark, root, m.live, m.schema).coalesce(targetFiles)
       .write.mode("overwrite").parquet(dataPath)
     val rows = spark.read.parquet(dataPath).count()
     require(rows == m.totalRows,
       s"compaction row mismatch: rewrote $rows rows, expected ${m.totalRows}")
     commitManifest(fs, root, Manifest(next, Some(last), "replace", None,
       added = Seq(name), live = Seq(name), addedRows = 0L, totalRows = m.totalRows,
-      batchCommits = m.batchCommits))
+      batchCommits = m.batchCommits, schemaJson = m.schemaJson))
     Commit(next, skippedExisting = false)
   }
 
@@ -317,6 +372,26 @@ object SnapshotTable {
       fs.delete(new Path(manifestDir(root), f"manifest-$id%06d.json"), false)
     }
     dropDirs.toSeq.sorted
+  }
+
+  /** Orphan cleanup: delete data dirs referenced by NO retained manifest —
+    * crash leftovers (a dir written whose commit never happened) and any
+    * debris under `data/`. Never touches referenced dirs; safe between
+    * operations under the single-writer contract (the Delta VACUUM
+    * analogue, with zero retention delay because a concurrent reader of an
+    * uncommitted dir cannot exist — readers only plan from manifests).
+    * Returns the deleted dir names.
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    val referenced = manifestIds(fs, root)
+      .flatMap(manifest(spark, dir, _).live).toSet
+    val dd = dataDir(root)
+    if (!fs.exists(dd)) return Nil
+    val orphans = fs.listStatus(dd).map(_.getPath.getName)
+      .filterNot(referenced).sorted.toIndexedSeq
+    orphans.foreach(n => fs.delete(new Path(dd, n), true))
+    orphans
   }
 
   /** Route integration: append every sink's routed frame to its own

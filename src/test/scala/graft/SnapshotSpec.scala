@@ -44,6 +44,47 @@ class SnapshotSpec extends SparkSpec {
     assert(ST.read(spark, t).count() == 5) // no duplicates
   }
 
+  test("schema evolution: new columns appear, old snapshots keep their schema") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t)                       // snap 0: (id, v)
+    ST.append(spark, Seq((10L, "v10", 0.5))
+      .toDF("id", "v", "score"), t)                             // snap 1: +score
+    // current read: evolved schema, old rows read the new column as null
+    val now = ST.read(spark, t)
+    assert(now.columns.toSeq == Seq("id", "v", "score"))
+    assert(now.filter(col("score").isNull).count() == 3)
+    assert(now.filter(col("id") === 10L).select("score").collect()(0).getDouble(0) == 0.5)
+    // TIME TRAVEL sees the schema the table had THEN — no score column
+    assert(ST.asOf(spark, t, 0).columns.toSeq == Seq("id", "v"))
+    // appending a NARROWER frame is fine (missing column = null)
+    ST.append(spark, batch(20 until 21), t)
+    assert(ST.read(spark, t).filter(col("id") === 20L)
+      .select("score").collect()(0).isNullAt(0))
+    // a TYPE change fails loudly (ADD COLUMN surface, not type promotion)
+    val e = intercept[IllegalArgumentException] {
+      ST.append(spark, Seq((30L, "x", "not-a-double")).toDF("id", "v", "score"), t)
+    }
+    assert(e.getMessage.contains("cannot change column 'score'"))
+    // compaction preserves the evolved schema and the null backfill
+    ST.compact(spark, t)
+    val compacted = ST.read(spark, t)
+    assert(compacted.columns.toSeq == Seq("id", "v", "score"))
+    assert(compacted.filter(col("score").isNull).count() == 4)
+  }
+
+  test("vacuum deletes only unreferenced crash-leftover dirs") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t)
+    // a data dir with no manifest = a crash between write and commit
+    Seq(99L).toDF("id").write.parquet(s"$t/data/snap-000007")
+    assert(ST.vacuum(spark, t) == Seq("snap-000007"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "data", "snap-000007")))
+    assert(ST.read(spark, t).count() == 3)  // live dir untouched
+    assert(ST.vacuum(spark, t).isEmpty)     // idempotent
+  }
+
   test("legacy pre-ledger chains migrate: old batch ids still skip replays") {
     val t = tmp()
     ST.append(spark, batch(0 until 3), t, Some("legacy-1"))
