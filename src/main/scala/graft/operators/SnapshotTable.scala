@@ -330,18 +330,31 @@ object SnapshotTable {
     * (counted and required equal), invisible to time travel and changelogs,
     * and every later read plans over the compacted files. The ingest-side
     * answer to many-small-batch appends.
+    *
+    * `sortBy` additionally CLUSTERS the rewrite (range-partition on the
+    * keys, sort within each file): parquet footers then carry disjoint
+    * min/max ranges on the leading key, so later point/range predicates
+    * skip whole files and row groups — the OPTIMIZE-with-sort analogue,
+    * and the 100 TB reason compaction exists at all (append order is
+    * arrival order, which clusters nothing).
     */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Commit = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
+              sortBy: Seq[String] = Nil): Commit = {
     val (fs, root) = fsOf(spark, dir)
     val ids = manifestIds(fs, root)
     val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
     val m = manifest(spark, dir, last)
-    if (m.live.size <= targetFiles) return Commit(last, skippedExisting = true)
+    if (m.live.size <= targetFiles && sortBy.isEmpty)
+      return Commit(last, skippedExisting = true)
     val next = last + 1
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
-    readDirs(spark, root, m.live, m.schema).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(dataPath)
+    val base = readDirs(spark, root, m.live, m.schema)
+    val arranged =
+      if (sortBy.isEmpty) base.coalesce(targetFiles)
+      else base.repartitionByRange(targetFiles, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    arranged.write.mode("overwrite").parquet(dataPath)
     val rows = spark.read.parquet(dataPath).count()
     require(rows == m.totalRows,
       s"compaction row mismatch: rewrote $rows rows, expected ${m.totalRows}")

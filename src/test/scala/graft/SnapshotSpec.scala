@@ -73,6 +73,30 @@ class SnapshotSpec extends SparkSpec {
     assert(compacted.filter(col("score").isNull).count() == 4)
   }
 
+  test("sorted compaction clusters files: disjoint min/max ranges per file") {
+    import spark.implicits._
+    val t = tmp()
+    // interleaved appends so arrival order clusters nothing
+    ST.append(spark, Seq(5L, 1L, 9L).toDF("id"), t)
+    ST.append(spark, Seq(3L, 7L, 0L).toDF("id"), t)
+    ST.append(spark, Seq(8L, 2L, 6L, 4L).toDF("id"), t)
+    val c = ST.compact(spark, t, targetFiles = 2, sortBy = Seq("id"))
+    assert(!c.skippedExisting)
+    assert(ST.read(spark, t).count() == 10)
+    // every compacted file covers a disjoint id range (footer-skippable)
+    val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(t, "data", f"snap-${c.snapshotId}%06d"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val ranges = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .filter(_.toString.endsWith(".parquet")).map { f =>
+        val ids = spark.read.parquet(f.toString).select("id")
+          .collect().map(_.getLong(0))
+        (ids.min, ids.max)
+      }.toSeq.sortBy(_._1)
+    assert(ranges.size == 2)
+    assert(ranges(0)._2 < ranges(1)._1, ranges.toString) // disjoint
+  }
+
   test("vacuum deletes only unreferenced crash-leftover dirs") {
     import spark.implicits._
     val t = tmp()
