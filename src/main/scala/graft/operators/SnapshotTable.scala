@@ -57,12 +57,24 @@ object SnapshotTable {
     * ~500k short strings — low MBs of driver-side metadata, the same trade
     * Iceberg's metadata.json snapshot log makes).
     */
+  /** Per-data-dir column statistics carried in the manifest — the Iceberg
+    * manifest-entry `lower_bounds`/`upper_bounds` analogue. `tpe` is the
+    * comparison domain (`long`/`double`/`string`); `min`/`max` are the
+    * rendered bounds. Readers prune dirs whose range cannot intersect a
+    * predicate BEFORE any file is listed or opened — at 100 TB the scan
+    * plan is a driver-side metadata computation, not an IO pass.
+    */
+  final case class DirStat(dir: String, column: String, tpe: String,
+                           min: String, max: String)
+
   final case class Manifest(snapshotId: Long, parentId: Option[Long],
                             operation: String, batchId: Option[String],
                             added: Seq[String], live: Seq[String],
                             addedRows: Long, totalRows: Long,
                             batchCommits: Seq[(String, Long)] = Nil,
-                            schemaJson: Option[String] = None) {
+                            schemaJson: Option[String] = None,
+                            statsCols: Seq[String] = Nil,
+                            stats: Seq[DirStat] = Nil) {
     /** Table schema AS OF this snapshot (None on pre-schema manifests —
       * readers fall back to parquet footer inference).
       */
@@ -114,8 +126,18 @@ object SnapshotTable {
       // base64 keeps the embedded schema JSON out of the regex decoder's way
       s""""schema_b64":${m.schemaJson.map(j => Json.quote(
         java.util.Base64.getEncoder.encodeToString(j.getBytes("UTF-8"))))
-        .getOrElse("null")}}"""
+        .getOrElse("null")},""" +
+      s""""stats_cols":${strList(m.statsCols)},""" +
+      // bounds are base64'd (values may contain any character); the other
+      // fields are in the constrained charset, so '|' separates unambiguously
+      s""""stats":${strList(m.stats.map(st =>
+        s"${st.dir}|${st.column}|${st.tpe}|${b64(st.min)}|${b64(st.max)}"))}}"""
   }
+
+  private def b64(s: String) =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String) =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   // Manifest fields are machine-written with constrained values (numeric ids,
   // snap-NNNNNN dir names, batch ids validated to [A-Za-z0-9._:-]), so a
@@ -141,8 +163,15 @@ object SnapshotTable {
         val cut = e.lastIndexOf('|')
         (e.substring(0, cut), e.substring(cut + 1).toLong)
       },
-      schemaJson = str("schema_b64").map(b =>
-        new String(java.util.Base64.getDecoder.decode(b), "UTF-8")))
+      schemaJson = str("schema_b64").map(unb64),
+      statsCols = list("stats_cols"),
+      stats = list("stats").map { e =>
+        // -1 keeps trailing empties: b64("") is "" (an empty string bound)
+        e.split("\\|", -1) match {
+          case Array(d, c, t, lo, hi) => DirStat(d, c, t, unb64(lo), unb64(hi))
+          case _ => sys.error(s"bad stats entry: $e")
+        }
+      })
   }
 
   /** Manifest of snapshot `id`; fails loudly when it was never committed or
@@ -186,7 +215,8 @@ object SnapshotTable {
     * metrics would be carried instead, same number).
     */
   def append(spark: SparkSession, df: DataFrame, dir: String,
-             batchId: Option[String] = None): Commit = {
+             batchId: Option[String] = None,
+             statsBy: Seq[String] = Nil): Commit = {
     val (fs, root) = fsOf(spark, dir)
     batchId.foreach { b =>
       require(b.matches("[A-Za-z0-9._:-]+"),
@@ -227,11 +257,17 @@ object SnapshotTable {
           case None => Some(df.schema.json)
           case Some(p) => p.schema.map(ps => mergeSchemas(ps, df.schema).json)
         }
+        // stats columns are a table property: once requested they are
+        // computed on every later append too, so pruning stays complete
+        val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
         val m = Manifest(next, ids.lastOption, "append", batchId,
           added = Seq(name), live = parent.map(_.live).getOrElse(Nil) :+ name,
           addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
           batchCommits = ledger ++ batchId.map(_ -> next),
-          schemaJson = schemaNow)
+          schemaJson = schemaNow,
+          statsCols = scols,
+          stats = parent.map(_.stats).getOrElse(Nil) ++
+            computeStats(spark, dataPath, name, scols))
         commitManifest(fs, root, m)
         Commit(next, skippedExisting = false)
     }
@@ -269,6 +305,93 @@ object SnapshotTable {
         incoming.fields.filterNot(f => byName.contains(f.name)).map(_.copy(nullable = true)))
   }
 
+  /** Comparison domain for manifest stats: integral → long, fractional →
+    * double, string → string; anything else is unsupported (fail loudly —
+    * stats on a non-comparable column would silently never prune).
+    */
+  private def statDomain(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case FloatType | DoubleType => "double"
+      case StringType => "string"
+      case other => sys.error(s"stats unsupported for column type ${other.catalogString}")
+    }
+  }
+
+  /** Min/max bounds of `cols` over one just-written data dir — a single
+    * narrow agg job over files that are already hot (at production scale
+    * the writer's parquet footer stats carry the same numbers for free).
+    * All-null/empty columns yield no entry (absent stats never prune).
+    */
+  private def computeStats(spark: SparkSession, dataPath: String, dirName: String,
+                           cols: Seq[String]): Seq[DirStat] = {
+    if (cols.isEmpty) return Nil
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
+      s"stats column name '$c' must match [A-Za-z0-9_.]+"))
+    val df = spark.read.parquet(dataPath)
+    val present = cols.filter(c => df.columns.contains(c))
+    if (present.isEmpty) return Nil
+    val domains = present.map(c => c -> statDomain(df.schema(c).dataType)).toMap
+    val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    present.zipWithIndex.flatMap { case (c, i) =>
+      (Option(row.get(2 * i)), Option(row.get(2 * i + 1))) match {
+        case (Some(lo), Some(hi)) =>
+          Some(DirStat(dirName, c, domains(c), lo.toString, hi.toString))
+        case _ => None
+      }
+    }
+  }
+
+  /** A one-column range predicate that both renders as a Catalyst filter
+    * and binds against manifest stats for dir-level pruning — the minimal
+    * honest slice of Iceberg's expression-to-bounds evaluation. `None`
+    * bounds are open.
+    */
+  final case class KeyRange(column: String, lo: Option[Any] = None,
+                            hi: Option[Any] = None) {
+    def toColumn: org.apache.spark.sql.Column = {
+      val c = col(column)
+      (lo.map(v => c >= lit(v)).toSeq ++ hi.map(v => c <= lit(v)).toSeq)
+        .reduceOption(_ && _).getOrElse(lit(true))
+    }
+  }
+
+  private def statIntersects(st: DirStat, r: KeyRange): Boolean = {
+    def cmp(a: String, b: String): Int = st.tpe match {
+      case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+      case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _        => a.compareTo(b)
+    }
+    r.hi.forall(h => cmp(st.min, h.toString) <= 0) &&
+      r.lo.forall(l => cmp(st.max, l.toString) >= 0)
+  }
+
+  /** Scan plan for `range` over snapshot `m`: (kept, pruned) data dirs.
+    * A dir is pruned only when its manifest stats PROVE no row can match;
+    * dirs without stats on the column are always kept. Pure driver-side
+    * metadata — no file is listed or opened.
+    */
+  def planScan(m: Manifest, range: KeyRange): (Seq[String], Seq[String]) = {
+    val byDir = m.stats.filter(_.column == range.column).map(s => s.dir -> s).toMap
+    m.live.partition(d => byDir.get(d).forall(statIntersects(_, range)))
+  }
+
+  /** Pruned read: only stats-intersecting dirs are planned, then the exact
+    * residual filter applies (and pushes down to parquet row groups within
+    * the kept files). Result is identical to `read(...).filter(range)` —
+    * stats only remove provably-empty IO.
+    */
+  def readWhere(spark: SparkSession, dir: String, range: KeyRange): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val id = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, id)
+    val (kept, _) = planScan(m, range)
+    if (kept.isEmpty) read(spark, dir).limit(0)
+    else readDirs(spark, root, kept, m.schema).filter(range.toColumn)
+  }
+
   /** Time-travel read: the table exactly as of snapshot `id`, planned from
     * that snapshot's manifest alone — later appends, compactions and (not
     * yet expired) history are invisible.
@@ -290,9 +413,16 @@ object SnapshotTable {
                          fromExclusive: Long, toInclusive: Long): Seq[Manifest] = {
     require(fromExclusive <= toInclusive,
       s"bad incremental range ($fromExclusive, $toInclusive]")
-    ((fromExclusive + 1) to toInclusive)
+    val ms = ((fromExclusive + 1) to toInclusive)
       .map(manifest(spark, dir, _)) // fails loudly on an expired id in range
-      .filter(_.operation == "append") // replace = same rows, not a change
+    // row-level delete/overwrite snapshots REMOVE rows — an insert-only
+    // incremental/changelog read across one would be silently wrong, so it
+    // fails loudly (the Iceberg "cannot do incremental scan on snapshot of
+    // type overwrite" contract); read asOf the endpoint instead
+    ms.find(x => x.operation == "delete" || x.operation == "overwrite").foreach(x =>
+      sys.error(s"incremental range ($fromExclusive, $toInclusive] crosses " +
+        s"row-level ${x.operation} snapshot ${x.snapshotId} — not insert-only"))
+    ms.filter(_.operation == "append") // replace = same rows, not a change
   }
 
   /** Incremental read: rows ADDED in snapshots (from, to] — only the new
@@ -331,12 +461,17 @@ object SnapshotTable {
     * and every later read plans over the compacted files. The ingest-side
     * answer to many-small-batch appends.
     *
-    * `sortBy` additionally CLUSTERS the rewrite (range-partition on the
-    * keys, sort within each file): parquet footers then carry disjoint
-    * min/max ranges on the leading key, so later point/range predicates
-    * skip whole files and row groups — the OPTIMIZE-with-sort analogue,
-    * and the 100 TB reason compaction exists at all (append order is
-    * arrival order, which clusters nothing).
+    * `sortBy` additionally CLUSTERS the rewrite: range-partition on the
+    * keys, sort within each bucket, and commit ONE DATA DIR PER RANGE
+    * BUCKET — each with its own manifest min/max stats. Later point/range
+    * predicates then prune whole dirs from the scan plan driver-side
+    * (`planScan`/`readWhere`) before parquet footer skipping even starts —
+    * the OPTIMIZE-with-sort + manifest-stats analogue, and the 100 TB
+    * reason compaction exists at all (append order is arrival order, which
+    * clusters nothing). The bucketed write is one job: the range exchange's
+    * partition id becomes the write-partition column, and the explicit
+    * `sortWithinPartitions(_b, keys)` already satisfies the writer's
+    * required ordering on `_b`, so no second sort is inserted.
     */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
               sortBy: Seq[String] = Nil): Commit = {
@@ -350,17 +485,153 @@ object SnapshotTable {
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
     val base = readDirs(spark, root, m.live, m.schema)
-    val arranged =
-      if (sortBy.isEmpty) base.coalesce(targetFiles)
-      else base.repartitionByRange(targetFiles, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
-    arranged.write.mode("overwrite").parquet(dataPath)
+    val scols = (m.statsCols ++ sortBy).distinct
+    val (dirs, stats) =
+      if (sortBy.isEmpty) {
+        base.coalesce(targetFiles).write.mode("overwrite").parquet(dataPath)
+        (Seq(name), computeStats(spark, dataPath, name, scols))
+      } else {
+        base.repartitionByRange(targetFiles, sortBy.map(col): _*)
+          .withColumn("_b", spark_partition_id())
+          .sortWithinPartitions(col("_b") +: sortBy.map(col): _*)
+          .write.mode("overwrite").partitionBy("_b").parquet(dataPath)
+        val buckets = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("_b=")).sorted.toIndexedSeq
+        (buckets.map(b => s"$name/$b"), bucketStats(spark, dataPath, name, scols))
+      }
     val rows = spark.read.parquet(dataPath).count()
     require(rows == m.totalRows,
       s"compaction row mismatch: rewrote $rows rows, expected ${m.totalRows}")
     commitManifest(fs, root, Manifest(next, Some(last), "replace", None,
-      added = Seq(name), live = Seq(name), addedRows = 0L, totalRows = m.totalRows,
-      batchCommits = m.batchCommits, schemaJson = m.schemaJson))
+      added = dirs, live = dirs, addedRows = 0L, totalRows = m.totalRows,
+      batchCommits = m.batchCommits, schemaJson = m.schemaJson,
+      statsCols = scols, stats = stats))
+    Commit(next, skippedExisting = false)
+  }
+
+  /** Per-bucket stats of a clustered compaction in ONE grouped job (`_b`
+    * reads back as the partition column).
+    */
+  private def bucketStats(spark: SparkSession, dataPath: String, name: String,
+                          cols: Seq[String]): Seq[DirStat] = {
+    if (cols.isEmpty) return Nil
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
+      s"stats column name '$c' must match [A-Za-z0-9_.]+"))
+    val df = spark.read.parquet(dataPath)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Nil
+    val domains = present.map(c => c -> statDomain(df.schema(c).dataType)).toMap
+    val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c))))
+    df.groupBy("_b").agg(aggs.head, aggs.tail: _*).collect().toIndexedSeq.flatMap { row =>
+      val d = s"$name/_b=${row.get(0)}"
+      present.zipWithIndex.flatMap { case (c, i) =>
+        (Option(row.get(2 * i + 1)), Option(row.get(2 * i + 2))) match {
+          case (Some(lo), Some(hi)) =>
+            Some(DirStat(d, c, domains(c), lo.toString, hi.toString))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Row-level DELETE, copy-on-write: rows where `range` matches are
+    * removed. Only data dirs whose manifest stats INTERSECT the range are
+    * read and rewritten (into one consolidated dir); provably-unaffected
+    * dirs are carried into the new snapshot untouched — at 100 TB a delete
+    * of one doc-id band rewrites that band's dirs, not the table. Rows
+    * where the range column is NULL never match (SQL predicate semantics)
+    * and are retained. Committed as operation `delete`; incremental/
+    * changelog reads across it fail loudly (not insert-only).
+    */
+  def delete(spark: SparkSession, dir: String, range: KeyRange): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    require(m.schema.nonEmpty,
+      s"row-level delete requires a schema-stamped table (legacy chain at $dir)")
+    val (affected, untouched) = planScan(m, range)
+    if (affected.isEmpty) return Commit(last, skippedExisting = true)
+    val next = last + 1
+    val name = f"snap-$next%06d"
+    val dataPath = new Path(dataDir(root), name).toString
+    // keep rows where the predicate is NOT TRUE (null-safe: null keys stay)
+    readDirs(spark, root, affected, m.schema)
+      .filter(!coalesce(range.toColumn, lit(false)))
+      .write.mode("overwrite").parquet(dataPath)
+    // explicit schema: a full-dir delete leaves zero part files to infer from
+    val keptRows = spark.read.schema(m.schema.get).parquet(dataPath).count()
+    val keepDir = keptRows > 0 || untouched.isEmpty
+    val live = untouched ++ (if (keepDir) Seq(name) else Nil)
+    val untouchedRows =
+      if (untouched.isEmpty) 0L
+      else readDirs(spark, root, untouched, m.schema).count() // metadata-only
+    val carried = m.stats.filter(st => untouched.contains(st.dir))
+    commitManifest(fs, root, Manifest(next, Some(last), "delete", None,
+      added = if (keepDir) Seq(name) else Nil, live = live,
+      addedRows = 0L, totalRows = keptRows + untouchedRows,
+      batchCommits = m.batchCommits, schemaJson = m.schemaJson,
+      statsCols = m.statsCols,
+      stats = carried ++ (if (keptRows > 0)
+        computeStats(spark, dataPath, name, m.statsCols) else Nil)))
+    Commit(next, skippedExisting = false)
+  }
+
+  /** Row-level MERGE (upsert), copy-on-write: every table row whose `key`
+    * appears in `source` is replaced by the source row; source rows with
+    * new keys are inserted. Pruning: the source's key min/max bound the
+    * affected dirs via manifest stats, so a delta touching one key band
+    * rewrites only that band's dirs (anti-join on the delta's keys — AQE
+    * broadcasts a small delta). Source keys must be unique and non-null —
+    * duplicate keys make "the" replacement row undefined, so they fail
+    * loudly. New source columns evolve the schema like `append`. Committed
+    * as operation `overwrite` (not insert-only, like `delete`).
+    */
+  def upsert(spark: SparkSession, dir: String, source: DataFrame, key: String): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    require(m.schema.nonEmpty,
+      s"upsert requires a schema-stamped table (legacy chain at $dir)")
+    val next = last + 1
+    val name = f"snap-$next%06d"
+    val srcPath = new Path(dataDir(root), s"$name-src").toString
+    // materialize the delta first: one scan of the source, and the key
+    // bounds / uniqueness check read it back from parquet (tiny vs table)
+    source.write.mode("overwrite").parquet(srcPath)
+    // explicit schema: an empty source writes zero part files to infer from
+    val src = spark.read.schema(source.schema).parquet(srcPath)
+    val bounds = src.agg(count(lit(1)), count(col(key)),
+      count_distinct(col(key)), min(col(key)), max(col(key))).collect()(0)
+    val srcRows = bounds.getLong(0)
+    if (srcRows == 0L) { fs.delete(new Path(srcPath), true); return Commit(last, skippedExisting = true) }
+    require(bounds.getLong(1) == srcRows, s"upsert source has null '$key' keys")
+    require(bounds.getLong(2) == srcRows,
+      s"upsert source has duplicate '$key' keys (${bounds.getLong(2)} distinct of $srcRows)")
+    val range = KeyRange(key, Option(bounds.get(3)), Option(bounds.get(4)))
+    val (affected, untouched) = planScan(m, range)
+    val rwPath = new Path(dataDir(root), s"$name-rw").toString
+    val rwRows = if (affected.isEmpty) 0L else {
+      readDirs(spark, root, affected, m.schema)
+        .join(src.select(col(key)), Seq(key), "left_anti")
+        .write.mode("overwrite").parquet(rwPath)
+      spark.read.schema(m.schema.get).parquet(rwPath).count()
+    }
+    val schemaNow = mergeSchemas(m.schema.get, src.schema)
+    val added = (if (rwRows > 0) Seq(s"$name-rw") else Nil) :+ s"$name-src"
+    val live = untouched ++ added
+    val untouchedRows =
+      if (untouched.isEmpty) 0L
+      else readDirs(spark, root, untouched, m.schema).count() // metadata-only
+    val carried = m.stats.filter(st => untouched.contains(st.dir))
+    val newStats =
+      (if (rwRows > 0) computeStats(spark, rwPath, s"$name-rw", m.statsCols) else Nil) ++
+        computeStats(spark, srcPath, s"$name-src", m.statsCols)
+    if (rwRows == 0 && affected.nonEmpty) fs.delete(new Path(rwPath), true)
+    commitManifest(fs, root, Manifest(next, Some(last), "overwrite", None,
+      added = added, live = live,
+      addedRows = srcRows, totalRows = rwRows + untouchedRows + srcRows,
+      batchCommits = m.batchCommits, schemaJson = Some(schemaNow.json),
+      statsCols = m.statsCols, stats = carried ++ newStats))
     Commit(next, skippedExisting = false)
   }
 
@@ -397,8 +668,10 @@ object SnapshotTable {
     */
   def vacuum(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
+    // clustered-compaction dirs are referenced as "snap-N/_b=K" — the
+    // top-level child "snap-N" is live when ANY of its buckets is
     val referenced = manifestIds(fs, root)
-      .flatMap(manifest(spark, dir, _).live).toSet
+      .flatMap(manifest(spark, dir, _).live).map(_.split('/')(0)).toSet
     val dd = dataDir(root)
     if (!fs.exists(dd)) return Nil
     val orphans = fs.listStatus(dd).map(_.getPath.getName)

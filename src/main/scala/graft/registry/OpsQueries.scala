@@ -178,6 +178,52 @@ object OpsQueries {
       ST.read(s, sink).select("doc_id", "h").orderBy("doc_id")
     }),
 
+    // manifest-stats scan pruning: interleaved appends (arrival order
+    // clusters nothing), then a CLUSTERED compaction (one data dir per
+    // doc_id range bucket, each with manifest min/max stats); a band
+    // predicate must prune dirs DRIVER-SIDE (require()d — the gate fails
+    // if the plan stops pruning) and readWhere must still equal the plain
+    // filtered read bit-for-bit.
+    "pipe_snap_prune" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapprune").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      for (k <- 0 to 2)
+        ST.append(s, docs.filter(col("doc_id") % 3 === k), t, Some(s"b$k"),
+          statsBy = Seq("doc_id"))
+      ST.compact(s, t, targetFiles = 8, sortBy = Seq("doc_id"))
+      val m = ST.manifest(s, t, ST.latestId(s, t).get)
+      val range = ST.KeyRange("doc_id", Some(100L), Some(199L))
+      val (kept, pruned) = ST.planScan(m, range)
+      require(pruned.nonEmpty && kept.size < m.live.size,
+        s"clustered compaction must prune dirs for a band predicate " +
+          s"(kept=${kept.size} of ${m.live.size})")
+      ST.readWhere(s, t, range).orderBy("doc_id")
+    }),
+
+    // row-level MERGE + DELETE (copy-on-write): upsert a delta that
+    // updates every 10th doc and inserts clones at doc_id+100000, then
+    // delete a doc_id band; the final table is last-write-wins over the
+    // key with the band removed
+    "pipe_snap_merge" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapmerge").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 0), t, Some("even"),
+        statsBy = Seq("doc_id"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 1), t, Some("odd"))
+      val updates = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("patched"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = base.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      ST.upsert(s, t, updates.unionByName(inserts), "doc_id")
+      ST.delete(s, t, ST.KeyRange("doc_id", Some(50L), Some(99L)))
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -1723,6 +1769,26 @@ object OpsQueries {
         |                            ORDER BY doc_id % 3, doc_id) AS rn
         |  FROM src)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "pipe_snap_prune" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""".stripMargin,
+
+    "pipe_snap_merge" ->
+      """WITH delta AS (
+        |  SELECT doc_id, 'patched' AS source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), merged AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars FROM delta
+        |)
+        |SELECT doc_id, source, n_chars FROM merged
+        |WHERE doc_id NOT BETWEEN 50 AND 99 ORDER BY doc_id""".stripMargin,
 
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES

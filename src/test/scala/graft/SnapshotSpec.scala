@@ -73,7 +73,7 @@ class SnapshotSpec extends SparkSpec {
     assert(compacted.filter(col("score").isNull).count() == 4)
   }
 
-  test("sorted compaction clusters files: disjoint min/max ranges per file") {
+  test("sorted compaction clusters into per-bucket dirs with disjoint manifest stats") {
     import spark.implicits._
     val t = tmp()
     // interleaved appends so arrival order clusters nothing
@@ -83,18 +83,102 @@ class SnapshotSpec extends SparkSpec {
     val c = ST.compact(spark, t, targetFiles = 2, sortBy = Seq("id"))
     assert(!c.skippedExisting)
     assert(ST.read(spark, t).count() == 10)
-    // every compacted file covers a disjoint id range (footer-skippable)
-    val files = java.nio.file.Files.list(
-        java.nio.file.Paths.get(t, "data", f"snap-${c.snapshotId}%06d"))
-      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-    val ranges = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
-      .filter(_.toString.endsWith(".parquet")).map { f =>
-        val ids = spark.read.parquet(f.toString).select("id")
-          .collect().map(_.getLong(0))
-        (ids.min, ids.max)
-      }.toSeq.sortBy(_._1)
+    assert(ST.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      (0L to 9L))
+    val m = ST.manifest(spark, t, c.snapshotId)
+    // one live dir per range bucket, each carrying its own min/max stats
+    assert(m.live.size == 2 && m.live.forall(_.contains("/_b=")))
+    val ranges = m.stats.filter(_.column == "id")
+      .map(s => (s.min.toLong, s.max.toLong)).sortBy(_._1)
     assert(ranges.size == 2)
-    assert(ranges(0)._2 < ranges(1)._1, ranges.toString) // disjoint
+    assert(ranges(0)._2 < ranges(1)._1, ranges.toString) // disjoint dirs
+    // a point predicate prunes the other bucket driver-side
+    val (kept, pruned) = ST.planScan(m, ST.KeyRange("id", Some(0L), Some(1L)))
+    assert(kept.size == 1 && pruned.size == 1)
+    // readWhere == read().filter() — stats only remove provably-empty IO
+    assert(ST.readWhere(spark, t, ST.KeyRange("id", Some(0L), Some(3L)))
+      .select("id").as[Long].collect().sorted.toSeq == (0L to 3L))
+  }
+
+  test("append stats prune dirs; dirs without stats are never pruned") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, Seq((0L, "a"), (9L, "b")).toDF("id", "v"), t) // NO stats
+    ST.append(spark, Seq((100L, "c")).toDF("id", "v"), t, statsBy = Seq("id"))
+    ST.append(spark, Seq((200L, "d")).toDF("id", "v"), t) // statsCols sticky
+    val m = ST.manifest(spark, t, 2)
+    assert(m.statsCols == Seq("id"))
+    assert(m.stats.map(_.dir).sorted == Seq("snap-000001", "snap-000002"))
+    val (kept, pruned) = ST.planScan(m, ST.KeyRange("id", Some(150L), None))
+    // dir 0 has no stats (kept, unprunable); dir 1 provably out; dir 2 in
+    assert(kept.sorted == Seq("snap-000000", "snap-000002"))
+    assert(pruned == Seq("snap-000001"))
+    assert(ST.readWhere(spark, t, ST.KeyRange("id", Some(150L), None))
+      .select("id").as[Long].collect().toSeq == Seq(200L))
+  }
+
+  test("row-level delete rewrites only stats-intersecting dirs (copy-on-write)") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, (0L until 10L).toDF("id"), t, statsBy = Seq("id"))
+    ST.append(spark, (100L until 110L).toDF("id"), t)
+    ST.append(spark, (200L until 210L).toDF("id"), t)
+    val c = ST.delete(spark, t, ST.KeyRange("id", Some(100L), Some(104L)))
+    assert(!c.skippedExisting)
+    val m = ST.manifest(spark, t, c.snapshotId)
+    assert(m.operation == "delete" && m.totalRows == 25)
+    // dirs 0 and 2 carried untouched; dir 1 rewritten into the new dir
+    assert(m.live.contains("snap-000000") && m.live.contains("snap-000002"))
+    assert(!m.live.contains("snap-000001"))
+    assert(ST.read(spark, t).count() == 25)
+    assert(ST.read(spark, t).filter($"id".between(100, 104)).count() == 0)
+    // carried dirs keep their stats; the rewritten dir has fresh ones
+    assert(m.stats.map(_.dir).toSet ==
+      Set("snap-000000", "snap-000002", f"snap-${c.snapshotId}%06d"))
+    // a provably-disjoint delete is a no-op commit
+    assert(ST.delete(spark, t, ST.KeyRange("id", Some(5000L), None)).skippedExisting)
+    // incremental across a delete snapshot fails loudly (not insert-only)
+    val e = intercept[RuntimeException](ST.incremental(spark, t, 0, c.snapshotId))
+    assert(e.getMessage.contains("delete"))
+  }
+
+  test("upsert replaces matching keys, inserts new ones, prunes by key bounds") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, Seq((0L, "a"), (1L, "b")).toDF("id", "v"), t, statsBy = Seq("id"))
+    ST.append(spark, Seq((100L, "x"), (101L, "y")).toDF("id", "v"), t)
+    val c = ST.upsert(spark, t, Seq((1L, "B2"), (2L, "NEW")).toDF("id", "v"), "id")
+    assert(!c.skippedExisting)
+    val m = ST.manifest(spark, t, c.snapshotId)
+    assert(m.operation == "overwrite" && m.totalRows == 5 && m.addedRows == 2)
+    // dir 1 (ids 100..101) provably outside the delta's key bounds: untouched
+    assert(m.live.contains("snap-000001"))
+    assert(!m.live.contains("snap-000000"))
+    val got = ST.read(spark, t).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, "a"), (1L, "B2"), (2L, "NEW"), (100L, "x"), (101L, "y")))
+    // duplicate source keys are undefined-replacement: fail loudly
+    val e = intercept[IllegalArgumentException](
+      ST.upsert(spark, t, Seq((7L, "p"), (7L, "q")).toDF("id", "v"), "id"))
+    assert(e.getMessage.contains("duplicate"))
+    // upsert with a NEW column evolves the schema like append
+    ST.upsert(spark, t, Seq((2L, "NEW2", 0.9)).toDF("id", "v", "score"), "id")
+    val now = ST.read(spark, t)
+    assert(now.columns.toSeq == Seq("id", "v", "score"))
+    assert(now.filter($"id" === 2L).select("score").collect()(0).getDouble(0) == 0.9)
+    assert(now.filter($"score".isNull).count() == 4)
+  }
+
+  test("vacuum removes uncommitted upsert leftovers, keeps bucket-dir parents") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, (0L until 6L).toDF("id"), t)
+    ST.compact(spark, t, targetFiles = 2, sortBy = Seq("id")) // live: snap-000001/_b=K
+    // crash leftovers: an uncommitted upsert's -src/-rw dirs
+    Seq(99L).toDF("id").write.parquet(s"$t/data/snap-000002-src")
+    Seq(98L).toDF("id").write.parquet(s"$t/data/snap-000002-rw")
+    assert(ST.vacuum(spark, t).sorted == Seq("snap-000002-rw", "snap-000002-src"))
+    // the clustered dir's top-level parent survives (its buckets are live)
+    assert(ST.read(spark, t).count() == 6)
   }
 
   test("vacuum deletes only unreferenced crash-leftover dirs") {
