@@ -474,26 +474,34 @@ object SnapshotTable {
     * required ordering on `_b`, so no second sort is inserted.
     */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
-              sortBy: Seq[String] = Nil): Commit = {
+              sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Commit = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive")
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorderBy needs >= 2 columns (one column is just sortBy)")
     val (fs, root) = fsOf(spark, dir)
     val ids = manifestIds(fs, root)
     val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
     val m = manifest(spark, dir, last)
-    if (m.live.size <= targetFiles && sortBy.isEmpty)
+    if (m.live.size <= targetFiles && sortBy.isEmpty && zorderBy.isEmpty)
       return Commit(last, skippedExisting = true)
     val next = last + 1
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
     val base = readDirs(spark, root, m.live, m.schema)
-    val scols = (m.statsCols ++ sortBy).distinct
+    val scols = (m.statsCols ++ sortBy ++ zorderBy).distinct
     val (dirs, stats) =
-      if (sortBy.isEmpty) {
+      if (sortBy.isEmpty && zorderBy.isEmpty) {
         base.coalesce(targetFiles).write.mode("overwrite").parquet(dataPath)
         (Seq(name), computeStats(spark, dataPath, name, scols))
       } else {
-        base.repartitionByRange(targetFiles, sortBy.map(col): _*)
+        val keyed = if (zorderBy.isEmpty) base
+          else base.withColumn("_z", zValue(base, zorderBy))
+        val rangeCols = if (zorderBy.isEmpty) sortBy.map(col) else Seq(col("_z"))
+        keyed.repartitionByRange(targetFiles, rangeCols: _*)
           .withColumn("_b", spark_partition_id())
-          .sortWithinPartitions(col("_b") +: sortBy.map(col): _*)
+          .sortWithinPartitions(col("_b") +: rangeCols: _*)
+          .drop("_z")
           .write.mode("overwrite").partitionBy("_b").parquet(dataPath)
         val buckets = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith("_b=")).sorted.toIndexedSeq
@@ -507,6 +515,42 @@ object SnapshotTable {
       batchCommits = m.batchCommits, schemaJson = m.schemaJson,
       statsCols = scols, stats = stats))
     Commit(next, skippedExisting = false)
+  }
+
+  /** Z-VALUE of `cols` (2+ numeric columns): each column is mapped to a
+    * 4-bit empirical-quantile bucket (boundaries from ONE driver-side
+    * `approxQuantile` pass — the same sample-then-assign trade Spark's own
+    * RangePartitioner makes), and the bucket bits are interleaved
+    * round-robin into one integer. Range-partitioning on that integer
+    * clusters the rewrite in EVERY keyed dimension at once, so per-dir
+    * manifest stats stay tight on all of them — the OPTIMIZE ZORDER
+    * analogue, where a plain sort clusters only its leading column. Pure
+    * column arithmetic (when-chain + shifts), fully codegen'd; NULLs land
+    * in bucket 0.
+    */
+  private def zValue(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.NumericType
+    cols.foreach(c => require(df.schema(c).dataType.isInstanceOf[NumericType],
+      s"zorderBy column '$c' must be numeric (is ${df.schema(c).dataType.catalogString})"))
+    val bits = 4
+    val nb = (1 << bits) - 1 // 15 boundaries -> 16 buckets per column
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+    val buckets = cols.zip(bounds).map { case (c, bs) =>
+      if (bs.isEmpty) lit(0) // all-null column: one bucket
+      else {
+        val head = when(col(c).isNull || col(c) <= lit(bs(0)), lit(0))
+        bs.toIndexedSeq.tail.zipWithIndex.foldLeft(head) { case (acc, (b, i)) =>
+          acc.when(col(c) <= lit(b), lit(i + 1))
+        }.otherwise(lit(bs.length))
+      }
+    }
+    val k = cols.size
+    (0 until bits).flatMap { i =>
+      buckets.zipWithIndex.map { case (bc, ci) =>
+        shiftleft(shiftright(bc, i).bitwiseAND(lit(1)), i * k + (k - 1 - ci))
+      }
+    }.reduce(_ bitwiseOR _)
   }
 
   /** Per-bucket stats of a clustered compaction in ONE grouped job (`_b`

@@ -202,6 +202,30 @@ object OpsQueries {
       ST.readWhere(s, t, range).orderBy("doc_id")
     }),
 
+    // Z-ORDER clustered compaction: interleaved-bit quantile buckets on
+    // (doc_id, n_chars) so per-dir manifest stats stay tight in BOTH
+    // dimensions — a band on either column prunes dirs (require()d), where
+    // a plain sort could only prune its leading column. The gate reads the
+    // NON-leading-dimension band (n_chars) and must equal the plain filter.
+    "pipe_snap_zorder" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapz").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      for (k <- 0 to 2)
+        ST.append(s, docs.filter(col("doc_id") % 3 === k), t, Some(s"b$k"),
+          statsBy = Seq("doc_id", "n_chars"))
+      ST.compact(s, t, targetFiles = 16, zorderBy = Seq("doc_id", "n_chars"))
+      val m = ST.manifest(s, t, ST.latestId(s, t).get)
+      val byId = ST.planScan(m, ST.KeyRange("doc_id", Some(100L), Some(199L)))
+      val byLen = ST.planScan(m, ST.KeyRange("n_chars", Some(100L), Some(150L)))
+      require(byId._2.nonEmpty && byLen._2.nonEmpty,
+        s"zorder must prune both dims (doc_id kept ${byId._1.size}/${m.live.size}, " +
+          s"n_chars kept ${byLen._1.size}/${m.live.size})")
+      ST.readWhere(s, t, ST.KeyRange("n_chars", Some(100L), Some(150L)))
+        .orderBy("doc_id")
+    }),
+
     // row-level MERGE + DELETE (copy-on-write): upsert a delta that
     // updates every 10th doc and inserts clones at doc_id+100000, then
     // delete a doc_id band; the final table is last-write-wins over the
@@ -1773,6 +1797,10 @@ object OpsQueries {
     "pipe_snap_prune" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""".stripMargin,
+
+    "pipe_snap_zorder" ->
+      """SELECT doc_id, n_chars, source FROM documents
+        |WHERE n_chars BETWEEN 100 AND 150 ORDER BY doc_id""".stripMargin,
 
     "pipe_snap_merge" ->
       """WITH delta AS (

@@ -100,6 +100,37 @@ class SnapshotSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == (0L to 3L))
   }
 
+  test("zorder compaction prunes on EITHER keyed column; plain sort only on the leading one") {
+    import spark.implicits._
+    // two independent uniform dims: x = i/64, y = i%64 over an 8x8 grid x64
+    def grid() = spark.range(0, 4096, 1, 8)
+      .select(($"id" / 64).cast("long").as("x"), ($"id" % 64).as("y"))
+    val tz = tmp()
+    ST.append(spark, grid(), tz, statsBy = Seq("x", "y"))
+    ST.compact(spark, tz, targetFiles = 16, zorderBy = Seq("x", "y"))
+    val mz = ST.manifest(spark, tz, ST.latestId(spark, tz).get)
+    val bandX = ST.KeyRange("x", Some(0L), Some(7L))   // 1/8 of x
+    val bandY = ST.KeyRange("y", Some(0L), Some(7L))   // 1/8 of y
+    val (keptX, prunedX) = ST.planScan(mz, bandX)
+    val (keptY, prunedY) = ST.planScan(mz, bandY)
+    assert(prunedX.nonEmpty && prunedY.nonEmpty,
+      s"zorder must prune both dims (x kept ${keptX.size}, y kept ${keptY.size})")
+    // same table sorted on x alone: x prunes, y cannot (every dir spans all y)
+    val ts = tmp()
+    ST.append(spark, grid(), ts, statsBy = Seq("x", "y"))
+    ST.compact(spark, ts, targetFiles = 16, sortBy = Seq("x"))
+    val ms = ST.manifest(spark, ts, ST.latestId(spark, ts).get)
+    assert(ST.planScan(ms, bandX)._2.nonEmpty)
+    assert(ST.planScan(ms, bandY)._2.isEmpty, "sort-by-x cannot prune y bands")
+    // pruned reads stay exact on both dims
+    assert(ST.readWhere(spark, tz, bandY).count() ==
+      ST.read(spark, tz).filter($"y".between(0, 7)).count())
+    assert(ST.readWhere(spark, tz, bandY).count() == 512)
+    // zorder on a non-numeric or single column fails loudly
+    intercept[IllegalArgumentException](
+      ST.compact(spark, tz, targetFiles = 4, zorderBy = Seq("x")))
+  }
+
   test("append stats prune dirs; dirs without stats are never pruned") {
     import spark.implicits._
     val t = tmp()
