@@ -512,6 +512,65 @@ object Text {
       .withColumn("keep", col("score") > 0)
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): featurize documents as hashed
+    * bag-of-words bucket counts, fit unigram bucket distributions on a
+    * TARGET corpus (the domain to select more of) and on the RAW corpus,
+    * and score every raw document with its log importance ratio
+    * `log p̂_target(doc) − log p̂_raw(doc) = Σ_tok [log p̂_t(b(tok)) −
+    * log p̂_r(b(tok))]` (Laplace-smoothed). Selection = top-k by weight
+    * ([[dsirSelect]]).
+    *
+    * Scale shape: both distribution fits are map-side-combined aggregates
+    * with key cardinality ≤ `buckets` (model-sized, like the IVF
+    * centroids), collected driver-side and folded into ONE literal
+    * long-array of per-bucket log-ratio deltas — so SCORING is a
+    * zero-shuffle codegen'd transform+aggregate projection per raw row.
+    * The raw corpus (the 100 TB side) is scanned once for its fit and once
+    * for scoring, never shuffled or joined.
+    *
+    * Bit-safety: log2 is applied as INTEGER floor-log2 (bin-length − 1,
+    * the [[bigramSurprisal]] trick) so weights are exact longs every
+    * engine reproduces bit-for-bit; a production run swaps in libm log for
+    * smoother weights — same plan, float math.
+    */
+  def dsirWeights(raw: org.apache.spark.sql.DataFrame,
+                  target: org.apache.spark.sql.DataFrame,
+                  textCol: String, buckets: Int = 512): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val bucket = (t: Column) =>
+      conv(substring(md5(t), 1, 6), 16, 10).cast("long") % buckets
+    def bucketCounts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(explode(transform(split(col(textCol), " "), bucket)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    // per-token normalization  log2(T_raw+B) − log2(T_tgt+B)  folded into
+    // every bucket's delta, so the doc score needs no separate n_tok term
+    val norm = ilog2(rc.values.sum + buckets) - ilog2(tc.values.sum + buckets)
+    val delta = Array.tabulate(buckets)(b =>
+      ilog2(tc.getOrElse(b.toLong, 0L) + 1) -
+        ilog2(rc.getOrElse(b.toLong, 0L) + 1) + norm)
+    raw.withColumn("dsir_w",
+      aggregate(transform(split(col(textCol), " "),
+          t => element_at(typedLit(delta.toSeq), bucket(t).cast("int") + 1)),
+        lit(0L), (acc, x) => acc + x))
+  }
+
+  /** Top-`k` DSIR selection (weight DESC, then `idCol` ASC for engine
+    * determinism) — `TakeOrderedAndProject`: per-partition heaps + a
+    * driver merge of k rows, never a global sort.
+    */
+  def dsirSelect(raw: org.apache.spark.sql.DataFrame,
+                 target: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String, k: Int,
+                 buckets: Int = 512): org.apache.spark.sql.DataFrame =
+    dsirWeights(raw, target, textCol, buckets)
+      .orderBy(col("dsir_w").desc, col(idCol))
+      .limit(k)
+
   /** One round of BPE merge statistics: the K most frequent ADJACENT token
     * pairs across the corpus — the merge-candidate table a distributed BPE
     * trainer materializes per iteration. One narrow bigram explode -> a

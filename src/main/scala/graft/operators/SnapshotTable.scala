@@ -74,7 +74,9 @@ object SnapshotTable {
                             batchCommits: Seq[(String, Long)] = Nil,
                             schemaJson: Option[String] = None,
                             statsCols: Seq[String] = Nil,
-                            stats: Seq[DirStat] = Nil) {
+                            stats: Seq[DirStat] = Nil,
+                            bloomCols: Seq[String] = Nil,
+                            blooms: Seq[(String, String)] = Nil) {
     /** Table schema AS OF this snapshot (None on pre-schema manifests —
       * readers fall back to parquet footer inference).
       */
@@ -131,7 +133,11 @@ object SnapshotTable {
       // bounds are base64'd (values may contain any character); the other
       // fields are in the constrained charset, so '|' separates unambiguously
       s""""stats":${strList(m.stats.map(st =>
-        s"${st.dir}|${st.column}|${st.tpe}|${b64(st.min)}|${b64(st.max)}"))}}"""
+        s"${st.dir}|${st.column}|${st.tpe}|${b64(st.min)}|${b64(st.max)}"))},""" +
+      s""""bloom_cols":${strList(m.bloomCols)},""" +
+      // column names exclude '|' (validated [A-Za-z0-9_.]+), so splitting on
+      // the LAST '|' is unambiguous even for bucket dirs ("snap-N/_b=K")
+      s""""blooms":${strList(m.blooms.map { case (d, c) => s"$d|$c" })}}"""
   }
 
   private def b64(s: String) =
@@ -171,6 +177,11 @@ object SnapshotTable {
           case Array(d, c, t, lo, hi) => DirStat(d, c, t, unb64(lo), unb64(hi))
           case _ => sys.error(s"bad stats entry: $e")
         }
+      },
+      bloomCols = list("bloom_cols"),
+      blooms = list("blooms").map { e =>
+        val cut = e.lastIndexOf('|')
+        (e.substring(0, cut), e.substring(cut + 1))
       })
   }
 
@@ -216,7 +227,8 @@ object SnapshotTable {
     */
   def append(spark: SparkSession, df: DataFrame, dir: String,
              batchId: Option[String] = None,
-             statsBy: Seq[String] = Nil): Commit = {
+             statsBy: Seq[String] = Nil,
+             bloomBy: Seq[String] = Nil): Commit = {
     val (fs, root) = fsOf(spark, dir)
     batchId.foreach { b =>
       require(b.matches("[A-Za-z0-9._:-]+"),
@@ -260,6 +272,7 @@ object SnapshotTable {
         // stats columns are a table property: once requested they are
         // computed on every later append too, so pruning stays complete
         val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
+        val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
         val m = Manifest(next, ids.lastOption, "append", batchId,
           added = Seq(name), live = parent.map(_.live).getOrElse(Nil) :+ name,
           addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
@@ -267,7 +280,10 @@ object SnapshotTable {
           schemaJson = schemaNow,
           statsCols = scols,
           stats = parent.map(_.stats).getOrElse(Nil) ++
-            computeStats(spark, dataPath, name, scols))
+            computeStats(spark, dataPath, name, scols),
+          bloomCols = bcols,
+          blooms = parent.map(_.blooms).getOrElse(Nil) ++
+            computeBlooms(spark, fs, root, dataPath, name, bcols))
         commitManifest(fs, root, m)
         Commit(next, skippedExisting = false)
     }
@@ -344,6 +360,104 @@ object SnapshotTable {
     }
   }
 
+  // ---- per-dir Bloom sketches (point-lookup pruning) -------------------
+  //
+  // Min/max bounds cannot prune POINT lookups when every dir spans the full
+  // key range (arrival-interleaved appends — the production norm). A per-dir
+  // Bloom filter proves "key definitely absent" for such dirs. Sketches live
+  // as SIDECAR files under `_manifests/bloom/` (the Iceberg puffin-file
+  // trade: a 1%-fpp sketch is ~1.2 B/key, far too big to inline in the JSON
+  // manifest at millions of keys/dir); the manifest's `blooms` list is the
+  // authoritative record of which (dir, column) sketches exist. Readers load
+  // only the sketches of live dirs for the probed column — driver-side
+  // metadata, like planScan. A dir without a sketch is never bloom-pruned.
+
+  private def bloomDir(root: Path) = new Path(manifestDir(root), "bloom")
+
+  private def bloomFileName(dirName: String, column: String): String =
+    s"${dirName.replace('/', '~')}.$column.bloom"
+
+  private val BloomFpp = 0.01
+
+  /** Build + persist sidecar sketches for `cols` over one just-written data
+    * dir. One narrow job per dir: partial blooms per partition (identical
+    * (expectedItems, fpp) so they merge), OR-merged driver-side — the same
+    * shape Spark's own DataFrameStatFunctions.bloomFilter uses. Long and
+    * string key domains; other types fail loudly (a sketch that can never
+    * prune is a silent no-op). At production scale the writer's tasks would
+    * emit these alongside the parquet footers for free.
+    */
+  private def computeBlooms(spark: SparkSession, fs: FileSystem, root: Path,
+                            dataPath: String, dirName: String,
+                            cols: Seq[String]): Seq[(String, String)] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    if (cols.isEmpty) return Nil
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
+      s"bloom column name '$c' must match [A-Za-z0-9_.]+"))
+    val df = spark.read.parquet(dataPath)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Nil
+    val rows = math.max(df.count(), 1L) // metadata-only (parquet footers)
+    present.flatMap { c =>
+      val tpe = statDomain(df.schema(c).dataType)
+      require(tpe != "double",
+        s"bloom sketches need an exact key domain; column '$c' is fractional")
+      val partials: Array[Array[Byte]] = (tpe match {
+        case "long" =>
+          df.select(col(c).cast("long")).na.drop()
+            .map(_.getLong(0))(org.apache.spark.sql.Encoders.scalaLong)
+            .mapPartitions { it =>
+              val bf = BloomFilter.create(rows, BloomFpp)
+              it.foreach(bf.putLong)
+              Iterator.single(serBloom(bf))
+            }(org.apache.spark.sql.Encoders.BINARY)
+        case _ =>
+          df.select(col(c).cast("string")).na.drop()
+            .map(_.getString(0))(org.apache.spark.sql.Encoders.STRING)
+            .mapPartitions { it =>
+              val bf = BloomFilter.create(rows, BloomFpp)
+              it.foreach(bf.putString)
+              Iterator.single(serBloom(bf))
+            }(org.apache.spark.sql.Encoders.BINARY)
+      }).collect()
+      if (partials.isEmpty) None // zero-partition dir: no sketch, never pruned
+      else {
+        val merged = partials.map(b => BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b))).reduce { (a, b) => a.mergeInPlace(b); a }
+        val p = new Path(bloomDir(root), bloomFileName(dirName, c))
+        fs.mkdirs(bloomDir(root))
+        val out = fs.create(p, true)
+        try merged.writeTo(out) finally out.close()
+        Some(dirName -> c)
+      }
+    }
+  }
+
+  private def serBloom(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos); bos.toByteArray
+  }
+
+  private def loadBloom(fs: FileSystem, root: Path, dirName: String,
+                        column: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = fs.open(new Path(bloomDir(root), bloomFileName(dirName, column)))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Delete sidecar sketches not referenced by any retained manifest (expiry
+    * / vacuum hygiene — sketch files follow their data dirs' lifecycle).
+    */
+  private def cleanBlooms(spark: SparkSession, fs: FileSystem, root: Path,
+                          tableDir: String): Unit = {
+    val bd = bloomDir(root)
+    if (!fs.exists(bd)) return
+    val referenced = manifestIds(fs, root)
+      .flatMap(manifest(spark, tableDir, _).blooms)
+      .map { case (d, c) => bloomFileName(d, c) }.toSet
+    fs.listStatus(bd).map(_.getPath.getName).filterNot(referenced)
+      .foreach(n => fs.delete(new Path(bd, n), false))
+  }
+
   /** A one-column range predicate that both renders as a Catalyst filter
     * and binds against manifest stats for dir-level pruning — the minimal
     * honest slice of Iceberg's expression-to-bounds evaluation. `None`
@@ -390,6 +504,49 @@ object SnapshotTable {
     val (kept, _) = planScan(m, range)
     if (kept.isEmpty) read(spark, dir).limit(0)
     else readDirs(spark, root, kept, m.schema).filter(range.toColumn)
+  }
+
+  /** Scan plan for a POINT lookup `column == value`: min/max bounds prune
+    * first, then per-dir Bloom sketches prune dirs that provably lack the
+    * key — the case bounds cannot touch when arrival-interleaved appends
+    * make every dir span the full key range. A false positive only KEEPS a
+    * dir (the residual filter stays exact); a dir without a sketch is never
+    * bloom-pruned. Pure driver-side metadata: bounds from the manifest,
+    * sketches from config-sized sidecar reads.
+    */
+  def planScanEq(spark: SparkSession, dir: String, m: Manifest,
+                 column: String, value: Any): (Seq[String], Seq[String]) = {
+    val (fs, root) = fsOf(spark, dir)
+    val (byBounds, prunedBounds) =
+      planScan(m, KeyRange(column, Some(value), Some(value)))
+    val sketched = m.blooms.filter(_._2 == column).map(_._1).toSet
+    val (kept, prunedBloom) = byBounds.partition { d =>
+      !sketched(d) || {
+        val bf = loadBloom(fs, root, d, column)
+        value match {
+          case n: Long   => bf.mightContainLong(n)
+          case n: Int    => bf.mightContainLong(n.toLong)
+          case n: Short  => bf.mightContainLong(n.toLong)
+          case n: Byte   => bf.mightContainLong(n.toLong)
+          case s: String => bf.mightContainString(s)
+          case _         => true // unprobeable type: keep (never prune unsafely)
+        }
+      }
+    }
+    (kept, prunedBounds ++ prunedBloom)
+  }
+
+  /** Pruned point-lookup read: only dirs the bounds AND sketches keep are
+    * planned, then the exact equality filter applies. Identical result to
+    * `read(...).filter(col === value)`.
+    */
+  def readWhereEq(spark: SparkSession, dir: String, column: String, value: Any): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val id = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, id)
+    val (kept, _) = planScanEq(spark, dir, m, column, value)
+    if (kept.isEmpty) read(spark, dir).limit(0)
+    else readDirs(spark, root, kept, m.schema).filter(col(column) === lit(value))
   }
 
   /** Time-travel read: the table exactly as of snapshot `id`, planned from
@@ -510,10 +667,14 @@ object SnapshotTable {
     val rows = spark.read.parquet(dataPath).count()
     require(rows == m.totalRows,
       s"compaction row mismatch: rewrote $rows rows, expected ${m.totalRows}")
+    // rebuild sidecar sketches per rewritten dir (clustered: one per bucket)
+    val blooms = dirs.flatMap(d => computeBlooms(spark, fs, root,
+      new Path(dataDir(root), d).toString, d, m.bloomCols))
     commitManifest(fs, root, Manifest(next, Some(last), "replace", None,
       added = dirs, live = dirs, addedRows = 0L, totalRows = m.totalRows,
       batchCommits = m.batchCommits, schemaJson = m.schemaJson,
-      statsCols = scols, stats = stats))
+      statsCols = scols, stats = stats,
+      bloomCols = m.bloomCols, blooms = blooms))
     Commit(next, skippedExisting = false)
   }
 
@@ -610,13 +771,17 @@ object SnapshotTable {
       if (untouched.isEmpty) 0L
       else readDirs(spark, root, untouched, m.schema).count() // metadata-only
     val carried = m.stats.filter(st => untouched.contains(st.dir))
+    val carriedBlooms = m.blooms.filter(b => untouched.contains(b._1))
     commitManifest(fs, root, Manifest(next, Some(last), "delete", None,
       added = if (keepDir) Seq(name) else Nil, live = live,
       addedRows = 0L, totalRows = keptRows + untouchedRows,
       batchCommits = m.batchCommits, schemaJson = m.schemaJson,
       statsCols = m.statsCols,
       stats = carried ++ (if (keptRows > 0)
-        computeStats(spark, dataPath, name, m.statsCols) else Nil)))
+        computeStats(spark, dataPath, name, m.statsCols) else Nil),
+      bloomCols = m.bloomCols,
+      blooms = carriedBlooms ++ (if (keptRows > 0)
+        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil)))
     Commit(next, skippedExisting = false)
   }
 
@@ -670,12 +835,17 @@ object SnapshotTable {
     val newStats =
       (if (rwRows > 0) computeStats(spark, rwPath, s"$name-rw", m.statsCols) else Nil) ++
         computeStats(spark, srcPath, s"$name-src", m.statsCols)
+    val newBlooms =
+      (if (rwRows > 0) computeBlooms(spark, fs, root, rwPath, s"$name-rw", m.bloomCols) else Nil) ++
+        computeBlooms(spark, fs, root, srcPath, s"$name-src", m.bloomCols)
     if (rwRows == 0 && affected.nonEmpty) fs.delete(new Path(rwPath), true)
     commitManifest(fs, root, Manifest(next, Some(last), "overwrite", None,
       added = added, live = live,
       addedRows = srcRows, totalRows = rwRows + untouchedRows + srcRows,
       batchCommits = m.batchCommits, schemaJson = Some(schemaNow.json),
-      statsCols = m.statsCols, stats = carried ++ newStats))
+      statsCols = m.statsCols, stats = carried ++ newStats,
+      bloomCols = m.bloomCols,
+      blooms = m.blooms.filter(b => untouched.contains(b._1)) ++ newBlooms))
     Commit(next, skippedExisting = false)
   }
 
@@ -699,6 +869,7 @@ object SnapshotTable {
     drop.foreach { id =>
       fs.delete(new Path(manifestDir(root), f"manifest-$id%06d.json"), false)
     }
+    cleanBlooms(spark, fs, root, dir) // sketches follow their dirs' lifecycle
     dropDirs.toSeq.sorted
   }
 
@@ -721,6 +892,7 @@ object SnapshotTable {
     val orphans = fs.listStatus(dd).map(_.getPath.getName)
       .filterNot(referenced).sorted.toIndexedSeq
     orphans.foreach(n => fs.delete(new Path(dd, n), true))
+    cleanBlooms(spark, fs, root, dir)
     orphans
   }
 

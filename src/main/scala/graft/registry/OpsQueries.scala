@@ -226,6 +226,34 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // per-dir BLOOM sidecar pruning for POINT lookups: appends are
+    // arrival-interleaved (doc_id % 3), so every dir spans the full id
+    // range and min/max bounds keep everything — only the Bloom sketches
+    // can prove a key absent from a dir. require()s that bounds alone keep
+    // ALL dirs AND blooms prune some: the gate fails if either side of
+    // that contrast stops holding. Result = three point lookups, exact.
+    "pipe_snap_bloom" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapbloom").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      for (k <- 0 to 2)
+        ST.append(s, docs.filter(col("doc_id") % 3 === k), t, Some(s"b$k"),
+          statsBy = Seq("doc_id"), bloomBy = Seq("doc_id"))
+      val m = ST.manifest(s, t, ST.latestId(s, t).get)
+      val keys = Seq(5L, 100L, 250L)
+      keys.foreach { k =>
+        val boundsKept = ST.planScan(m, ST.KeyRange("doc_id", Some(k), Some(k)))._1
+        require(boundsKept.size == m.live.size,
+          s"interleaved dirs must defeat min/max for doc_id=$k (kept ${boundsKept.size})")
+        val (kept, pruned) = ST.planScanEq(s, t, m, "doc_id", k)
+        require(pruned.nonEmpty,
+          s"bloom must prune dirs for doc_id=$k (kept ${kept.size}/${m.live.size})")
+      }
+      keys.map(k => ST.readWhereEq(s, t, "doc_id", k))
+        .reduce(_ unionByName _).orderBy("doc_id")
+    }),
+
     // row-level MERGE + DELETE (copy-on-write): upsert a delta that
     // updates every 10th doc and inserts clones at doc_id+100000, then
     // delete a doc_id band; the final table is last-write-wins over the
@@ -1801,6 +1829,10 @@ object OpsQueries {
     "pipe_snap_zorder" ->
       """SELECT doc_id, n_chars, source FROM documents
         |WHERE n_chars BETWEEN 100 AND 150 ORDER BY doc_id""".stripMargin,
+
+    "pipe_snap_bloom" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (5, 100, 250) ORDER BY doc_id""".stripMargin,
 
     "pipe_snap_merge" ->
       """WITH delta AS (

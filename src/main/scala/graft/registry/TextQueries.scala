@@ -676,6 +676,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // two-corpus DSIR SELECTION (the production shape: a small curated
+    // TARGET frame steers selection over a huge RAW frame): bucket
+    // log-ratio deltas fold into one literal array, scoring is a
+    // zero-shuffle projection, top-k is TakeOrderedAndProject
+    "txt_dsirsel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Text.dsirSelect(
+          d.filter(!col("source").isin("src0", "src1")),
+          d.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text", k = 50)
+        .select(col("doc_id"), col("source"), col("dsir_w"))
+        .orderBy("doc_id")
+    }),
+
     // prototype-based cluster pruning (Sorscher et al. 2022): assign to
     // the fixed quantizer's prototypes, keep the hardest (least
     // prototypical) half of every cluster
@@ -1019,6 +1033,37 @@ object TextQueries {
         |         AS dsir_avg,
         |       dsir_score > 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "txt_dsirsel" ->
+      """WITH tgt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |raw AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+        |tb AS (
+        |  SELECT CAST('0x' || substring(md5(tok), 1, 6) AS BIGINT) % 512 AS bkt,
+        |         COUNT(*) AS ct
+        |  FROM tgt GROUP BY 1),
+        |rb AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substring(md5(tok), 1, 6) AS BIGINT) % 512 AS bkt
+        |  FROM raw),
+        |rc AS (SELECT bkt, COUNT(*) AS cr FROM rb GROUP BY 1),
+        |nrm AS (
+        |  SELECT CAST(length(bin((SELECT COUNT(*) FROM raw) + 512)) -
+        |              length(bin((SELECT COUNT(*) FROM tgt) + 512)) AS BIGINT) AS n),
+        |w AS (
+        |  SELECT rc.bkt,
+        |         CAST(length(bin(COALESCE(tb.ct, 0) + 1)) -
+        |              length(bin(rc.cr + 1)) AS BIGINT) + (SELECT n FROM nrm) AS w
+        |  FROM rc LEFT JOIN tb USING (bkt)),
+        |sc AS (
+        |  SELECT rb.doc_id, rb.source, CAST(SUM(w.w) AS BIGINT) AS dsir_w
+        |  FROM rb JOIN w USING (bkt) GROUP BY rb.doc_id, rb.source)
+        |SELECT doc_id, source, dsir_w FROM (
+        |  SELECT * FROM sc ORDER BY dsir_w DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_proto" ->
       """WITH cent AS (

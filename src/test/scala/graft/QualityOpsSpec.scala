@@ -223,6 +223,25 @@ class QualityOpsSpec extends SparkSpec {
     assert(out(10L)._3 && !out(11L)._3)
   }
 
+  test("dsirSelect: two-corpus weights rank target-like docs first, k bounds") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha alpha beta"), (101L, "alpha beta beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"),   // target-like
+      (2L, "zap zap zap"),        // off-target
+      (3L, "alpha zap beta"),     // mixed
+      (4L, "beta alpha beta"))    // target-like
+      .toDF("doc_id", "text")
+    val w = Text.dsirWeights(raw, target, "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dsir_w")).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L)) // every raw doc scored
+    assert(w(1L) > w(2L) && w(4L) > w(2L) && w(3L) > w(2L))
+    val top = Text.dsirSelect(raw, target, "doc_id", "text", k = 2, buckets = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top.size == 2 && !top.contains(2L)) // k bounds, worst doc out
+  }
+
   test("protoPrune: keeps the hardest half of each cluster, exact quota") {
     import spark.implicits._
     def v(x: Float, y: Float) = Seq(x, y)

@@ -131,6 +131,47 @@ class SnapshotSpec extends SparkSpec {
       ST.compact(spark, tz, targetFiles = 4, zorderBy = Seq("x")))
   }
 
+  test("bloom sketches prune point lookups where min/max bounds cannot") {
+    import spark.implicits._
+    val t = tmp()
+    // arrival-interleaved: batch k holds ids ≡ k (mod 4), so EVERY dir spans
+    // nearly the whole id range — bounds keep everything, only blooms prune
+    for (k <- 0 until 4)
+      ST.append(spark, spark.range(0, 256, 1, 4)
+        .select(($"id" * 4 + k).as("id"))
+        .select($"id", concat(lit("v"), $"id").as("v")),
+        t, statsBy = Seq("id"), bloomBy = Seq("id"))
+    val m = ST.manifest(spark, t, ST.latestId(spark, t).get)
+    assert(m.bloomCols == Seq("id") && m.blooms.size == 4)
+    // bounds alone keep all 4 dirs for the point key
+    assert(ST.planScan(m, ST.KeyRange("id", Some(42L), Some(42L)))._2.isEmpty)
+    // blooms prove the other residues absent (fp may keep extra, never all)
+    val (kept, pruned) = ST.planScanEq(spark, t, m, "id", 42L)
+    assert(pruned.nonEmpty && kept.contains("snap-000002")) // 42 ≡ 2 (mod 4)
+    // pruned read is exact, and an absent key reads empty
+    assert(ST.readWhereEq(spark, t, "id", 42L).select("v").as[String].collect()
+      .toSeq == Seq("v42"))
+    assert(ST.readWhereEq(spark, t, "id", 5000L).count() == 0)
+    // compaction rebuilds sketches for the rewritten dirs
+    ST.compact(spark, t, targetFiles = 2, sortBy = Seq("id"))
+    val mc = ST.manifest(spark, t, ST.latestId(spark, t).get)
+    assert(mc.blooms.map(_._1).toSet == mc.live.toSet)
+    assert(ST.readWhereEq(spark, t, "id", 42L).count() == 1)
+    // expiry deletes sidecars of dropped dirs (only live dirs' files remain)
+    ST.expire(spark, t, keepLast = 1)
+    val bloomFiles = new java.io.File(s"$t/_manifests/bloom").list().toSeq
+      .filterNot(_.startsWith(".")) // hadoop local-fs .crc sidecars
+    assert(bloomFiles.size == mc.live.size)
+    // a table without blooms never bloom-prunes (falls back to bounds)
+    val t2 = tmp()
+    ST.append(spark, batch(0 until 8), t2, statsBy = Seq("id"))
+    val m2 = ST.manifest(spark, t2, 0)
+    assert(ST.planScanEq(spark, t2, m2, "id", 3L)._1 == Seq("snap-000000"))
+    // fractional key domains fail loudly
+    intercept[IllegalArgumentException](ST.append(spark,
+      Seq((1.5, "x")).toDF("score", "v"), tmp(), bloomBy = Seq("score")))
+  }
+
   test("append stats prune dirs; dirs without stats are never pruned") {
     import spark.implicits._
     val t = tmp()
