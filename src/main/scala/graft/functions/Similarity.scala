@@ -379,6 +379,25 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col(idCol))
       .limit(k)
 
+  /** Two-stage PQ search with EXACT re-rank (the FAISS `refine` stage):
+    * ADC-score the compressed codes, keep the `shortlist` nearest (ties by
+    * id), then re-score ONLY those rows with the exact cosine against the
+    * raw vectors and return the true top `k`. The ADC pass touches codes
+    * only (compressed, dimension-independent per-row cost); the raw-vector
+    * read is a `shortlist`-sized broadcast semi-join back onto the base
+    * table — so at 100 TB the full-precision vectors stay cold except for
+    * O(shortlist) rows per query, while recall recovers what quantization
+    * lost. Composes with IVF the same way [[ivfTopKIndexed]] does (prune
+    * lists first, ADC the survivors, refine the shortlist).
+    */
+  def pqTopKRefined(encoded: DataFrame, raw: DataFrame, embCol: String,
+                    idCol: String, dtable: Array[Array[Double]],
+                    query: Seq[Float], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqTopK(encoded, idCol, dtable, shortlist).select(col(idCol))
+    topK(raw.join(broadcast(cand), Seq(idCol)), embCol, idCol, query, k)
+  }
+
   /** Sign-LSH band bucket id for band `b`: bit i = (emb[b*bitsPerBand+i] > 0).
     * Each band is a SEPARATE, narrow bucket key — 2^bitsPerBand buckets per
     * band — so per-bucket population shrinks exponentially with bitsPerBand

@@ -58,11 +58,22 @@ object SnapshotPipe {
     */
   def lastProcessed(spark: SparkSession, sinkDir: String,
                     srcDir: String): Option[Long] = {
+    val bounds = processedBounds(spark, sinkDir, srcDir)
+    if (bounds.isEmpty) None else Some(bounds.max)
+  }
+
+  /** EVERY chunk upper bound committed into `sinkDir` from `srcDir` — the
+    * sink's full cursor history, recovered from one manifest read (the
+    * cumulative ledger). [[runSinks]] force-aligns its chunk edges to these
+    * so a rerun with a different chunk size can never cut a chunk through
+    * the middle of a span some sink already committed.
+    */
+  private[graft] def processedBounds(spark: SparkSession, sinkDir: String,
+                                     srcDir: String): Seq[Long] = {
     val re = s"incr-${srcToken(srcDir)}-(\\d+)".r
-    SnapshotTable.latestId(spark, sinkDir).flatMap { id =>
-      val ledger = SnapshotTable.manifest(spark, sinkDir, id).batchCommits
-      val bounds = ledger.collect { case (re(b), _) => b.toLong }
-      if (bounds.isEmpty) None else Some(bounds.max)
+    SnapshotTable.latestId(spark, sinkDir).toSeq.flatMap { id =>
+      SnapshotTable.manifest(spark, sinkDir, id).batchCommits
+        .collect { case (re(b), _) => b.toLong }
     }
   }
 
@@ -118,5 +129,121 @@ object SnapshotPipe {
       SnapshotTable.append(spark, transform(delta, history()), sinkDir,
         Some(s"incr-$tok-$b"))
     }.toSeq
+  }
+
+  /** Incremental parse→enrich→route materialization into MULTIPLE sink
+    * snapshot tables — the north star's "conditional fan-out routing to
+    * multiple Iceberg sink tables", resumable, exactly-once PER SINK.
+    * Each chunk `(a, b]` of source snapshots is transformed once into a
+    * trunk, flagged once ([[Route.withSinkFlags]], one persisted scan), and
+    * appended to every sink whose condition-matched subset it carries,
+    * under the shared batch id `incr-<src>-<b>` in each sink's own ledger.
+    *
+    * Per-sink cursors can diverge by one in-flight chunk (a crash between
+    * two sinks' commits of the same chunk). Resume is safe against BOTH
+    * that and a changed `maxSnapshotsPerChunk`, by two rules that together
+    * guarantee no row is ever double-appended:
+    *
+    *  1. '''Edge alignment''': chunk edges are the regular K-grid from the
+    *     minimum cursor UNIONED with every bound any sink has already
+    *     committed ([[processedBounds]]) — so a sink's committed span is
+    *     never cut through the middle, and for any chunk `(a, b]` with
+    *     `b > cursor(S)` we get `a >= cursor(S)` (the cursor itself is an
+    *     edge).
+    *  2. '''Coverage skip''': a sink's committed coverage is always the
+    *     contiguous prefix `(…, cursor(S)]` (chunks commit in ascending
+    *     order), so any chunk with `b <= cursor(S)` is already fully
+    *     contained in S and is skipped for S without consulting batch ids.
+    *
+    * A virgin sink against a partially-expired source bootstraps from
+    * `asOf(earliest)` full state like [[run]] — but ONLY the virgin sinks
+    * receive the bootstrap chunk (an existing sink already holds those
+    * rows); a non-virgin sink still at `earliest-1` processes its
+    * `(earliest-1, earliest]` delta normally (per-sink ledgers are
+    * independent, so sharing the bound id with the bootstrap chunk is not
+    * a collision).
+    *
+    * `transform` maps a chunk's incremental rows to the routed trunk
+    * (parse + enrich); routing itself is the sinks' conditions. It is
+    * deliberately stateless (no sink-history argument): fan-out routing is
+    * row-wise, so `route(union of deltas) == union of route(delta)` — the
+    * property that makes per-sink replay skipping sound.
+    *
+    * Returns `(chunkBound, commits)` per chunk, where the map covers only
+    * the sinks the chunk was appended to (coverage-skipped sinks are
+    * absent; `skippedExisting` marks a ledger-level batch-id replay).
+    * Per-sink lineage + metrics (added/total row counts per chunk) are
+    * persisted in each sink's manifests — see [[SnapshotTable.history]].
+    */
+  def runSinks(spark: SparkSession, srcDir: String, tableRoot: String,
+               sinks: Seq[Route.SinkSpec],
+               maxSnapshotsPerChunk: Int = Int.MaxValue)
+              (transform: DataFrame => DataFrame = identity)
+      : Seq[(Long, Map[String, SnapshotTable.Commit])] = {
+    require(sinks.nonEmpty, "runSinks needs at least one sink")
+    require(maxSnapshotsPerChunk >= 1, "chunk size must be >= 1")
+    val latest = SnapshotTable.latestId(spark, srcDir).getOrElse(
+      return Nil) // virgin source: nothing to do
+    val earliest = SnapshotTable.earliestId(spark, srcDir).get
+    val tok = srcToken(srcDir)
+    def dirOf(name: String) = s"$tableRoot/$name"
+    val cursors: Map[String, Option[Long]] =
+      sinks.map(s => s.name -> lastProcessed(spark, dirOf(s.name), srcDir)).toMap
+    cursors.foreach { case (n, c) =>
+      require(c.forall(_ <= latest),
+        s"sink ${dirOf(n)} is ahead of source $srcDir (cursor ${c.getOrElse(-1L)} " +
+          s"> latest $latest): the source was recreated or the path points at " +
+          "a different table — refusing to silently re-baseline")
+      require(c.forall(_ >= earliest - 1),
+        s"sink ${dirOf(n)} resumes at snapshot ${c.getOrElse(-1L)} but source " +
+          s"history before $earliest was expired — the missed deltas are gone; " +
+          "re-bootstrap into a fresh sink or widen source retention")
+    }
+
+    // Bootstrap ONLY the virgin sinks from the earliest retained snapshot's
+    // full state; sinks already past it must not receive it again. A
+    // non-virgin sink still at earliest-1 is fine: its (earliest-1,
+    // earliest] delta commits under the same bound id in ITS OWN ledger —
+    // per-sink ledgers are independent, so there is no collision.
+    val virgins = sinks.filter(s => cursors(s.name).isEmpty)
+    val boot: Seq[(Long, Map[String, SnapshotTable.Commit])] =
+      if (earliest > 0 && virgins.nonEmpty) {
+        val commits = graft.plans.CacheScope.scoped {
+          val trunk = transform(SnapshotTable.asOf(spark, srcDir, earliest))
+          val flagged = graft.plans.CacheScope.persist(
+            Route.withSinkFlags(trunk, sinks))
+          virgins.map { sp =>
+            sp.name -> SnapshotTable.append(spark, Route.sinkFrame(flagged, sp),
+              dirOf(sp.name), Some(s"incr-$tok-$earliest"))
+          }.toMap
+        }
+        Seq(earliest -> commits)
+      } else Nil
+
+    // Post-boot cursors (virgins now sit at `earliest` when boot ran).
+    var cur: Map[String, Long] = sinks.map(s =>
+      s.name -> lastProcessed(spark, dirOf(s.name), srcDir).getOrElse(-1L)).toMap
+    val effFrom = cur.values.min
+    if (effFrom >= latest) return boot // every sink caught up
+
+    // Chunk edges: K-grid from the minimum cursor, force-aligned with every
+    // bound any sink has already committed (rule 1 above).
+    val committed = sinks.flatMap(s =>
+      processedBounds(spark, dirOf(s.name), srcDir)).distinct
+    val pts = ((effFrom until latest by maxSnapshotsPerChunk.toLong) ++
+      committed.filter(b => b > effFrom && b < latest)).distinct.sorted :+ latest
+    val incr = pts.sliding(2).collect { case Seq(a, b) if a < b =>
+      val active = sinks.filter(s => cur(s.name) < b) // rule 2: coverage skip
+      val commits =
+        if (active.isEmpty) Map.empty[String, SnapshotTable.Commit]
+        else {
+          val trunk = transform(SnapshotTable.incremental(spark, srcDir, a, b))
+          SnapshotTable.appendSinks(spark, trunk, active, tableRoot,
+            s"incr-$tok-$b")
+        }
+      cur = cur ++ active.map(_.name -> b)
+      b -> commits
+    }.toSeq
+    boot ++ incr
   }
 }

@@ -566,6 +566,23 @@ object SnapshotTable {
     asOf(spark, dir, id)
   }
 
+  /** Commit lineage + metrics as a queryable DataFrame — the persisted
+    * per-commit accumulator record the north star asks for ("per-partition
+    * lineage + metric accumulators persisted"): one row per RETAINED
+    * snapshot with its parent link, operation, batch id, and row counters.
+    * Iceberg's `snapshots` metadata table analogue. Driver-side manifest
+    * reads only — cost ∝ retained-chain length, never data size.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsOf(spark, dir)
+    manifestIds(fs, root).map(manifest(spark, dir, _)).map { m =>
+      (m.snapshotId, m.parentId, m.operation, m.batchId,
+        m.addedRows, m.totalRows, m.live.size)
+    }.toDF("snapshot_id", "parent_id", "operation", "batch_id",
+      "added_rows", "total_rows", "n_live_dirs")
+  }
+
   private def appendedIn(spark: SparkSession, dir: String,
                          fromExclusive: Long, toInclusive: Long): Seq[Manifest] = {
     require(fromExclusive <= toInclusive,

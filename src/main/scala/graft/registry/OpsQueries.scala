@@ -178,6 +178,67 @@ object OpsQueries {
       ST.read(s, sink).select("doc_id", "h").orderBy("doc_id")
     }),
 
+    // incremental CONDITIONAL FAN-OUT into multiple sink snapshot tables —
+    // the north star's route-to-multiple-Iceberg-sinks loop, end to end:
+    // documents arrive as three snapshot appends (batch k = doc_id%3 == k),
+    // each chunk is tokenized (parse), projected (enrich), routed by sink
+    // conditions, and appended exactly-once PER SINK under the chunk's
+    // batch id. Run 1 sees batch 0; runs 2-3 arrive chunked (K=1); a final
+    // rerun must be a no-op. Routed-row sets per sink must equal routing
+    // the whole corpus at once (row-wise routing commutes with arrival).
+    "pipe_snap_route" -> ((s, dir) => {
+      import graft.operators.{Route, SnapshotPipe, SnapshotTable => ST}
+      val src = java.nio.file.Files.createTempDirectory("graft_sproute_src").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_sproute_sinks").toString
+      val raw = graft.model.Tok.rawSequences(s.read.parquet(s"$dir/documents.parquet"))
+      val sinks = Seq(
+        Route.SinkSpec("big", Gte("n_tok", 8)),
+        Route.SinkSpec("small", Lt("n_tok", 8)),
+        Route.SinkSpec("all", Truthy("doc_id")))
+      def trunkOf(delta: DataFrame): DataFrame =
+        delta.select(col("doc_id"), col("n_tok"), col("source"),
+          graft.model.Tok.tokStr(col("tokens")).as("tok_str"))
+      ST.append(s, raw.filter(col("doc_id").cast("long") % 3 === 0), src, Some("b0"))
+      SnapshotPipe.runSinks(s, src, root, sinks)(trunkOf)
+      ST.append(s, raw.filter(col("doc_id").cast("long") % 3 === 1), src, Some("b1"))
+      ST.append(s, raw.filter(col("doc_id").cast("long") % 3 === 2), src, Some("b2"))
+      SnapshotPipe.runSinks(s, src, root, sinks, maxSnapshotsPerChunk = 1)(trunkOf)
+      require(SnapshotPipe.runSinks(s, src, root, sinks)(trunkOf).isEmpty,
+        "caught-up routed pipe must be a no-op")
+      sinks.map(sp => ST.read(s, s"$root/${sp.name}").withColumn("sink", lit(sp.name)))
+        .reduce(_ unionByName _)
+        .select("sink", "doc_id", "n_tok", "source", "tok_str")
+        .orderBy("sink", "doc_id")
+    }),
+
+    // persisted per-commit lineage + metrics: after the same three-batch
+    // routed pipe (K=1 — one sink snapshot per source batch), each sink's
+    // manifest chain IS the metrics record: per-chunk routed-row counts
+    // (added_rows) and the running total, recoverable from metadata alone —
+    // including zero-row chunks, which still commit (a gap would be
+    // indistinguishable from an unprocessed chunk).
+    "pipe_snap_hist" -> ((s, dir) => {
+      import graft.operators.{Route, SnapshotPipe, SnapshotTable => ST}
+      val src = java.nio.file.Files.createTempDirectory("graft_sphist_src").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_sphist_sinks").toString
+      val raw = graft.model.Tok.rawSequences(s.read.parquet(s"$dir/documents.parquet"))
+      val sinks = Seq(
+        Route.SinkSpec("big", Gte("n_tok", 8)),
+        Route.SinkSpec("small", Lt("n_tok", 8)))
+      def trunkOf(delta: DataFrame): DataFrame =
+        delta.select(col("doc_id"), col("n_tok"), col("source"))
+      (0 to 2).foreach(k => ST.append(s,
+        raw.filter(col("doc_id").cast("long") % 3 === k), src, Some(s"b$k")))
+      SnapshotPipe.runSinks(s, src, root, sinks, maxSnapshotsPerChunk = 1)(trunkOf)
+      sinks.map(sp => ST.history(s, s"$root/${sp.name}").withColumn("sink", lit(sp.name)))
+        .reduce(_ unionByName _)
+        .select(col("sink"), col("snapshot_id"), col("operation"),
+          regexp_extract(col("batch_id"), "incr-[0-9a-f]+-(\\d+)", 1)
+            .cast("long").as("src_snap"),
+          col("added_rows"), col("total_rows"))
+        .orderBy("sink", "snapshot_id")
+    }),
+
     // manifest-stats scan pruning: interleaved appends (arrival order
     // clusters nothing), then a CLUSTERED compaction (one data dir per
     // doc_id range bucket, each with manifest min/max stats); a band
@@ -1821,6 +1882,48 @@ object OpsQueries {
         |                            ORDER BY doc_id % 3, doc_id) AS rn
         |  FROM src)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // routed fan-out commutes with arrival: union of per-chunk routed rows
+    // == routing the whole corpus, per sink condition
+    "pipe_snap_route" ->
+      s"""${graft.model.Tok.sqlRawSequences},
+         |ev AS (
+         |  SELECT doc_id, n_tok, source, array_to_string(tokens, ',') AS tok_str
+         |  FROM raw
+         |), routed AS (
+         |  SELECT 'big' AS sink, doc_id, n_tok, source, tok_str FROM ev WHERE n_tok >= 8
+         |  UNION ALL
+         |  SELECT 'small', doc_id, n_tok, source, tok_str FROM ev WHERE n_tok < 8
+         |  UNION ALL
+         |  SELECT 'all', doc_id, n_tok, source, tok_str FROM ev
+         |)
+         |SELECT sink, doc_id, n_tok, source, tok_str FROM routed
+         |ORDER BY sink, doc_id""".stripMargin,
+
+    // per-sink commit ledger: added_rows per source batch (b = doc_id%3)
+    // under each sink's condition, total_rows the running sum — including
+    // zero-row chunks, which still commit a snapshot
+    "pipe_snap_hist" ->
+      s"""${graft.model.Tok.sqlRawSequences},
+         |ev AS (
+         |  SELECT CAST(doc_id AS BIGINT) % 3 AS b, n_tok FROM raw
+         |), per AS (
+         |  SELECT sink, b, count(*) AS added FROM (
+         |    SELECT 'big' AS sink, b FROM ev WHERE n_tok >= 8
+         |    UNION ALL
+         |    SELECT 'small' AS sink, b FROM ev WHERE n_tok < 8)
+         |  GROUP BY sink, b
+         |), grid AS (
+         |  SELECT s.sink, g.b
+         |  FROM (VALUES ('big'), ('small')) s(sink), (VALUES (0), (1), (2)) g(b)
+         |)
+         |SELECT g.sink AS sink, CAST(g.b AS BIGINT) AS snapshot_id,
+         |       'append' AS operation, CAST(g.b AS BIGINT) AS src_snap,
+         |       CAST(coalesce(p.added, 0) AS BIGINT) AS added_rows,
+         |       CAST(sum(coalesce(p.added, 0)) OVER (PARTITION BY g.sink ORDER BY g.b)
+         |            AS BIGINT) AS total_rows
+         |FROM grid g LEFT JOIN per p ON p.sink = g.sink AND p.b = g.b
+         |ORDER BY sink, snapshot_id""".stripMargin,
 
     "pipe_snap_prune" ->
       """SELECT doc_id, source, n_chars FROM documents

@@ -610,6 +610,24 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // ADC shortlist -> EXACT re-rank (the FAISS refine stage): PQ codes
+    // pick the 50 nearest candidates dimension-independently, then ONLY
+    // those 50 raw vectors are re-scored with the exact cosine for the
+    // true top-10 — at 100 TB the full-precision vectors stay cold except
+    // for O(shortlist) rows per query (broadcast semi-join back).
+    "sim_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cbs = Similarity.pqCodebooks(e, "embedding", "vec_id", m = 4, k = 8)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      val dt = Similarity.pqAdcTable(q, cbs)
+      val base = e.filter(col("vec_id") > 8)
+      val enc = Similarity.pqEncode(base, "embedding", cbs)
+      Similarity.pqTopKRefined(enc, base, "embedding", "vec_id", dt,
+          q.toSeq, k = 10, shortlist = 50)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // C4-style heuristic cleaning rules (Raffel et al. 2020 §2.2): the
     // corpus is a bare word stream, so rule-triggering decorations
     // (terminal punct, lorem-ipsum / curly-brace / javascript boilerplate)
@@ -1646,6 +1664,48 @@ object TextQueries {
          |SELECT vec_id, list_id, concat_ws(',', c0, c1, c2, c3) AS code_str,
          |       ((d0 + d1) + d2) + d3 AS adc_dist
          |FROM piv ORDER BY vec_id""".stripMargin
+    },
+
+    // sim_pq's ADC pipeline -> top-50 shortlist -> exact-cosine re-rank
+    "sim_rerank" -> {
+      val l2 = (a: String, b: String) =>
+        s"floor((list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + " +
+          s"list_dot_product($b, $b)) * 1000000 + 0.5) / 1000000"
+      s"""WITH sub AS (SELECT unnest(range(4)) AS j),
+         |cb AS (SELECT j, vec_id - 1 AS code,
+         |              list_slice(CAST(embedding AS DOUBLE[]), j*16 + 1, j*16 + 16) AS cv
+         |       FROM embeddings, sub WHERE vec_id BETWEEN 1 AND 8),
+         |q AS (SELECT j, list_slice(CAST(embedding AS DOUBLE[]), j*16 + 1, j*16 + 16) AS qv
+         |      FROM embeddings, sub WHERE vec_id = 0),
+         |base AS (SELECT vec_id, j, list_slice(CAST(embedding AS DOUBLE[]), j*16 + 1, j*16 + 16) AS ev
+         |         FROM embeddings, sub WHERE vec_id > 8),
+         |scored AS (SELECT b.vec_id, b.j, cb.code, ${l2("ev", "cv")} AS d2
+         |           FROM base b JOIN cb ON b.j = cb.j),
+         |enc AS (SELECT vec_id, j, code,
+         |               row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+         |        FROM scored),
+         |codes AS (SELECT vec_id, j, code FROM enc WHERE rk = 1),
+         |dt AS (SELECT cb.j, cb.code, ${l2("qv", "cv")} AS d
+         |       FROM cb JOIN q ON cb.j = q.j),
+         |cd AS (SELECT c.vec_id, c.j, dt.d
+         |       FROM codes c JOIN dt ON c.j = dt.j AND c.code = dt.code),
+         |piv AS (SELECT vec_id,
+         |          MAX(CASE WHEN j = 0 THEN d END) AS d0,
+         |          MAX(CASE WHEN j = 1 THEN d END) AS d1,
+         |          MAX(CASE WHEN j = 2 THEN d END) AS d2,
+         |          MAX(CASE WHEN j = 3 THEN d END) AS d3
+         |        FROM cd GROUP BY vec_id),
+         |short AS (SELECT vec_id FROM (
+         |            SELECT vec_id, ((d0 + d1) + d2) + d3 AS adc_dist FROM piv)
+         |          ORDER BY adc_dist, vec_id LIMIT 50),
+         |qf AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qf.qv) /
+         |             (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                                    CAST(e.embedding AS DOUBLE[]))) *
+         |              sqrt(list_dot_product(qf.qv, qf.qv))), 6) AS sim
+         |FROM embeddings e JOIN short s ON e.vec_id = s.vec_id, qf
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
     },
 
     "sim_buckets" -> {

@@ -156,6 +156,28 @@ class FunctionsSpec extends SparkSpec {
     assert(top.toSeq == all, s"topK=$top vs driver=$all")
   }
 
+  test("PQ refine: shortlist=N recovers the exact brute-force top-k; shortlist plan broadcasts") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = Similarity.pqCodebooks(embs, "embedding", "vec_id", m = 4, k = 8)
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val dt = Similarity.pqAdcTable(q, cbs)
+    val base = embs.filter(col("vec_id") > 8)
+    val enc = Similarity.pqEncode(base, "embedding", cbs)
+    val n = base.count().toInt
+    // with the shortlist covering the whole base, the exact re-rank IS the
+    // brute-force answer — quantization loss fully recovered
+    val refined = Similarity.pqTopKRefined(enc, base, "embedding", "vec_id",
+      dt, q.toSeq, k = 10, shortlist = n).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.topK(base, "embedding", "vec_id", q.toSeq, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(refined.toSeq == brute.toSeq)
+    // the raw-vector read is a broadcast join on the shortlist ids
+    val small = Similarity.pqTopKRefined(enc, base, "embedding", "vec_id",
+      dt, q.toSeq, k = 10, shortlist = 50)
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("shuffleOrder: a permutation, seed-stable, different seeds differ") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count()

@@ -369,6 +369,95 @@ class SnapshotSpec extends SparkSpec {
     assert(ST.latestId(spark, s"$root/errs").contains(1L))
   }
 
+  // ---- SnapshotPipe.runSinks: incremental multi-sink routed pipe ----
+
+  private def sevBatch(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, if (i % 2 == 0) "ERROR" else "WARN")).toDF("id", "severity")
+  }
+
+  private val routeSinks = Seq(
+    Route.SinkSpec("errs", graft.conditions.Eq("severity", "ERROR")),
+    Route.SinkSpec("warns", graft.conditions.Eq("severity", "WARN")))
+
+  test("runSinks pipes chunks into per-sink tables and resumes after a crash between sink commits") {
+    import graft.operators.SnapshotPipe
+    val src = tmp(); val root = tmp()
+    ST.append(spark, sevBatch(0 until 6), src, Some("b0"))
+    val r1 = SnapshotPipe.runSinks(spark, src, root, routeSinks)()
+    assert(r1.map(_._1) == Seq(0L))
+    assert(ST.read(spark, s"$root/errs").count() == 3)
+    // new source batch arrives; simulate a crash AFTER errs committed the
+    // chunk but BEFORE warns did: pre-commit errs manually under the
+    // chunk's batch id, then resume — errs must be skipped, warns appended
+    ST.append(spark, sevBatch(6 until 12), src, Some("b1"))
+    val tok = SnapshotPipe.srcToken(src)
+    ST.append(spark, ST.incremental(spark, src, 0, 1).filter(col("severity") === "ERROR"),
+      s"$root/errs", Some(s"incr-$tok-1"))
+    val r2 = SnapshotPipe.runSinks(spark, src, root, routeSinks)()
+    assert(r2.map(_._1) == Seq(1L))
+    // errs: coverage-skipped (its cursor already covers the chunk, so it is
+    // absent from the chunk's commit map); warns: real append
+    assert(!r2.head._2.contains("errs") && !r2.head._2("warns").skippedExisting)
+    assert(ST.read(spark, s"$root/errs").count() == 6)
+    assert(ST.read(spark, s"$root/warns").count() == 6)
+    assert(SnapshotPipe.runSinks(spark, src, root, routeSinks)().isEmpty)
+  }
+
+  test("runSinks chunk-size change across a lagging sink cannot double-append") {
+    import graft.operators.SnapshotPipe
+    val src = tmp(); val root = tmp()
+    val tok = SnapshotPipe.srcToken(src)
+    (0 until 3).foreach(k => ST.append(spark, sevBatch(k * 4 until (k + 1) * 4), src))
+    // errs committed the WHOLE backlog as one wide chunk (-1, 2]; warns is
+    // virgin — as after a crash inside a K=MaxValue run's appendSinks
+    ST.append(spark, ST.read(spark, src).filter(col("severity") === "ERROR"),
+      s"$root/errs", Some(s"incr-$tok-2"))
+    // resume with K=1: chunk edges differ, but errs' committed bound 2 is
+    // >= every new bound, so coverage-skip keeps it untouched
+    SnapshotPipe.runSinks(spark, src, root, routeSinks, maxSnapshotsPerChunk = 1)()
+    assert(ST.read(spark, s"$root/errs").count() == 6) // NOT doubled
+    assert(ST.read(spark, s"$root/warns").count() == 6)
+    assert(ST.latestId(spark, s"$root/errs").contains(0L)) // no new errs snapshot
+    // and the reverse shape: errs at an INTERMEDIATE bound 1, resume with a
+    // wide K — edge alignment must split the grid chunk at bound 1
+    val root2 = tmp()
+    ST.append(spark, ST.asOf(spark, src, 1).filter(col("severity") === "ERROR"),
+      s"$root2/errs", Some(s"incr-$tok-1"))
+    SnapshotPipe.runSinks(spark, src, root2, routeSinks)()
+    assert(ST.read(spark, s"$root2/errs").count() == 6)
+    assert(ST.read(spark, s"$root2/warns").count() == 6)
+  }
+
+  test("runSinks bootstraps only virgin sinks after source expiry") {
+    import graft.operators.SnapshotPipe
+    val src = tmp(); val root = tmp()
+    (0 until 3).foreach(k => ST.append(spark, sevBatch(k * 4 until (k + 1) * 4), src))
+    SnapshotPipe.runSinks(spark, src, root, Seq(routeSinks.head))()
+    ST.compact(spark, src) // snapshot 3 (replace)
+    ST.expire(spark, src, keepLast = 1)
+    // errs is at cursor 2 < earliest 3 — its pending (2,3] delta is the
+    // compaction no-op, but a VIRGIN warns sink needs asOf(3) full state
+    val both = SnapshotPipe.runSinks(spark, src, root, routeSinks)()
+    assert(ST.read(spark, s"$root/warns").count() == 6)
+    assert(ST.read(spark, s"$root/errs").count() == 6)
+    // the bootstrap chunk touched only the virgin sink
+    assert(both.head._2.keySet == Set("warns"))
+  }
+
+  test("history exposes the persisted lineage and row metrics per snapshot") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 4), t, Some("in-1"))
+    ST.append(spark, batch(4 until 10), t, Some("in-2"))
+    ST.append(spark, batch(4 until 10), t, Some("in-2")) // replay: no row
+    ST.compact(spark, t)
+    val h = ST.history(spark, t).orderBy("snapshot_id").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getString(2)).toSeq == Seq("append", "append", "replace"))
+    assert(h(1).getString(3) == "in-2" && h(1).getLong(4) == 6 && h(1).getLong(5) == 10)
+    assert(h(2).getLong(5) == 10) // compaction preserves totals
+  }
+
   test("runSnapshots stream sink is exactly-once across a full checkpoint loss") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
