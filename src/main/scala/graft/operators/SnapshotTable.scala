@@ -593,9 +593,11 @@ object SnapshotTable {
     // incremental/changelog read across one would be silently wrong, so it
     // fails loudly (the Iceberg "cannot do incremental scan on snapshot of
     // type overwrite" contract); read asOf the endpoint instead
-    ms.find(x => x.operation == "delete" || x.operation == "overwrite").foreach(x =>
+    ms.find(x => x.operation == "delete" || x.operation == "overwrite" ||
+        x.operation == "rollback").foreach(x =>
       sys.error(s"incremental range ($fromExclusive, $toInclusive] crosses " +
-        s"row-level ${x.operation} snapshot ${x.snapshotId} — not insert-only"))
+        s"row-removing ${x.operation} snapshot ${x.snapshotId} — not insert-only; " +
+        "use changelogCdc for row-level diffs"))
     ms.filter(_.operation == "append") // replace = same rows, not a change
   }
 
@@ -627,6 +629,89 @@ object SnapshotTable {
     }
     parts.reduceOption(_ unionByName _).getOrElse(
       asOf(spark, dir, toInclusive).limit(0).withColumn("_snapshot_id", lit(-1L)))
+  }
+
+  /** Roll the table back to ancestor snapshot `toId` by committing a NEW
+    * `rollback` snapshot whose state — live dir set, schema, stats,
+    * blooms, row totals AND the batch ledger — mirrors `toId` exactly.
+    * History stays append-only (the rolled-back-away snapshots remain
+    * time-travelable until expired), like Iceberg's rollback_to_snapshot.
+    * Restoring the LEDGER is the correctness-critical half: replay
+    * detection must keep meaning "this batch's rows are present", so a
+    * batch committed after `toId` becomes re-appendable (its rows are
+    * gone) while the restored prefix keeps skipping replays. Metadata-only
+    * commit — no data is read, moved, or rewritten; the restored dirs are
+    * still on disk because every retained manifest pins its live set
+    * (expire/vacuum only drop dirs no retained snapshot references).
+    * Downstream note: [[SnapshotPipe]] is insert-driven, so a source
+    * rollback makes dependent incremental reads fail loudly (like
+    * delete/overwrite) — re-bootstrap the sinks.
+    */
+  def rollback(spark: SparkSession, dir: String, toId: Long): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val last = latestId(spark, dir).getOrElse(
+      sys.error(s"$dir has no committed snapshot"))
+    if (toId == last) return Commit(last, skippedExisting = true)
+    require(toId < last,
+      s"cannot roll $dir forward to $toId (latest is $last)")
+    val target = manifest(spark, dir, toId) // fails loudly if expired
+    val next = last + 1
+    commitManifest(fs, root, target.copy(snapshotId = next,
+      parentId = Some(last), operation = "rollback", batchId = None,
+      added = Nil, addedRows = 0L))
+    Commit(next, skippedExisting = false)
+  }
+
+  /** Row-level CDC over ANY snapshot chain, including the row-removing
+    * commits the insert-only [[changelog]] refuses: every NET row change
+    * in `(fromExclusive, toInclusive]`, tagged `_change_type`
+    * (`insert` | `delete`) and the `_snapshot_id` that committed it. The
+    * diff is dir-local copy-on-write arithmetic — a commit's inserts are
+    * `rows(live \ parentLive) exceptAll rows(parentLive \ live)` and its
+    * deletes the reverse — so survivors rewritten into new files cancel
+    * and the cost scales with the dirs the commit actually REWROTE
+    * (bounded by manifest-stats pruning at write time), never with table
+    * size. `replace` (compaction) is provably row-preserving and
+    * contributes nothing. Net-change semantics: an upsert rewriting a row
+    * to an identical value emits nothing; a changed row emits
+    * delete(old) + insert(new) — the `create_changelog_view` analogue
+    * without pre/post update images (the table carries no row ids to pair
+    * them by). Rows surface with the range-end schema.
+    */
+  def changelogCdc(spark: SparkSession, dir: String,
+                   fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive <= toInclusive,
+      s"bad CDC range ($fromExclusive, $toInclusive]")
+    val (_, root) = fsOf(spark, dir)
+    val toSchema = manifest(spark, dir, toInclusive).schema
+    def tag(df: DataFrame, id: Long, tpe: String) =
+      df.withColumn("_snapshot_id", lit(id)).withColumn("_change_type", lit(tpe))
+    val parts = ((fromExclusive + 1) to toInclusive).flatMap { id =>
+      val m = manifest(spark, dir, id)
+      if (m.operation == "replace") Nil // compaction: same rows, new files
+      else {
+        val parentLive = m.parentId
+          .map(p => manifest(spark, dir, p).live).getOrElse(Nil)
+        val addedDirs = m.live.filterNot(parentLive.toSet)
+        val removedDirs = parentLive.filterNot(m.live.toSet)
+        (addedDirs.nonEmpty, removedDirs.nonEmpty) match {
+          case (false, false) => Nil
+          case (true, false) =>
+            Seq(tag(readDirs(spark, root, addedDirs, toSchema), id, "insert"))
+          case (false, true) =>
+            Seq(tag(readDirs(spark, root, removedDirs, toSchema), id, "delete"))
+          case (true, true) =>
+            val a = readDirs(spark, root, addedDirs, toSchema)
+            val r = readDirs(spark, root, removedDirs, toSchema)
+            Seq(tag(a.exceptAll(r), id, "insert"),
+                tag(r.exceptAll(a), id, "delete"))
+        }
+      }
+    }
+    parts.reduceOption(_ unionByName _).getOrElse(
+      asOf(spark, dir, toInclusive).limit(0)
+        .withColumn("_snapshot_id", lit(-1L))
+        .withColumn("_change_type", lit("")))
   }
 
   /** Small-file compaction: rewrite the live file set into `targetFiles`

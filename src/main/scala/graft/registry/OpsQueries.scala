@@ -337,6 +337,61 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id")
     }),
 
+    // snapshot ROLLBACK: a metadata-only 'rollback' commit mirrors the
+    // target's state AND its batch ledger — history stays append-only
+    // (the bad snapshot remains time-travelable until expiry), and replay
+    // detection keeps meaning "rows present": the rolled-back batch
+    // re-applies, the retained prefix keeps skipping. All three contracts
+    // are require()d; the output is the restored b0+b1 state.
+    "pipe_snap_rollback" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snaprb").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      for (k <- 0 to 2)
+        ST.append(s, base.filter(col("doc_id") % 3 === k), t, Some(s"b$k"))
+      ST.rollback(s, t, 1) // undo the b2 ingest (snapshot 3)
+      require(ST.asOf(s, t, 2).count() == base.count(),
+        "the rolled-back snapshot must stay time-travelable")
+      require(ST.append(s, base.filter(col("doc_id") % 3 === 1), t, Some("b1"))
+        .skippedExisting, "retained prefix must keep skipping replays")
+      require(!ST.append(s, base.filter(col("doc_id") % 3 === 2), t, Some("b2"))
+        .skippedExisting, "the rolled-back batch's rows are gone — it must re-apply")
+      ST.rollback(s, t, 1) // and undo the re-ingest too (snapshot 5)
+      val ops = ST.history(s, t).orderBy("snapshot_id")
+        .select("operation").collect().map(_.getString(0)).toSeq
+      require(ops == Seq("append", "append", "append", "rollback", "append", "rollback"),
+        s"unexpected history $ops")
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
+    // row-level CDC over a mixed chain: the dir-local copy-on-write diff
+    // recovers exactly which rows each commit net-added / net-removed —
+    // upsert = delete(old)+insert(new) per changed key, range delete =
+    // deletes only, compaction = silence — without any row-id or
+    // pre-image column in the table.
+    "pipe_snap_cdc" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapcdc").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 0), t, Some("even"),
+        statsBy = Seq("doc_id"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 1), t, Some("odd"))
+      val updates = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("patched"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = base.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      ST.upsert(s, t, updates.unionByName(inserts), "doc_id")     // snap 2
+      ST.delete(s, t, ST.KeyRange("doc_id", Some(50L), Some(99L))) // snap 3
+      ST.compact(s, t)                             // snap 4: contributes nothing
+      ST.changelogCdc(s, t, -1L, ST.latestId(s, t).get)
+        .select(col("_snapshot_id"), col("_change_type"),
+          col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("_snapshot_id", "_change_type", "doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -1952,6 +2007,47 @@ object OpsQueries {
         |)
         |SELECT doc_id, source, n_chars FROM merged
         |WHERE doc_id NOT BETWEEN 50 AND 99 ORDER BY doc_id""".stripMargin,
+
+    // after rollback(1) / re-ingest b2 / rollback(1): the b0+b1 state
+    "pipe_snap_rollback" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 3 IN (0, 1) ORDER BY doc_id""".stripMargin,
+
+    // net row changes per snapshot: appends insert their batch; the upsert
+    // deletes each old %10 row and inserts its patched version plus the
+    // +100000 clones; the range delete removes the band AS OF the upsert
+    // (patched values for %10 rows); compaction emits nothing
+    "pipe_snap_cdc" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'patched' AS source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), ins AS (
+        |  SELECT doc_id + 100000 AS doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), cdc AS (
+        |  SELECT 0 AS _snapshot_id, 'insert' AS _change_type, doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 1, 'insert', doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 2, 'delete', doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 2, 'insert', doc_id, source, n_chars FROM upd
+        |  UNION ALL
+        |  SELECT 2, 'insert', doc_id, source, n_chars FROM ins
+        |  UNION ALL
+        |  SELECT 3, 'delete', doc_id, source, n_chars
+        |  FROM documents
+        |  WHERE doc_id BETWEEN 50 AND 99 AND doc_id % 10 != 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', doc_id, source, n_chars FROM upd
+        |  WHERE doc_id BETWEEN 50 AND 99
+        |)
+        |SELECT CAST(_snapshot_id AS BIGINT) AS _snapshot_id, _change_type,
+        |       doc_id, source, n_chars
+        |FROM cdc ORDER BY _snapshot_id, _change_type, doc_id""".stripMargin,
 
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES

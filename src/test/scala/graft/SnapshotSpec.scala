@@ -445,6 +445,72 @@ class SnapshotSpec extends SparkSpec {
     assert(both.head._2.keySet == Set("warns"))
   }
 
+  test("rollback restores state AND the batch ledger; insert-only reads across it refuse") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 4), t, Some("b0"))
+    ST.append(spark, batch(4 until 7), t, Some("b1"))
+    val c = ST.rollback(spark, t, 0)
+    assert(!c.skippedExisting && c.snapshotId == 2)
+    assert(ST.read(spark, t).count() == 4)
+    assert(ST.rollback(spark, t, 2).skippedExisting) // to current = no-op
+    // ledger restored: b0 keeps skipping, the rolled-back b1 re-applies
+    assert(ST.append(spark, batch(0 until 4), t, Some("b0")).skippedExisting)
+    assert(!ST.append(spark, batch(4 until 7), t, Some("b1")).skippedExisting)
+    assert(ST.read(spark, t).count() == 7)
+    // the rolled-back-away snapshot stays time-travelable
+    assert(ST.asOf(spark, t, 1).count() == 7)
+    // incremental across the rollback fails loudly (rows were removed)
+    val e = intercept[RuntimeException](ST.incremental(spark, t, 0, 3).count())
+    assert(e.getMessage.contains("rollback"))
+    intercept[IllegalArgumentException](ST.rollback(spark, t, 99))
+  }
+
+  test("rollback survives expiry of the bad snapshots; expired target fails loudly") {
+    val t = tmp()
+    (0 until 4).foreach(k => ST.append(spark, batch(k * 2 until (k + 1) * 2), t, Some(s"b$k")))
+    ST.rollback(spark, t, 1) // snapshot 4 mirrors 1
+    ST.expire(spark, t, keepLast = 1) // only the rollback snapshot retained
+    // the restored dirs are pinned by the rollback manifest's live set
+    assert(ST.read(spark, t).count() == 4)
+    intercept[Exception](ST.rollback(spark, t, 0)) // expired target
+  }
+
+  test("changelogCdc replays any chain: state(i) == state(i-1) + inserts - deletes") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 6), t, Some("b0"), statsBy = Seq("id"))
+    ST.append(spark, batch(6 until 10), t, Some("b1"))
+    ST.upsert(spark, t, batch(4 until 8).withColumn("v", upper(col("v"))), "id")
+    ST.delete(spark, t, ST.KeyRange("id", Some(2L), Some(5L)))
+    ST.append(spark, batch(20 until 23), t, Some("b2"))
+    ST.compact(spark, t) // two live dirs -> a real replace commit
+    ST.rollback(spark, t, 2)
+    val latest = ST.latestId(spark, t).get
+    for (i <- 1L to latest) {
+      val cdc = ST.changelogCdc(spark, t, i - 1, i)
+      val ins = cdc.filter(col("_change_type") === "insert")
+        .drop("_snapshot_id", "_change_type")
+      val del = cdc.filter(col("_change_type") === "delete")
+        .drop("_snapshot_id", "_change_type")
+      val replayed = ST.asOf(spark, t, i - 1).unionByName(ins).exceptAll(del)
+      assert(replayed.exceptAll(ST.asOf(spark, t, i)).isEmpty &&
+        ST.asOf(spark, t, i).exceptAll(replayed).isEmpty, s"snapshot $i diverges")
+    }
+    val ops = ST.history(spark, t).orderBy("snapshot_id")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("append", "append", "overwrite", "delete", "append",
+      "replace", "rollback"), s"unexpected chain $ops")
+    // compaction alone contributes nothing
+    assert(ST.changelogCdc(spark, t, 4, 5).count() == 0)
+    // upsert emits net changes only: delete(old)+insert(new) per changed key
+    val up = ST.changelogCdc(spark, t, 1, 2)
+    assert(up.filter(col("_change_type") === "delete").count() == 4)
+    assert(up.filter(col("_change_type") === "insert").count() == 4)
+    // the rollback emits the net inverse of everything after snapshot 2
+    val rb = ST.changelogCdc(spark, t, 5, 6)
+    assert(rb.filter(col("_change_type") === "insert").count() == 4) // ids 2..5 restored
+    assert(rb.filter(col("_change_type") === "delete").count() == 3) // b2 retracted
+  }
+
   test("history exposes the persisted lineage and row metrics per snapshot") {
     val t = tmp()
     ST.append(spark, batch(0 until 4), t, Some("in-1"))
