@@ -76,7 +76,8 @@ object SnapshotTable {
                             statsCols: Seq[String] = Nil,
                             stats: Seq[DirStat] = Nil,
                             bloomCols: Seq[String] = Nil,
-                            blooms: Seq[(String, String)] = Nil) {
+                            blooms: Seq[(String, String)] = Nil,
+                            commitTimeMs: Long = 0L) {
     /** Table schema AS OF this snapshot (None on pre-schema manifests —
       * readers fall back to parquet footer inference).
       */
@@ -137,7 +138,8 @@ object SnapshotTable {
       s""""bloom_cols":${strList(m.bloomCols)},""" +
       // column names exclude '|' (validated [A-Za-z0-9_.]+), so splitting on
       // the LAST '|' is unambiguous even for bucket dirs ("snap-N/_b=K")
-      s""""blooms":${strList(m.blooms.map { case (d, c) => s"$d|$c" })}}"""
+      s""""blooms":${strList(m.blooms.map { case (d, c) => s"$d|$c" })},""" +
+      s""""commit_time_ms":${m.commitTimeMs}}"""
   }
 
   private def b64(s: String) =
@@ -182,7 +184,8 @@ object SnapshotTable {
       blooms = list("blooms").map { e =>
         val cut = e.lastIndexOf('|')
         (e.substring(0, cut), e.substring(cut + 1))
-      })
+      },
+      commitTimeMs = num("commit_time_ms").getOrElse(0L)) // 0 on legacy manifests
   }
 
   /** Manifest of snapshot `id`; fails loudly when it was never committed or
@@ -205,7 +208,11 @@ object SnapshotTable {
     val tmp = new Path(dir, f".manifest-${m.snapshotId}%06d.json.tmp")
     val dst = new Path(dir, f"manifest-${m.snapshotId}%06d.json")
     val out = fs.create(tmp, true)
-    try out.write(render(m).getBytes("UTF-8")) finally out.close()
+    // wall-clock stamp at commit (never a rollback target's carried copy);
+    // monotonicity across commits is NOT assumed anywhere — asOfTimestamp
+    // scans, never binary-searches
+    val stamped = m.copy(commitTimeMs = System.currentTimeMillis())
+    try out.write(render(stamped).getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, dst),
       s"concurrent commit detected for snapshot ${m.snapshotId} of $root — " +
         "SnapshotTable is single-writer per table (see scaladoc)")
@@ -578,9 +585,102 @@ object SnapshotTable {
     val (fs, root) = fsOf(spark, dir)
     manifestIds(fs, root).map(manifest(spark, dir, _)).map { m =>
       (m.snapshotId, m.parentId, m.operation, m.batchId,
-        m.addedRows, m.totalRows, m.live.size)
+        m.addedRows, m.totalRows, m.live.size, m.commitTimeMs)
     }.toDF("snapshot_id", "parent_id", "operation", "batch_id",
-      "added_rows", "total_rows", "n_live_dirs")
+      "added_rows", "total_rows", "n_live_dirs", "commit_time_ms")
+  }
+
+  /** Live-file metadata as a queryable DataFrame — Iceberg's `files`
+    * metadata table analogue: one row per (live data dir × stats column)
+    * of the CURRENT snapshot, with the manifest min/max bounds and
+    * whether a Bloom sidecar covers the column. Dirs with no stats
+    * surface once with null column/bounds (they are never pruned).
+    * Driver-side manifest read only — the scan-planning view a 100 TB
+    * operator inspects to see WHY dirs were kept or pruned.
+    */
+  def files(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = manifest(spark, dir, latestId(spark, dir).getOrElse(
+      sys.error(s"$dir has no committed snapshot")))
+    val statDirs = m.stats.map(_.dir).toSet
+    val bloomKeys = m.blooms.toSet
+    val withStats = m.stats.filter(st => m.live.contains(st.dir)).map(st =>
+      (st.dir, Option(st.column), Option(st.tpe), Option(st.min), Option(st.max),
+        bloomKeys.contains((st.dir, st.column))))
+    val bare = m.live.filterNot(statDirs).map(d =>
+      (d, None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], false))
+    (withStats ++ bare)
+      .toDF("dir", "column", "tpe", "min", "max", "has_bloom")
+  }
+
+  /** Time travel by WALL-CLOCK time: the state of the table at `tsMs` =
+    * the latest retained snapshot committed at or before it (Iceberg's
+    * `FOR SYSTEM_TIME AS OF`). Fails loudly when every retained snapshot
+    * is newer — same contract as an expired-id read. Commit times are
+    * stamped by [[commitManifest]]; the scan is linear over retained
+    * manifests (no monotonicity assumption — clock skew between commits
+    * cannot mis-resolve, the max qualifying id wins).
+    */
+  def asOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val ids = manifestIds(fs, root)
+    val at = ids.map(manifest(spark, dir, _))
+      .filter(m => m.commitTimeMs <= tsMs)
+    require(at.nonEmpty,
+      s"no retained snapshot of $dir at or before timestamp $tsMs " +
+        s"(earliest retained commit: ${ids.headOption.map(
+          manifest(spark, dir, _).commitTimeMs).getOrElse(-1L)})")
+    asOf(spark, dir, at.map(_.snapshotId).max)
+  }
+
+  // ---- named refs (tags): pin snapshots against expiry, read by name ----
+
+  private def refsDir(root: Path) = new Path(manifestDir(root), "refs")
+  private val RefName = "[A-Za-z0-9._-]+".r
+
+  /** Tag snapshot `id` with `name` — a named, immutable pointer (Iceberg
+    * tag). Tagged snapshots are PINNED: [[expire]] keeps their manifest
+    * and live dirs until the ref is dropped. Re-tagging an existing name
+    * fails loudly (drop it first) — tags are audit points, not branches.
+    */
+  def tag(spark: SparkSession, dir: String, name: String, id: Long): Unit = {
+    require(RefName.matches(name), s"bad ref name '$name' (use [A-Za-z0-9._-]+)")
+    val (fs, root) = fsOf(spark, dir)
+    manifest(spark, dir, id) // fails loudly on a never-committed/expired id
+    val p = new Path(refsDir(root), name)
+    require(!fs.exists(p), s"ref '$name' already exists on $dir (drop it first)")
+    fs.mkdirs(refsDir(root))
+    val out = fs.create(p, false)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** All refs on the table: name → snapshot id. */
+  def refs(spark: SparkSession, dir: String): Map[String, Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val d = refsDir(root)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).map { st =>
+      val in = fs.open(st.getPath)
+      val id = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+      st.getPath.getName -> id
+    }.toMap
+  }
+
+  /** Drop a ref; its snapshot becomes expirable again. */
+  def dropRef(spark: SparkSession, dir: String, name: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new Path(refsDir(root), name)
+    require(fs.exists(p), s"ref '$name' does not exist on $dir")
+    fs.delete(p, false)
+  }
+
+  /** Read the table as of the named ref. */
+  def asOfRef(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val id = refs(spark, dir).getOrElse(name,
+      sys.error(s"ref '$name' does not exist on $dir"))
+    asOf(spark, dir, id)
   }
 
   private def appendedIn(spark: SparkSession, dir: String,
@@ -961,9 +1061,15 @@ object SnapshotTable {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val (fs, root) = fsOf(spark, dir)
     val ids = manifestIds(fs, root)
-    val drop = ids.dropRight(keepLast)
+    // ref-tagged snapshots are PINNED: their manifest and live dirs stay
+    // until the ref is dropped (the Iceberg tag-retention contract). Note
+    // a pinned old snapshot leaves a HOLE in the retained chain — range
+    // reads across the hole (incremental/changelogCdc) fail loudly.
+    val pinned = refs(spark, dir).values.toSet
+    val drop = ids.dropRight(keepLast).filterNot(pinned)
     if (drop.isEmpty) return Nil
-    val keepDirs = ids.takeRight(keepLast).flatMap(manifest(spark, dir, _).live).toSet
+    val keep = ids.filterNot(drop.toSet)
+    val keepDirs = keep.flatMap(manifest(spark, dir, _).live).toSet
     val dropDirs = drop.flatMap(manifest(spark, dir, _).live).toSet -- keepDirs
     dropDirs.toSeq.sorted.foreach { n =>
       fs.delete(new Path(dataDir(root), n), true)

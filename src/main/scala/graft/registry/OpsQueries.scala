@@ -337,6 +337,26 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id")
     }),
 
+    // `files` metadata table: per-dir manifest min/max bounds + Bloom
+    // coverage as a queryable DataFrame, recovered from ONE driver-side
+    // manifest read — the scan-planning view (WHY a dir is kept or
+    // pruned) a 100 TB operator inspects. Bounds must equal per-batch
+    // SQL aggregates exactly.
+    "pipe_snap_files" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapfiles").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      for (k <- 0 to 2)
+        ST.append(s, docs.filter(col("doc_id") % 3 === k), t, Some(s"b$k"),
+          statsBy = Seq("doc_id", "n_chars"), bloomBy = Seq("doc_id"))
+      ST.files(s, t)
+        .select(col("dir"), col("column"), col("tpe"),
+          col("min").cast("long").as("min_v"), col("max").cast("long").as("max_v"),
+          col("has_bloom"))
+        .orderBy("dir", "column")
+    }),
+
     // snapshot ROLLBACK: a metadata-only 'rollback' commit mirrors the
     // target's state AND its batch ledger — history stays append-only
     // (the bad snapshot remains time-travelable until expiry), and replay
@@ -2007,6 +2027,20 @@ object OpsQueries {
         |)
         |SELECT doc_id, source, n_chars FROM merged
         |WHERE doc_id NOT BETWEEN 50 AND 99 ORDER BY doc_id""".stripMargin,
+
+    // per-dir manifest bounds == per-batch SQL aggregates
+    "pipe_snap_files" ->
+      """WITH b AS (
+        |  SELECT doc_id % 3 AS k, doc_id, n_chars FROM documents
+        |), stats AS (
+        |  SELECT k, 'doc_id' AS "column", min(doc_id) AS min_v, max(doc_id) AS max_v
+        |  FROM b GROUP BY k
+        |  UNION ALL
+        |  SELECT k, 'n_chars', min(n_chars), max(n_chars) FROM b GROUP BY k
+        |)
+        |SELECT printf('snap-%06d', k) AS dir, "column", 'long' AS tpe,
+        |       min_v, max_v, ("column" = 'doc_id') AS has_bloom
+        |FROM stats ORDER BY dir, "column"""".stripMargin,
 
     // after rollback(1) / re-ingest b2 / rollback(1): the b0+b1 state
     "pipe_snap_rollback" ->

@@ -511,6 +511,46 @@ class SnapshotSpec extends SparkSpec {
     assert(rb.filter(col("_change_type") === "delete").count() == 3) // b2 retracted
   }
 
+  test("asOfTimestamp resolves wall-clock reads; tags pin snapshots across expiry") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t, Some("b0"))
+    Thread.sleep(5)
+    ST.append(spark, batch(3 until 7), t, Some("b1"))
+    Thread.sleep(5)
+    ST.append(spark, batch(7 until 9), t, Some("b2"))
+    val t0 = ST.manifest(spark, t, 0).commitTimeMs
+    val t1 = ST.manifest(spark, t, 1).commitTimeMs
+    assert(t0 > 0 && t1 >= t0)
+    assert(ST.asOfTimestamp(spark, t, t1).count() == 7)
+    assert(ST.asOfTimestamp(spark, t, System.currentTimeMillis() + 1000).count() == 9)
+    intercept[IllegalArgumentException](ST.asOfTimestamp(spark, t, t0 - 1))
+    // tag + expiry pinning
+    ST.tag(spark, t, "audit-b0", 0L)
+    intercept[IllegalArgumentException](ST.tag(spark, t, "audit-b0", 1L)) // immutable
+    intercept[IllegalArgumentException](ST.tag(spark, t, "bad name!", 1L))
+    intercept[IllegalArgumentException](ST.tag(spark, t, "x", 42L)) // no such snapshot
+    ST.expire(spark, t, keepLast = 1)
+    assert(ST.refs(spark, t) == Map("audit-b0" -> 0L))
+    assert(ST.asOfRef(spark, t, "audit-b0").count() == 3) // pinned manifest + dirs survive
+    intercept[IllegalArgumentException](ST.asOf(spark, t, 1).count()) // unpinned: expired
+    ST.dropRef(spark, t, "audit-b0")
+    ST.expire(spark, t, keepLast = 1)
+    intercept[IllegalArgumentException](ST.asOf(spark, t, 0).count()) // now expirable
+    assert(ST.read(spark, t).count() == 9) // data never harmed
+  }
+
+  test("files metadata table lists live-dir bounds and bloom coverage") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 5), t, statsBy = Seq("id"), bloomBy = Seq("id"))
+    ST.append(spark, batch(5 until 9), t) // stats cols are a table property
+    val f = ST.files(spark, t).orderBy("dir").collect()
+    assert(f.map(r => (r.getString(0), r.getString(1), r.getString(3).toLong,
+      r.getString(4).toLong, r.getBoolean(5))).toSeq == Seq(
+      ("snap-000000", "id", 0L, 4L, true),
+      ("snap-000001", "id", 5L, 8L, true)))
+    assert(f.forall(_.getString(2) == "long"))
+  }
+
   test("history exposes the persisted lineage and row metrics per snapshot") {
     val t = tmp()
     ST.append(spark, batch(0 until 4), t, Some("in-1"))
