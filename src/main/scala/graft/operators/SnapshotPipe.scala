@@ -94,7 +94,10 @@ object SnapshotPipe {
     require(maxSnapshotsPerChunk >= 1, "chunk size must be >= 1")
     val latest = SnapshotTable.latestId(spark, srcDir).getOrElse(
       return Nil) // virgin source: nothing to do
-    val earliest = SnapshotTable.earliestId(spark, srcDir).get
+    // the CONTIGUOUS horizon: a ref-pinned manifest beyond an expired gap
+    // is time-travelable but not incrementally readable — bootstrapping
+    // from it would fail loudly on the first chunk past the gap
+    val earliest = SnapshotTable.earliestContiguousId(spark, srcDir).get
     val tok = srcToken(srcDir)
     val cursor = lastProcessed(spark, sinkDir, srcDir)
     require(cursor.forall(_ <= latest),
@@ -184,11 +187,17 @@ object SnapshotPipe {
     require(maxSnapshotsPerChunk >= 1, "chunk size must be >= 1")
     val latest = SnapshotTable.latestId(spark, srcDir).getOrElse(
       return Nil) // virgin source: nothing to do
-    val earliest = SnapshotTable.earliestId(spark, srcDir).get
+    // the CONTIGUOUS horizon — a ref-pinned manifest beyond an expired gap
+    // is not incrementally readable (see SnapshotTable.earliestContiguousId)
+    val earliest = SnapshotTable.earliestContiguousId(spark, srcDir).get
     val tok = srcToken(srcDir)
     def dirOf(name: String) = s"$tableRoot/$name"
+    // ONE ledger read per sink: the full bound history yields the cursor
+    // (its max) AND the alignment edges below
+    val boundsOf: Map[String, Seq[Long]] =
+      sinks.map(s => s.name -> processedBounds(spark, dirOf(s.name), srcDir)).toMap
     val cursors: Map[String, Option[Long]] =
-      sinks.map(s => s.name -> lastProcessed(spark, dirOf(s.name), srcDir)).toMap
+      boundsOf.map { case (n, bs) => n -> (if (bs.isEmpty) None else Some(bs.max)) }
     cursors.foreach { case (n, c) =>
       require(c.forall(_ <= latest),
         s"sink ${dirOf(n)} is ahead of source $srcDir (cursor ${c.getOrElse(-1L)} " +
@@ -207,29 +216,23 @@ object SnapshotPipe {
     // per-sink ledgers are independent, so there is no collision.
     val virgins = sinks.filter(s => cursors(s.name).isEmpty)
     val boot: Seq[(Long, Map[String, SnapshotTable.Commit])] =
-      if (earliest > 0 && virgins.nonEmpty) {
-        val commits = graft.plans.CacheScope.scoped {
-          val trunk = transform(SnapshotTable.asOf(spark, srcDir, earliest))
-          val flagged = graft.plans.CacheScope.persist(
-            Route.withSinkFlags(trunk, sinks))
-          virgins.map { sp =>
-            sp.name -> SnapshotTable.append(spark, Route.sinkFrame(flagged, sp),
-              dirOf(sp.name), Some(s"incr-$tok-$earliest"))
-          }.toMap
-        }
-        Seq(earliest -> commits)
-      } else Nil
+      if (earliest > 0 && virgins.nonEmpty)
+        Seq(earliest -> SnapshotTable.appendSinks(spark,
+          transform(SnapshotTable.asOf(spark, srcDir, earliest)), virgins,
+          tableRoot, s"incr-$tok-$earliest"))
+      else Nil
 
     // Post-boot cursors (virgins now sit at `earliest` when boot ran).
-    var cur: Map[String, Long] = sinks.map(s =>
-      s.name -> lastProcessed(spark, dirOf(s.name), srcDir).getOrElse(-1L)).toMap
+    var cur: Map[String, Long] = sinks.map { s =>
+      val booted = boot.nonEmpty && virgins.exists(_.name == s.name)
+      s.name -> (if (booted) earliest else cursors(s.name).getOrElse(-1L))
+    }.toMap
     val effFrom = cur.values.min
     if (effFrom >= latest) return boot // every sink caught up
 
     // Chunk edges: K-grid from the minimum cursor, force-aligned with every
     // bound any sink has already committed (rule 1 above).
-    val committed = sinks.flatMap(s =>
-      processedBounds(spark, dirOf(s.name), srcDir)).distinct
+    val committed = (boundsOf.values.flatten ++ boot.map(_._1)).toSeq.distinct
     val pts = ((effFrom until latest by maxSnapshotsPerChunk.toLong) ++
       committed.filter(b => b > effFrom && b < latest)).distinct.sorted :+ latest
     val incr = pts.sliding(2).collect { case Seq(a, b) if a < b =>

@@ -115,6 +115,22 @@ object SnapshotTable {
     manifestIds(fs, root).headOption
   }
 
+  /** Earliest id of the CONTIGUOUS retained manifest suffix ending at the
+    * latest snapshot — the incremental-read horizon. A ref-pinned manifest
+    * older than an expired gap is reachable for time travel but NOT part
+    * of this chain: range reads across the gap would fail loudly, so
+    * incremental consumers ([[graft.operators.SnapshotPipe]]) must
+    * bootstrap from here, never from [[earliestId]].
+    */
+  def earliestContiguousId(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val ids = manifestIds(fs, root)
+    ids.lastOption.map { last =>
+      ids.reverse.zipWithIndex
+        .takeWhile { case (id, i) => id == last - i }.last._1
+    }
+  }
+
   private def render(m: Manifest): String = {
     def strList(xs: Seq[String]) = xs.map(Json.quote).mkString("[", ",", "]")
     s"""{"snapshot_id":${m.snapshotId},""" +
@@ -604,7 +620,8 @@ object SnapshotTable {
       sys.error(s"$dir has no committed snapshot")))
     val statDirs = m.stats.map(_.dir).toSet
     val bloomKeys = m.blooms.toSet
-    val withStats = m.stats.filter(st => m.live.contains(st.dir)).map(st =>
+    val liveSet = m.live.toSet
+    val withStats = m.stats.filter(st => liveSet.contains(st.dir)).map(st =>
       (st.dir, Option(st.column), Option(st.tpe), Option(st.min), Option(st.max),
         bloomKeys.contains((st.dir, st.column))))
     val bare = m.live.filterNot(statDirs).map(d =>
@@ -624,13 +641,18 @@ object SnapshotTable {
     */
   def asOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
     val (fs, root) = fsOf(spark, dir)
-    val ids = manifestIds(fs, root)
-    val at = ids.map(manifest(spark, dir, _))
-      .filter(m => m.commitTimeMs <= tsMs)
+    val ms = manifestIds(fs, root).map(manifest(spark, dir, _))
+    // legacy (pre-commit_time_ms) manifests decode as 0 — they must not
+    // silently qualify for ANY timestamp, so only stamped manifests
+    // resolve, and an all-legacy chain fails loudly
+    val stamped = ms.filter(_.commitTimeMs > 0)
+    require(stamped.nonEmpty,
+      s"$dir has no commit timestamps (legacy chain, or no snapshot) — " +
+        "wall-clock time travel needs at least one post-upgrade commit")
+    val at = stamped.filter(_.commitTimeMs <= tsMs)
     require(at.nonEmpty,
       s"no retained snapshot of $dir at or before timestamp $tsMs " +
-        s"(earliest retained commit: ${ids.headOption.map(
-          manifest(spark, dir, _).commitTimeMs).getOrElse(-1L)})")
+        s"(earliest stamped commit: ${stamped.map(_.commitTimeMs).min})")
     asOf(spark, dir, at.map(_.snapshotId).max)
   }
 
@@ -651,8 +673,13 @@ object SnapshotTable {
     val p = new Path(refsDir(root), name)
     require(!fs.exists(p), s"ref '$name' already exists on $dir (drop it first)")
     fs.mkdirs(refsDir(root))
-    val out = fs.create(p, false)
+    // tmp-write + rename, same crash-safety stance as commitManifest: a
+    // truncated ref file would poison refs() — and expire(), which reads
+    // refs() for the pin set — until hand-deleted
+    val tmp = new Path(refsDir(root), s".$name.tmp")
+    val out = fs.create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, p), s"concurrent tag detected for '$name' on $dir")
   }
 
   /** All refs on the table: name → snapshot id. */
@@ -660,12 +687,14 @@ object SnapshotTable {
     val (fs, root) = fsOf(spark, dir)
     val d = refsDir(root)
     if (!fs.exists(d)) Map.empty
-    else fs.listStatus(d).map { st =>
-      val in = fs.open(st.getPath)
-      val id = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-      st.getPath.getName -> id
-    }.toMap
+    else fs.listStatus(d)
+      .filterNot(_.getPath.getName.startsWith(".")) // crash-leftover tmps
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val id = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+        st.getPath.getName -> id
+      }.toMap
   }
 
   /** Drop a ref; its snapshot becomes expirable again. */
@@ -1064,7 +1093,9 @@ object SnapshotTable {
     // ref-tagged snapshots are PINNED: their manifest and live dirs stay
     // until the ref is dropped (the Iceberg tag-retention contract). Note
     // a pinned old snapshot leaves a HOLE in the retained chain — range
-    // reads across the hole (incremental/changelogCdc) fail loudly.
+    // reads across the hole (incremental/changelogCdc) fail loudly, and
+    // incremental consumers bootstrap from earliestContiguousId, never
+    // from the pinned tag (SnapshotPipe does).
     val pinned = refs(spark, dir).values.toSet
     val drop = ids.dropRight(keepLast).filterNot(pinned)
     if (drop.isEmpty) return Nil

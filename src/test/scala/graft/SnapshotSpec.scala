@@ -511,6 +511,22 @@ class SnapshotSpec extends SparkSpec {
     assert(rb.filter(col("_change_type") === "delete").count() == 3) // b2 retracted
   }
 
+  test("runSinks bootstraps from the contiguous horizon, not a ref-pinned tag beyond a gap") {
+    import graft.operators.SnapshotPipe
+    val src = tmp(); val root = tmp()
+    (0 until 4).foreach(k => ST.append(spark, sevBatch(k * 3 until (k + 1) * 3), src, Some(s"b$k")))
+    ST.tag(spark, src, "old", 0L)
+    ST.expire(spark, src, keepLast = 2) // retained {0 (pinned), 2, 3} — gap at 1
+    assert(ST.earliestId(spark, src).contains(0L))
+    assert(ST.earliestContiguousId(spark, src).contains(2L))
+    // a bootstrap from the pinned tag would fail loudly on the (0,2] chunk;
+    // the contiguous horizon boots from asOf(2) then pipes (2,3]
+    SnapshotPipe.runSinks(spark, src, root, routeSinks)()
+    assert(ST.read(spark, s"$root/errs").count() == 6)
+    assert(ST.read(spark, s"$root/warns").count() == 6)
+    assert(SnapshotPipe.runSinks(spark, src, root, routeSinks)().isEmpty)
+  }
+
   test("asOfTimestamp resolves wall-clock reads; tags pin snapshots across expiry") {
     val t = tmp()
     ST.append(spark, batch(0 until 3), t, Some("b0"))
