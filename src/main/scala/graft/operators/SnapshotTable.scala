@@ -67,6 +67,22 @@ object SnapshotTable {
   final case class DirStat(dir: String, column: String, tpe: String,
                            min: String, max: String)
 
+  /** A merge-on-read EQUALITY-DELETE file: `dir` holds the deleted key
+    * values (one parquet column named `column`), and `seq` is the snapshot
+    * id that committed it. Sequence semantics (the Iceberg v2 rule): the
+    * delete applies only to data dirs committed BEFORE it — a row with the
+    * same key appended later survives. Readers anti-join; nothing is
+    * rewritten until [[compact]] materializes. This is the O(delta) delete:
+    * removing k rows from a 100 TB table writes k keys, where the
+    * copy-on-write [[delete]] rewrites every stats-intersecting dir.
+    */
+  final case class DeleteFile(dir: String, column: String, seq: Long)
+
+  /** `totalRows` counts PHYSICAL rows in live data dirs; it is the exact
+    * net row count only when `deletes` is empty (merge-on-read delete keys
+    * subtract at read time; [[compact]] re-trues it) — the same stance as
+    * Iceberg's total-records summary.
+    */
   final case class Manifest(snapshotId: Long, parentId: Option[Long],
                             operation: String, batchId: Option[String],
                             added: Seq[String], live: Seq[String],
@@ -77,6 +93,7 @@ object SnapshotTable {
                             stats: Seq[DirStat] = Nil,
                             bloomCols: Seq[String] = Nil,
                             blooms: Seq[(String, String)] = Nil,
+                            deletes: Seq[DeleteFile] = Nil,
                             commitTimeMs: Long = 0L) {
     /** Table schema AS OF this snapshot (None on pre-schema manifests —
       * readers fall back to parquet footer inference).
@@ -155,6 +172,9 @@ object SnapshotTable {
       // column names exclude '|' (validated [A-Za-z0-9_.]+), so splitting on
       // the LAST '|' is unambiguous even for bucket dirs ("snap-N/_b=K")
       s""""blooms":${strList(m.blooms.map { case (d, c) => s"$d|$c" })},""" +
+      // dir names and column names exclude '|' (both validated), seq is
+      // numeric — a 3-way '|' split decodes exactly
+      s""""deletes":${strList(m.deletes.map(d => s"${d.dir}|${d.column}|${d.seq}"))},""" +
       s""""commit_time_ms":${m.commitTimeMs}}"""
   }
 
@@ -200,6 +220,12 @@ object SnapshotTable {
       blooms = list("blooms").map { e =>
         val cut = e.lastIndexOf('|')
         (e.substring(0, cut), e.substring(cut + 1))
+      },
+      deletes = list("deletes").map { e =>
+        e.split("\\|") match {
+          case Array(d, c, q) => DeleteFile(d, c, q.toLong)
+          case _ => sys.error(s"bad delete entry: $e")
+        }
       },
       commitTimeMs = num("commit_time_ms").getOrElse(0L)) // 0 on legacy manifests
   }
@@ -306,7 +332,10 @@ object SnapshotTable {
             computeStats(spark, dataPath, name, scols),
           bloomCols = bcols,
           blooms = parent.map(_.blooms).getOrElse(Nil) ++
-            computeBlooms(spark, fs, root, dataPath, name, bcols))
+            computeBlooms(spark, fs, root, dataPath, name, bcols),
+          // pending MOR deletes carry forward; the new dir's addSeq is newer
+          // than every delete seq, so they provably never touch its rows
+          deletes = parent.map(_.deletes).getOrElse(Nil))
         commitManifest(fs, root, m)
         Commit(next, skippedExisting = false)
     }
@@ -322,6 +351,47 @@ object SnapshotTable {
     // back to footer inference.
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     reader.parquet(dirs.map(n => new Path(dataDir(root), n).toString): _*)
+  }
+
+  /** Commit sequence a data dir was added at, recovered from its name —
+    * every dir is named for its committing snapshot (`snap-NNNNNN`,
+    * `snap-NNNNNN/_b=K`, `snap-NNNNNN-src`), so no per-dir metadata entry
+    * is needed. Merge-on-read deletes compare against this: a delete at
+    * seq s applies only to dirs with addSeq < s.
+    */
+  private val DirSeq = "snap-(\\d{6}).*".r
+  private def addSeq(dirName: String): Long = dirName match {
+    case DirSeq(n) => n.toLong
+    case _ => sys.error(s"cannot derive commit sequence from dir name '$dirName'")
+  }
+
+  /** Read `dirs` of snapshot `m` with its merge-on-read equality deletes
+    * APPLIED: dirs are grouped by which delete files reach them (seq >
+    * addSeq), each group anti-joins the union of its applicable delete
+    * keys per key column. Delete-key frames ride a broadcast hint — MOR
+    * deletes are delta-sized by design (a table-scale predicate belongs to
+    * the copy-on-write [[delete]]). NULL-keyed rows never match a delete
+    * key (SQL equality), same retention stance as the CoW range delete.
+    */
+  private def readMerged(spark: SparkSession, root: Path, m: Manifest,
+                         dirs: Seq[String],
+                         schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val schema = schemaOverride.orElse(m.schema)
+    if (m.deletes.isEmpty) readDirs(spark, root, dirs, schema)
+    else {
+      require(dirs.nonEmpty, s"snapshot of $root has no data dirs")
+      val groups = dirs.groupBy(d => m.deletes.filter(_.seq > addSeq(d)))
+      groups.toSeq.sortBy(_._2.head).map { case (applicable, ds) =>
+        val base = readDirs(spark, root, ds, schema)
+        applicable.groupBy(_.column).toSeq.sortBy(_._1)
+          .foldLeft(base) { case (df, (c, files)) =>
+            val keys = spark.read.parquet(
+              files.map(f => new Path(dataDir(root), f.dir).toString): _*)
+            df.join(broadcast(keys), Seq(c), "left_anti")
+          }
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Evolved table schema: existing columns keep their types (a type
@@ -526,7 +596,7 @@ object SnapshotTable {
     val m = manifest(spark, dir, id)
     val (kept, _) = planScan(m, range)
     if (kept.isEmpty) read(spark, dir).limit(0)
-    else readDirs(spark, root, kept, m.schema).filter(range.toColumn)
+    else readMerged(spark, root, m, kept).filter(range.toColumn)
   }
 
   /** Scan plan for a POINT lookup `column == value`: min/max bounds prune
@@ -569,7 +639,7 @@ object SnapshotTable {
     val m = manifest(spark, dir, id)
     val (kept, _) = planScanEq(spark, dir, m, column, value)
     if (kept.isEmpty) read(spark, dir).limit(0)
-    else readDirs(spark, root, kept, m.schema).filter(col(column) === lit(value))
+    else readMerged(spark, root, m, kept).filter(col(column) === lit(value))
   }
 
   /** Time-travel read: the table exactly as of snapshot `id`, planned from
@@ -579,7 +649,7 @@ object SnapshotTable {
   def asOf(spark: SparkSession, dir: String, id: Long): DataFrame = {
     val (_, root) = fsOf(spark, dir)
     val m = manifest(spark, dir, id)
-    readDirs(spark, root, m.live, m.schema)
+    readMerged(spark, root, m, m.live)
   }
 
   /** Current table = latest snapshot. */
@@ -712,6 +782,165 @@ object SnapshotTable {
     asOf(spark, dir, id)
   }
 
+  // ---- write-audit-publish: staged commits (the Iceberg WAP pattern) ----
+  //
+  // An ingest job STAGES its batch: the data dir is written and described
+  // by a staged manifest, but no snapshot references it — readers of the
+  // table cannot see it. An AUDIT job reads table ∪ staged and runs its
+  // quality gates. PUBLISH then commits the staged dir as the next
+  // snapshot ON THE CURRENT HEAD (cherry-pick semantics: appends that
+  // landed between stage and publish are kept), metadata-only except the
+  // stats/bloom jobs over the one staged dir; DISCARD removes a failed
+  // batch without ever having exposed it. Exactly-once carries through:
+  // publishing a batch id the ledger already holds skips and cleans up.
+
+  private def stageDirName(token: String) = s"stage-$token"
+  private def stagedManifestPath(root: Path, token: String) =
+    new Path(manifestDir(root), s"staged-$token.json")
+  private val StagedName = "staged-([A-Za-z0-9._-]+)\\.json".r
+
+  /** Stage `df` under `token` (unique per in-flight batch). The data is
+    * written and durable, but invisible to every reader until
+    * [[publishStaged]]. Fails loudly on a token already staged.
+    */
+  def stage(spark: SparkSession, df: DataFrame, dir: String, token: String,
+            batchId: Option[String] = None): Unit = {
+    require(token.matches("[A-Za-z0-9._-]+"),
+      s"bad stage token '$token' (use [A-Za-z0-9._-]+)")
+    batchId.foreach { b =>
+      require(b.matches("[A-Za-z0-9._:-]+"),
+        s"batch id '$b' must match [A-Za-z0-9._:-]+")
+    }
+    val (fs, root) = fsOf(spark, dir)
+    val sm = stagedManifestPath(root, token)
+    require(!fs.exists(sm), s"stage token '$token' already in flight on $dir")
+    val dataPath = new Path(dataDir(root), stageDirName(token)).toString
+    // an existing dir is an uncommitted crash leftover — overwrite recovers
+    df.write.mode("overwrite").parquet(dataPath)
+    val rows = spark.read.schema(df.schema).parquet(dataPath).count()
+    val body = s"""{"token":${Json.quote(token)},""" +
+      s""""batch_id":${batchId.map(Json.quote).getOrElse("null")},""" +
+      s""""rows":$rows,""" +
+      s""""schema_b64":${Json.quote(b64(df.schema.json))}}"""
+    fs.mkdirs(manifestDir(root))
+    val tmp = new Path(manifestDir(root), s".staged-$token.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, sm), s"concurrent stage detected for '$token' on $dir")
+  }
+
+  /** Tokens of all in-flight staged batches. */
+  def stagedTokens(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    val d = manifestDir(root)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).map(_.getPath.getName)
+      .collect { case StagedName(t) => t }.sorted.toIndexedSeq
+  }
+
+  private case class Staged(token: String, batchId: Option[String], rows: Long,
+                            schema: org.apache.spark.sql.types.StructType)
+
+  private def stagedMeta(spark: SparkSession, dir: String, token: String): Staged = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = stagedManifestPath(root, token)
+    require(fs.exists(p), s"no staged batch '$token' on $dir " +
+      s"(in flight: ${stagedTokens(spark, dir).mkString(",")})")
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def str(k: String) = s"""\"$k\":\"([^\"]*)\"""".r.findFirstMatchIn(s).map(_.group(1))
+    val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      .getOrElse(sys.error(s"bad staged manifest: $s"))
+    Staged(token, str("batch_id"), rows,
+      org.apache.spark.sql.types.DataType.fromJson(unb64(str("schema_b64")
+        .getOrElse(sys.error(s"bad staged manifest: $s"))))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Audit view: the table AS IF the staged batch were published — current
+    * head ∪ staged rows (just the staged rows on a virgin table). Quality
+    * gates run here; nothing is committed.
+    */
+  def auditStaged(spark: SparkSession, dir: String, token: String): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val st = stagedMeta(spark, dir, token)
+    val staged = spark.read.schema(st.schema)
+      .parquet(new Path(dataDir(root), stageDirName(token)).toString)
+    latestId(spark, dir) match {
+      case None => staged
+      case Some(_) => read(spark, dir).unionByName(staged, allowMissingColumns = true)
+    }
+  }
+
+  /** Publish the staged batch as the next snapshot of the CURRENT head.
+    * The data dir is renamed into the snapshot namespace (an atomic
+    * driver-side metadata move on HDFS-like stores), stats/bloom sidecars
+    * are computed for it under the table's existing properties, and the
+    * manifest commits as an ordinary `append` — incremental consumers see
+    * a published batch exactly like a direct one. A batch id already in
+    * the ledger skips (exactly-once across the WAP path) and cleans up its
+    * staging debris.
+    */
+  def publishStaged(spark: SparkSession, dir: String, token: String): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = stagedMeta(spark, dir, token)
+    val stagePath = new Path(dataDir(root), stageDirName(token))
+    val ids = manifestIds(fs, root)
+    val parent = ids.lastOption.map(manifest(spark, dir, _))
+    val ledger = parent.map(_.batchCommits).getOrElse(Nil) match {
+      case Nil if st.batchId.nonEmpty && ids.nonEmpty => // legacy chain (see append)
+        ids.map(manifest(spark, dir, _))
+          .flatMap(m => m.batchId.map(_ -> m.snapshotId))
+      case l => l
+    }
+    st.batchId.flatMap(b => ledger.find(_._1 == b)) match {
+      case Some((_, snap)) =>
+        discardStaged(spark, dir, token) // replayed batch: rows already present
+        Commit(snap, skippedExisting = true)
+      case None =>
+        val next = ids.lastOption.map(_ + 1).getOrElse(0L)
+        val name = f"snap-$next%06d"
+        val dataPath = new Path(dataDir(root), name)
+        require(fs.rename(stagePath, dataPath),
+          s"publish of '$token' on $dir could not move ${stagePath.getName} " +
+            s"to ${dataPath.getName}")
+        val schemaNow: Option[String] = parent match {
+          case None => Some(st.schema.json)
+          case Some(p) => p.schema.map(ps => mergeSchemas(ps, st.schema).json)
+        }
+        val scols = parent.map(_.statsCols).getOrElse(Nil)
+        val bcols = parent.map(_.bloomCols).getOrElse(Nil)
+        commitManifest(fs, root, Manifest(next, ids.lastOption, "append", st.batchId,
+          added = Seq(name), live = parent.map(_.live).getOrElse(Nil) :+ name,
+          addedRows = st.rows,
+          totalRows = parent.map(_.totalRows).getOrElse(0L) + st.rows,
+          batchCommits = ledger ++ st.batchId.map(_ -> next),
+          schemaJson = schemaNow,
+          statsCols = scols,
+          stats = parent.map(_.stats).getOrElse(Nil) ++
+            computeStats(spark, dataPath.toString, name, scols),
+          bloomCols = bcols,
+          blooms = parent.map(_.blooms).getOrElse(Nil) ++
+            computeBlooms(spark, fs, root, dataPath.toString, name, bcols),
+          deletes = parent.map(_.deletes).getOrElse(Nil)))
+        fs.delete(stagedManifestPath(root, token), false)
+        Commit(next, skippedExisting = false)
+    }
+  }
+
+  /** Drop a staged batch that failed its audit — nothing was ever visible.
+    * The staged manifest goes first so a crash mid-discard leaves only an
+    * orphan data dir (vacuum's bread and butter), never a manifest
+    * pointing at missing data.
+    */
+  def discardStaged(spark: SparkSession, dir: String, token: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = stagedManifestPath(root, token)
+    require(fs.exists(p), s"no staged batch '$token' on $dir")
+    fs.delete(p, false)
+    fs.delete(new Path(dataDir(root), stageDirName(token)), true)
+  }
+
   private def appendedIn(spark: SparkSession, dir: String,
                          fromExclusive: Long, toInclusive: Long): Seq[Manifest] = {
     require(fromExclusive <= toInclusive,
@@ -723,7 +952,7 @@ object SnapshotTable {
     // fails loudly (the Iceberg "cannot do incremental scan on snapshot of
     // type overwrite" contract); read asOf the endpoint instead
     ms.find(x => x.operation == "delete" || x.operation == "overwrite" ||
-        x.operation == "rollback").foreach(x =>
+        x.operation == "rollback" || x.operation == "mor-delete").foreach(x =>
       sys.error(s"incremental range ($fromExclusive, $toInclusive] crosses " +
         s"row-removing ${x.operation} snapshot ${x.snapshotId} — not insert-only; " +
         "use changelogCdc for row-level diffs"))
@@ -818,20 +1047,43 @@ object SnapshotTable {
     val parts = ((fromExclusive + 1) to toInclusive).flatMap { id =>
       val m = manifest(spark, dir, id)
       if (m.operation == "replace") Nil // compaction: same rows, new files
-      else {
-        val parentLive = m.parentId
-          .map(p => manifest(spark, dir, p).live).getOrElse(Nil)
+      else if (m.operation == "mor-delete") {
+        // the delete file committed at this id names exactly the removed
+        // keys: the removed ROWS are the parent view's matches. Scan only
+        // data dirs the delete-file key bounds (recorded in THIS commit's
+        // stats) can touch, read them under the PARENT's merged view (a
+        // key deleted twice emits only once), semi-join the keys.
+        val df = m.deletes.last
+        require(df.seq == id, s"mor-delete manifest $id names delete seq ${df.seq}")
+        val p = manifest(spark, dir, m.parentId.get)
+        val kept = m.stats.find(st => st.dir == df.dir && st.column == df.column) match {
+          case Some(b) => planScan(p, KeyRange(df.column, Some(b.min), Some(b.max)))._1
+          case None => p.live
+        }
+        if (kept.isEmpty) Nil
+        else {
+          val keys = spark.read.parquet(new Path(dataDir(root), df.dir).toString)
+          Seq(tag(readMerged(spark, root, p, kept, toSchema)
+            .join(broadcast(keys), Seq(df.column), "left_semi"), id, "delete"))
+        }
+      } else {
+        val pm = m.parentId.map(p => manifest(spark, dir, p))
+        val parentLive = pm.map(_.live).getOrElse(Nil)
         val addedDirs = m.live.filterNot(parentLive.toSet)
         val removedDirs = parentLive.filterNot(m.live.toSet)
+        // added dirs carry this commit's addSeq — no delete file can reach
+        // them; removed dirs read under the PARENT's merged view so rows a
+        // pending MOR delete already removed are not re-reported
+        def removedRead = readMerged(spark, root, pm.get, removedDirs, toSchema)
         (addedDirs.nonEmpty, removedDirs.nonEmpty) match {
           case (false, false) => Nil
           case (true, false) =>
             Seq(tag(readDirs(spark, root, addedDirs, toSchema), id, "insert"))
           case (false, true) =>
-            Seq(tag(readDirs(spark, root, removedDirs, toSchema), id, "delete"))
+            Seq(tag(removedRead, id, "delete"))
           case (true, true) =>
             val a = readDirs(spark, root, addedDirs, toSchema)
-            val r = readDirs(spark, root, removedDirs, toSchema)
+            val r = removedRead
             Seq(tag(a.exceptAll(r), id, "insert"),
                 tag(r.exceptAll(a), id, "delete"))
         }
@@ -871,12 +1123,19 @@ object SnapshotTable {
     val ids = manifestIds(fs, root)
     val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
     val m = manifest(spark, dir, last)
-    if (m.live.size <= targetFiles && sortBy.isEmpty && zorderBy.isEmpty)
+    if (m.live.size <= targetFiles && sortBy.isEmpty && zorderBy.isEmpty &&
+        m.deletes.isEmpty) // pending MOR deletes still need materializing
       return Commit(last, skippedExisting = true)
     val next = last + 1
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
-    val base = readDirs(spark, root, m.live, m.schema)
+    // compaction MATERIALIZES merge-on-read deletes: the rewrite reads the
+    // merged view, so the new files carry only surviving rows and the new
+    // manifest's delete list is empty (totalRows re-trues to the net count)
+    val base = readMerged(spark, root, m, m.live)
+    val expected =
+      if (m.deletes.isEmpty) m.totalRows
+      else base.count() // one extra pass over data the rewrite reads anyway
     val scols = (m.statsCols ++ sortBy ++ zorderBy).distinct
     val (dirs, stats) =
       if (sortBy.isEmpty && zorderBy.isEmpty) {
@@ -896,16 +1155,16 @@ object SnapshotTable {
         (buckets.map(b => s"$name/$b"), bucketStats(spark, dataPath, name, scols))
       }
     val rows = spark.read.parquet(dataPath).count()
-    require(rows == m.totalRows,
-      s"compaction row mismatch: rewrote $rows rows, expected ${m.totalRows}")
+    require(rows == expected,
+      s"compaction row mismatch: rewrote $rows rows, expected $expected")
     // rebuild sidecar sketches per rewritten dir (clustered: one per bucket)
     val blooms = dirs.flatMap(d => computeBlooms(spark, fs, root,
       new Path(dataDir(root), d).toString, d, m.bloomCols))
     commitManifest(fs, root, Manifest(next, Some(last), "replace", None,
-      added = dirs, live = dirs, addedRows = 0L, totalRows = m.totalRows,
+      added = dirs, live = dirs, addedRows = 0L, totalRows = rows,
       batchCommits = m.batchCommits, schemaJson = m.schemaJson,
       statsCols = scols, stats = stats,
-      bloomCols = m.bloomCols, blooms = blooms))
+      bloomCols = m.bloomCols, blooms = blooms, deletes = Nil))
     Commit(next, skippedExisting = false)
   }
 
@@ -990,8 +1249,10 @@ object SnapshotTable {
     val next = last + 1
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
-    // keep rows where the predicate is NOT TRUE (null-safe: null keys stay)
-    readDirs(spark, root, affected, m.schema)
+    // keep rows where the predicate is NOT TRUE (null-safe: null keys stay);
+    // the rewrite reads the MERGED view so pending MOR deletes applicable to
+    // the affected dirs are materialized into the rewrite, never resurrected
+    readMerged(spark, root, m, affected)
       .filter(!coalesce(range.toColumn, lit(false)))
       .write.mode("overwrite").parquet(dataPath)
     // explicit schema: a full-dir delete leaves zero part files to infer from
@@ -1012,7 +1273,58 @@ object SnapshotTable {
         computeStats(spark, dataPath, name, m.statsCols) else Nil),
       bloomCols = m.bloomCols,
       blooms = carriedBlooms ++ (if (keptRows > 0)
-        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil)))
+        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil),
+      // pending MOR deletes still apply to the untouched dirs (old addSeq);
+      // the rewritten dir's newer addSeq provably escapes them
+      deletes = m.deletes))
+    Commit(next, skippedExisting = false)
+  }
+
+  /** Row-level DELETE, merge-on-read (Iceberg v2 equality deletes): the
+    * distinct non-null `key` values of `keys` are written as a small
+    * DELETE FILE and committed as a `mor-delete` snapshot — NO data dir is
+    * read or rewritten, so deleting k rows from a 100 TB table costs O(k)
+    * regardless of table size (the copy-on-write [[delete]] rewrites every
+    * stats-intersecting dir; use it for table-scale predicates, this for
+    * point/delta deletes — GDPR erasure, dedup verdicts, retractions).
+    * Readers anti-join the delete keys against data dirs OLDER than the
+    * delete (sequence rule: a same-key row appended later survives);
+    * [[compact]] materializes and clears. Zero-key deletes skip. Like the
+    * CoW paths, incremental/changelog reads across it fail loudly (not
+    * insert-only) — use [[changelogCdc]], which recovers exactly the rows
+    * the delete removed.
+    */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame, key: String): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    require(m.schema.nonEmpty,
+      s"merge-on-read delete requires a schema-stamped table (legacy chain at $dir)")
+    require(key.matches("[A-Za-z0-9_.]+"),
+      s"delete key column name '$key' must match [A-Za-z0-9_.]+")
+    val schema = m.schema.get
+    require(schema.fieldNames.contains(key), s"table at $dir has no column '$key'")
+    val next = last + 1
+    val name = f"snap-$next%06d-del"
+    val delPath = new Path(dataDir(root), name).toString
+    keys.select(col(key).cast(schema(key).dataType)).na.drop().distinct()
+      .write.mode("overwrite").parquet(delPath)
+    val n = spark.read.schema(org.apache.spark.sql.types.StructType(
+      Seq(schema(key).copy(nullable = true)))).parquet(delPath).count()
+    if (n == 0L) { fs.delete(new Path(delPath), true); return Commit(last, skippedExisting = true) }
+    // key bounds of the delete file ride in the commit's manifest stats
+    // (keyed by the delete dir's name): changelogCdc prunes which data dirs
+    // it scans to recover the removed rows. Unsupported key domains just
+    // skip the entry — absent stats never prune.
+    val delStats = schema(key).dataType match {
+      case dt if scala.util.Try(statDomain(dt)).isSuccess =>
+        computeStats(spark, delPath, name, Seq(key))
+      case _ => Nil
+    }
+    commitManifest(fs, root, m.copy(snapshotId = next, parentId = Some(last),
+      operation = "mor-delete", batchId = None, added = Nil, addedRows = 0L,
+      stats = m.stats ++ delStats,
+      deletes = m.deletes :+ DeleteFile(name, key, next)))
     Commit(next, skippedExisting = false)
   }
 
@@ -1051,7 +1363,9 @@ object SnapshotTable {
     val (affected, untouched) = planScan(m, range)
     val rwPath = new Path(dataDir(root), s"$name-rw").toString
     val rwRows = if (affected.isEmpty) 0L else {
-      readDirs(spark, root, affected, m.schema)
+      // merged view: pending MOR deletes on the affected dirs materialize
+      // into the rewrite instead of resurrecting
+      readMerged(spark, root, m, affected)
         .join(src.select(col(key)), Seq(key), "left_anti")
         .write.mode("overwrite").parquet(rwPath)
       spark.read.schema(m.schema.get).parquet(rwPath).count()
@@ -1076,7 +1390,8 @@ object SnapshotTable {
       batchCommits = m.batchCommits, schemaJson = Some(schemaNow.json),
       statsCols = m.statsCols, stats = carried ++ newStats,
       bloomCols = m.bloomCols,
-      blooms = m.blooms.filter(b => untouched.contains(b._1)) ++ newBlooms))
+      blooms = m.blooms.filter(b => untouched.contains(b._1)) ++ newBlooms,
+      deletes = m.deletes)) // still reach the untouched dirs' old addSeq
     Commit(next, skippedExisting = false)
   }
 
@@ -1100,8 +1415,12 @@ object SnapshotTable {
     val drop = ids.dropRight(keepLast).filterNot(pinned)
     if (drop.isEmpty) return Nil
     val keep = ids.filterNot(drop.toSet)
-    val keepDirs = keep.flatMap(manifest(spark, dir, _).live).toSet
-    val dropDirs = drop.flatMap(manifest(spark, dir, _).live).toSet -- keepDirs
+    // MOR delete files follow the same lifecycle as data dirs: referenced
+    // by any retained manifest → kept, else physically removed with their
+    // expired history
+    def allDirs(m: Manifest): Seq[String] = m.live ++ m.deletes.map(_.dir)
+    val keepDirs = keep.flatMap(id => allDirs(manifest(spark, dir, id))).toSet
+    val dropDirs = drop.flatMap(id => allDirs(manifest(spark, dir, id))).toSet -- keepDirs
     dropDirs.toSeq.sorted.foreach { n =>
       fs.delete(new Path(dataDir(root), n), true)
     }
@@ -1123,9 +1442,13 @@ object SnapshotTable {
   def vacuum(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
     // clustered-compaction dirs are referenced as "snap-N/_b=K" — the
-    // top-level child "snap-N" is live when ANY of its buckets is
+    // top-level child "snap-N" is live when ANY of its buckets is; MOR
+    // delete files and staged (write-audit-publish) dirs are referenced too
     val referenced = manifestIds(fs, root)
-      .flatMap(manifest(spark, dir, _).live).map(_.split('/')(0)).toSet
+      .flatMap { id =>
+        val m = manifest(spark, dir, id); m.live ++ m.deletes.map(_.dir)
+      }.map(_.split('/')(0)).toSet ++
+      stagedTokens(spark, dir).map(stageDirName)
     val dd = dataDir(root)
     if (!fs.exists(dd)) return Nil
     val orphans = fs.listStatus(dd).map(_.getPath.getName)

@@ -412,6 +412,68 @@ object OpsQueries {
         .orderBy("_snapshot_id", "_change_type", "doc_id")
     }),
 
+    // merge-on-read equality deletes (Iceberg v2): the delete commits k
+    // keys WITHOUT rewriting any data dir (require()d: live set unchanged,
+    // nothing added — the O(delta) delete a 100 TB table needs), readers
+    // anti-join, and the SEQUENCE rule lets a later re-append of deleted
+    // keys survive (%21 ⊂ %7, so every re-appended row is a deleted key).
+    // Compaction materializes: the delete list empties and the read is
+    // unchanged — the oracle sees straight filter arithmetic.
+    "pipe_snap_mor" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapmor").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      for (k <- 0 to 2)
+        ST.append(s, base.filter(col("doc_id") % 3 === k), t, Some(s"b$k"),
+          statsBy = Seq("doc_id"))
+      val preLive = ST.manifest(s, t, 2).live
+      ST.deleteKeys(s, t,
+        base.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id") // snap 3
+      val m = ST.manifest(s, t, 3)
+      require(m.operation == "mor-delete" && m.added.isEmpty && m.live == preLive,
+        s"MOR delete must rewrite nothing (added=${m.added.size})")
+      require(ST.asOf(s, t, 2).count() == base.count(),
+        "time travel before the MOR delete must see every row")
+      ST.append(s, base.filter(col("doc_id") % 21 === 0)
+        .withColumn("n_chars", col("n_chars") + 5000L), t, Some("re"))   // snap 4
+      ST.compact(s, t)                                                   // snap 5
+      require(ST.manifest(s, t, 5).deletes.isEmpty,
+        "compaction must materialize and clear the delete files")
+      ST.read(s, t).orderBy("doc_id", "n_chars")
+    }),
+
+    // write-audit-publish staged commits: a staged batch is durable but
+    // invisible (require()d), the audit view reads table ∪ staged, publish
+    // cherry-picks onto the current head as an ordinary append, and a
+    // REPLAYED publish of the same batch id skips — the oracle (every
+    // document exactly once) fails on any duplicate or loss. A failed
+    // batch discards without a trace (vacuum finds no orphans).
+    "pipe_snap_wap" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapwap").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 0), t, Some("even")) // snap 0
+      ST.stage(s, base.filter(col("doc_id") % 2 === 1), t, "tok-odd", Some("odd"))
+      require(ST.read(s, t).count() ==
+        base.filter(col("doc_id") % 2 === 0).count(),
+        "staged rows must be invisible before publish")
+      require(ST.auditStaged(s, t, "tok-odd").count() == base.count(),
+        "the audit view must see table plus staged")
+      require(!ST.publishStaged(s, t, "tok-odd").skippedExisting,
+        "first publish must commit")
+      ST.stage(s, base.filter(col("doc_id") % 2 === 1), t, "tok-retry", Some("odd"))
+      require(ST.publishStaged(s, t, "tok-retry").skippedExisting,
+        "a replayed publish of a committed batch id must skip")
+      ST.stage(s, base.filter(col("doc_id") < 10)
+        .withColumn("source", lit("bad")), t, "tok-bad", Some("bad-1"))
+      ST.discardStaged(s, t, "tok-bad")
+      require(ST.stagedTokens(s, t).isEmpty && ST.vacuum(s, t).isEmpty,
+        "discard must leave no staging debris")
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -2082,6 +2144,23 @@ object OpsQueries {
         |SELECT CAST(_snapshot_id AS BIGINT) AS _snapshot_id, _change_type,
         |       doc_id, source, n_chars
         |FROM cdc ORDER BY _snapshot_id, _change_type, doc_id""".stripMargin,
+
+    // survivors of the MOR delete (%7 keys removed) plus the re-appended
+    // %21 keys, which outlive the delete by the sequence rule
+    "pipe_snap_mor" ->
+      """SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars + 5000 AS n_chars FROM documents
+        |WHERE doc_id % 21 = 0
+        |ORDER BY doc_id, n_chars""".stripMargin,
+
+    // staged+published odd half joins the directly-appended even half
+    // exactly once; a
+    // duplicate (replayed publish not skipping) or loss (publish dropping
+    // the staged rows) breaks the hash
+    "pipe_snap_wap" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES

@@ -602,4 +602,131 @@ class SnapshotSpec extends SparkSpec {
     assert(ST.read(spark, s"$t/tables/errs").count() == 2)
     assert(ST.latestId(spark, s"$t/tables/errs").contains(0L))
   }
+
+  test("merge-on-read delete: no rewrite, sequence semantics, compaction materializes") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 10), t, Some("b0"), statsBy = Seq("id"))
+    ST.append(spark, batch(10 until 20), t, Some("b1"))
+    // delete {3, 12} by key — dup + int type exercise the distinct + cast
+    val c = ST.deleteKeys(spark, t, Seq(3, 12, 12).toDF("id"), "id")
+    assert(c.snapshotId == 2 && !c.skippedExisting)
+    val m = ST.manifest(spark, t, 2)
+    // O(delta): nothing rewritten — live dirs unchanged, no data dir added
+    assert(m.operation == "mor-delete" && m.added.isEmpty)
+    assert(m.live == Seq("snap-000000", "snap-000001"))
+    assert(m.deletes.map(d => (d.column, d.seq)) == Seq(("id", 2L)))
+    assert(ST.read(spark, t).count() == 18)
+    assert(ST.read(spark, t).filter(col("id").isin(3L, 12L)).count() == 0)
+    // time travel BEFORE the delete still sees every row
+    assert(ST.asOf(spark, t, 1).count() == 20)
+    // SEQUENCE RULE: a later append of a deleted key survives (the delete
+    // only reaches dirs older than it)
+    ST.append(spark, Seq((3L, "v3-new"), (20L, "v20")).toDF("id", "v"), t, Some("b2"))
+    val re = ST.read(spark, t).filter(col("id") === 3L).collect()
+    assert(re.length == 1 && re(0).getString(1) == "v3-new")
+    assert(ST.read(spark, t).count() == 20)
+    // point-lookup reads agree with the merged view
+    assert(ST.readWhereEq(spark, t, "id", 12L).count() == 0)
+    assert(ST.readWhereEq(spark, t, "id", 3L).collect()(0).getString(1) == "v3-new")
+    // zero-key delete is a skip
+    assert(ST.deleteKeys(spark, t, Seq.empty[Long].toDF("id"), "id").skippedExisting)
+    // compaction MATERIALIZES: delete list empties, totals re-true, rows equal
+    val before = ST.read(spark, t).orderBy("id", "v").collect().toSeq
+    ST.compact(spark, t)
+    val mc = ST.manifest(spark, t, ST.latestId(spark, t).get)
+    assert(mc.deletes.isEmpty && mc.totalRows == 20)
+    assert(ST.read(spark, t).orderBy("id", "v").collect().toSeq == before)
+    // incremental across the mor-delete fails loudly (not insert-only)
+    val e = intercept[RuntimeException](ST.incremental(spark, t, 0, 3))
+    assert(e.getMessage.contains("mor-delete"))
+  }
+
+  test("MOR pending deletes: CoW rewrites materialize them; CDC reports each row once") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 10), t, Some("b0"), statsBy = Seq("id")) // snap 0
+    ST.deleteKeys(spark, t, Seq(2L).toDF("id"), "id")                       // snap 1
+    // CoW upsert while the MOR delete is pending: the affected-dir rewrite
+    // must not resurrect id 2
+    ST.upsert(spark, t, Seq((5L, "v5-patched")).toDF("id", "v"), "id")      // snap 2
+    val now = ST.read(spark, t)
+    assert(now.count() == 9 && now.filter(col("id") === 2L).count() == 0)
+    assert(now.filter(col("id") === 5L).collect()(0).getString(1) == "v5-patched")
+    // CoW range delete on top
+    ST.delete(spark, t, ST.KeyRange("id", Some(7L), Some(9L)))              // snap 3
+    assert(ST.read(spark, t).count() == 6)
+    // CDC: id 2 is reported deleted ONCE (at the mor-delete commit), never
+    // re-reported by the CoW rewrites that physically carried it
+    val cdc = ST.changelogCdc(spark, t, -1L, 3L)
+      .select("_snapshot_id", "_change_type", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(cdc.count(x => x._3 == 2L && x._2 == "delete") == 1 &&
+      cdc.contains((1L, "delete", 2L)), s"cdc rows: ${cdc.mkString(", ")}")
+    assert(cdc.contains((2L, "delete", 5L)) && cdc.contains((2L, "insert", 5L)))
+    assert(Seq(7L, 8L, 9L).forall(i => cdc.contains((3L, "delete", i))))
+    assert(cdc.count(_._1 == 3L) == 3)
+  }
+
+  test("MOR delete files follow expiry/vacuum lifecycle") {
+    import spark.implicits._
+    val t = tmp()
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ST.append(spark, batch(0 until 6), t, statsBy = Seq("id")) // snap 0
+    ST.append(spark, batch(6 until 12), t)                     // snap 1
+    ST.deleteKeys(spark, t, Seq(1L, 7L).toDF("id"), "id")      // snap 2
+    val delDir = new org.apache.hadoop.fs.Path(s"$t/data/snap-000002-del")
+    assert(fs.exists(delDir))
+    // expiry keeps the delete file while any retained manifest references it
+    ST.expire(spark, t, keepLast = 1)
+    assert(fs.exists(delDir) && ST.read(spark, t).count() == 10)
+    assert(ST.vacuum(spark, t).isEmpty) // referenced: not an orphan
+    // compaction materializes; the delete file is now unreferenced once
+    // the pre-compaction manifest expires
+    ST.compact(spark, t)                                       // snap 3
+    ST.expire(spark, t, keepLast = 1)
+    assert(!fs.exists(delDir))
+    assert(ST.read(spark, t).count() == 10)
+  }
+
+  test("write-audit-publish: staged is invisible, audit sees union, publish cherry-picks, exactly-once") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 5), t, Some("b0"))            // snap 0
+    ST.stage(spark, batch(5 until 10), t, "tokA", Some("odd"))
+    // invisible until published; in-flight token listed
+    assert(ST.read(spark, t).count() == 5)
+    assert(ST.stagedTokens(spark, t) == Seq("tokA"))
+    assert(ST.auditStaged(spark, t, "tokA").count() == 10)
+    // a duplicate in-flight token fails loudly
+    val dup = intercept[IllegalArgumentException](
+      ST.stage(spark, batch(0 until 1), t, "tokA"))
+    assert(dup.getMessage.contains("already in flight"))
+    // vacuum must NOT reap a staged dir
+    assert(ST.vacuum(spark, t).isEmpty)
+    // an append lands BETWEEN stage and publish: publish cherry-picks onto
+    // the new head
+    ST.append(spark, batch(100 until 102), t, Some("b1"))        // snap 1
+    val pub = ST.publishStaged(spark, t, "tokA")                 // snap 2
+    assert(pub.snapshotId == 2 && !pub.skippedExisting)
+    assert(ST.read(spark, t).count() == 12)
+    assert(ST.stagedTokens(spark, t).isEmpty)
+    val m2 = ST.manifest(spark, t, 2)
+    assert(m2.operation == "append" && m2.batchId.contains("odd") && m2.addedRows == 5)
+    // published commits are ordinary appends to incremental consumers
+    assert(ST.incremental(spark, t, 1, 2).count() == 5)
+    // exactly-once across WAP: re-staging the same batch id publishes as a
+    // SKIP and cleans up its staging debris
+    ST.stage(spark, batch(5 until 10), t, "tokB", Some("odd"))
+    val replay = ST.publishStaged(spark, t, "tokB")
+    assert(replay.skippedExisting && replay.snapshotId == 2)
+    assert(ST.read(spark, t).count() == 12 && ST.stagedTokens(spark, t).isEmpty)
+    assert(ST.vacuum(spark, t).isEmpty)
+    // failed audit: discard leaves no trace
+    ST.stage(spark, Seq((999L, "bad")).toDF("id", "v"), t, "tokC", Some("bad-1"))
+    ST.discardStaged(spark, t, "tokC")
+    assert(ST.stagedTokens(spark, t).isEmpty && ST.read(spark, t).count() == 12)
+    assert(ST.vacuum(spark, t).isEmpty)
+  }
 }
