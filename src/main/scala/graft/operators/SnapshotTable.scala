@@ -952,7 +952,8 @@ object SnapshotTable {
     // fails loudly (the Iceberg "cannot do incremental scan on snapshot of
     // type overwrite" contract); read asOf the endpoint instead
     ms.find(x => x.operation == "delete" || x.operation == "overwrite" ||
-        x.operation == "rollback" || x.operation == "mor-delete").foreach(x =>
+        x.operation == "rollback" || x.operation == "mor-delete" ||
+        x.operation == "mor-upsert").foreach(x =>
       sys.error(s"incremental range ($fromExclusive, $toInclusive] crosses " +
         s"row-removing ${x.operation} snapshot ${x.snapshotId} — not insert-only; " +
         "use changelogCdc for row-level diffs"))
@@ -1047,24 +1048,36 @@ object SnapshotTable {
     val parts = ((fromExclusive + 1) to toInclusive).flatMap { id =>
       val m = manifest(spark, dir, id)
       if (m.operation == "replace") Nil // compaction: same rows, new files
-      else if (m.operation == "mor-delete") {
-        // the delete file committed at this id names exactly the removed
+      else if (m.operation == "mor-delete" || m.operation == "mor-upsert") {
+        // the delete file committed at this id names exactly the retracted
         // keys: the removed ROWS are the parent view's matches. Scan only
         // data dirs the delete-file key bounds (recorded in THIS commit's
         // stats) can touch, read them under the PARENT's merged view (a
-        // key deleted twice emits only once), semi-join the keys.
+        // key deleted twice emits only once), semi-join the keys. A
+        // mor-upsert additionally inserted its data dir: net-change
+        // exceptAll pairs the two sides so identical replacements cancel.
         val df = m.deletes.last
-        require(df.seq == id, s"mor-delete manifest $id names delete seq ${df.seq}")
+        require(df.seq == id, s"${m.operation} manifest $id names delete seq ${df.seq}")
         val p = manifest(spark, dir, m.parentId.get)
         val kept = m.stats.find(st => st.dir == df.dir && st.column == df.column) match {
           case Some(b) => planScan(p, KeyRange(df.column, Some(b.min), Some(b.max)))._1
           case None => p.live
         }
-        if (kept.isEmpty) Nil
-        else {
+        def removedRows = {
           val keys = spark.read.parquet(new Path(dataDir(root), df.dir).toString)
-          Seq(tag(readMerged(spark, root, p, kept, toSchema)
-            .join(broadcast(keys), Seq(df.column), "left_semi"), id, "delete"))
+          readMerged(spark, root, p, kept, toSchema)
+            .join(broadcast(keys), Seq(df.column), "left_semi")
+        }
+        if (m.operation == "mor-delete") {
+          if (kept.isEmpty) Nil else Seq(tag(removedRows, id, "delete"))
+        } else {
+          val a = readDirs(spark, root, m.added, toSchema)
+          if (kept.isEmpty) Seq(tag(a, id, "insert"))
+          else {
+            val r = removedRows
+            Seq(tag(a.exceptAll(r), id, "insert"),
+                tag(r.exceptAll(a), id, "delete"))
+          }
         }
       } else {
         val pm = m.parentId.map(p => manifest(spark, dir, p))
@@ -1325,6 +1338,62 @@ object SnapshotTable {
       operation = "mor-delete", batchId = None, added = Nil, addedRows = 0L,
       stats = m.stats ++ delStats,
       deletes = m.deletes :+ DeleteFile(name, key, next)))
+    Commit(next, skippedExisting = false)
+  }
+
+  /** Row-level MERGE (upsert), merge-on-read: ONE commit writes the source
+    * rows as a new data dir AND their keys as a delete file — O(delta) at
+    * any table size, even when the keys stride every data dir (the
+    * copy-on-write [[upsert]]'s worst case, where it rewrites the whole
+    * table). The new dir's addSeq EQUALS the delete's seq and the sequence
+    * rule is strict (seq > addSeq), so the retraction provably never
+    * reaches the replacement rows it rides with — replace and insert
+    * commit atomically. Source keys must be unique and non-null (same
+    * contract as [[upsert]]); new source columns evolve the schema;
+    * [[compact]] materializes. Committed as `mor-upsert` — not
+    * insert-only, so incremental/changelog reads across it fail loudly;
+    * [[changelogCdc]] recovers net delete(old)/insert(new) pairs, and a
+    * row replaced by an identical copy emits nothing.
+    */
+  def upsertKeys(spark: SparkSession, dir: String, source: DataFrame, key: String): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    require(m.schema.nonEmpty,
+      s"merge-on-read upsert requires a schema-stamped table (legacy chain at $dir)")
+    require(key.matches("[A-Za-z0-9_.]+"),
+      s"upsert key column name '$key' must match [A-Za-z0-9_.]+")
+    val next = last + 1
+    val name = f"snap-$next%06d"
+    val dataPath = new Path(dataDir(root), name).toString
+    source.write.mode("overwrite").parquet(dataPath)
+    val src = spark.read.schema(source.schema).parquet(dataPath)
+    val bounds = src.agg(count(lit(1)), count(col(key)),
+      count_distinct(col(key))).collect()(0)
+    val srcRows = bounds.getLong(0)
+    if (srcRows == 0L) { fs.delete(new Path(dataPath), true); return Commit(last, skippedExisting = true) }
+    require(bounds.getLong(1) == srcRows, s"upsert source has null '$key' keys")
+    require(bounds.getLong(2) == srcRows,
+      s"upsert source has duplicate '$key' keys (${bounds.getLong(2)} distinct of $srcRows)")
+    val delName = s"$name-del"
+    val delPath = new Path(dataDir(root), delName).toString
+    src.select(col(key)).write.mode("overwrite").parquet(delPath)
+    val schemaNow = mergeSchemas(m.schema.get, src.schema)
+    // key bounds of the delete file for changelogCdc pruning (see deleteKeys)
+    val delStats = schemaNow(key).dataType match {
+      case dt if scala.util.Try(statDomain(dt)).isSuccess =>
+        computeStats(spark, delPath, delName, Seq(key))
+      case _ => Nil
+    }
+    commitManifest(fs, root, Manifest(next, Some(last), "mor-upsert", None,
+      added = Seq(name), live = m.live :+ name,
+      addedRows = srcRows, totalRows = m.totalRows + srcRows,
+      batchCommits = m.batchCommits, schemaJson = Some(schemaNow.json),
+      statsCols = m.statsCols,
+      stats = m.stats ++ computeStats(spark, dataPath, name, m.statsCols) ++ delStats,
+      bloomCols = m.bloomCols,
+      blooms = m.blooms ++ computeBlooms(spark, fs, root, dataPath, name, m.bloomCols),
+      deletes = m.deletes :+ DeleteFile(delName, key, next)))
     Commit(next, skippedExisting = false)
   }
 

@@ -443,6 +443,34 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id", "n_chars")
     }),
 
+    // merge-on-read UPSERT: one commit carries the replacement rows (new
+    // data dir) and their retraction (delete file) — require()d: exactly
+    // one dir added, prior live dirs untouched, so the commit is O(delta)
+    // even though the %10 update keys stride EVERY interleaved dir (the
+    // CoW upsert's whole-table-rewrite worst case). Same delta arithmetic
+    // as pipe_snap_merge, so the oracle is last-write-wins over the key.
+    "pipe_snap_morup" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapmorup").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 0), t, Some("even"),
+        statsBy = Seq("doc_id"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 1), t, Some("odd"))
+      val updates = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("patched"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = base.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val pre = ST.manifest(s, t, 1).live
+      ST.upsertKeys(s, t, updates.unionByName(inserts), "doc_id")
+      val m = ST.manifest(s, t, 2)
+      require(m.operation == "mor-upsert" && m.added.size == 1 &&
+        m.live.startsWith(pre),
+        s"MOR upsert must add one dir and rewrite nothing (live=${m.live})")
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // write-audit-publish staged commits: a staged batch is durable but
     // invisible (require()d), the audit view reads table ∪ staged, publish
     // cherry-picks onto the current head as an ordinary append, and a
@@ -2153,6 +2181,23 @@ object OpsQueries {
         |SELECT doc_id, source, n_chars + 5000 AS n_chars FROM documents
         |WHERE doc_id % 21 = 0
         |ORDER BY doc_id, n_chars""".stripMargin,
+
+    // same last-write-wins arithmetic as pipe_snap_merge, minus the range
+    // delete (the MOR upsert commit replaces %10 rows and inserts +100000
+    // clones without rewriting a single dir)
+    "pipe_snap_morup" ->
+      """WITH delta AS (
+        |  SELECT doc_id, 'patched' AS source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0
+        |)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM delta
+        |ORDER BY doc_id""".stripMargin,
 
     // staged+published odd half joins the directly-appended even half
     // exactly once; a

@@ -52,10 +52,21 @@ object MorScale {
         s"MOR delete must add/rewrite nothing (added=${m.added}, live=${m.live.size})")
       val (c1, tMerged) = time(ST.read(s, t).count())
       require(c1 == n - nKeys, s"expected ${n - nKeys} rows, got $c1")
+      // MOR upsert of 10k rows whose keys ALSO stride every band (offset 1
+      // from the deleted ids, so all still exist): one data dir + one
+      // delete file, no rewrite — where CoW upsert would rewrite the table
+      val delta = s.range(0L, n, n / nKeys, 8)
+        .select((col("id") + 1).as("id"), concat(lit("u"), col("id") + 1).as("v"))
+      val (_, tUp) = time(ST.upsertKeys(s, t, delta, "id"))
+      val mu = ST.manifest(s, t, ST.latestId(s, t).get)
+      require(mu.added.size == 1 && mu.live.size == bands + 1,
+        s"MOR upsert must add one dir and rewrite nothing (live=${mu.live.size})")
+      val (c2, _) = time(ST.read(s, t).count())
+      require(c2 == n - nKeys, s"upsert replaces in place: expected ${n - nKeys}, got $c2")
       s.catalog.clearCache()
       println(f"mor bands=$bands%3d table=$n%9d del=$tDel%6.2f s " +
-        f"scan_plain=$tPlain%6.2f s scan_merged=$tMerged%6.2f s " +
-        f"overhead=${tMerged / tPlain}%4.2fx")
+        f"upsert=$tUp%6.2f s scan_plain=$tPlain%6.2f s " +
+        f"scan_merged=$tMerged%6.2f s overhead=${tMerged / tPlain}%4.2fx")
     }
     s.stop()
   }

@@ -668,6 +668,45 @@ class SnapshotSpec extends SparkSpec {
     assert(cdc.count(_._1 == 3L) == 3)
   }
 
+  test("merge-on-read upsert: one O(delta) commit; identical replacements are CDC-silent") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 10), t, Some("b0"), statsBy = Seq("id"))  // snap 0
+    ST.append(spark, batch(10 until 20), t, Some("b1"))                     // snap 1
+    // replace 5 and 15 (changed), 7 (identical copy), insert 20
+    val delta = Seq((5L, "v5-new"), (15L, "v15-new"), (7L, "v7"), (20L, "v20"))
+      .toDF("id", "v")
+    ST.upsertKeys(spark, t, delta, "id")                                    // snap 2
+    val m = ST.manifest(spark, t, 2)
+    assert(m.operation == "mor-upsert" && m.added == Seq("snap-000002"))
+    // O(delta): prior live dirs untouched, retraction rides as a delete file
+    assert(m.live == Seq("snap-000000", "snap-000001", "snap-000002"))
+    assert(m.deletes.map(d => (d.dir, d.column, d.seq)) ==
+      Seq(("snap-000002-del", "id", 2L)))
+    val now = ST.read(spark, t)
+    assert(now.count() == 21)
+    assert(now.filter(col("id") === 5L).collect()(0).getString(1) == "v5-new")
+    assert(now.filter(col("id") === 7L).count() == 1) // identical replacement
+    assert(now.filter(col("id") === 20L).count() == 1)
+    // CDC: delete(old)+insert(new) for changed keys, plain insert for the
+    // new key, NOTHING for the identical replacement
+    val cdc = ST.changelogCdc(spark, t, 1L, 2L)
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(cdc == Set(("delete", 5L, "v5"), ("insert", 5L, "v5-new"),
+      ("delete", 15L, "v15"), ("insert", 15L, "v15-new"),
+      ("insert", 20L, "v20")))
+    // compaction materializes: same rows, delete list cleared
+    val before = ST.read(spark, t).orderBy("id", "v").collect().toSeq
+    ST.compact(spark, t)
+    assert(ST.manifest(spark, t, ST.latestId(spark, t).get).deletes.isEmpty)
+    assert(ST.read(spark, t).orderBy("id", "v").collect().toSeq == before)
+    // duplicate keys fail loudly (the replacement row would be undefined)
+    val e = intercept[IllegalArgumentException](
+      ST.upsertKeys(spark, t, Seq((1L, "a"), (1L, "b")).toDF("id", "v"), "id"))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("MOR delete files follow expiry/vacuum lifecycle") {
     import spark.implicits._
     val t = tmp()
