@@ -341,6 +341,80 @@ object SnapshotTable {
     }
   }
 
+  /** Append with HIDDEN PARTITIONING: `partition` is a transform computed
+    * from the row (a day truncation, a bucket, an identity column — the
+    * Iceberg partition-spec analogue), and the batch commits ONE LIVE DIR
+    * PER DISTINCT TRANSFORM VALUE, each with its own manifest stats and
+    * Bloom sidecars. Readers stay transform-oblivious: per-dir bounds are
+    * tight on whatever the transform clusters, so the EXISTING
+    * `planScan`/`readWhere` pruning removes provably-empty partitions
+    * driver-side — the ingest-time layout a log table wants (daily
+    * partitions prune time ranges without waiting for a compaction pass).
+    * Same exactly-once batch ledger as [[append]]. Transform values must
+    * render into a path- and manifest-safe charset and be non-null (fail
+    * loudly — a silently escaped dir name would detach the manifest from
+    * the filesystem).
+    */
+  def appendPartitioned(spark: SparkSession, df: DataFrame, dir: String,
+                        partition: org.apache.spark.sql.Column,
+                        batchId: Option[String] = None,
+                        statsBy: Seq[String] = Nil,
+                        bloomBy: Seq[String] = Nil): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    batchId.foreach { b =>
+      require(b.matches("[A-Za-z0-9._:-]+"),
+        s"batch id '$b' must match [A-Za-z0-9._:-]+")
+    }
+    val ids = manifestIds(fs, root)
+    val parent = ids.lastOption.map(manifest(spark, dir, _))
+    val ledger = parent.map(_.batchCommits).getOrElse(Nil) match {
+      case Nil if batchId.nonEmpty && ids.nonEmpty => // legacy chain (see append)
+        ids.map(manifest(spark, dir, _))
+          .flatMap(m => m.batchId.map(_ -> m.snapshotId))
+      case l => l
+    }
+    batchId.flatMap(b => ledger.find(_._1 == b)) match {
+      case Some((_, snap)) => Commit(snap, skippedExisting = true)
+      case None =>
+        val next = ids.lastOption.map(_ + 1).getOrElse(0L)
+        val name = f"snap-$next%06d"
+        val dataPath = new Path(dataDir(root), name).toString
+        df.withColumn("_p", partition)
+          .write.mode("overwrite").partitionBy("_p").parquet(dataPath)
+        val children = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("_p=")).sorted.toIndexedSeq
+        require(children.nonEmpty, "partitioned append wrote no partitions (empty frame?)")
+        children.foreach { c =>
+          require(!c.contains("__HIVE_DEFAULT_PARTITION__"),
+            "partition transform produced NULL values — make the transform total")
+          require(c.matches("_p=[A-Za-z0-9._+:=-]+"),
+            s"partition value dir '$c' is outside the manifest-safe charset — " +
+              "render the transform to [A-Za-z0-9._+:-]")
+        }
+        val dirs = children.map(c => s"$name/$c")
+        val rows = spark.read.parquet(dataPath).count()
+        val schemaNow: Option[String] = parent match {
+          case None => Some(df.schema.json)
+          case Some(p) => p.schema.map(ps => mergeSchemas(ps, df.schema).json)
+        }
+        val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
+        val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
+        commitManifest(fs, root, Manifest(next, ids.lastOption, "append", batchId,
+          added = dirs, live = parent.map(_.live).getOrElse(Nil) ++ dirs,
+          addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
+          batchCommits = ledger ++ batchId.map(_ -> next),
+          schemaJson = schemaNow,
+          statsCols = scols,
+          stats = parent.map(_.stats).getOrElse(Nil) ++
+            bucketStats(spark, dataPath, name, scols, partCol = "_p"),
+          bloomCols = bcols,
+          blooms = parent.map(_.blooms).getOrElse(Nil) ++ dirs.flatMap(d =>
+            computeBlooms(spark, fs, root, new Path(dataDir(root), d).toString, d, bcols)),
+          deletes = parent.map(_.deletes).getOrElse(Nil)))
+        Commit(next, skippedExisting = false)
+    }
+  }
+
   private def readDirs(spark: SparkSession, root: Path, dirs: Seq[String],
                        schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     require(dirs.nonEmpty, s"snapshot of $root has no data dirs")
@@ -1217,11 +1291,12 @@ object SnapshotTable {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Per-bucket stats of a clustered compaction in ONE grouped job (`_b`
-    * reads back as the partition column).
+  /** Per-partition-dir stats of a clustered/partitioned write in ONE
+    * grouped job (the write-partition column reads back from the dir
+    * names).
     */
   private def bucketStats(spark: SparkSession, dataPath: String, name: String,
-                          cols: Seq[String]): Seq[DirStat] = {
+                          cols: Seq[String], partCol: String = "_b"): Seq[DirStat] = {
     if (cols.isEmpty) return Nil
     cols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
       s"stats column name '$c' must match [A-Za-z0-9_.]+"))
@@ -1230,8 +1305,8 @@ object SnapshotTable {
     if (present.isEmpty) return Nil
     val domains = present.map(c => c -> statDomain(df.schema(c).dataType)).toMap
     val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c))))
-    df.groupBy("_b").agg(aggs.head, aggs.tail: _*).collect().toIndexedSeq.flatMap { row =>
-      val d = s"$name/_b=${row.get(0)}"
+    df.groupBy(partCol).agg(aggs.head, aggs.tail: _*).collect().toIndexedSeq.flatMap { row =>
+      val d = s"$name/$partCol=${row.get(0)}"
       present.zipWithIndex.flatMap { case (c, i) =>
         (Option(row.get(2 * i + 1)), Option(row.get(2 * i + 2))) match {
           case (Some(lo), Some(hi)) =>

@@ -443,6 +443,28 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id", "n_chars")
     }),
 
+    // HIDDEN-PARTITIONED appends (Iceberg partition-spec analogue): every
+    // batch commits one live dir per transform value (lang), each with its
+    // own manifest stats — a lang predicate prunes every other partition
+    // driver-side at INGEST shape, no compaction pass needed (require()d:
+    // only _p=zh dirs survive the plan)
+    "pipe_snap_part" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snappart").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      ST.appendPartitioned(s, base.filter(col("doc_id") % 2 === 0), t,
+        col("lang"), Some("b0"), statsBy = Seq("lang", "doc_id"))
+      ST.appendPartitioned(s, base.filter(col("doc_id") % 2 === 1), t,
+        col("lang"), Some("b1"))
+      val m = ST.manifest(s, t, 1)
+      val (kept, pruned) = ST.planScan(m, ST.KeyRange("lang", Some("zh"), Some("zh")))
+      require(pruned.nonEmpty && kept.forall(_.endsWith("_p=zh")),
+        s"lang predicate must keep only zh partitions (kept=$kept)")
+      ST.readWhere(s, t, ST.KeyRange("lang", Some("zh"), Some("zh")))
+        .orderBy("doc_id")
+    }),
+
     // merge-on-read UPSERT: one commit carries the replacement rows (new
     // data dir) and their retraction (delete file) — require()d: exactly
     // one dir added, prior live dirs untouched, so the commit is O(delta)
@@ -2181,6 +2203,10 @@ object OpsQueries {
         |SELECT doc_id, source, n_chars + 5000 AS n_chars FROM documents
         |WHERE doc_id % 21 = 0
         |ORDER BY doc_id, n_chars""".stripMargin,
+
+    "pipe_snap_part" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'zh'
+        |ORDER BY doc_id""".stripMargin,
 
     // same last-write-wins arithmetic as pipe_snap_merge, minus the range
     // delete (the MOR upsert commit replaces %10 rows and inserts +100000

@@ -729,6 +729,44 @@ class SnapshotSpec extends SparkSpec {
     assert(ST.read(spark, t).count() == 10)
   }
 
+  test("hidden-partitioned append: one dir per transform value; predicates prune driver-side") {
+    import spark.implicits._
+    val t = tmp()
+    val days = Seq((1L, "2026-01-01", "a"), (2L, "2026-01-01", "b"),
+      (3L, "2026-01-02", "c"), (4L, "2026-01-03", "d")).toDF("id", "day", "v")
+    ST.appendPartitioned(spark, days, t, col("day"), Some("d0"),
+      statsBy = Seq("day", "id"))
+    val m = ST.manifest(spark, t, 0)
+    assert(m.live == Seq("snap-000000/_p=2026-01-01",
+      "snap-000000/_p=2026-01-02", "snap-000000/_p=2026-01-03"))
+    // readers are transform-oblivious: user schema, full content
+    assert(ST.read(spark, t).columns.toSeq == Seq("id", "day", "v"))
+    assert(ST.read(spark, t).count() == 4)
+    // a day predicate prunes every other partition driver-side
+    val (kept, pruned) = ST.planScan(m,
+      ST.KeyRange("day", Some("2026-01-02"), Some("2026-01-02")))
+    assert(kept == Seq("snap-000000/_p=2026-01-02") && pruned.size == 2)
+    assert(ST.readWhere(spark, t,
+      ST.KeyRange("day", Some("2026-01-02"), Some("2026-01-02")))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // a second batch composes: per-(batch, day) dirs, pruning still exact
+    ST.appendPartitioned(spark, Seq((5L, "2026-01-02", "e")).toDF("id", "day", "v"),
+      t, col("day"), Some("d1"))
+    val m1 = ST.manifest(spark, t, 1)
+    assert(m1.live.size == 4)
+    assert(ST.planScan(m1,
+      ST.KeyRange("day", Some("2026-01-02"), Some("2026-01-02")))._1.size == 2)
+    // exactly-once replay through the partitioned path
+    assert(ST.appendPartitioned(spark, days, t, col("day"), Some("d0")).skippedExisting)
+    // MOR deletes compose on partitioned dirs (addSeq from the name prefix)
+    ST.deleteKeys(spark, t, Seq(2L).toDF("id"), "id")
+    assert(ST.read(spark, t).count() == 4)
+    // a NULL transform value fails loudly, never a silently-escaped dir
+    val e = intercept[IllegalArgumentException](ST.appendPartitioned(spark,
+      Seq((9L, null.asInstanceOf[String], "x")).toDF("id", "day", "v"), t, col("day")))
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("write-audit-publish: staged is invisible, audit sees union, publish cherry-picks, exactly-once") {
     import spark.implicits._
     val t = tmp()
