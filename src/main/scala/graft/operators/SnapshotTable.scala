@@ -279,26 +279,17 @@ object SnapshotTable {
              statsBy: Seq[String] = Nil,
              bloomBy: Seq[String] = Nil): Commit = {
     val (fs, root) = fsOf(spark, dir)
-    batchId.foreach { b =>
-      require(b.matches("[A-Za-z0-9._:-]+"),
-        s"batch id '$b' must match [A-Za-z0-9._:-]+")
-    }
     val ids = manifestIds(fs, root)
     val parent = ids.lastOption.map(manifest(spark, dir, _))
     // Legacy migration: a chain written before the ledger existed carries
     // per-snapshot batch_id but no cumulative ledger — when a batch-id
-    // append lands on such a chain, reconstruct the ledger ONCE from the
-    // retained manifests (exactly what the old full-chain replay scan
-    // read); the new manifest then carries it forward, so this costs
+    // append lands on such a chain, resolveLedger reconstructs it ONCE
+    // from the retained manifests (exactly what the old full-chain replay
+    // scan read); the new manifest then carries it forward, so this costs
     // O(chain) at most once per table. Batch ids of legacy snapshots that
     // were ALREADY expired are unrecoverable (the old format never
     // persisted them cumulatively).
-    val ledger = parent.map(_.batchCommits).getOrElse(Nil) match {
-      case Nil if batchId.nonEmpty && ids.nonEmpty =>
-        ids.map(manifest(spark, dir, _))
-          .flatMap(m => m.batchId.map(_ -> m.snapshotId))
-      case l => l
-    }
+    val ledger = resolveLedger(spark, dir, ids, parent, batchId)
     val existing = batchId.flatMap(b => ledger.find(_._1 == b))
     existing match {
       case Some((_, snap)) => Commit(snap, skippedExisting = true)
@@ -361,18 +352,12 @@ object SnapshotTable {
                         statsBy: Seq[String] = Nil,
                         bloomBy: Seq[String] = Nil): Commit = {
     val (fs, root) = fsOf(spark, dir)
-    batchId.foreach { b =>
-      require(b.matches("[A-Za-z0-9._:-]+"),
-        s"batch id '$b' must match [A-Za-z0-9._:-]+")
-    }
+    require(!df.columns.contains("_p"),
+      "partitioned append reserves the column name '_p' for the transform — " +
+        "rename the frame's '_p' column first")
     val ids = manifestIds(fs, root)
     val parent = ids.lastOption.map(manifest(spark, dir, _))
-    val ledger = parent.map(_.batchCommits).getOrElse(Nil) match {
-      case Nil if batchId.nonEmpty && ids.nonEmpty => // legacy chain (see append)
-        ids.map(manifest(spark, dir, _))
-          .flatMap(m => m.batchId.map(_ -> m.snapshotId))
-      case l => l
-    }
+    val ledger = resolveLedger(spark, dir, ids, parent, batchId)
     batchId.flatMap(b => ledger.find(_._1 == b)) match {
       case Some((_, snap)) => Commit(snap, skippedExisting = true)
       case None =>
@@ -399,19 +384,43 @@ object SnapshotTable {
         }
         val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
         val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
+        // stats are computed PER LISTED CHILD DIR (like blooms), never by
+        // grouping read-back _p values: Spark's partition-type inference
+        // canonicalizes numeric-looking strings ('01' -> 1), which would
+        // key stats to phantom dir names and silently disable pruning
         commitManifest(fs, root, Manifest(next, ids.lastOption, "append", batchId,
           added = dirs, live = parent.map(_.live).getOrElse(Nil) ++ dirs,
           addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
           batchCommits = ledger ++ batchId.map(_ -> next),
           schemaJson = schemaNow,
           statsCols = scols,
-          stats = parent.map(_.stats).getOrElse(Nil) ++
-            bucketStats(spark, dataPath, name, scols, partCol = "_p"),
+          stats = parent.map(_.stats).getOrElse(Nil) ++ dirs.flatMap(d =>
+            computeStats(spark, new Path(dataDir(root), d).toString, d, scols)),
           bloomCols = bcols,
           blooms = parent.map(_.blooms).getOrElse(Nil) ++ dirs.flatMap(d =>
             computeBlooms(spark, fs, root, new Path(dataDir(root), d).toString, d, bcols)),
           deletes = parent.map(_.deletes).getOrElse(Nil)))
         Commit(next, skippedExisting = false)
+    }
+  }
+
+  /** Batch-id → snapshot-id ledger as of the current head, reconstructing
+    * once from retained manifests on a pre-ledger legacy chain — the ONE
+    * copy of the exactly-once machinery shared by every committing path
+    * ([[append]], [[appendPartitioned]], [[publishStaged]]).
+    */
+  private def resolveLedger(spark: SparkSession, dir: String, ids: Seq[Long],
+                            parent: Option[Manifest],
+                            batchId: Option[String]): Seq[(String, Long)] = {
+    batchId.foreach { b =>
+      require(b.matches("[A-Za-z0-9._:-]+"),
+        s"batch id '$b' must match [A-Za-z0-9._:-]+")
+    }
+    parent.map(_.batchCommits).getOrElse(Nil) match {
+      case Nil if batchId.nonEmpty && ids.nonEmpty =>
+        ids.map(manifest(spark, dir, _))
+          .flatMap(m => m.batchId.map(_ -> m.snapshotId))
+      case l => l
     }
   }
 
@@ -959,29 +968,35 @@ object SnapshotTable {
     val (fs, root) = fsOf(spark, dir)
     val st = stagedMeta(spark, dir, token)
     val stagePath = new Path(dataDir(root), stageDirName(token))
+    require(fs.exists(stagePath),
+      s"staged batch '$token' on $dir has a manifest but no data dir — a " +
+        "previous publish crashed between its rename and its commit; vacuum " +
+        "the orphaned dir, drop the staged manifest, and re-stage the batch")
     val ids = manifestIds(fs, root)
     val parent = ids.lastOption.map(manifest(spark, dir, _))
-    val ledger = parent.map(_.batchCommits).getOrElse(Nil) match {
-      case Nil if st.batchId.nonEmpty && ids.nonEmpty => // legacy chain (see append)
-        ids.map(manifest(spark, dir, _))
-          .flatMap(m => m.batchId.map(_ -> m.snapshotId))
-      case l => l
-    }
+    val ledger = resolveLedger(spark, dir, ids, parent, st.batchId)
     st.batchId.flatMap(b => ledger.find(_._1 == b)) match {
       case Some((_, snap)) =>
         discardStaged(spark, dir, token) // replayed batch: rows already present
         Commit(snap, skippedExisting = true)
       case None =>
-        val next = ids.lastOption.map(_ + 1).getOrElse(0L)
-        val name = f"snap-$next%06d"
-        val dataPath = new Path(dataDir(root), name)
-        require(fs.rename(stagePath, dataPath),
-          s"publish of '$token' on $dir could not move ${stagePath.getName} " +
-            s"to ${dataPath.getName}")
+        // validate BEFORE the destructive move: a schema conflict must
+        // leave the staged batch intact and re-publishable after a fix
         val schemaNow: Option[String] = parent match {
           case None => Some(st.schema.json)
           case Some(p) => p.schema.map(ps => mergeSchemas(ps, st.schema).json)
         }
+        val next = ids.lastOption.map(_ + 1).getOrElse(0L)
+        val name = f"snap-$next%06d"
+        val dataPath = new Path(dataDir(root), name)
+        // an existing dest is an UNCOMMITTED crash leftover (no manifest
+        // references snapshot `next` yet) — deleting it is the recovery
+        // path, and without this an HDFS-semantics rename would move the
+        // stage dir INSIDE it and commit the orphan's rows
+        if (fs.exists(dataPath)) fs.delete(dataPath, true)
+        require(fs.rename(stagePath, dataPath),
+          s"publish of '$token' on $dir could not move ${stagePath.getName} " +
+            s"to ${dataPath.getName}")
         val scols = parent.map(_.statsCols).getOrElse(Nil)
         val bcols = parent.map(_.bloomCols).getOrElse(Nil)
         commitManifest(fs, root, Manifest(next, ids.lastOption, "append", st.batchId,
@@ -1122,6 +1137,20 @@ object SnapshotTable {
     val parts = ((fromExclusive + 1) to toInclusive).flatMap { id =>
       val m = manifest(spark, dir, id)
       if (m.operation == "replace") Nil // compaction: same rows, new files
+      else if (m.operation == "rollback") {
+        // the dir-diff shortcut is UNSOUND for rollback: it can change the
+        // merge-on-read delete set without touching the live list
+        // (resurrecting keys with zero dir movement), and the dirs it
+        // restores keep their OLD addSeq — still reachable by carried
+        // deletes, unlike every other commit's added dirs. Rollback is
+        // rare and row-exactness is the spec property, so diff the two
+        // full merged states.
+        val p = manifest(spark, dir, m.parentId.get)
+        val a = readMerged(spark, root, m, m.live, toSchema)
+        val r = readMerged(spark, root, p, p.live, toSchema)
+        Seq(tag(a.exceptAll(r), id, "insert"),
+            tag(r.exceptAll(a), id, "delete"))
+      }
       else if (m.operation == "mor-delete" || m.operation == "mor-upsert") {
         // the delete file committed at this id names exactly the retracted
         // keys: the removed ROWS are the parent view's matches. Scan only
@@ -1220,6 +1249,9 @@ object SnapshotTable {
     // merged view, so the new files carry only surviving rows and the new
     // manifest's delete list is empty (totalRows re-trues to the net count)
     val base = readMerged(spark, root, m, m.live)
+    if (sortBy.nonEmpty || zorderBy.nonEmpty)
+      Seq("_b", "_z").foreach(c => require(!base.columns.contains(c),
+        s"clustered compaction reserves the column name '$c'"))
     val expected =
       if (m.deletes.isEmpty) m.totalRows
       else base.count() // one extra pass over data the rewrite reads anyway

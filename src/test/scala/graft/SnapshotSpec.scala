@@ -767,6 +767,79 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("CDC across rollback is row-exact even when only the MOR delete set changes") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 5), t, statsBy = Seq("id"))   // snap 0
+    ST.deleteKeys(spark, t, Seq(2L).toDF("id"), "id")            // snap 1
+    ST.rollback(spark, t, 0)                                     // snap 2: live UNCHANGED, deletes cleared
+    // the rollback resurrected id 2 with zero dir movement — CDC must say so
+    val cdc2 = ST.changelogCdc(spark, t, 1L, 2L)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cdc2 == Set(("insert", 2L)))
+    // restored dirs keep their OLD addSeq: a rollback to a point where a
+    // MOR delete was pending must re-apply it, and CDC must not report
+    // already-deleted rows as inserts
+    ST.deleteKeys(spark, t, Seq(2L).toDF("id"), "id")            // snap 3
+    ST.delete(spark, t, ST.KeyRange("id", Some(4L), Some(4L)))   // snap 4: CoW rewrite
+    ST.rollback(spark, t, 3)                                     // snap 5: restores snap-000000 + pending delete
+    assert(ST.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 3L, 4L))
+    val cdc5 = ST.changelogCdc(spark, t, 4L, 5L)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cdc5 == Set(("insert", 4L)), s"got $cdc5") // id 2 stays dead
+  }
+
+  test("publish is safe against orphan dest dirs and crashed publishes fail loudly") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t, Some("b0"), statsBy = Seq("id")) // snap 0
+    // a failed upsertKeys (duplicate keys, ordinary user error) leaves an
+    // orphan data dir at the NEXT snapshot id
+    intercept[IllegalArgumentException](
+      ST.upsertKeys(spark, t, Seq((1L, "a"), (1L, "b")).toDF("id", "v"), "id"))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/snap-000001")))
+    // publish onto that id must commit the STAGED rows, not the orphan's
+    ST.stage(spark, batch(10 until 12), t, "tokX", Some("b1"))
+    ST.publishStaged(spark, t, "tokX") // snap 1
+    assert(ST.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 10L, 11L))
+    assert(ST.manifest(spark, t, 1).addedRows == 2)
+    // a staged manifest whose data dir is gone (crash between rename and
+    // commit) fails loudly with recovery guidance
+    ST.stage(spark, batch(20 until 21), t, "tokY")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/data/stage-tokY"), true)
+    val e = intercept[IllegalArgumentException](ST.publishStaged(spark, t, "tokY"))
+    assert(e.getMessage.contains("no data dir"))
+    ST.discardStaged(spark, t, "tokY")
+  }
+
+  test("partitioned append: numeric-looking values keep exact per-dir stats; _p is reserved") {
+    import spark.implicits._
+    val t = tmp()
+    // '01' and '1' are DISTINCT partition values; Spark's partition-type
+    // inference would canonicalize both to 1 — stats must key to the real
+    // listed dir names, not phantom canonical ones
+    val df = Seq((10L, "01"), (20L, "1"), (30L, "02")).toDF("id", "bucket")
+    ST.appendPartitioned(spark, df, t, col("bucket"), statsBy = Seq("bucket", "id"))
+    val m = ST.manifest(spark, t, 0)
+    assert(m.live.toSet == Set("snap-000000/_p=01", "snap-000000/_p=1", "snap-000000/_p=02"))
+    assert(m.stats.map(_.dir).toSet == m.live.toSet,
+      s"stats must cover exactly the live dirs: ${m.stats.map(_.dir)}")
+    val (kept, _) = ST.planScan(m, ST.KeyRange("bucket", Some("01"), Some("01")))
+    assert(kept == Seq("snap-000000/_p=01"))
+    assert(ST.readWhere(spark, t, ST.KeyRange("bucket", Some("01"), Some("01")))
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // a frame already carrying _p fails loudly instead of being clobbered
+    val e = intercept[IllegalArgumentException](ST.appendPartitioned(spark,
+      Seq((1L, "x", "y")).toDF("id", "bucket", "_p"), t, col("bucket")))
+    assert(e.getMessage.contains("'_p'"))
+  }
+
   test("write-audit-publish: staged is invisible, audit sees union, publish cherry-picks, exactly-once") {
     import spark.implicits._
     val t = tmp()
