@@ -134,6 +134,96 @@ object SnapshotPipe {
     }.toSeq
   }
 
+  /** Bounds committed by a CDC pipe ([[runCdc]]) — separate id prefix so a
+    * CDC pipe and an insert-only pipe into one sink keep distinct cursors.
+    */
+  private[graft] def cdcProcessedBounds(spark: SparkSession, sinkDir: String,
+                                        srcDir: String): Seq[Long] = {
+    val re = s"cdc-${srcToken(srcDir)}-(\\d+)".r
+    SnapshotTable.latestId(spark, sinkDir).toSeq.flatMap { id =>
+      SnapshotTable.manifest(spark, sinkDir, id).batchCommits
+        .collect { case (re(b), _) => b.toLong }
+    }
+  }
+
+  /** CDC-DRIVEN incremental materialization: mirror a ROW-WISE transform of
+    * a snapshot table into a sink through row-level changes — the pipe for
+    * sources that delete and update ([[SnapshotTable.deleteKeys]]/
+    * [[SnapshotTable.upsertKeys]]/CoW `delete`/`upsert`/`rollback`), which
+    * the insert-only [[run]] refuses to cross. Each chunk `(a, b]` reads
+    * [[SnapshotTable.changelogCdc]], NETS it per key (the latest change
+    * wins — a key inserted then deleted inside one chunk lands absent, a
+    * deleted-then-reinserted key lands at its newest row; within an upsert
+    * commit the insert image outranks its paired delete image), and
+    * applies atomically via [[SnapshotTable.applyChanges]]: retract every
+    * net-touched key, upsert the transformed net inserts — ONE sink commit
+    * per chunk under batch id `cdc-<src>-<b>`, so the sink ledger is the
+    * checkpoint and recovery is exactly-once like [[run]].
+    *
+    * `transform` must be row-wise (filter/project) and must PRESERVE the
+    * `key` column (require()d): retraction keys are taken from the net
+    * change set BEFORE the transform, so an update that moves a row out of
+    * the sink's filter scope still retracts it from the sink. Chunks whose
+    * CDC nets to nothing (pure compaction spans) commit nothing — the
+    * cursor simply stays put and the rerun re-nets the empty span, a
+    * no-op. Cost per run scales with the CHANGED rows (changelogCdc's
+    * dir-local diffs + one delta-sized window), never table size.
+    */
+  def runCdc(spark: SparkSession, srcDir: String, sinkDir: String, key: String,
+             maxSnapshotsPerChunk: Int = Int.MaxValue)
+            (rowTransform: DataFrame => DataFrame = identity): Seq[SnapshotTable.Commit] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(maxSnapshotsPerChunk >= 1, "chunk size must be >= 1")
+    val latest = SnapshotTable.latestId(spark, srcDir).getOrElse(
+      return Nil) // virgin source: nothing to do
+    val earliest = SnapshotTable.earliestContiguousId(spark, srcDir).get
+    val tok = srcToken(srcDir)
+    val bounds = cdcProcessedBounds(spark, sinkDir, srcDir)
+    val cursor = if (bounds.isEmpty) None else Some(bounds.max)
+    require(cursor.forall(_ <= latest),
+      s"sink $sinkDir is ahead of source $srcDir (cursor ${cursor.getOrElse(-1L)} " +
+        s"> latest $latest): the source was recreated or the path points at " +
+        "a different table — refusing to silently re-baseline")
+    require(cursor.forall(_ >= earliest - 1),
+      s"sink $sinkDir resumes at snapshot ${cursor.getOrElse(-1L)} but source " +
+        s"history before $earliest was expired — the missed changes are gone; " +
+        "re-bootstrap into a fresh sink or widen source retention")
+
+    // Bootstrap a virgin sink from the earliest retained snapshot's FULL
+    // state (asOf already nets every change before it — cheaper and exact)
+    val boot: Seq[SnapshotTable.Commit] =
+      if (cursor.isEmpty) {
+        val state = rowTransform(SnapshotTable.asOf(spark, srcDir, earliest))
+        require(state.columns.contains(key),
+          s"runCdc transform must preserve the key column '$key'")
+        Seq(SnapshotTable.append(spark, state, sinkDir,
+          Some(s"cdc-$tok-$earliest")))
+      } else Nil
+    val from = if (boot.nonEmpty) earliest else cursor.get
+    if (from >= latest) return boot
+
+    val pts = (from until latest by maxSnapshotsPerChunk.toLong) :+ latest
+    boot ++ pts.sliding(2).collect { case Seq(a, b) if a < b =>
+      val delta = SnapshotTable.changelogCdc(spark, srcDir, a, b)
+      // net per key: latest (_snapshot_id, _change_type) wins — 'insert'
+      // sorts above 'delete', so an upsert commit's new image outranks its
+      // paired retraction
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("_snapshot_id").desc, col("_change_type").desc)
+      val net = delta.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      val ups = rowTransform(net.filter(col("_change_type") === "insert")
+        .drop("_snapshot_id", "_change_type"))
+      require(ups.columns.contains(key),
+        s"runCdc transform must preserve the key column '$key'")
+      // retract EVERY net-touched key: pure deletes, replaced rows, and
+      // rows the transform filtered OUT of the sink's scope
+      SnapshotTable.applyChanges(spark, sinkDir, ups,
+        Some(net.select(col(key))), key, Some(s"cdc-$tok-$b"))
+    }.toSeq
+  }
+
   /** Incremental parse→enrich→route materialization into MULTIPLE sink
     * snapshot tables — the north star's "conditional fan-out routing to
     * multiple Iceberg sink tables", resumable, exactly-once PER SINK.

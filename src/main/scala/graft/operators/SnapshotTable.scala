@@ -1414,9 +1414,11 @@ object SnapshotTable {
     * insert-only) — use [[changelogCdc]], which recovers exactly the rows
     * the delete removed.
     */
-  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame, key: String): Commit = {
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame, key: String,
+                 batchId: Option[String] = None): Commit = {
     val (fs, root) = fsOf(spark, dir)
-    val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val ids = manifestIds(fs, root)
+    val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
     val m = manifest(spark, dir, last)
     require(m.schema.nonEmpty,
       s"merge-on-read delete requires a schema-stamped table (legacy chain at $dir)")
@@ -1424,6 +1426,11 @@ object SnapshotTable {
       s"delete key column name '$key' must match [A-Za-z0-9_.]+")
     val schema = m.schema.get
     require(schema.fieldNames.contains(key), s"table at $dir has no column '$key'")
+    val ledger = resolveLedger(spark, dir, ids, Some(m), batchId)
+    batchId.flatMap(b => ledger.find(_._1 == b)) match {
+      case Some((_, snap)) => return Commit(snap, skippedExisting = true)
+      case None =>
+    }
     val next = last + 1
     val name = f"snap-$next%06d-del"
     val delPath = new Path(dataDir(root), name).toString
@@ -1442,7 +1449,8 @@ object SnapshotTable {
       case _ => Nil
     }
     commitManifest(fs, root, m.copy(snapshotId = next, parentId = Some(last),
-      operation = "mor-delete", batchId = None, added = Nil, addedRows = 0L,
+      operation = "mor-delete", batchId = batchId, added = Nil, addedRows = 0L,
+      batchCommits = ledger ++ batchId.map(_ -> next),
       stats = m.stats ++ delStats,
       deletes = m.deletes :+ DeleteFile(name, key, next)))
     Commit(next, skippedExisting = false)
@@ -1462,44 +1470,83 @@ object SnapshotTable {
     * [[changelogCdc]] recovers net delete(old)/insert(new) pairs, and a
     * row replaced by an identical copy emits nothing.
     */
-  def upsertKeys(spark: SparkSession, dir: String, source: DataFrame, key: String): Commit = {
+  def upsertKeys(spark: SparkSession, dir: String, source: DataFrame, key: String,
+                 batchId: Option[String] = None): Commit =
+    applyChanges(spark, dir, source, None, key, batchId)
+
+  /** Atomic row-level CHANGE application, merge-on-read: ONE commit that
+    * retracts `extraDeleteKeys` (when given) AND upserts `ups` — the write
+    * half of a CDC consumer ([[SnapshotPipe.runCdc]]): a chunk's net
+    * deletes and net upserts land together or not at all, under an
+    * optional exactly-once `batchId`. The single delete file carries the
+    * union of the upserted rows' keys and the extra keys; same sequence
+    * rule, pruning stats, and compaction/CDC behavior as
+    * [[deleteKeys]]/[[upsertKeys]]. With an empty `ups`, commits a pure
+    * `mor-delete`; with both sides empty, skips.
+    */
+  def applyChanges(spark: SparkSession, dir: String, ups: DataFrame,
+                   extraDeleteKeys: Option[DataFrame], key: String,
+                   batchId: Option[String] = None): Commit = {
     val (fs, root) = fsOf(spark, dir)
-    val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val ids = manifestIds(fs, root)
+    val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
     val m = manifest(spark, dir, last)
     require(m.schema.nonEmpty,
       s"merge-on-read upsert requires a schema-stamped table (legacy chain at $dir)")
     require(key.matches("[A-Za-z0-9_.]+"),
       s"upsert key column name '$key' must match [A-Za-z0-9_.]+")
+    val ledger = resolveLedger(spark, dir, ids, Some(m), batchId)
+    batchId.flatMap(b => ledger.find(_._1 == b)) match {
+      case Some((_, snap)) => return Commit(snap, skippedExisting = true)
+      case None =>
+    }
     val next = last + 1
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
-    source.write.mode("overwrite").parquet(dataPath)
-    val src = spark.read.schema(source.schema).parquet(dataPath)
+    ups.write.mode("overwrite").parquet(dataPath)
+    val src = spark.read.schema(ups.schema).parquet(dataPath)
     val bounds = src.agg(count(lit(1)), count(col(key)),
       count_distinct(col(key))).collect()(0)
     val srcRows = bounds.getLong(0)
-    if (srcRows == 0L) { fs.delete(new Path(dataPath), true); return Commit(last, skippedExisting = true) }
-    require(bounds.getLong(1) == srcRows, s"upsert source has null '$key' keys")
-    require(bounds.getLong(2) == srcRows,
-      s"upsert source has duplicate '$key' keys (${bounds.getLong(2)} distinct of $srcRows)")
+    if (srcRows > 0L) {
+      require(bounds.getLong(1) == srcRows, s"upsert source has null '$key' keys")
+      require(bounds.getLong(2) == srcRows,
+        s"upsert source has duplicate '$key' keys (${bounds.getLong(2)} distinct of $srcRows)")
+    }
+    val schemaNow = mergeSchemas(m.schema.get, src.schema)
     val delName = s"$name-del"
     val delPath = new Path(dataDir(root), delName).toString
-    src.select(col(key)).write.mode("overwrite").parquet(delPath)
-    val schemaNow = mergeSchemas(m.schema.get, src.schema)
+    val keyCol = col(key).cast(schemaNow(key).dataType)
+    extraDeleteKeys.map(x => src.select(keyCol)
+        .unionByName(x.select(keyCol)).na.drop().distinct())
+      .getOrElse(src.select(keyCol))
+      .write.mode("overwrite").parquet(delPath)
+    val nDel = spark.read.schema(org.apache.spark.sql.types.StructType(
+      Seq(schemaNow(key).copy(nullable = true)))).parquet(delPath).count()
+    if (srcRows == 0L && nDel == 0L) {
+      fs.delete(new Path(dataPath), true); fs.delete(new Path(delPath), true)
+      return Commit(last, skippedExisting = true)
+    }
     // key bounds of the delete file for changelogCdc pruning (see deleteKeys)
     val delStats = schemaNow(key).dataType match {
       case dt if scala.util.Try(statDomain(dt)).isSuccess =>
         computeStats(spark, delPath, delName, Seq(key))
       case _ => Nil
     }
-    commitManifest(fs, root, Manifest(next, Some(last), "mor-upsert", None,
-      added = Seq(name), live = m.live :+ name,
+    if (srcRows == 0L) fs.delete(new Path(dataPath), true)
+    val op = if (srcRows > 0L) "mor-upsert" else "mor-delete"
+    commitManifest(fs, root, Manifest(next, Some(last), op, batchId,
+      added = if (srcRows > 0L) Seq(name) else Nil,
+      live = if (srcRows > 0L) m.live :+ name else m.live,
       addedRows = srcRows, totalRows = m.totalRows + srcRows,
-      batchCommits = m.batchCommits, schemaJson = Some(schemaNow.json),
+      batchCommits = ledger ++ batchId.map(_ -> next),
+      schemaJson = Some(schemaNow.json),
       statsCols = m.statsCols,
-      stats = m.stats ++ computeStats(spark, dataPath, name, m.statsCols) ++ delStats,
+      stats = m.stats ++ (if (srcRows > 0L)
+        computeStats(spark, dataPath, name, m.statsCols) else Nil) ++ delStats,
       bloomCols = m.bloomCols,
-      blooms = m.blooms ++ computeBlooms(spark, fs, root, dataPath, name, m.bloomCols),
+      blooms = m.blooms ++ (if (srcRows > 0L)
+        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil),
       deletes = m.deletes :+ DeleteFile(delName, key, next)))
     Commit(next, skippedExisting = false)
   }

@@ -465,6 +465,43 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // CDC-DRIVEN incremental materialization (SnapshotPipe.runCdc): a sink
+    // mirrors a row-wise FILTER of the source through row-level changes,
+    // crossing the MOR upsert and key-delete commits the insert-only pipe
+    // refuses. The filter (source <> 'patched') makes the upsert MOVE every
+    // %10 row out of the sink's scope — the pipe must retract them (keys
+    // are taken before the transform). require()d: the second run commits
+    // only delta chunks, a third run is a no-op. Oracle = last-write-wins
+    // + key-delete + filter arithmetic.
+    "pipe_snap_mirror" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST, SnapshotPipe => SP}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapmirror_src").toString
+      val sink = java.nio.file.Files.createTempDirectory("graft_snapmirror_sink").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 0), t, Some("even"),
+        statsBy = Seq("doc_id"))
+      ST.append(s, base.filter(col("doc_id") % 2 === 1), t, Some("odd"))
+      val filt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.filter(col("source") =!= "patched")
+      SP.runCdc(s, t, sink, "doc_id")(filt)
+      val preCommits = ST.history(s, sink).count()
+      val updates = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("patched"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = base.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      ST.upsertKeys(s, t, updates.unionByName(inserts), "doc_id")
+      ST.deleteKeys(s, t,
+        base.filter(col("doc_id") % 9 === 0).select("doc_id"), "doc_id")
+      val r2 = SP.runCdc(s, t, sink, "doc_id")(filt)
+      require(r2.nonEmpty && ST.history(s, sink).count() > preCommits,
+        "second run must commit delta chunks")
+      require(SP.runCdc(s, t, sink, "doc_id")(filt).isEmpty,
+        "a replayed run must be a no-op")
+      ST.read(s, sink).orderBy("doc_id")
+    }),
+
     // merge-on-read UPSERT: one commit carries the replacement rows (new
     // data dir) and their retraction (delete file) — require()d: exactly
     // one dir added, prior live dirs untouched, so the commit is O(delta)
@@ -2206,6 +2243,17 @@ object OpsQueries {
 
     "pipe_snap_part" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'zh'
+        |ORDER BY doc_id""".stripMargin,
+
+    // the mirror keeps originals that were neither patched (%10, moved out
+    // of the filter's scope by the upsert) nor key-deleted (%9), plus the
+    // +100000 clones (never patched, ids outside the delete key set)
+    "pipe_snap_mirror" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id % 9 <> 0
+        |UNION ALL
+        |SELECT doc_id + 100000 AS doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 25 = 0
         |ORDER BY doc_id""".stripMargin,
 
     // same last-write-wins arithmetic as pipe_snap_merge, minus the range

@@ -767,6 +767,57 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("runCdc mirrors a mixed chain through row-level changes, exactly-once") {
+    import spark.implicits._
+    import graft.operators.SnapshotPipe
+    val t = tmp(); val sink = tmp()
+    ST.append(spark, batch(0 until 10), t, Some("b0"), statsBy = Seq("id"))  // 0
+    ST.append(spark, batch(10 until 20), t, Some("b1"))                      // 1
+    val r1 = SnapshotPipe.runCdc(spark, t, sink, "id")()
+    assert(r1.size == 2) // bootstrap asOf(0) + chunk (0,1]
+    assert(ST.read(spark, sink).orderBy("id").collect().toSeq ==
+      ST.read(spark, t).orderBy("id").collect().toSeq)
+    // the source evolves through every commit kind the insert-only pipe
+    // refuses: MOR upsert, MOR delete, CoW range delete, compaction
+    ST.upsertKeys(spark, t, Seq((5L, "v5x"), (20L, "v20")).toDF("id", "v"), "id") // 2
+    ST.deleteKeys(spark, t, Seq(7L).toDF("id"), "id")                        // 3
+    ST.delete(spark, t, ST.KeyRange("id", Some(18L), Some(19L)))             // 4
+    ST.compact(spark, t)                                                     // 5
+    val r2 = SnapshotPipe.runCdc(spark, t, sink, "id")()
+    assert(r2.nonEmpty)
+    assert(ST.read(spark, sink).orderBy("id", "v").collect().toSeq ==
+      ST.read(spark, t).orderBy("id", "v").collect().toSeq)
+    // replay is a no-op, under any chunk size
+    assert(SnapshotPipe.runCdc(spark, t, sink, "id")().isEmpty)
+    assert(SnapshotPipe.runCdc(spark, t, sink, "id", maxSnapshotsPerChunk = 1)().isEmpty)
+  }
+
+  test("runCdc nets within a chunk and retracts rows a filter transform drops") {
+    import spark.implicits._
+    import graft.operators.SnapshotPipe
+    val t = tmp(); val sinkA = tmp(); val sinkB = tmp()
+    ST.append(spark, batch(0 until 5), t, Some("b0"), statsBy = Seq("id"))   // 0
+    // within ONE chunk: key 10 inserted then deleted -> absent; key 2
+    // deleted then re-inserted -> present at its newest row
+    ST.append(spark, Seq((10L, "v10")).toDF("id", "v"), t, Some("b1"))       // 1
+    ST.deleteKeys(spark, t, Seq(10L, 2L).toDF("id"), "id")                   // 2
+    ST.upsertKeys(spark, t, Seq((2L, "v2-back")).toDF("id", "v"), "id")      // 3
+    SnapshotPipe.runCdc(spark, t, sinkA, "id")()
+    assert(ST.read(spark, sinkA).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "v0"), (1L, "v1"), (2L, "v2-back"), (3L, "v3"), (4L, "v4")))
+    // a filtering transform: an update that moves a row OUT of the sink's
+    // scope still retracts it (keys are taken before the transform)
+    val filt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(!col("v").startsWith("x"))
+    SnapshotPipe.runCdc(spark, t, sinkB, "id")(filt)
+    assert(ST.read(spark, sinkB).count() == 5)
+    ST.upsertKeys(spark, t, Seq((1L, "x1")).toDF("id", "v"), "id")           // 4
+    SnapshotPipe.runCdc(spark, t, sinkB, "id")(filt)
+    assert(ST.read(spark, sinkB).filter(col("id") === 1L).count() == 0)
+    assert(ST.read(spark, sinkB).count() == 4)
+  }
+
   test("CDC across rollback is row-exact even when only the MOR delete set changes") {
     import spark.implicits._
     val t = tmp()
