@@ -114,12 +114,14 @@ object SnapshotTable {
   private def dataDir(root: Path) = new Path(root, "data")
   private val ManifestName = "manifest-(\\d{6})\\.json".r
 
-  private def manifestIds(fs: FileSystem, root: Path): Seq[Long] = {
-    val d = manifestDir(root)
+  private def idsIn(fs: FileSystem, d: Path): Seq[Long] = {
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).map(_.getPath.getName)
       .collect { case ManifestName(n) => n.toLong }.sorted.toIndexedSeq
   }
+
+  private def manifestIds(fs: FileSystem, root: Path): Seq[Long] =
+    idsIn(fs, manifestDir(root))
 
   def latestId(spark: SparkSession, dir: String): Option[Long] = {
     val (fs, root) = fsOf(spark, dir)
@@ -240,25 +242,36 @@ object SnapshotTable {
     require(fs.exists(p),
       s"snapshot $id of $dir does not exist (never committed, or expired); " +
         s"available: ${manifestIds(fs, root).mkString(",")}")
+    readManifestFile(fs, p)
+  }
+
+  private def readManifestFile(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
     try parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
   }
 
-  private def commitManifest(fs: FileSystem, root: Path, m: Manifest): Unit = {
-    val dir = manifestDir(root)
-    fs.mkdirs(dir)
-    val tmp = new Path(dir, f".manifest-${m.snapshotId}%06d.json.tmp")
-    val dst = new Path(dir, f"manifest-${m.snapshotId}%06d.json")
+  /** Atomic (tmp+rename) manifest write into `intoDir`. `restamp` = stamp
+    * commit wall-clock now; fast-forward copies preserve the original stamp
+    * via raw-byte copy instead, never through here.
+    */
+  private def writeManifest(fs: FileSystem, intoDir: Path, m: Manifest,
+                            restamp: Boolean): Unit = {
+    fs.mkdirs(intoDir)
+    val tmp = new Path(intoDir, f".manifest-${m.snapshotId}%06d.json.tmp")
+    val dst = new Path(intoDir, f"manifest-${m.snapshotId}%06d.json")
     val out = fs.create(tmp, true)
     // wall-clock stamp at commit (never a rollback target's carried copy);
     // monotonicity across commits is NOT assumed anywhere — asOfTimestamp
     // scans, never binary-searches
-    val stamped = m.copy(commitTimeMs = System.currentTimeMillis())
+    val stamped = if (restamp) m.copy(commitTimeMs = System.currentTimeMillis()) else m
     try out.write(render(stamped).getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, dst),
-      s"concurrent commit detected for snapshot ${m.snapshotId} of $root — " +
+      s"concurrent commit detected for snapshot ${m.snapshotId} of $intoDir — " +
         "SnapshotTable is single-writer per table (see scaladoc)")
   }
+
+  private def commitManifest(fs: FileSystem, root: Path, m: Manifest): Unit =
+    writeManifest(fs, manifestDir(root), m, restamp = true)
 
   /** Append `df` as a new snapshot. `batchId` is the exactly-once token: a
     * batch id already committed in the table is skipped (the original
@@ -438,13 +451,20 @@ object SnapshotTable {
 
   /** Commit sequence a data dir was added at, recovered from its name —
     * every dir is named for its committing snapshot (`snap-NNNNNN`,
-    * `snap-NNNNNN/_b=K`, `snap-NNNNNN-src`), so no per-dir metadata entry
-    * is needed. Merge-on-read deletes compare against this: a delete at
-    * seq s applies only to dirs with addSeq < s.
+    * `snap-NNNNNN/_b=K`, `snap-NNNNNN-src`, branch appends
+    * `br-<name>-NNNNNN`), so no per-dir metadata entry is needed.
+    * Merge-on-read deletes compare against this: a delete at seq s applies
+    * only to dirs with addSeq < s. Branch dirs number from the fork id + 1,
+    * so deletes pending AT the fork provably never reach rows appended on
+    * the branch — the same rule an ordinary append enjoys.
     */
   private val DirSeq = "snap-(\\d{6}).*".r
+  // greedy prefix: the LAST -NNNNNN run is the sequence (branch names may
+  // themselves contain digits or dashes)
+  private val BrDirSeq = "br-.*-(\\d{6}).*".r
   private def addSeq(dirName: String): Long = dirName match {
     case DirSeq(n) => n.toLong
+    case BrDirSeq(n) => n.toLong
     case _ => sys.error(s"cannot derive commit sequence from dir name '$dirName'")
   }
 
@@ -627,8 +647,9 @@ object SnapshotTable {
                           tableDir: String): Unit = {
     val bd = bloomDir(root)
     if (!fs.exists(bd)) return
-    val referenced = manifestIds(fs, root)
-      .flatMap(manifest(spark, tableDir, _).blooms)
+    val referenced = (manifestIds(fs, root).map(manifest(spark, tableDir, _)) ++
+      branchManifestsAll(fs, root))
+      .flatMap(_.blooms)
       .map { case (d, c) => bloomFileName(d, c) }.toSet
     fs.listStatus(bd).map(_.getPath.getName).filterNot(referenced)
       .foreach(n => fs.delete(new Path(bd, n), false))
@@ -784,6 +805,39 @@ object SnapshotTable {
       .toDF("dir", "column", "tpe", "min", "max", "has_bloom")
   }
 
+  /** Per-partition planning view — Iceberg's `partitions` metadata table
+    * analogue: one row per (hidden-partition value × stats column) of the
+    * CURRENT snapshot, with dir counts and the manifest bounds AGGREGATED
+    * across that partition's live dirs. Dirs without a partition component
+    * (plain appends, compaction output) surface under a null partition.
+    * Driver-side manifest read only. Partition-spec EVOLUTION falls out of
+    * the per-dir layout: dirs written under different transforms coexist,
+    * each pruned by its own bounds — this view shows them side by side.
+    */
+  def partitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = manifest(spark, dir, latestId(spark, dir).getOrElse(
+      sys.error(s"$dir has no committed snapshot")))
+    def partOf(d: String): Option[String] =
+      d.split('/').find(_.startsWith("_p=")).map(_.stripPrefix("_p="))
+    val statsByDir = m.stats.groupBy(_.dir)
+    val groups = m.live.groupBy(partOf)
+    groups.toSeq.flatMap { case (p, dirs) =>
+      val sts = dirs.flatMap(d => statsByDir.getOrElse(d, Nil))
+      if (sts.isEmpty) Seq((p, dirs.size, None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      else sts.groupBy(st => (st.column, st.tpe)).toSeq.map { case ((c, tpe), g) =>
+        // bounds aggregate in the column's comparison domain, not lexically
+        val (lo, hi) = tpe match {
+          case "long" => (g.map(_.min.toLong).min.toString, g.map(_.max.toLong).max.toString)
+          case "double" => (g.map(_.min.toDouble).min.toString, g.map(_.max.toDouble).max.toString)
+          case _ => (g.map(_.min).min, g.map(_.max).max)
+        }
+        (p, dirs.size, Option(c), Option(tpe), Option(lo), Option(hi))
+      }
+    }.toDF("partition", "n_dirs", "column", "tpe", "min", "max")
+  }
+
   /** Time travel by WALL-CLOCK time: the state of the table at `tsMs` =
     * the latest retained snapshot committed at or before it (Iceberg's
     * `FOR SYSTEM_TIME AS OF`). Fails loudly when every retained snapshot
@@ -863,6 +917,201 @@ object SnapshotTable {
     val id = refs(spark, dir).getOrElse(name,
       sys.error(s"ref '$name' does not exist on $dir"))
     asOf(spark, dir, id)
+  }
+
+  // ---- branches: writable named forks (the Iceberg branch-ref model) ----
+  //
+  // A branch is a SELF-CONTAINED manifest chain under
+  // `_manifests/branches/<name>/`, seeded with a verbatim copy of the fork
+  // snapshot's manifest. Because every manifest carries the table's full
+  // state (live dirs, stats, blooms, pending deletes, batch ledger), branch
+  // readers and writers never consult main's chain again — main may expire
+  // the fork's history out from under a live branch without breaking it
+  // (expire/vacuum treat branch-referenced dirs as pinned). Branch appends
+  // write data dirs named `br-<name>-NNNNNN` numbered from the fork id + 1:
+  // unique across branches, and their addSeq keeps the merge-on-read
+  // sequence rule sound for deletes pending at the fork. Branch snapshot
+  // ids continue the fork numbering, so a FAST-FORWARD publish is a
+  // verbatim manifest copy into main — commit times, ledger, and lineage
+  // survive exactly, and it only succeeds while main's head is still the
+  // fork point (the Iceberg fast_forward ancestry requirement; anything
+  // else fails loudly toward re-creating the branch from the new head).
+  // Branches are append-only: MOR deletes / compaction / rollback stay
+  // main-chain operations — an audit-and-promote workflow (the reason
+  // branches exist) needs exactly ingest + read + publish.
+
+  private def branchesDir(root: Path) = new Path(manifestDir(root), "branches")
+  private def branchDir(root: Path, name: String) = new Path(branchesDir(root), name)
+
+  private def branchHead(fs: FileSystem, bd: Path): Manifest = {
+    val ids = idsIn(fs, bd)
+    require(ids.nonEmpty, s"branch dir $bd holds no manifests (corrupt branch)")
+    readManifestFile(fs, new Path(bd, f"manifest-${ids.last}%06d.json"))
+  }
+
+  /** Every manifest of every live branch — the pin set expire/vacuum/bloom
+    * hygiene must honor (driver-side metadata reads only).
+    */
+  private def branchManifestsAll(fs: FileSystem, root: Path): Seq[Manifest] = {
+    val bs = branchesDir(root)
+    if (!fs.exists(bs)) Nil
+    else fs.listStatus(bs).filter(_.isDirectory).toIndexedSeq.flatMap { st =>
+      idsIn(fs, st.getPath).map(id =>
+        readManifestFile(fs, new Path(st.getPath, f"manifest-$id%06d.json")))
+    }
+  }
+
+  /** Create branch `name` forked at snapshot `fromId`. Tags and branches
+    * are separate namespaces (a tag is an immutable audit point; a branch
+    * is a writable chain).
+    */
+  def createBranch(spark: SparkSession, dir: String, name: String, fromId: Long): Unit = {
+    require(RefName.matches(name), s"bad branch name '$name' (use [A-Za-z0-9._-]+)")
+    val (fs, root) = fsOf(spark, dir)
+    val bd = branchDir(root, name)
+    // a dir with no committed manifest is a crashed createBranch leftover
+    // (tmp only) — re-creating over it is the recovery path
+    require(!fs.exists(bd) || idsIn(fs, bd).isEmpty,
+      s"branch '$name' already exists on $dir")
+    val m = manifest(spark, dir, fromId) // fails loudly on never-committed/expired
+    // verbatim copy (restamp=false): the fork entry is main's commit, not a
+    // new one — its wall-clock stamp and lineage are preserved
+    writeManifest(fs, bd, m, restamp = false)
+  }
+
+  /** Live branches: name → (fork snapshot id, branch head snapshot id). */
+  def branches(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
+    val (fs, root) = fsOf(spark, dir)
+    val bs = branchesDir(root)
+    if (!fs.exists(bs)) Map.empty
+    else fs.listStatus(bs).filter(_.isDirectory)
+      .map(st => st.getPath.getName -> idsIn(fs, st.getPath))
+      .collect { case (n, ids) if ids.nonEmpty => n -> (ids.head, ids.last) }
+      .toMap
+  }
+
+  /** Read the branch head (merge-on-read deletes pending at the fork apply,
+    * branch-appended rows provably escape them — see [[addSeq]]).
+    */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val bd = branchDir(root, name)
+    require(fs.exists(bd), s"branch '$name' does not exist on $dir")
+    val m = branchHead(fs, bd)
+    readMerged(spark, root, m, m.live)
+  }
+
+  /** Append to a branch — same contract as [[append]] (exactly-once batch
+    * ledger, schema evolution, table-property stats/bloom columns), commits
+    * on the branch chain only; main readers never see branch rows until
+    * [[fastForward]].
+    */
+  def appendToBranch(spark: SparkSession, df: DataFrame, dir: String, name: String,
+                     batchId: Option[String] = None,
+                     statsBy: Seq[String] = Nil,
+                     bloomBy: Seq[String] = Nil): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val bd = branchDir(root, name)
+    require(fs.exists(bd), s"branch '$name' does not exist on $dir")
+    batchId.foreach { b =>
+      require(b.matches("[A-Za-z0-9._:-]+"),
+        s"batch id '$b' must match [A-Za-z0-9._:-]+")
+    }
+    val parent = branchHead(fs, bd)
+    // branch chains are never pre-ledger (the fork copy carries main's
+    // cumulative ledger), so the replay check is one manifest read
+    batchId.flatMap(b => parent.batchCommits.find(_._1 == b)) match {
+      case Some((_, snap)) => Commit(snap, skippedExisting = true)
+      case None =>
+        val next = parent.snapshotId + 1
+        val dname = f"br-$name-$next%06d"
+        val dataPath = new Path(dataDir(root), dname).toString
+        df.write.mode("overwrite").parquet(dataPath)
+        val rows = spark.read.parquet(dataPath).count()
+        // legacy fork (no stamped schema) stays in footer-inference mode,
+        // same rule as append
+        val schemaNow = parent.schema.map(ps => mergeSchemas(ps, df.schema).json)
+        val scols = (parent.statsCols ++ statsBy).distinct
+        val bcols = (parent.bloomCols ++ bloomBy).distinct
+        writeManifest(fs, bd, Manifest(next, Some(parent.snapshotId), "append", batchId,
+          added = Seq(dname), live = parent.live :+ dname,
+          addedRows = rows, totalRows = parent.totalRows + rows,
+          batchCommits = parent.batchCommits ++ batchId.map(_ -> next),
+          schemaJson = schemaNow,
+          statsCols = scols,
+          stats = parent.stats ++ computeStats(spark, dataPath, dname, scols),
+          bloomCols = bcols,
+          blooms = parent.blooms ++ computeBlooms(spark, fs, root, dataPath, dname, bcols),
+          deletes = parent.deletes), restamp = true)
+        Commit(next, skippedExisting = false)
+    }
+  }
+
+  /** Publish a branch onto main by FAST-FORWARD: every branch commit past
+    * the fork is copied verbatim into main's chain (raw bytes — commit
+    * times, ledger, lineage preserved), then the branch is dropped. Only
+    * legal while main's head is still the fork point; a crashed
+    * fast-forward resumes exactly (already-copied ids must be byte-equal —
+    * a DIFFERENT manifest at the same id means main diverged and fails
+    * loudly). Returns the new main head.
+    */
+  def fastForward(spark: SparkSession, dir: String, name: String): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val bd = branchDir(root, name)
+    require(fs.exists(bd), s"branch '$name' does not exist on $dir")
+    val bids = idsIn(fs, bd)
+    val forkId = bids.head
+    val mainHead = manifestIds(fs, root).last
+    def bytesOf(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    }
+    // resume-from-crash is only legal when main's head IS this branch's
+    // commit (byte-equal — an id match alone could be main's own append)
+    val resumable = mainHead > forkId && bids.contains(mainHead) &&
+      java.util.Arrays.equals(
+        bytesOf(new Path(manifestDir(root), f"manifest-$mainHead%06d.json")),
+        bytesOf(new Path(bd, f"manifest-$mainHead%06d.json")))
+    require(mainHead == forkId || resumable,
+      s"cannot fast-forward $dir to branch '$name': main head $mainHead is not " +
+        s"the fork point $forkId — main diverged; re-create the branch from " +
+        "the current head and re-apply its batches (their ids replay exactly-once)")
+    bids.filter(_ > forkId).foreach { id =>
+      val src = new Path(bd, f"manifest-$id%06d.json")
+      val dst = new Path(manifestDir(root), f"manifest-$id%06d.json")
+      val body = bytesOf(src)
+      if (fs.exists(dst)) {
+        // the resumable precondition pinned the head; every copied id below
+        // it must match too (defense against manual surgery)
+        require(java.util.Arrays.equals(bytesOf(dst), body),
+          s"main snapshot $id differs from branch '$name' commit $id — " +
+            "main diverged mid-fast-forward; resolve manually")
+      } else {
+        val tmp = new Path(manifestDir(root), f".manifest-$id%06d.json.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body) finally out.close()
+        require(fs.rename(tmp, dst),
+          s"concurrent commit detected for snapshot $id of $root")
+      }
+    }
+    fs.delete(bd, true)
+    Commit(bids.last, skippedExisting = false)
+  }
+
+  /** Drop a branch without publishing. Its data dirs become orphans —
+    * [[vacuum]] reaps them.
+    */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val bd = branchDir(root, name)
+    require(fs.exists(bd), s"branch '$name' does not exist on $dir")
+    fs.delete(bd, true)
   }
 
   // ---- write-audit-publish: staged commits (the Iceberg WAP pattern) ----
@@ -1047,6 +1296,42 @@ object SnapshotTable {
         s"row-removing ${x.operation} snapshot ${x.snapshotId} — not insert-only; " +
         "use changelogCdc for row-level diffs"))
     ms.filter(_.operation == "append") // replace = same rows, not a change
+  }
+
+  /** Streaming-read planning (used by [[graft.sources.SnapshotStreamSource]]):
+    * the parquet FILES appended in (from, to], flat-listed from the range's
+    * `added` dirs — driver-side metadata + one listing per new dir, cost ∝
+    * delta. Same insert-only contract as [[incremental]] (row-removing
+    * snapshots in range fail loudly). Files are returned per committing
+    * snapshot so admission control can cut on commit boundaries.
+    */
+  def incrementalFiles(spark: SparkSession, dir: String,
+                       fromExclusive: Long, toInclusive: Long)
+      : Seq[(Long, Seq[String])] = {
+    val (fs, root) = fsOf(spark, dir)
+    def parquetFiles(p: Path): Seq[String] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toIndexedSeq.flatMap { st =>
+        if (st.isDirectory) parquetFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Nil
+      }
+    appendedIn(spark, dir, fromExclusive, toInclusive).map { m =>
+      m.snapshotId -> m.added.flatMap(d => parquetFiles(new Path(dataDir(root), d)))
+    }
+  }
+
+  /** The latest snapshot's stamped schema — the fixed schema a streaming
+    * read plans with. Legacy (footer-inference) chains fail loudly: a
+    * stream's schema must come from metadata, not from scanning files.
+    */
+  def latestSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    val id = latestId(spark, dir).getOrElse(
+      sys.error(s"$dir has no committed snapshot — streaming reads need one " +
+        "(or pass an explicit schema)"))
+    manifest(spark, dir, id).schema.getOrElse(
+      sys.error(s"$dir is a legacy chain with no stamped schema — " +
+        "append once post-upgrade, or pass an explicit schema"))
   }
 
   /** Incremental read: rows ADDED in snapshots (from, to] — only the new
@@ -1642,7 +1927,11 @@ object SnapshotTable {
     // by any retained manifest → kept, else physically removed with their
     // expired history
     def allDirs(m: Manifest): Seq[String] = m.live ++ m.deletes.map(_.dir)
-    val keepDirs = keep.flatMap(id => allDirs(manifest(spark, dir, id))).toSet
+    // live BRANCHES pin every dir their manifests reference: a branch chain
+    // is self-contained, but its fork-era dirs live under main's data/ —
+    // expiring main's history must not pull them out from under the branch
+    val keepDirs = keep.flatMap(id => allDirs(manifest(spark, dir, id))).toSet ++
+      branchManifestsAll(fs, root).flatMap(allDirs)
     val dropDirs = drop.flatMap(id => allDirs(manifest(spark, dir, id))).toSet -- keepDirs
     dropDirs.toSeq.sorted.foreach { n =>
       fs.delete(new Path(dataDir(root), n), true)
@@ -1667,10 +1956,10 @@ object SnapshotTable {
     // clustered-compaction dirs are referenced as "snap-N/_b=K" — the
     // top-level child "snap-N" is live when ANY of its buckets is; MOR
     // delete files and staged (write-audit-publish) dirs are referenced too
-    val referenced = manifestIds(fs, root)
-      .flatMap { id =>
-        val m = manifest(spark, dir, id); m.live ++ m.deletes.map(_.dir)
-      }.map(_.split('/')(0)).toSet ++
+    val referenced = (manifestIds(fs, root).map(manifest(spark, dir, _)) ++
+      branchManifestsAll(fs, root))
+      .flatMap(m => m.live ++ m.deletes.map(_.dir))
+      .map(_.split('/')(0)).toSet ++
       stagedTokens(spark, dir).map(stageDirName)
     val dd = dataDir(root)
     if (!fs.exists(dd)) return Nil

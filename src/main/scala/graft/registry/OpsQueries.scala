@@ -561,6 +561,35 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id")
     }),
 
+    // branch-audit-promote over the snapshot table: MOR-delete the "stale"
+    // rows on main, re-ingest corrected copies on an isolated BRANCH
+    // (invisible to main readers until publish), then FAST-FORWARD the
+    // branch into main. Exactly-once carries across the publish (the
+    // branch's batch id skips on main afterwards); the fork-pending MOR
+    // delete reaches only pre-fork rows, so the corrected copies survive.
+    "pipe_snap_branch" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapbr").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val stale = col("n_chars") % 7 === 0
+      ST.append(s, base, t, Some("m0"))                                // snap 0
+      ST.deleteKeys(s, t, base.filter(stale).select("doc_id"), "doc_id") // snap 1
+      ST.createBranch(s, t, "requeue", 1L)
+      val fixed = base.filter(stale).withColumn("source", lit("requeued"))
+      require(!ST.appendToBranch(s, fixed, t, "requeue", Some("rq-1")).skippedExisting,
+        "first branch append must commit")
+      require(ST.appendToBranch(s, fixed, t, "requeue", Some("rq-1")).skippedExisting,
+        "a replayed branch batch id must skip")
+      require(ST.read(s, t).count() == base.filter(!stale).count(),
+        "branch rows must be invisible to main readers before fast-forward")
+      ST.fastForward(s, t, "requeue")
+      require(ST.branches(s, t).isEmpty, "fast-forward must drop the branch")
+      require(ST.append(s, fixed, t, Some("rq-1")).skippedExisting,
+        "the branch's batch ledger must carry into main through the publish")
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -2280,6 +2309,16 @@ object OpsQueries {
     "pipe_snap_wap" ->
       """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // rows whose n_chars % 7 = 0 were MOR-deleted on main and re-ingested as
+    // 'requeued' on the branch; everything else rides through untouched. A
+    // delete reaching the branch rows (sequence-rule break), a lost branch
+    // append, or a double fast-forward all break the hash
+    "pipe_snap_branch" ->
+      """SELECT doc_id,
+        |       CASE WHEN n_chars % 7 = 0 THEN 'requeued' ELSE source END AS source,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES

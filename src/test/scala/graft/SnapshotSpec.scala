@@ -930,4 +930,97 @@ class SnapshotSpec extends SparkSpec {
     assert(ST.stagedTokens(spark, t).isEmpty && ST.read(spark, t).count() == 12)
     assert(ST.vacuum(spark, t).isEmpty)
   }
+
+  test("branches: isolated appends, exactly-once, fast-forward publishes verbatim") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 4), t, Some("b0"))
+    ST.createBranch(spark, t, "audit", 0L)
+    val c1 = ST.appendToBranch(spark, batch(4 until 7), t, "audit", Some("br-1"))
+    val retry = ST.appendToBranch(spark, batch(4 until 7), t, "audit", Some("br-1"))
+    assert(c1.snapshotId == 1 && retry.skippedExisting && retry.snapshotId == 1)
+    ST.appendToBranch(spark, batch(7 until 10), t, "audit", Some("br-2"))
+    // isolation both ways: main readers never see branch rows; the branch
+    // sees fork state + its own appends
+    assert(ST.read(spark, t).count() == 4)
+    assert(ST.readBranch(spark, t, "audit").count() == 10)
+    assert(ST.branches(spark, t) == Map("audit" -> (0L, 2L)))
+    val ff = ST.fastForward(spark, t, "audit")
+    assert(ff.snapshotId == 2 && ST.branches(spark, t).isEmpty)
+    assert(ST.read(spark, t).count() == 10)
+    // lineage, ledger, and incremental reads carry through the copied chain
+    val m2 = ST.manifest(spark, t, 2)
+    assert(m2.parentId.contains(1L) && m2.batchId.contains("br-2"))
+    assert(ST.append(spark, batch(4 until 7), t, Some("br-1")).skippedExisting)
+    assert(ST.incremental(spark, t, 0, 2).count() == 6)
+    // the table keeps appending normally past the publish
+    assert(ST.append(spark, batch(10 until 12), t, Some("b3")).snapshotId == 3)
+    assert(ST.read(spark, t).count() == 12)
+  }
+
+  test("fast-forward refuses a diverged main; dropBranch + vacuum reap branch dirs") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t)
+    ST.createBranch(spark, t, "wip", 0L)
+    ST.appendToBranch(spark, batch(3 until 5), t, "wip")
+    ST.append(spark, batch(5 until 6), t) // main diverges past the fork
+    val e = intercept[IllegalArgumentException](ST.fastForward(spark, t, "wip"))
+    assert(e.getMessage.contains("not the fork point"))
+    // the branch's data dirs are pinned while it lives, orphaned once dropped
+    assert(ST.vacuum(spark, t).isEmpty)
+    ST.dropBranch(spark, t, "wip")
+    assert(ST.vacuum(spark, t) == Seq("br-wip-000001"))
+    assert(ST.read(spark, t).count() == 4)
+  }
+
+  test("a live branch pins fork-era dirs across main compaction + expiry") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t)
+    ST.append(spark, batch(3 until 5), t)
+    ST.createBranch(spark, t, "hold", 1L)
+    ST.compact(spark, t)              // main's live set leaves the old dirs
+    ST.expire(spark, t, keepLast = 1) // would normally delete snap-0/1 dirs
+    // the branch still reads its fork state from the pinned dirs
+    assert(ST.readBranch(spark, t, "hold").count() == 5)
+    assert(ST.read(spark, t).count() == 5)
+    ST.dropBranch(spark, t, "hold")
+    assert(ST.vacuum(spark, t) == Seq("snap-000000", "snap-000001"))
+    assert(ST.read(spark, t).count() == 5)
+  }
+
+  test("partitions metadata view aggregates per-value bounds; partition specs evolve") {
+    import spark.implicits._
+    val t = tmp()
+    ST.appendPartitioned(spark, Seq((1L, "2024-01-01"), (2L, "2024-01-02"))
+      .toDF("id", "day"), t, col("day"), statsBy = Seq("id"))
+    // EVOLVED spec: later batches partition on a different transform; their
+    // dirs coexist with the old spec's, each pruned by its own bounds
+    ST.appendPartitioned(spark, Seq((10L, "2024-01-01")).toDF("id", "day"), t,
+      concat(col("day"), lit("+h00")))
+    val parts = ST.partitions(spark, t).collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(4)), Option(r.getString(5))))
+      .sortBy(_._1)
+    assert(parts.toSeq == Seq(
+      ("2024-01-01", 1, Some("1"), Some("1")),
+      ("2024-01-01+h00", 1, Some("10"), Some("10")),
+      ("2024-01-02", 1, Some("2"), Some("2"))))
+    // pruning works across both specs: id >= 5 keeps only the evolved dir
+    val m = ST.manifest(spark, t, 1)
+    val (kept, pruned) = ST.planScan(m, ST.KeyRange("id", lo = Some(5L)))
+    assert(kept.size == 1 && kept.head.contains("_p=2024-01-01+h00") && pruned.size == 2)
+    assert(ST.readWhere(spark, t, ST.KeyRange("id", lo = Some(5L)))
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("MOR deletes pending at the fork never reach rows appended on the branch") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 5), t)
+    ST.deleteKeys(spark, t, Seq(2L).toDF("id"), "id")
+    ST.createBranch(spark, t, "re", 1L)
+    ST.appendToBranch(spark, Seq((2L, "v2-new")).toDF("id", "v"), t, "re")
+    val rows = ST.readBranch(spark, t, "re")
+      .filter(col("id") === 2L).select("v").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("v2-new")) // old row deleted, branch row survives
+    assert(ST.readBranch(spark, t, "re").count() == 5)
+  }
 }
