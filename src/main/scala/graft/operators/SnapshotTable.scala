@@ -1836,6 +1836,135 @@ object SnapshotTable {
     Commit(next, skippedExisting = false)
   }
 
+  /** Per-clause row counts of a [[merge]], plus its commit. */
+  final case class MergeStats(commit: Commit, updated: Long, deleted: Long,
+                              inserted: Long)
+
+  /** MERGE INTO (the Delta/Iceberg `MERGE` statement re-expressed as a
+    * library call), merge-on-read: join `source` onto the table by `key`
+    * and apply, in ONE atomic commit,
+    *
+    *   - WHEN MATCHED AND `deleteIf`  THEN DELETE
+    *   - WHEN MATCHED AND `updateIf`  THEN UPDATE SET `update` assignments
+    *     (delete wins when both conditions hold; `update = Some(Map.empty)`
+    *     means replace the whole row with the source row; `None` = no
+    *     update clause)
+    *   - WHEN NOT MATCHED AND `insertIf` THEN INSERT (`insert = false`
+    *     drops the clause; in assignment mode the insert takes the TABLE's
+    *     columns from the source — absent ones null, extra source columns
+    *     are assignment inputs only; in replace mode whole source rows
+    *     insert and new columns evolve the schema)
+    *
+    * Conditions and assignment expressions see two struct columns: `tgt`
+    * (the current table row) and `src` (the source row) — e.g.
+    * `col("tgt.cnt") + col("src.cnt")`.
+    *
+    * Scale: the target scan is PRUNED by the source's key min/max against
+    * manifest stats (every affected table row provably lives in a kept
+    * dir), the delta-sized source is broadcast into the match join, and the
+    * not-matched anti-join broadcasts the matched key set — no shuffle
+    * touches the table side. The commit itself is [[applyChanges]]: new
+    * rows + one retraction delete file, O(delta) at any table size.
+    * Contract inherited from [[upsertKeys]]: source keys unique + non-null,
+    * and the table key-unique on the merged keys (a second table row with a
+    * matched key would double the replacement — fails loudly). Committed as
+    * `mor-upsert`/`mor-delete`; [[changelogCdc]] recovers the row-level
+    * effect; `batchId` makes the whole merge exactly-once under replay.
+    */
+  def merge(spark: SparkSession, dir: String, source: DataFrame, key: String,
+            update: Option[Map[String, org.apache.spark.sql.Column]] = None,
+            updateIf: Option[org.apache.spark.sql.Column] = None,
+            deleteIf: Option[org.apache.spark.sql.Column] = None,
+            insert: Boolean = true,
+            insertIf: Option[org.apache.spark.sql.Column] = None,
+            batchId: Option[String] = None): MergeStats = {
+    val (fs, root) = fsOf(spark, dir)
+    val ids = manifestIds(fs, root)
+    val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    require(m.schema.nonEmpty,
+      s"merge requires a schema-stamped table (legacy chain at $dir)")
+    val schema = m.schema.get
+    require(schema.fieldNames.contains(key), s"table at $dir has no column '$key'")
+    require(update.nonEmpty || deleteIf.nonEmpty || insert,
+      "merge with no clauses (update=None, deleteIf=None, insert=false) is a no-op")
+    update.foreach(_.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"merge update assignment targets unknown column '$c'")))
+    require(source.columns.contains(key), s"merge source has no key column '$key'")
+    // exactly-once precheck BEFORE any join work (applyChanges re-checks)
+    val ledger = resolveLedger(spark, dir, ids, Some(m), batchId)
+    batchId.flatMap(b => ledger.find(_._1 == b)) match {
+      case Some((_, snap)) =>
+        return MergeStats(Commit(snap, skippedExisting = true), 0L, 0L, 0L)
+      case None =>
+    }
+    val src = source.persist()
+    try {
+      if (src.count() == 0L)
+        return MergeStats(Commit(last, skippedExisting = true), 0L, 0L, 0L)
+      val keyDt = schema(key).dataType
+      // prune: every source key lies in [min,max], so every table row a
+      // clause can touch provably lives in a bounds-kept dir
+      val b = src.agg(min(col(key).cast(keyDt)), max(col(key).cast(keyDt))).collect()(0)
+      val (kept, _) = planScan(m, KeyRange(key, Option(b.get(0)), Option(b.get(1))))
+      val target =
+        if (kept.isEmpty) readMerged(spark, root, m, m.live).limit(0)
+        else readMerged(spark, root, m, kept)
+      val tS = target.select(struct(target.columns.map(col): _*).as("tgt"))
+      val sS = src.select(struct(src.columns.map(col): _*).as("src"))
+      val matched = tS.join(broadcast(sS),
+        col("tgt")(key) === col("src")(key).cast(keyDt), "inner").persist()
+      try {
+        val delCond = coalesce(deleteIf.getOrElse(lit(false)), lit(false))
+        val updCond = update.map(_ =>
+          coalesce(updateIf.getOrElse(lit(true)), lit(false))).getOrElse(lit(false))
+        val deletedKeys = matched.filter(delCond)
+          .select(col("tgt")(key).as(key)).distinct()
+        val updBase = matched.filter(!delCond && updCond)
+        val updatedRows = update match {
+          case Some(as) if as.isEmpty => // whole-row replace by source
+            updBase.select(src.columns.map(f => col("src")(f).as(f)): _*)
+          case Some(as) =>
+            updBase.select(schema.fieldNames.map(f =>
+              as.getOrElse(f, col("tgt")(f)).as(f)): _*)
+          case None =>
+            updBase.limit(0).select(schema.fieldNames.map(f =>
+              col("tgt")(f).as(f)): _*)
+        }
+        // not-matched = source minus the matched key set (delta-sized →
+        // broadcast); sound because pruning never drops a dir that could
+        // hold a source key
+        val matchedKeys = matched.select(col("src")(key).as(key)).distinct()
+        val insBase =
+          if (!insert) sS.limit(0)
+          else {
+            val anti = src.select(struct(src.columns.map(col): _*).as("src"),
+                col("src")(key).as("_mk"))
+              .join(broadcast(matchedKeys.withColumnRenamed(key, "_mk")),
+                Seq("_mk"), "left_anti").select(col("src"))
+            insertIf.map(c => anti.filter(coalesce(c, lit(false)))).getOrElse(anti)
+          }
+        val insRows = update match {
+          case Some(as) if as.isEmpty =>
+            insBase.select(src.columns.map(f => col("src")(f).as(f)): _*)
+          case _ =>
+            // align to the TABLE schema: absent source columns insert null
+            val have = src.columns.toSet
+            insBase.select(schema.fields.map(f =>
+              (if (have(f.name)) col("src")(f.name).cast(f.dataType)
+               else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+        }
+        val ups = updatedRows.unionByName(insRows).persist()
+        try {
+          val (nUpd, nIns, nDel) =
+            (updatedRows.count(), insRows.count(), deletedKeys.count())
+          val commit = applyChanges(spark, dir, ups, Some(deletedKeys), key, batchId)
+          MergeStats(commit, nUpd, nDel, nIns)
+        } finally ups.unpersist(blocking = false)
+      } finally matched.unpersist(blocking = false)
+    } finally src.unpersist(blocking = false)
+  }
+
   /** Row-level MERGE (upsert), copy-on-write: every table row whose `key`
     * appears in `source` is replaced by the source row; source rows with
     * new keys are inserted. Pruning: the source's key min/max bound the

@@ -590,6 +590,36 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id")
     }),
 
+    // MERGE INTO over the snapshot table: one atomic commit applies
+    // matched-update (assignments over tgt/src), matched-delete, and
+    // not-matched-insert; the replayed merge (same batch id) must skip.
+    // n_chars%9=0 rows delete, other n_chars%3=0 rows update (source
+    // 'merged', n_chars+1000), synthetic +10M ids insert
+    "pipe_snap_merge" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapmrg").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      ST.append(s, base, t, Some("m0"), statsBy = Seq("doc_id"))
+      val srcFrame = base.filter(col("n_chars") % 3 === 0)
+        .select(col("doc_id"), lit("merged").as("source"), col("n_chars"))
+        .unionByName(base.filter(col("n_chars") % 10 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            lit("inserted").as("source"), col("n_chars")))
+      val st = ST.merge(s, t, srcFrame, "doc_id",
+        update = Some(Map("source" -> col("src.source"),
+          "n_chars" -> (col("tgt.n_chars") + lit(1000)))),
+        deleteIf = Some(col("tgt.n_chars") % 9 === 0),
+        batchId = Some("mrg-1"))
+      require(st.updated > 0 && st.deleted > 0 && st.inserted > 0,
+        s"merge gate must exercise all three clauses, got $st")
+      require(ST.merge(s, t, srcFrame, "doc_id", update = Some(Map.empty),
+        batchId = Some("mrg-1")).commit.skippedExisting,
+        "a replayed merge batch id must skip")
+      require(ST.latestId(s, t).contains(1L), "merge must be ONE commit")
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -2319,6 +2349,19 @@ object OpsQueries {
         |       CASE WHEN n_chars % 7 = 0 THEN 'requeued' ELSE source END AS source,
         |       n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // n_chars%9=0 matched rows deleted; other n_chars%3=0 matched rows
+    // updated (source 'merged', n_chars+1000); n_chars%10=0 rows re-enter
+    // as synthetic inserts keyed doc_id+10M
+    "pipe_snap_merge" ->
+      """SELECT doc_id,
+        |       CASE WHEN n_chars % 3 = 0 THEN 'merged' ELSE source END AS source,
+        |       CASE WHEN n_chars % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE n_chars % 9 <> 0
+        |UNION ALL
+        |SELECT doc_id + 10000000, 'inserted', n_chars
+        |FROM documents WHERE n_chars % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES

@@ -1011,6 +1011,77 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("merge: update/delete/insert clauses land in one atomic commit") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("id", "v", "cnt"), t, statsBy = Seq("id"))
+    val source = Seq((2L, "B", 5L), (3L, "C", 7L), (9L, "Z", 99L))
+      .toDF("id", "v", "cnt")
+    val st = ST.merge(spark, t, source, "id",
+      update = Some(Map("v" -> col("src.v"), "cnt" -> (col("tgt.cnt") + col("src.cnt")))),
+      deleteIf = Some(col("tgt.id") === 3L),
+      batchId = Some("mrg-1"))
+    assert((st.updated, st.deleted, st.inserted) == ((1L, 1L, 1L)))
+    assert(!st.commit.skippedExisting)
+    val rows = ST.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "B", 25L), (4L, "d", 40L), (9L, "Z", 99L)))
+    // history shows ONE commit for the whole merge
+    assert(ST.latestId(spark, t).contains(1L))
+    // exactly-once: the replayed merge skips with zero clause counts
+    val retry = ST.merge(spark, t, source, "id",
+      update = Some(Map("v" -> col("src.v"))), batchId = Some("mrg-1"))
+    assert(retry.commit.skippedExisting && retry.updated == 0L)
+    assert(ST.read(spark, t).count() == 4)
+  }
+
+  test("merge clause variants: replace mode, conditional update/insert, no-insert") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    // replace mode evolves schema with the source's extra column
+    val s1 = Seq((2L, "b2", "x"), (5L, "e", "y")).toDF("id", "v", "extra")
+    val st1 = ST.merge(spark, t, s1, "id", update = Some(Map.empty))
+    assert((st1.updated, st1.inserted) == ((1L, 1L)))
+    val r1 = ST.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(r1 == Seq((1L, "a", None), (2L, "b2", Some("x")), (5L, "e", Some("y"))))
+    // conditional update (only id=1) + insertIf filter + partial source:
+    // absent 'extra' inserts null
+    val s2 = Seq((1L, "A"), (2L, "IGNORED"), (7L, "g"), (8L, "skip"))
+      .toDF("id", "v")
+    val st2 = ST.merge(spark, t, s2, "id",
+      update = Some(Map("v" -> col("src.v"))),
+      updateIf = Some(col("tgt.id") === 1L),
+      insertIf = Some(col("src.v") =!= "skip"))
+    assert((st2.updated, st2.inserted) == ((1L, 1L)))
+    val vs = ST.read(spark, t).orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(vs == Seq("A", "b2", "e", "g"))
+    // delete-only merge with insert disabled
+    val st3 = ST.merge(spark, t, Seq(Tuple1(5L)).toDF("id"), "id",
+      deleteIf = Some(lit(true)), insert = false)
+    assert((st3.updated, st3.deleted, st3.inserted) == ((0L, 1L, 0L)))
+    assert(ST.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 7L))
+    // changelog recovers the merge's row-level effect
+    val cdc = ST.changelogCdc(spark, t, 2, 3)
+    assert(cdc.filter(col("_change_type") === "delete").count() == 1)
+  }
+
+  test("merge refuses a no-op clause set and unknown assignment targets") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    val s = Seq((1L, "x")).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](
+      ST.merge(spark, t, s, "id", insert = false))
+    assert(e1.getMessage.contains("no-op"))
+    val e2 = intercept[IllegalArgumentException](
+      ST.merge(spark, t, s, "id", update = Some(Map("nope" -> lit(1)))))
+    assert(e2.getMessage.contains("unknown column 'nope'"))
+  }
+
   test("MOR deletes pending at the fork never reach rows appended on the branch") {
     import spark.implicits._
     val t = tmp()
