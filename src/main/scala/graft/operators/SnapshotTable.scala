@@ -417,6 +417,67 @@ object SnapshotTable {
     }
   }
 
+  /** ADOPT already-written parquet files as a new append snapshot — the
+    * commit half of the DSv2 streaming sink
+    * ([[graft.sources.SnapshotStreamSource]]): executors wrote the files
+    * into a staging area, the driver renames exactly the COMMITTED tasks'
+    * files into `data/snap-NNNNNN/` and commits one manifest (speculative /
+    * aborted task files are never listed, so they never enter the table).
+    * Same exactly-once batch ledger, schema evolution, and table-property
+    * stats/bloom computation as [[append]]; a replayed batch id deletes the
+    * staged files and skips. `rows` is the writers' own count (they counted
+    * what they wrote — no re-scan job at commit). `files` must be non-empty.
+    */
+  private[graft] def adoptFiles(spark: SparkSession, dir: String,
+                                files: Seq[String], rows: Long,
+                                batchId: Option[String],
+                                writeSchema: org.apache.spark.sql.types.StructType): Commit = {
+    require(files.nonEmpty, "adoptFiles with no files — skip the commit instead")
+    val (fs, root) = fsOf(spark, dir)
+    val ids = manifestIds(fs, root)
+    val parent = ids.lastOption.map(manifest(spark, dir, _))
+    val ledger = resolveLedger(spark, dir, ids, parent, batchId)
+    batchId.flatMap(b => ledger.find(_._1 == b)) match {
+      case Some((_, snap)) =>
+        files.foreach(f => fs.delete(new Path(f), false))
+        Commit(snap, skippedExisting = true)
+      case None =>
+        val next = ids.lastOption.map(_ + 1).getOrElse(0L)
+        val name = f"snap-$next%06d"
+        val dest = new Path(dataDir(root), name)
+        // an existing dir here is an uncommitted crash leftover (no manifest
+        // references it) — clearing it is the recovery path, like append's
+        // overwrite mode
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.mkdirs(dest)
+        files.foreach { f =>
+          val p = new Path(f)
+          require(fs.rename(p, new Path(dest, p.getName)),
+            s"adopt: rename of staged file $f into $dest failed")
+        }
+        val dataPath = dest.toString
+        val schemaNow: Option[String] = parent match {
+          case None => Some(writeSchema.json)
+          case Some(p) => p.schema.map(ps => mergeSchemas(ps, writeSchema).json)
+        }
+        val scols = parent.map(_.statsCols).getOrElse(Nil)
+        val bcols = parent.map(_.bloomCols).getOrElse(Nil)
+        commitManifest(fs, root, Manifest(next, ids.lastOption, "append", batchId,
+          added = Seq(name), live = parent.map(_.live).getOrElse(Nil) :+ name,
+          addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
+          batchCommits = ledger ++ batchId.map(_ -> next),
+          schemaJson = schemaNow,
+          statsCols = scols,
+          stats = parent.map(_.stats).getOrElse(Nil) ++
+            computeStats(spark, dataPath, name, scols),
+          bloomCols = bcols,
+          blooms = parent.map(_.blooms).getOrElse(Nil) ++
+            computeBlooms(spark, fs, root, dataPath, name, bcols),
+          deletes = parent.map(_.deletes).getOrElse(Nil)))
+        Commit(next, skippedExisting = false)
+    }
+  }
+
   /** Batch-id → snapshot-id ledger as of the current head, reconstructing
     * once from retained manifests on a pre-ledger legacy chain — the ONE
     * copy of the exactly-once machinery shared by every committing path

@@ -620,6 +620,39 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id")
     }),
 
+    // Structured Streaming table-to-table materialization through the DSv2
+    // snapshot SOURCE and SINK: two source commits drained by two
+    // AvailableNow runs land as exactly TWO ledgered sink snapshots
+    // (delta-only; the sink's own batch ledger is the exactly-once, no
+    // second checkpoint of offsets on the write side)
+    "pipe_snap_sink" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val src = java.nio.file.Files.createTempDirectory("graft_sssrc").toString
+      val dst = java.nio.file.Files.createTempDirectory("graft_ssdst").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_sschk").toString
+      val fmt = "graft.sources.SnapshotStreamSource"
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def drain(): Unit = {
+        val q = s.readStream.format(fmt).option("path", src).load()
+          .withColumn("src_up", upper(col("source")))
+          .writeStream.format(fmt)
+          .option("path", dst).option("sink_id", "gate")
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      ST.append(s, base.filter(col("doc_id") % 2 === 0), src, Some("b0"))
+      drain()
+      ST.append(s, base.filter(col("doc_id") % 2 =!= 0), src, Some("b1"))
+      drain()
+      require(ST.latestId(s, dst).contains(1L),
+        "two drained source commits must land as exactly two sink snapshots")
+      require(ST.manifest(s, dst, 1L).batchCommits.map(_._1).forall(_.startsWith("stream:gate:")),
+        "sink commits must be ledgered under the stream token")
+      ST.read(s, dst).orderBy("doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -2362,6 +2395,10 @@ object OpsQueries {
         |SELECT doc_id + 10000000, 'inserted', n_chars
         |FROM documents WHERE n_chars % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_snap_sink" ->
+      """SELECT doc_id, source, n_chars, upper(source) AS src_up
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES

@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.LogicalWriteInfo
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,8 +53,13 @@ import graft.operators.SnapshotTable
   * shape); anything else fails loudly at plan time.
   */
 class SnapshotStreamSource extends TableProvider {
+  // a VIRGIN table (no committed snapshot yet) infers empty: the streaming
+  // WRITE path needs no table schema (the first epoch stamps the query's),
+  // while the read path fails loudly at scan creation
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotTable.latestSchema(SparkSession.active,
+    if (SnapshotTable.latestId(SparkSession.active,
+        SnapshotStreamSource.pathOf(options)).isEmpty) new StructType()
+    else SnapshotTable.latestSchema(SparkSession.active,
       SnapshotStreamSource.pathOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -87,17 +93,31 @@ object SnapshotStreamSource {
 }
 
 private class SnapshotStreamTable(tschema: StructType, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft_snapshot_stream(${options.get("path")})"
   override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
     merged.putAll(opts)
     new SnapshotStreamScan(tschema, new CaseInsensitiveStringMap(merged))
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // writeStream options arrive on the LogicalWriteInfo; table-level ones
+    // (the getTable properties) fill any gaps — path usually rides on both
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(info.options())
+    new SnapshotStreamWriteBuilder(new LogicalWriteInfo {
+      override def options() = new CaseInsensitiveStringMap(merged)
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = info.schema()
+    })
   }
 }
 
@@ -108,6 +128,9 @@ private class SnapshotStreamScan(tschema: StructType, options: CaseInsensitiveSt
   override def readSchema(): StructType = tschema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(tschema.fields.nonEmpty,
+      "streaming read of a table with no committed snapshot — append once " +
+        "first (a virgin table has no schema to plan with)")
     SnapshotStreamSource.validate(tschema)
     new SnapshotMicroBatch(SnapshotStreamSource.pathOf(options), tschema,
       Option(options.get("starting")).getOrElse("earliest"),
