@@ -1633,6 +1633,65 @@ object SnapshotTable {
     Commit(next, skippedExisting = false)
   }
 
+  /** BINPACK (partial) compaction — Iceberg `rewrite_data_files`' small-file
+    * strategy: rewrite ONLY the live dirs whose on-disk size is under
+    * `maxBytes` into one new dir, leaving every big dir untouched. This is
+    * the maintenance pass a streaming sink needs: one-dir-per-epoch ingest
+    * accretes thousands of tiny dirs, and [[compact]] would rewrite the
+    * whole 100 TB table to fix a few GB of smalls — here the rewrite cost
+    * is ∝ the smalls alone (size probe = driver-side listing, O(live dirs)).
+    *
+    * Merge-on-read deletes are MATERIALIZED for the rewritten dirs (the
+    * rewrite reads their merged view, exactly the deletes with
+    * seq > addSeq(dir)); untouched dirs keep their pending deletes, and a
+    * delete file no remaining dir can reach is dropped from the manifest
+    * (the file itself stays for older snapshots until expiry). Committed as
+    * `replace` — same logical rows, so incremental/streaming reads pass
+    * through silently. Skips (no commit) when fewer than `minInputDirs`
+    * dirs qualify.
+    */
+  def compactSmall(spark: SparkSession, dir: String, maxBytes: Long,
+                   minInputDirs: Int = 2, targetFiles: Int = 1): Commit = {
+    require(maxBytes > 0L && minInputDirs >= 2,
+      "compactSmall needs maxBytes > 0 and minInputDirs >= 2 " +
+        "(rewriting a single dir into itself is churn, not compaction)")
+    val (fs, root) = fsOf(spark, dir)
+    val ids = manifestIds(fs, root)
+    val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    val small = m.live.filter(d =>
+      fs.getContentSummary(new Path(dataDir(root), d)).getLength < maxBytes)
+    if (small.size < minInputDirs) return Commit(last, skippedExisting = true)
+    val next = last + 1
+    val name = f"snap-$next%06d"
+    val dataPath = new Path(dataDir(root), name).toString
+    // merged view of the smalls: their applicable pending deletes
+    // materialize into the rewrite (and only theirs)
+    val base = readMerged(spark, root, m, small)
+    base.coalesce(targetFiles).write.mode("overwrite").parquet(dataPath)
+    val rows = spark.read.parquet(dataPath).count()
+    val raw = readDirs(spark, root, small, m.schema).count()
+    val remaining = m.live.filterNot(small.contains)
+    val live = remaining :+ name
+    // a delete no remaining OLD dir can reach is dropped from the working
+    // set (the new dir's addSeq is newer than every delete seq); the file
+    // stays on disk for older snapshots' readers until expiry
+    val keepDeletes = m.deletes.filter(df => remaining.exists(d => df.seq > addSeq(d)))
+    val dropDirs = small.toSet
+    commitManifest(fs, root, Manifest(next, Some(last), "replace", None,
+      added = Seq(name), live = live, addedRows = 0L,
+      totalRows = m.totalRows - (raw - rows),
+      batchCommits = m.batchCommits, schemaJson = m.schemaJson,
+      statsCols = m.statsCols,
+      stats = m.stats.filterNot(s => dropDirs(s.dir)) ++
+        computeStats(spark, dataPath, name, m.statsCols),
+      bloomCols = m.bloomCols,
+      blooms = m.blooms.filterNot(b => dropDirs(b._1)) ++
+        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols),
+      deletes = keepDeletes))
+    Commit(next, skippedExisting = false)
+  }
+
   /** Z-VALUE of `cols` (2+ numeric columns): each column is mapped to a
     * 4-bit empirical-quantile bucket (boundaries from ONE driver-side
     * `approxQuantile` pass — the same sample-then-assign trade Spark's own

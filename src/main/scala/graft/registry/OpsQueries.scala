@@ -620,6 +620,30 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id")
     }),
 
+    // binpack (partial) compaction under a pending MOR delete: three tiny
+    // epoch-sized dirs rewrite into one (materializing their share of the
+    // delete), the big dir stays physically untouched with the delete
+    // still pending — and the merged read is exact either way
+    "pipe_snap_binpack" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapbp").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      ST.append(s, base.filter(col("doc_id") >= 9), t)       // big
+      ST.append(s, base.filter(col("doc_id") < 3), t)        // small
+      ST.append(s, base.filter(col("doc_id") >= 3 && col("doc_id") < 6), t)
+      ST.append(s, base.filter(col("doc_id") >= 6 && col("doc_id") < 9), t)
+      ST.deleteKeys(s, t, base.filter(col("n_chars") % 11 === 0).select("doc_id"), "doc_id")
+      val c = ST.compactSmall(s, t, maxBytes = 16 * 1024)
+      require(!c.skippedExisting, "binpack must find the three small dirs")
+      val m = ST.manifest(s, t, c.snapshotId)
+      require(m.live == Seq("snap-000000", f"snap-${c.snapshotId}%06d"),
+        s"binpack must leave the big dir untouched, got ${m.live}")
+      require(m.deletes.size == 1,
+        "the delete must stay pending for the untouched big dir")
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // Structured Streaming table-to-table materialization through the DSv2
     // snapshot SOURCE and SINK: two source commits drained by two
     // AvailableNow runs land as exactly TWO ledgered sink snapshots
@@ -2395,6 +2419,10 @@ object OpsQueries {
         |SELECT doc_id + 10000000, 'inserted', n_chars
         |FROM documents WHERE n_chars % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_snap_binpack" ->
+      """SELECT doc_id, text, source, n_chars FROM documents
+        |WHERE n_chars % 11 <> 0 ORDER BY doc_id""".stripMargin,
 
     "pipe_snap_sink" ->
       """SELECT doc_id, source, n_chars, upper(source) AS src_up

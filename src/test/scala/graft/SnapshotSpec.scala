@@ -1011,6 +1011,51 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("compactSmall rewrites only sub-threshold dirs; big dirs stay put") {
+    val t = tmp()
+    ST.append(spark, batch(0 until 2), t)     // small
+    ST.append(spark, batch(2 until 4), t)     // small
+    ST.append(spark, batch(4 until 3000), t)  // big
+    ST.append(spark, batch(3000 until 3002), t) // small
+    val c = ST.compactSmall(spark, t, maxBytes = 8 * 1024)
+    assert(!c.skippedExisting && c.snapshotId == 4)
+    val m = ST.manifest(spark, t, 4)
+    assert(m.operation == "replace")
+    assert(m.live == Seq("snap-000002", "snap-000004"))
+    assert(ST.read(spark, t).count() == 3002)
+    assert(ST.read(spark, t).agg(sum(col("id"))).collect()(0).getLong(0) ==
+      (0 until 3002).map(_.toLong).sum)
+    // replace contributes nothing to incremental reads
+    assert(ST.incremental(spark, t, 3, 4).count() == 0)
+    // nothing small left to pack: the next pass skips without a commit
+    assert(ST.compactSmall(spark, t, maxBytes = 8 * 1024).skippedExisting)
+    // old small dirs are physically removed with their expired history
+    ST.expire(spark, t, keepLast = 1)
+    val left = new java.io.File(s"$t/data").listFiles().map(_.getName).toSet
+    assert(left == Set("snap-000002", "snap-000004"))
+    assert(ST.read(spark, t).count() == 3002)
+  }
+
+  test("compactSmall materializes pending deletes for rewritten dirs only") {
+    import spark.implicits._
+    val t = tmp()
+    ST.append(spark, batch(0 until 3), t)      // small, holds id=1
+    ST.append(spark, batch(3 until 3000), t)   // big, holds id=100
+    ST.append(spark, batch(3000 until 3003), t) // small
+    ST.deleteKeys(spark, t, Seq(1L, 100L).toDF("id"), "id")
+    val c = ST.compactSmall(spark, t, maxBytes = 8 * 1024)
+    val m = ST.manifest(spark, t, c.snapshotId)
+    // the delete still pends for the untouched big dir...
+    assert(m.deletes.size == 1)
+    // ...but both keys are gone from the merged read, and stay gone
+    val ids = ST.read(spark, t).select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L) && !ids.contains(100L) && ids.size == 3001)
+    // once the big dir is rewritten too, the delete drops from the manifest
+    ST.compact(spark, t)
+    assert(ST.manifest(spark, t, c.snapshotId + 1).deletes.isEmpty)
+    assert(ST.read(spark, t).count() == 3001)
+  }
+
   test("merge: update/delete/insert clauses land in one atomic commit") {
     import spark.implicits._
     val t = tmp()
