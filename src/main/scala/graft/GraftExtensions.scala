@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
+    // SQL catalog over snapshot tables: the pre-CBO rule grafts each
+    // graft-catalog relation's NATIVE plan (vectorized parquet + MOR
+    // anti-joins) into the query, dir-pruned via manifest stats/Blooms,
+    // with global count/min/max answered from the manifest alone.
+    // Pre-CBO is load-bearing: predicates are fully pushed by then, and
+    // the relation must not survive to V2ScanRelationPushDown.
+    ext.injectPreCBORule(spark => new graft.sources.SnapshotSqlRule(spark))
   }
 }
 

@@ -345,6 +345,117 @@ object SnapshotTable {
     }
   }
 
+  /** Create an EMPTY table: commits snapshot 0 stamping `schema` and the
+    * stats/bloom table properties, with no data dirs — the CREATE TABLE
+    * analogue (the SQL catalog routes `CREATE TABLE` here). The first
+    * append evolves from the stamped schema like any parent, and reads of
+    * the empty state return zero rows WITH the schema. Stats/bloom columns
+    * are validated eagerly: a non-comparable stats column would otherwise
+    * fail only at the first append.
+    */
+  def create(spark: SparkSession, dir: String,
+             schema: org.apache.spark.sql.types.StructType,
+             statsBy: Seq[String] = Nil, bloomBy: Seq[String] = Nil): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    require(manifestIds(fs, root).isEmpty,
+      s"$dir already has a committed snapshot — create() only makes virgin tables")
+    require(schema.fields.nonEmpty, "create() needs a non-empty schema")
+    (statsBy ++ bloomBy).foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"stats/bloom column '$c' is not in the table schema"))
+      statDomain(f.dataType) // fails loudly on non-comparable types
+    }
+    commitManifest(fs, root, Manifest(0L, None, "create", None,
+      added = Nil, live = Nil, addedRows = 0L, totalRows = 0L,
+      batchCommits = Nil, schemaJson = Some(schema.json),
+      statsCols = statsBy.distinct, stats = Nil,
+      bloomCols = bloomBy.distinct, blooms = Nil, deletes = Nil))
+    Commit(0L, skippedExisting = false)
+  }
+
+  /** Replace the table's contents with `df` in ONE commit (the INSERT
+    * OVERWRITE / truncate-and-load shape): the live set becomes just the
+    * new dir, pending merge-on-read deletes clear (nothing they applied to
+    * stays live), and the schema restamps to `df`'s — an overwrite is a
+    * REPLACE, not an evolution. History stays append-only (prior snapshots
+    * remain time-travelable until expired) and the exactly-once batch
+    * ledger carries forward, so a replayed overwrite skips like a replayed
+    * append. Incremental/changelog reads across it fail loudly (row-
+    * removing, the [[incremental]] contract); [[changelogCdc]] recovers
+    * the row-level diff.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, dir: String,
+                batchId: Option[String] = None,
+                statsBy: Seq[String] = Nil,
+                bloomBy: Seq[String] = Nil): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val ids = manifestIds(fs, root)
+    val parent = ids.lastOption.map(manifest(spark, dir, _))
+    val ledger = resolveLedger(spark, dir, ids, parent, batchId)
+    batchId.flatMap(b => ledger.find(_._1 == b)) match {
+      case Some((_, snap)) => Commit(snap, skippedExisting = true)
+      case None =>
+        val next = ids.lastOption.map(_ + 1).getOrElse(0L)
+        val name = f"snap-$next%06d"
+        val dataPath = new Path(dataDir(root), name).toString
+        df.write.mode("overwrite").parquet(dataPath)
+        // explicit schema: an empty overwrite leaves zero part files to
+        // infer from (replacing a table with an empty frame is legal)
+        val rows = spark.read.schema(df.schema).parquet(dataPath).count()
+        val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
+        val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
+        commitManifest(fs, root, Manifest(next, ids.lastOption, "overwrite",
+          batchId, added = Seq(name), live = Seq(name),
+          addedRows = rows, totalRows = rows,
+          // ledger invariant (the rollback precedent): batch id present ==
+          // that batch's rows are present. The replace removed every prior
+          // batch's rows, so only the overwrite's own id survives — a
+          // replayed old ingest re-applies onto the new state.
+          batchCommits = batchId.map(_ -> next).toSeq,
+          schemaJson = Some(df.schema.json),
+          statsCols = scols,
+          stats = computeStats(spark, dataPath, name, scols),
+          bloomCols = bcols,
+          blooms = computeBlooms(spark, fs, root, dataPath, name, bcols),
+          deletes = Nil))
+        Commit(next, skippedExisting = false)
+    }
+  }
+
+  /** TRUNCATE: one metadata-only `overwrite` commit whose live set is
+    * empty — no data is read, moved, or rewritten (prior snapshots stay
+    * time-travelable until expired; vacuum reclaims their files after
+    * expiry). The schema stays stamped, so the empty state still reads and
+    * the next append evolves from it normally.
+    */
+  def truncate(spark: SparkSession, dir: String): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val ids = manifestIds(fs, root)
+    val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    val next = last + 1
+    commitManifest(fs, root, Manifest(next, Some(last), "overwrite", None,
+      added = Nil, live = Nil, addedRows = 0L, totalRows = 0L,
+      // ledger invariant (the rollback precedent): batch id present ==
+      // that batch's rows are present. Truncate removes every row, so
+      // every prior batch becomes re-appendable.
+      batchCommits = Nil, schemaJson = m.schemaJson,
+      statsCols = m.statsCols, stats = Nil,
+      bloomCols = m.bloomCols, blooms = Nil, deletes = Nil))
+    Commit(next, skippedExisting = false)
+  }
+
+  /** Merged read (merge-on-read deletes applied, schema-as-of-`m`)
+    * restricted to `dirs` of manifest `m` — the planScan → read seam the
+    * SQL catalog's dir-pruning rule composes: prune with [[planScan]] /
+    * [[planScanEq]] driver-side, then read only the kept dirs.
+    */
+  def readSubset(spark: SparkSession, dir: String, m: Manifest,
+                 dirs: Seq[String]): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    readMerged(spark, root, m, dirs)
+  }
+
   /** Append with HIDDEN PARTITIONING: `partition` is a transform computed
     * from the row (a day truncation, a bucket, an identity column — the
     * Iceberg partition-spec analogue), and the batch commits ONE LIVE DIR
@@ -542,7 +653,12 @@ object SnapshotTable {
                          schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     val schema = schemaOverride.orElse(m.schema)
-    if (m.deletes.isEmpty) readDirs(spark, root, dirs, schema)
+    if (dirs.isEmpty && schema.nonEmpty)
+      // an EMPTY table state (a [[create]]d table before its first append,
+      // or a truncate) still reads: zero rows with the stamped schema
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema.get)
+    else if (m.deletes.isEmpty) readDirs(spark, root, dirs, schema)
     else {
       require(dirs.nonEmpty, s"snapshot of $root has no data dirs")
       val groups = dirs.groupBy(d => m.deletes.filter(_.seq > addSeq(d)))
@@ -907,7 +1023,13 @@ object SnapshotTable {
     * manifests (no monotonicity assumption — clock skew between commits
     * cannot mis-resolve, the max qualifying id wins).
     */
-  def asOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+  def asOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    asOf(spark, dir, idAsOfTimestamp(spark, dir, tsMs))
+
+  /** Snapshot id the table had at wall-clock `tsMs` — the resolution half
+    * of [[asOfTimestamp]], exposed for the SQL catalog's TIMESTAMP AS OF.
+    */
+  def idAsOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): Long = {
     val (fs, root) = fsOf(spark, dir)
     val ms = manifestIds(fs, root).map(manifest(spark, dir, _))
     // legacy (pre-commit_time_ms) manifests decode as 0 — they must not
@@ -921,7 +1043,7 @@ object SnapshotTable {
     require(at.nonEmpty,
       s"no retained snapshot of $dir at or before timestamp $tsMs " +
         s"(earliest stamped commit: ${stamped.map(_.commitTimeMs).min})")
-    asOf(spark, dir, at.map(_.snapshotId).max)
+    at.map(_.snapshotId).max
   }
 
   // ---- named refs (tags): pin snapshots against expiry, read by name ----
@@ -1060,6 +1182,18 @@ object SnapshotTable {
     require(fs.exists(bd), s"branch '$name' does not exist on $dir")
     val m = branchHead(fs, bd)
     readMerged(spark, root, m, m.live)
+  }
+
+  /** Head manifest of a branch — the SQL catalog's `VERSION AS OF
+    * 'branch:<name>'` resolution (branch manifests are self-contained, so
+    * the same planScan pruning and manifest-aggregate shortcuts apply to
+    * branch reads as to main-chain reads).
+    */
+  def branchHeadManifest(spark: SparkSession, dir: String, name: String): Manifest = {
+    val (fs, root) = fsOf(spark, dir)
+    val bd = branchDir(root, name)
+    require(fs.exists(bd), s"branch '$name' does not exist on $dir")
+    branchHead(fs, bd)
   }
 
   /** Append to a branch — same contract as [[append]] (exactly-once batch
@@ -1352,7 +1486,7 @@ object SnapshotTable {
     // type overwrite" contract); read asOf the endpoint instead
     ms.find(x => x.operation == "delete" || x.operation == "overwrite" ||
         x.operation == "rollback" || x.operation == "mor-delete" ||
-        x.operation == "mor-upsert").foreach(x =>
+        x.operation == "mor-upsert" || x.operation == "update").foreach(x =>
       sys.error(s"incremental range ($fromExclusive, $toInclusive] crosses " +
         s"row-removing ${x.operation} snapshot ${x.snapshotId} — not insert-only; " +
         "use changelogCdc for row-level diffs"))
@@ -1763,7 +1897,8 @@ object SnapshotTable {
     * and are retained. Committed as operation `delete`; incremental/
     * changelog reads across it fail loudly (not insert-only).
     */
-  def delete(spark: SparkSession, dir: String, range: KeyRange): Commit = {
+  def delete(spark: SparkSession, dir: String, range: KeyRange,
+             exact: Option[org.apache.spark.sql.Column] = None): Commit = {
     val (fs, root) = fsOf(spark, dir)
     val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
     val m = manifest(spark, dir, last)
@@ -1776,9 +1911,13 @@ object SnapshotTable {
     val dataPath = new Path(dataDir(root), name).toString
     // keep rows where the predicate is NOT TRUE (null-safe: null keys stay);
     // the rewrite reads the MERGED view so pending MOR deletes applicable to
-    // the affected dirs are materialized into the rewrite, never resurrected
+    // the affected dirs are materialized into the rewrite, never resurrected.
+    // `exact` sharpens the delete predicate beyond the inclusive range hull
+    // (SQL strict bounds: DELETE WHERE k > 5 prunes on the hull k >= 5 but
+    // must remove only k > 5) — the caller guarantees every exact-matching
+    // row is hull-contained, which planScan pruning soundness requires.
     readMerged(spark, root, m, affected)
-      .filter(!coalesce(range.toColumn, lit(false)))
+      .filter(!coalesce(exact.getOrElse(range.toColumn), lit(false)))
       .write.mode("overwrite").parquet(dataPath)
     // explicit schema: a full-dir delete leaves zero part files to infer from
     val keptRows = spark.read.schema(m.schema.get).parquet(dataPath).count()
@@ -1799,6 +1938,70 @@ object SnapshotTable {
       bloomCols = m.bloomCols,
       blooms = carriedBlooms ++ (if (keptRows > 0)
         computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil),
+      // pending MOR deletes still apply to the untouched dirs (old addSeq);
+      // the rewritten dir's newer addSeq provably escapes them
+      deletes = m.deletes))
+    Commit(next, skippedExisting = false)
+  }
+
+  /** Row-level UPDATE, copy-on-write: rows where `cond` IS TRUE get the
+    * `assigns` expressions applied (other columns and non-matching rows —
+    * including NULL-condition rows, SQL semantics — pass through verbatim).
+    * Only `affected` dirs are read and rewritten (into one consolidated
+    * dir); the caller passes a PROVABLY-SOUND superset of the dirs holding
+    * matching rows (manifest-stats pruning — [[graft.sources.SnapshotDmlRule]]
+    * derives it from the WHERE clause's conjuncts; None = all live dirs).
+    * Pending merge-on-read deletes on the affected dirs are materialized by
+    * the rewrite (never resurrected); untouched dirs keep theirs. Committed
+    * as operation `update` — row-removing for incremental purposes (an
+    * updated row's old image disappears), so insert-only incremental/
+    * changelog reads across it fail loudly; [[changelogCdc]]'s dir-diff
+    * recovers exactly delete(old)+insert(new) for the changed rows.
+    */
+  def update(spark: SparkSession, dir: String,
+             cond: org.apache.spark.sql.Column,
+             assigns: Map[String, org.apache.spark.sql.Column],
+             affectedHint: Option[Seq[String]] = None): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    require(m.schema.nonEmpty,
+      s"row-level update requires a schema-stamped table (legacy chain at $dir)")
+    val schema = m.schema.get
+    require(assigns.nonEmpty, "update with no assignments is a no-op")
+    assigns.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"update assignment targets unknown column '$c'"))
+    val affected = affectedHint.getOrElse(m.live)
+    require(affected.forall(m.live.contains),
+      s"update hint names dirs outside the live set of $dir@$last")
+    if (affected.isEmpty) return Commit(last, skippedExisting = true)
+    val untouched = m.live.filterNot(affected.toSet)
+    val next = last + 1
+    val name = f"snap-$next%06d"
+    val dataPath = new Path(dataDir(root), name).toString
+    val hit = coalesce(cond, lit(false))
+    readMerged(spark, root, m, affected)
+      .select(schema.fieldNames.map(f => assigns.get(f)
+        .map(a => when(hit, a.cast(schema(f).dataType)).otherwise(col(f)).as(f))
+        .getOrElse(col(f))).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(dataPath)
+    val keptRows = spark.read.schema(schema).parquet(dataPath).count()
+    val keepDir = keptRows > 0 || untouched.isEmpty
+    val live = untouched ++ (if (keepDir) Seq(name) else Nil)
+    val untouchedRows =
+      if (untouched.isEmpty) 0L
+      else readDirs(spark, root, untouched, m.schema).count() // metadata-only
+    commitManifest(fs, root, Manifest(next, Some(last), "update", None,
+      added = if (keepDir) Seq(name) else Nil, live = live,
+      addedRows = 0L, totalRows = keptRows + untouchedRows,
+      batchCommits = m.batchCommits, schemaJson = m.schemaJson,
+      statsCols = m.statsCols,
+      stats = m.stats.filter(st => untouched.contains(st.dir)) ++
+        (if (keptRows > 0) computeStats(spark, dataPath, name, m.statsCols) else Nil),
+      bloomCols = m.bloomCols,
+      blooms = m.blooms.filter(b => untouched.contains(b._1)) ++
+        (if (keptRows > 0)
+          computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil),
       // pending MOR deletes still apply to the untouched dirs (old addSeq);
       // the rewritten dir's newer addSeq provably escapes them
       deletes = m.deletes))
@@ -1997,6 +2200,7 @@ object SnapshotTable {
             deleteIf: Option[org.apache.spark.sql.Column] = None,
             insert: Boolean = true,
             insertIf: Option[org.apache.spark.sql.Column] = None,
+            insertAssign: Option[Map[String, org.apache.spark.sql.Column]] = None,
             batchId: Option[String] = None): MergeStats = {
     val (fs, root) = fsOf(spark, dir)
     val ids = manifestIds(fs, root)
@@ -2064,8 +2268,16 @@ object SnapshotTable {
                 Seq("_mk"), "left_anti").select(col("src"))
             insertIf.map(c => anti.filter(coalesce(c, lit(false)))).getOrElse(anti)
           }
-        val insRows = update match {
-          case Some(as) if as.isEmpty =>
+        val insRows = (insertAssign, update) match {
+          case (Some(as), _) =>
+            // SQL INSERT (cols) VALUES (exprs): assignment expressions see
+            // the source row as `src`; unassigned table columns insert null
+            as.keys.foreach(c => require(schema.fieldNames.contains(c),
+              s"merge insert assignment targets unknown column '$c'"))
+            insBase.select(schema.fields.map(f =>
+              as.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+          case (None, Some(as)) if as.isEmpty =>
             insBase.select(src.columns.map(f => col("src")(f).as(f)): _*)
           case _ =>
             // align to the TABLE schema: absent source columns insert null

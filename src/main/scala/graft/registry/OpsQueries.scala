@@ -315,11 +315,11 @@ object OpsQueries {
         .reduce(_ unionByName _).orderBy("doc_id")
     }),
 
-    // row-level MERGE + DELETE (copy-on-write): upsert a delta that
+    // row-level UPSERT + DELETE (copy-on-write): upsert a delta that
     // updates every 10th doc and inserts clones at doc_id+100000, then
     // delete a doc_id band; the final table is last-write-wins over the
     // key with the band removed
-    "pipe_snap_merge" -> ((s, dir) => {
+    "pipe_snap_upsert" -> ((s, dir) => {
       import graft.operators.{SnapshotTable => ST}
       val t = java.nio.file.Files.createTempDirectory("graft_snapmerge").toString
       val base = s.read.parquet(s"$dir/documents.parquet")
@@ -675,6 +675,55 @@ object OpsQueries {
       require(ST.manifest(s, dst, 1L).batchCommits.map(_._1).forall(_.startsWith("stream:gate:")),
         "sink commits must be ledgered under the stream token")
       ST.read(s, dst).orderBy("doc_id")
+    }),
+
+    // SQL catalog end-to-end (SnapshotCatalog + the pre-CBO substitution
+    // rule): CREATE TABLE through the DSv2 catalog, three banded inserts
+    // through the SQL write path (one replayed batch id must skip via the
+    // table's ledger), then a SELECT whose WHERE prunes to ONE data dir
+    // driver-side (plan-asserted) feeding a grouped aggregate — and a bare
+    // global count/min/max answered from the manifest alone (plan-asserted
+    // LocalTableScan, zero parquet IO)
+    "pipe_snap_sql" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlwh").toString
+      // catalog instances cache by name per session — make the name unique
+      val cat = s"gv${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES (stats_by='doc_id')")
+      val third = docs.agg(max("doc_id")).head.getLong(0) / 3
+      def band(i: Int, f: org.apache.spark.sql.Column): Unit =
+        docs.filter(f).writeTo(s"$cat.docs").option("batch_id", s"b$i").append()
+      band(1, col("doc_id") < third)
+      band(2, col("doc_id") >= third && col("doc_id") < 2 * third)
+      band(3, col("doc_id") >= 2 * third)
+      band(2, col("doc_id") >= third && col("doc_id") < 2 * third) // replay
+      require(ST.latestId(s, s"$wh/docs").contains(3L),
+        "the replayed SQL insert must skip through the batch ledger")
+      val agg = s.sql(s"SELECT count(*) AS c, min(doc_id) AS lo, " +
+        s"max(doc_id) AS hi FROM $cat.docs")
+      val ap = agg.queryExecution.executedPlan.toString
+      require(ap.contains("LocalTableScan") && !ap.contains("Parquet"),
+        s"global count/min/max must be manifest-answered, got:\n$ap")
+      require(agg.head.getLong(0) == docs.count(),
+        "manifest count must equal the physical count")
+      // inclusive bounds: dir pruning is hull-based (a strict `< 2*third`
+      // keeps the next dir whose min IS 2*third — sound but unpruned)
+      val mid = s.sql("SELECT source, count(*) AS c, min(doc_id) AS lo, " +
+        "max(doc_id) AS hi, sum(n_chars) AS nch " +
+        s"FROM $cat.docs WHERE doc_id BETWEEN $third AND ${2 * third - 1} " +
+        "GROUP BY source ORDER BY source")
+      val mp = mid.queryExecution.executedPlan.toString
+      require(mp.contains("snap-000002") && !mp.contains("snap-000001") &&
+        !mp.contains("snap-000003"),
+        s"the banded WHERE must prune to the middle dir, got:\n$mp")
+      mid
     }),
 
     // multiple pipelines + reload converge: create two pipelines, converge a
@@ -2277,7 +2326,7 @@ object OpsQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (5, 100, 250) ORDER BY doc_id""".stripMargin,
 
-    "pipe_snap_merge" ->
+    "pipe_snap_upsert" ->
       """WITH delta AS (
         |  SELECT doc_id, 'patched' AS source, n_chars + 1000 AS n_chars
         |  FROM documents WHERE doc_id % 10 = 0
@@ -2427,6 +2476,18 @@ object OpsQueries {
     "pipe_snap_sink" ->
       """SELECT doc_id, source, n_chars, upper(source) AS src_up
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // middle band [max/3, 2*max/3) of doc_id, grouped by source
+    "pipe_snap_sql" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |         CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents
+        |), t AS (SELECT max(doc_id) // 3 AS third FROM b)
+        |SELECT source, count(*) AS c, min(doc_id) AS lo, max(doc_id) AS hi,
+        |       CAST(sum(n_chars) AS BIGINT) AS nch
+        |FROM b, t WHERE doc_id >= third AND doc_id < 2 * third
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "lscl_pipelines" ->
       """SELECT * FROM (VALUES
