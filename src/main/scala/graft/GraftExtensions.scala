@@ -54,6 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Pre-CBO is load-bearing: predicates are fully pushed by then, and
     // the relation must not survive to V2ScanRelationPushDown.
     ext.injectPreCBORule(spark => new graft.sources.SnapshotSqlRule(spark))
+    // SQL DML (UPDATE / DELETE-any-predicate / MERGE INTO) on snapshot
+    // tables: resolved DML nodes become runnable commands driving the
+    // native CoW/MOR machinery (post-hoc: after resolution, before the
+    // planner's SupportsRowLevelOperations requirement would reject them).
+    ext.injectPostHocResolutionRule(spark => new graft.sources.SnapshotDmlRule(spark))
   }
 }
 

@@ -1899,12 +1899,34 @@ object SnapshotTable {
     */
   def delete(spark: SparkSession, dir: String, range: KeyRange,
              exact: Option[org.apache.spark.sql.Column] = None): Commit = {
+    val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    deleteWhere(spark, dir, exact.getOrElse(range.toColumn),
+      Some(planScan(m, range)._1))
+  }
+
+  /** Row-level DELETE by an ARBITRARY predicate, copy-on-write — the
+    * [[delete]] generalization the SQL DML rule lowers `DELETE FROM ...
+    * WHERE <anything>` onto: rows where `cond` IS TRUE are removed (NULL
+    * conditions retain, SQL semantics). `affectedHint` is a provably-sound
+    * superset of the dirs holding matching rows (manifest-stats/Bloom
+    * pruning — [[graft.sources.SnapshotPrune]] derives it from the
+    * predicate's conjuncts; None = all live dirs); only those dirs are
+    * read and rewritten, untouched dirs carry over with their stats,
+    * Blooms, and pending MOR deletes intact.
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  cond: org.apache.spark.sql.Column,
+                  affectedHint: Option[Seq[String]] = None): Commit = {
     val (fs, root) = fsOf(spark, dir)
     val last = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
     val m = manifest(spark, dir, last)
     require(m.schema.nonEmpty,
       s"row-level delete requires a schema-stamped table (legacy chain at $dir)")
-    val (affected, untouched) = planScan(m, range)
+    val affected = affectedHint.getOrElse(m.live)
+    require(affected.forall(m.live.contains),
+      s"delete hint names dirs outside the live set of $dir@$last")
+    val untouched = m.live.filterNot(affected.toSet)
     if (affected.isEmpty) return Commit(last, skippedExisting = true)
     val next = last + 1
     val name = f"snap-$next%06d"
@@ -1912,12 +1934,12 @@ object SnapshotTable {
     // keep rows where the predicate is NOT TRUE (null-safe: null keys stay);
     // the rewrite reads the MERGED view so pending MOR deletes applicable to
     // the affected dirs are materialized into the rewrite, never resurrected.
-    // `exact` sharpens the delete predicate beyond the inclusive range hull
-    // (SQL strict bounds: DELETE WHERE k > 5 prunes on the hull k >= 5 but
-    // must remove only k > 5) — the caller guarantees every exact-matching
-    // row is hull-contained, which planScan pruning soundness requires.
+    // The predicate may be SHARPER than the hint's pruning hull (SQL strict
+    // bounds: DELETE WHERE k > 5 prunes on the hull k >= 5 but must remove
+    // only k > 5) — the caller guarantees every matching row is
+    // hint-contained, which pruning soundness requires.
     readMerged(spark, root, m, affected)
-      .filter(!coalesce(exact.getOrElse(range.toColumn), lit(false)))
+      .filter(!coalesce(cond, lit(false)))
       .write.mode("overwrite").parquet(dataPath)
     // explicit schema: a full-dir delete leaves zero part files to infer from
     val keptRows = spark.read.schema(m.schema.get).parquet(dataPath).count()

@@ -726,6 +726,51 @@ object OpsQueries {
       mid
     }),
 
+    // SQL DML end-to-end (SnapshotDmlRule): UPDATE a banded modulus subset
+    // (the CoW rewrite must prune to the middle dir — manifest-asserted),
+    // DELETE by a multi-column predicate (beyond the single-column
+    // SupportsDelete surface), then one atomic MERGE INTO with delete/
+    // update/insert clauses (first-match-wins: the conditioned DELETE
+    // precedes the UPDATE); the oracle mirrors the arithmetic in SQL
+    "pipe_snap_dml" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val wh = java.nio.file.Files.createTempDirectory("graft_dmlwh").toString
+      val cat = s"gd${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val third = docs.agg(max("doc_id")).head.getLong(0) / 3
+      val tdir = s"$wh/docs"
+      ST.append(s, docs.filter(col("doc_id") < third), tdir, statsBy = Seq("doc_id"))
+      ST.append(s, docs.filter(col("doc_id") >= third && col("doc_id") < 2 * third), tdir)
+      ST.append(s, docs.filter(col("doc_id") >= 2 * third), tdir)
+      // inclusive bounds: hull pruning would keep the third dir (its min IS
+      // 2*third) under a strict `< 2*third` — same lesson as pipe_snap_sql
+      s.sql(s"UPDATE $cat.docs SET source = 'patched', n_chars = n_chars + 1000 " +
+        s"WHERE doc_id BETWEEN $third AND ${2 * third - 1} AND doc_id % 10 = 0")
+      val m = ST.manifest(s, tdir, ST.latestId(s, tdir).get)
+      require(m.live.contains("snap-000000") && m.live.contains("snap-000002") &&
+        !m.live.contains("snap-000001"),
+        s"the banded UPDATE must rewrite only the middle dir, live=${m.live}")
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 7 = 0 AND n_chars < 600")
+      val v = s"v${cat.drop(2).take(12)}"
+      docs.createOrReplaceTempView(v)
+      s.sql(
+        s"""MERGE INTO $cat.docs AS tt USING (
+           |  SELECT doc_id, n_chars FROM $v WHERE doc_id % 9 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 500000, n_chars FROM $v WHERE doc_id % 50 = 0) s
+           |ON tt.doc_id = s.doc_id
+           |WHEN MATCHED AND tt.n_chars % 2 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET source = 'm', n_chars = tt.n_chars + 1
+           |WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars)
+           |  VALUES (s.doc_id, 'ins', s.n_chars)
+           |""".stripMargin)
+      s.sql(s"SELECT doc_id, source, n_chars FROM $cat.docs ORDER BY doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -2476,6 +2521,41 @@ object OpsQueries {
     "pipe_snap_sink" ->
       """SELECT doc_id, source, n_chars, upper(source) AS src_up
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // UPDATE band+modulus, DELETE multi-column, then MERGE with delete-
+    // before-update clause order and out-of-range inserts
+    "pipe_snap_dml" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |         CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents
+        |), t AS (SELECT max(doc_id) // 3 AS third FROM b),
+        |u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= third AND doc_id < 2 * third AND doc_id % 10 = 0
+        |         THEN 'patched' ELSE source END AS source,
+        |    CASE WHEN doc_id >= third AND doc_id < 2 * third AND doc_id % 10 = 0
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM b, t
+        |), d AS (
+        |  SELECT * FROM u WHERE NOT (doc_id % 7 = 0 AND n_chars < 600)
+        |), s AS (
+        |  SELECT doc_id, n_chars FROM b WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, n_chars FROM b WHERE doc_id % 50 = 0
+        |), merged AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN s.doc_id IS NOT NULL THEN 'm' ELSE d.source END AS source,
+        |    CASE WHEN s.doc_id IS NOT NULL THEN d.n_chars + 1 ELSE d.n_chars END AS n_chars,
+        |    (s.doc_id IS NOT NULL AND d.n_chars % 2 = 0) AS killed
+        |  FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+        |), kept AS (
+        |  SELECT doc_id, source, n_chars FROM merged WHERE NOT killed
+        |), ins AS (
+        |  SELECT s.doc_id, 'ins' AS source, s.n_chars
+        |  FROM s LEFT JOIN d ON d.doc_id = s.doc_id WHERE d.doc_id IS NULL
+        |)
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY doc_id""".stripMargin,
 
     // middle band [max/3, 2*max/3) of doc_id, grouped by source
     "pipe_snap_sql" ->

@@ -25,37 +25,37 @@ object DmlProbe {
       s"$wh/t", statsBy = Seq("id"))
     ST.append(spark, Seq((5L, "e", 50L)).toDF("id", "v", "x"), s"$wh/t")
 
-    def phase(label: String)(q: => org.apache.spark.sql.DataFrame): Unit = {
+    def phase(label: String)(sqlText: String): Unit = {
       println(s"===== $label")
       try {
-        val df = q
-        println("-- analyzed:")
-        println(df.queryExecution.analyzed.treeString)
-        try {
-          df.collect()
-          println("-- EXECUTED OK")
-        } catch { case e: Throwable =>
-          println(s"-- EXEC FAIL: ${e.getClass.getName}: ${e.getMessage.take(300)}")
-        }
+        spark.sql(sqlText).show(false)
+        spark.sql("SELECT * FROM gdml.t ORDER BY id").show(false)
       } catch { case e: Throwable =>
-        println(s"-- ANALYSIS FAIL: ${e.getClass.getName}: ${e.getMessage.take(300)}")
+        println(s"-- FAIL: ${e.getClass.getName}: ${e.getMessage.take(400)}")
+        e.getStackTrace.take(10).foreach(f => println(s"   at $f"))
       }
     }
 
-    phase("UPDATE")(spark.sql("UPDATE gdml.t SET v = 'z', x = x + 1 WHERE id = 1"))
-    phase("MERGE")(spark.sql(
+    phase("UPDATE")("UPDATE gdml.t SET v = 'z', x = x + 1 WHERE id = 1")
+    phase("DELETE multi-col")("DELETE FROM gdml.t WHERE id > 1 AND v = 'b'")
+    phase("MERGE")(
       """MERGE INTO gdml.t USING (SELECT 2 AS id, 'bb' AS v, 200 AS x
         |                         UNION ALL SELECT 9, 'i', 90) s
         |ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET v = s.v, x = t.x + s.x
         |WHEN NOT MATCHED THEN INSERT (id, v, x) VALUES (s.id, s.v, s.x)
-        |""".stripMargin))
-    phase("MERGE star")(spark.sql(
+        |""".stripMargin)
+    phase("MERGE star")(
       """MERGE INTO gdml.t USING (SELECT 1 AS id, 'q' AS v, 7 AS x) s
         |ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *
-        |""".stripMargin))
+        |""".stripMargin)
+    phase("MERGE delete-clause")(
+      """MERGE INTO gdml.t USING (SELECT 9 AS id, true AS del) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.del THEN DELETE
+        |""".stripMargin)
     spark.stop()
   }
 }

@@ -167,8 +167,10 @@ class SnapshotSqlSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(1L, 5L))
     sql(s"DELETE FROM gsql.$t WHERE id >= 1 AND id < 5")
     assert(sql(s"SELECT id FROM gsql.$t").collect().map(_.getLong(0)).toSeq == Seq(5L))
-    // multi-column predicates are not mapped — fail loudly, don't corrupt
-    intercept[Exception](sql(s"DELETE FROM gsql.$t WHERE id > 0 AND v = 'b'"))
+    // multi-column predicates route through the DML rule's general
+    // copy-on-write path (SnapshotDmlSpec covers it in depth)
+    sql(s"DELETE FROM gsql.$t WHERE id > 0 AND v = 'b'")
+    assert(sql(s"SELECT count(*) AS c FROM gsql.$t").head.getLong(0) == 0L)
   }
 
   test("SELECT over pending merge-on-read deletes applies them (filter preserved)") {
