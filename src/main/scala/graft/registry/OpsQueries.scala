@@ -771,6 +771,45 @@ object OpsQueries {
       s.sql(s"SELECT doc_id, source, n_chars FROM $cat.docs ORDER BY doc_id")
     }),
 
+    // maintenance stored procedures (CALL cat.system.*): banded ingest + a
+    // CoW delete, then compact(sort_by) → ONE clustered live dir
+    // (manifest-asserted), expire_snapshots(keep_last=1) → history bounded
+    // AND the unreferenced pre-compaction dirs physically reclaimed
+    // (return-value-asserted), vacuum → no orphans; the surviving row set
+    // is oracle-checked
+    "pipe_snap_call" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val wh = java.nio.file.Files.createTempDirectory("graft_callwh").toString
+      val cat = s"gc${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val third = docs.agg(max("doc_id")).head.getLong(0) / 3
+      val tdir = s"$wh/docs"
+      ST.append(s, docs.filter(col("doc_id") < third), tdir, statsBy = Seq("doc_id"))
+      ST.append(s, docs.filter(col("doc_id") >= third && col("doc_id") < 2 * third), tdir)
+      ST.append(s, docs.filter(col("doc_id") >= 2 * third), tdir)
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 11 = 0")
+      val c = s.sql(s"CALL $cat.system.compact(table => 'docs', sort_by => 'doc_id')")
+        .head
+      require(!c.getBoolean(1), "compact of a 3-dir table must not skip")
+      val cm = ST.manifest(s, tdir, c.getLong(0))
+      require(cm.operation == "replace" && cm.live.size == 1,
+        s"compact must leave ONE live dir, got ${cm.live}")
+      val expired = s.sql(s"CALL $cat.system.expire_snapshots(table => 'docs', " +
+        "keep_last => 1)").head.getSeq[String](0)
+      require(expired.nonEmpty,
+        "expire after compact must reclaim the unreferenced pre-compaction dirs")
+      require(scala.util.Try(ST.asOf(s, tdir, 0L)).isFailure,
+        "snapshot 0 must be expired")
+      val orphans = s.sql(s"CALL $cat.system.vacuum(table => 'docs')")
+        .head.getSeq[String](0)
+      require(orphans.isEmpty, s"no orphans expected, vacuum found $orphans")
+      s.sql(s"SELECT doc_id, source, n_chars FROM $cat.docs ORDER BY doc_id")
+    }),
+
     // multiple pipelines + reload converge: create two pipelines, converge a
     // no-op, reload only the changed one (state_resolver.rb semantics); the
     // gate emits each pipeline's run count and final per-sink counts
@@ -2521,6 +2560,13 @@ object OpsQueries {
     "pipe_snap_sink" ->
       """SELECT doc_id, source, n_chars, upper(source) AS src_up
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // compaction/expiry/vacuum are row-preserving: the survivors are just
+    // the non-deleted rows
+    "pipe_snap_call" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |       CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 11 <> 0 ORDER BY doc_id""".stripMargin,
 
     // UPDATE band+modulus, DELETE multi-column, then MERGE with delete-
     // before-update clause order and out-of-range inserts

@@ -63,7 +63,8 @@ import graft.operators.SnapshotTable
   * (logstash-core docs) are the sink this table family models; the
   * manifest/snapshot design notes live on [[SnapshotTable]].
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -182,6 +183,118 @@ class SnapshotCatalog extends TableCatalog {
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.rename(new Path(dirOf(oldIdent.name)), new Path(dirOf(newIdent.name))),
       s"rename ${oldIdent.name} -> ${newIdent.name} failed")
+  }
+
+  // ---- maintenance procedures: CALL <cat>.system.<proc>(...) — the
+  // Iceberg stored-procedure surface over the table-maintenance API.
+  // Results come back as LocalScan rows (driver-side metadata; none of
+  // these return data-plane rows).
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.LocalScan
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def p(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def pDef(name: String, dt: DataType, sql: String) =
+    ProcedureParameter.in(name, dt).defaultValue(sql).build()
+  private def utf(s: String) = UTF8String.fromString(s)
+  private def csvOf(v: UTF8String): Seq[String] =
+    Option(v).map(_.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  private def commitRow(c: SnapshotTable.Commit): InternalRow =
+    InternalRow(c.snapshotId, c.skippedExisting)
+  private def dirsRow(ds: Seq[String]): InternalRow =
+    InternalRow(new GenericArrayData(ds.map(utf)))
+
+  private class Proc(procName: String, params: Seq[ProcedureParameter],
+                     out: StructType, body: InternalRow => InternalRow)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft snapshot-table $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val result = Array(body(input))
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
+
+  private val commitOut = StructType(Seq(
+    org.apache.spark.sql.types.StructField("snapshot_id", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("skipped", BooleanType, nullable = false)))
+  private val dirsOut = StructType(Seq(
+    org.apache.spark.sql.types.StructField("deleted_dirs",
+      ArrayType(StringType, containsNull = false), nullable = false)))
+  private val okOut = StructType(Seq(
+    org.apache.spark.sql.types.StructField("ok", BooleanType, nullable = false)))
+
+  private def tdir(in: InternalRow): String = {
+    val t = in.getUTF8String(0).toString
+    require(isTable(t), s"catalog '$catalogName' has no table '$t'")
+    dirOf(t)
+  }
+
+  private lazy val procs: Map[String, UnboundProcedure] = Seq[Proc](
+    new Proc("compact",
+      Seq(p("table", StringType), pDef("target_files", IntegerType, "1"),
+        pDef("sort_by", StringType, "''"), pDef("zorder_by", StringType, "''")),
+      commitOut, in => commitRow(SnapshotTable.compact(spark, tdir(in),
+        in.getInt(1), csvOf(in.getUTF8String(2)), csvOf(in.getUTF8String(3))))),
+    new Proc("compact_small",
+      Seq(p("table", StringType), p("max_bytes", LongType),
+        pDef("min_input_dirs", IntegerType, "2"),
+        pDef("target_files", IntegerType, "1")),
+      commitOut, in => commitRow(SnapshotTable.compactSmall(spark, tdir(in),
+        in.getLong(1), in.getInt(2), in.getInt(3)))),
+    new Proc("expire_snapshots",
+      Seq(p("table", StringType), p("keep_last", IntegerType)),
+      dirsOut, in => dirsRow(SnapshotTable.expire(spark, tdir(in), in.getInt(1)))),
+    new Proc("vacuum", Seq(p("table", StringType)),
+      dirsOut, in => dirsRow(SnapshotTable.vacuum(spark, tdir(in)))),
+    new Proc("rollback_to_snapshot",
+      Seq(p("table", StringType), p("snapshot_id", LongType)),
+      commitOut, in => commitRow(SnapshotTable.rollback(spark, tdir(in),
+        in.getLong(1)))),
+    new Proc("create_tag",
+      Seq(p("table", StringType), p("tag", StringType), p("snapshot_id", LongType)),
+      okOut, in => { SnapshotTable.tag(spark, tdir(in),
+        in.getUTF8String(1).toString, in.getLong(2)); InternalRow(true) }),
+    new Proc("drop_ref",
+      Seq(p("table", StringType), p("name", StringType)),
+      okOut, in => { SnapshotTable.dropRef(spark, tdir(in),
+        in.getUTF8String(1).toString); InternalRow(true) }),
+    new Proc("create_branch",
+      Seq(p("table", StringType), p("branch", StringType), p("from_id", LongType)),
+      okOut, in => { SnapshotTable.createBranch(spark, tdir(in),
+        in.getUTF8String(1).toString, in.getLong(2)); InternalRow(true) }),
+    new Proc("fast_forward",
+      Seq(p("table", StringType), p("branch", StringType)),
+      commitOut, in => commitRow(SnapshotTable.fastForward(spark, tdir(in),
+        in.getUTF8String(1).toString))),
+    new Proc("drop_branch",
+      Seq(p("table", StringType), p("branch", StringType)),
+      okOut, in => { SnapshotTable.dropBranch(spark, tdir(in),
+        in.getUTF8String(1).toString); InternalRow(true) })
+  ).map(pr => pr.name() -> (pr: UnboundProcedure)).toMap
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live under the 'system' namespace: CALL $catalogName.system.<name>(...)")
+    procs.getOrElse(ident.name, sys.error(
+      s"unknown procedure '${ident.name}' — available: ${procs.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else procs.keys.toSeq.sorted.map(Identifier.of(Array("system"), _)).toArray
   }
 }
 
