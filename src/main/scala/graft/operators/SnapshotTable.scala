@@ -445,6 +445,62 @@ object SnapshotTable {
     Commit(next, skippedExisting = false)
   }
 
+  /** Explicit schema change as ONE metadata-only commit (the ALTER TABLE
+    * ADD/DROP COLUMNS analogue — appends also evolve schemas implicitly,
+    * this is the declaration-first path): no data is read, moved, or
+    * rewritten. Added columns must be nullable (existing rows surface
+    * null) and must not collide with a name ANY retained main-chain
+    * snapshot has stamped — re-adding a dropped name would shadow the old
+    * files' values (possibly of another type) back through the scan; this
+    * table format carries no Iceberg-style field ids to disambiguate, so
+    * the collision fails loudly (expire the old snapshots first). Dropped
+    * columns keep their bytes on disk (time travel still sees them); the
+    * stamped schema simply stops projecting them, and their stats/Bloom
+    * configuration drops with them. A column keyed by a PENDING
+    * merge-on-read delete cannot drop (the anti-join needs it) — compact
+    * first. Committed as operation `alter`: contributes nothing to
+    * incremental/changelog reads (no rows change).
+    */
+  def alterSchema(spark: SparkSession, dir: String,
+                  add: Seq[org.apache.spark.sql.types.StructField] = Nil,
+                  drop: Seq[String] = Nil): Commit = {
+    require(add.nonEmpty || drop.nonEmpty, "alterSchema with no changes")
+    val (fs, root) = fsOf(spark, dir)
+    val ids = manifestIds(fs, root)
+    val last = ids.lastOption.getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, last)
+    val cur = m.schema.getOrElse(sys.error(
+      s"alterSchema requires a schema-stamped table (legacy chain at $dir)"))
+    val dropSet = drop.toSet
+    dropSet.foreach(c => require(cur.fieldNames.contains(c),
+      s"cannot drop '$c': not a column of $dir (has ${cur.fieldNames.mkString(", ")})"))
+    m.deletes.find(d => dropSet.contains(d.column)).foreach(d => sys.error(
+      s"cannot drop '${d.column}': pending merge-on-read delete file ${d.dir} " +
+        "is keyed on it — compact() first to materialize the deletes"))
+    val everStamped = ids.map(manifest(spark, dir, _))
+      .flatMap(_.schema).flatMap(_.fieldNames).toSet
+    add.foreach { f =>
+      require(f.nullable,
+        s"added column '${f.name}' must be nullable (existing rows have no value)")
+      require(!everStamped.contains(f.name),
+        s"column name '${f.name}' was stamped by a retained snapshot of $dir — " +
+          "re-adding it would read the old files' values back; expire the old " +
+          "snapshots (and compact) first, or pick a fresh name")
+    }
+    val kept = cur.fields.filterNot(f => dropSet.contains(f.name))
+    require(kept.nonEmpty || add.nonEmpty, "cannot drop every column")
+    val schemaNow = org.apache.spark.sql.types.StructType(kept ++ add)
+    val next = last + 1
+    commitManifest(fs, root, m.copy(snapshotId = next, parentId = Some(last),
+      operation = "alter", batchId = None, added = Nil, addedRows = 0L,
+      schemaJson = Some(schemaNow.json),
+      statsCols = m.statsCols.filterNot(dropSet),
+      stats = m.stats.filterNot(st => dropSet.contains(st.column)),
+      bloomCols = m.bloomCols.filterNot(dropSet),
+      blooms = m.blooms.filterNot(b => dropSet.contains(b._2))))
+    Commit(next, skippedExisting = false)
+  }
+
   /** Merged read (merge-on-read deletes applied, schema-as-of-`m`)
     * restricted to `dirs` of manifest `m` — the planScan → read seam the
     * SQL catalog's dir-pruning rule composes: prune with [[planScan]] /

@@ -162,10 +162,40 @@ class SnapshotCatalog extends TableCatalog
     loadTable(ident)
   }
 
+  /** ALTER TABLE ADD/DROP COLUMNS — one metadata-only `alter` commit via
+    * [[SnapshotTable.alterSchema]] (appends also evolve schemas
+    * implicitly; this is the declaration-first DDL path). Everything else
+    * (renames, type changes) needs field-id tracking this format doesn't
+    * carry, and fails loudly.
+    */
   override def alterTable(ident: Identifier,
-                          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    sys.error("ALTER TABLE is not mapped — schema evolution happens on " +
-      "append (new columns merge in; see SnapshotTable.append scaladoc)")
+                          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    if (ident.namespace.nonEmpty || !isTable(ident.name))
+      throw new NoSuchTableException(ident)
+    def top(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"$what of nested field ${names.mkString(".")} is not mapped")
+      names.head
+    }
+    val add = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    val drop = Seq.newBuilder[String]
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not mapped (columns append)")
+        add += org.apache.spark.sql.types.StructField(
+          top(a.fieldNames(), "ADD COLUMN"), a.dataType(), a.isNullable)
+      case d: TableChange.DeleteColumn =>
+        drop += top(d.fieldNames(), "DROP COLUMN")
+      case other => sys.error(s"ALTER TABLE change $other is not mapped — " +
+        "only ADD COLUMNS and DROP COLUMNS commit (renames/type changes " +
+        "need field ids this format does not carry)")
+    }
+    SnapshotTable.alterSchema(spark, dirOf(ident.name),
+      add = add.result(), drop = drop.result())
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (ident.namespace.nonEmpty || !isTable(ident.name)) false

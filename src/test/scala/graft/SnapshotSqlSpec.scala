@@ -231,6 +231,34 @@ class SnapshotSqlSpec extends SparkSpec {
       .collect()(0).getLong(0) == 2L)
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS: metadata-only commits, guarded shadowing") {
+    val t = fresh()
+    val dir = s"$warehouse/$t"
+    sql(s"CREATE TABLE gsql.$t (id BIGINT, v STRING) TBLPROPERTIES (stats_by='id')")
+    sql(s"INSERT INTO gsql.$t VALUES (1, 'a')")
+    sql(s"ALTER TABLE gsql.$t ADD COLUMNS (score DOUBLE)")
+    // existing rows surface null in the added column; inserts can fill it
+    val r = sql(s"SELECT id, v, score FROM gsql.$t").collect()(0)
+    assert(r.getLong(0) == 1L && r.isNullAt(2))
+    sql(s"INSERT INTO gsql.$t VALUES (2, 'b', 0.5)")
+    assert(sql(s"SELECT score FROM gsql.$t WHERE id = 2").head.getDouble(0) == 0.5)
+    // metadata-only: the alter commit added no data dirs
+    val alterM = ST.manifest(spark, dir, 2L)
+    assert(alterM.operation == "alter" && alterM.added.isEmpty)
+    sql(s"ALTER TABLE gsql.$t DROP COLUMN v")
+    assert(sql(s"SELECT * FROM gsql.$t").columns.toSeq == Seq("id", "score"))
+    // time travel still sees the dropped column
+    assert(sql(s"SELECT v FROM gsql.$t VERSION AS OF 1").count() == 1L)
+    // re-adding a stamped name would shadow old bytes — rejected
+    intercept[Exception](sql(s"ALTER TABLE gsql.$t ADD COLUMNS (v INT)"))
+    // non-mapped changes fail loudly
+    intercept[Exception](sql(s"ALTER TABLE gsql.$t RENAME COLUMN score TO s2"))
+    // a pending MOR delete pins its key column
+    import spark.implicits._
+    ST.deleteKeys(spark, dir, Seq(1L).toDF("id"), "id")
+    intercept[Exception](sql(s"ALTER TABLE gsql.$t DROP COLUMN id"))
+  }
+
   test("catalog management: SHOW TABLES, rename, drop") {
     val a = fresh()
     sql(s"CREATE TABLE gsql.$a (id BIGINT)")
