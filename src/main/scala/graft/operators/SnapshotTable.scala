@@ -345,6 +345,169 @@ object SnapshotTable {
     }
   }
 
+  /** Optimistic-concurrency append — the MULTI-WRITER variant of [[append]]
+    * (Iceberg's commit model: uniquely-named data files + a compare-and-swap
+    * on the metadata pointer, here the exclusive rename onto
+    * `manifest-NNNNNN.json`, which the filesystem refuses when a rival
+    * already claimed the id). Many writers may call this against one table
+    * simultaneously — the 100 TB ingest fan-in shape (many pipelines, one
+    * table). Each attempt rebuilds the manifest from the CURRENT chain head
+    * and tries to claim the next snapshot id, so a pure append needs NO
+    * conflict validation: its rows were never visible to any rival commit,
+    * every field it contributes (live set, row totals, batch ledger, schema
+    * merge, carried deletes) is recomputed against the head it actually
+    * lands on, and the commit linearizes at the successful rename. Losing a
+    * race costs one manifest re-read + a dir rename + stats/sketch jobs over
+    * the writer's OWN dir — never a data rewrite, never a row re-shuffle.
+    *
+    * Mechanics per attempt:
+    *  - the data dir is renamed to embed the attempted id
+    *    (`snap-NNNNNN-c<token>`): [[addSeq]] derives the commit sequence
+    *    from the NAME, and it must be the committed one so later
+    *    merge-on-read deletes reach these rows while earlier pending ones
+    *    provably don't (the rebase window admits any rival operation —
+    *    appends commute with all of them, because live/totals/ledger are
+    *    re-read and our own rows predate nothing);
+    *  - Bloom sidecars follow the dir name (stale-attempt sidecars are
+    *    deleted eagerly); manifest stats relabel to the new name;
+    *  - the manifest TMP file carries the writer token — two writers racing
+    *    the same id must not clobber each other's tmp bytes before the CAS;
+    *  - the exactly-once batch ledger re-checks against the current head
+    *    each attempt: when a rival committed the same `batchId`, the staged
+    *    dir is removed and the rival's commit returns as `skippedExisting`.
+    *
+    * Crash safety: a writer that dies pre-commit leaves `snap-pending-c*` /
+    * renamed-but-uncommitted dirs that no manifest references — [[vacuum]]
+    * reaps them. Maintenance operations (compact / expire / vacuum / DML /
+    * overwrite) still require a QUIESCED table — vacuum between a rival's
+    * staging and commit would reap the in-flight dir; only appends racing
+    * appends (and appends racing nothing) are unrestricted.
+    *
+    * `beforeCommit` is a test seam invoked after each attempt's manifest is
+    * built, before its CAS (default no-op) — deterministic interleaving for
+    * specs.
+    */
+  def appendConcurrent(spark: SparkSession, df: DataFrame, dir: String,
+                       batchId: Option[String] = None,
+                       statsBy: Seq[String] = Nil,
+                       bloomBy: Seq[String] = Nil,
+                       maxRetries: Int = 10,
+                       beforeCommit: () => Unit = () => ()): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    // provisional unique name: never referenced by any manifest — a writer
+    // that dies here leaves a vacuum-reapable orphan, nothing more
+    var name = s"snap-pending-c$token"
+    df.write.mode("overwrite").parquet(new Path(dataDir(root), name).toString)
+    val rows = spark.read.parquet(new Path(dataDir(root), name).toString).count()
+    // per-attempt memo: stats/sketches recompute only when the dir name or
+    // the (table-property ∪ requested) column set changed under rebase
+    var statKey: (String, Seq[String]) = null
+    var dirStats: Seq[DirStat] = Nil
+    var bloomKey: (String, Seq[String]) = null
+    var dirBlooms: Seq[(String, String)] = Nil
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val ids = manifestIds(fs, root)
+      val parent = ids.lastOption.map(manifest(spark, dir, _))
+      val ledger = resolveLedger(spark, dir, ids, parent, batchId)
+      batchId.flatMap(b => ledger.find(_._1 == b)) match {
+        case Some((_, snap)) =>
+          // a rival committed this very batch: exactly-once wins over our
+          // staged bytes — drop them and return the rival's commit
+          dirBlooms.foreach { case (d, c) =>
+            fs.delete(new Path(bloomDir(root), bloomFileName(d, c)), false) }
+          fs.delete(new Path(dataDir(root), name), true)
+          return Commit(snap, skippedExisting = true)
+        case None =>
+      }
+      val next = ids.lastOption.map(_ + 1).getOrElse(0L)
+      val newName = f"snap-$next%06d-c$token"
+      if (newName != name) {
+        require(fs.rename(new Path(dataDir(root), name), new Path(dataDir(root), newName)),
+          s"failed to rename staged dir $name -> $newName under $dir")
+        // sidecars are keyed by dir name: the old attempt's are now stale
+        dirBlooms.foreach { case (d, c) =>
+          fs.delete(new Path(bloomDir(root), bloomFileName(d, c)), false) }
+        dirBlooms = Nil; bloomKey = null
+        name = newName
+      }
+      val dataPath = new Path(dataDir(root), name).toString
+      val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
+      val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
+      if (statKey != ((name, scols))) {
+        dirStats = computeStats(spark, dataPath, name, scols); statKey = (name, scols)
+      }
+      if (bloomKey != ((name, bcols))) {
+        dirBlooms = computeBlooms(spark, fs, root, dataPath, name, bcols)
+        bloomKey = (name, bcols)
+      }
+      val schemaNow: Option[String] = parent match {
+        case None => Some(df.schema.json)
+        case Some(p) => p.schema.map(ps => mergeSchemas(ps, df.schema).json)
+      }
+      val m = Manifest(next, ids.lastOption, "append", batchId,
+        added = Seq(name), live = parent.map(_.live).getOrElse(Nil) :+ name,
+        addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
+        batchCommits = ledger ++ batchId.map(_ -> next),
+        schemaJson = schemaNow,
+        statsCols = scols,
+        stats = parent.map(_.stats).getOrElse(Nil) ++ dirStats,
+        bloomCols = bcols,
+        blooms = parent.map(_.blooms).getOrElse(Nil) ++ dirBlooms,
+        deletes = parent.map(_.deletes).getOrElse(Nil))
+      beforeCommit()
+      if (tryCommitManifest(fs, root, m, token)) return Commit(next, skippedExisting = false)
+      attempt += 1
+    }
+    sys.error(s"appendConcurrent lost the commit race $maxRetries times on $dir " +
+      s"under sustained contention — staged dir $name is uncommitted (vacuum reaps it); " +
+      "raise maxRetries or reduce concurrent writers")
+  }
+
+  /** CAS half of [[appendConcurrent]]: write the manifest to a WRITER-UNIQUE
+    * tmp file, then atomically claim the id-naming file. The obvious
+    * primitive — rename onto the claimed name, failing when it exists — is
+    * NOT a CAS on local filesystems: rename(2) silently REPLACES an existing
+    * destination, and Hadoop's LocalFileSystem layers a non-atomic
+    * exists-check plus a data/crc rename PAIR on top, which two racing
+    * writers interleave into a torn commit (observed as manifest checksum
+    * errors under a 4-writer race before this switched to link). So on
+    * `file:` schemes the claim is a HARD LINK of the tmp onto the manifest
+    * name — link(2) fails with EEXIST atomically in the kernel, and the
+    * linked file is complete the instant the name appears (no
+    * partial-content window for readers). On HDFS, rename-refusing-existing
+    * IS namenode-atomic, so other schemes keep fs.rename. The tmp (and its
+    * crc sidecar) is deleted either way; a won claim keeps the inode alive
+    * through the manifest name.
+    */
+  private def tryCommitManifest(fs: FileSystem, root: Path, m: Manifest,
+                                token: String): Boolean = {
+    val intoDir = manifestDir(root)
+    fs.mkdirs(intoDir)
+    val tmp = new Path(intoDir, f".manifest-${m.snapshotId}%06d.$token.tmp")
+    val dst = new Path(intoDir, f"manifest-${m.snapshotId}%06d.json")
+    val out = fs.create(tmp, true)
+    val stamped = m.copy(commitTimeMs = System.currentTimeMillis())
+    try out.write(render(stamped).getBytes("UTF-8")) finally out.close()
+    val won = casClaim(fs, tmp, dst)
+    fs.delete(tmp, false)
+    won
+  }
+
+  /** Atomic claim of `dst` with `tmp`'s (complete) content: kernel-atomic
+    * link(2) on local filesystems, namenode-atomic rename elsewhere.
+    */
+  private def casClaim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else fs.rename(tmp, dst)
+
   /** Create an EMPTY table: commits snapshot 0 stamping `schema` and the
     * stats/bloom table properties, with no data dirs — the CREATE TABLE
     * analogue (the SQL catalog routes `CREATE TABLE` here). The first

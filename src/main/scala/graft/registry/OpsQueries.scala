@@ -137,6 +137,32 @@ object OpsQueries {
       ST.read(s, t).orderBy("doc_id")
     }),
 
+    // optimistic multi-writer appends: 4 concurrent writers each commit one
+    // quarter (doc_id % 4) through the CAS+rebase path; the final table must
+    // equal the whole corpus regardless of which writer won which snapshot
+    // id, the chain must be contiguous (ids 0..3), and a replayed batch must
+    // skip via the MERGED ledger — exactly-once survives contention.
+    "pipe_snap_conc" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val t = java.nio.file.Files.createTempDirectory("graft_snapconc").toString
+      val raw = graft.model.Tok.rawSequences(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("source"),
+          graft.model.Tok.tokStr(col("tokens")).as("tok_str"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence((0 until 4).map { b =>
+        Future(ST.appendConcurrent(s, raw.filter(col("doc_id").cast("long") % 4 === b),
+          t, batchId = Some(s"writer-$b"), maxRetries = 64))
+      }), 300.seconds) finally pool.shutdown()
+      require(ST.latestId(s, t).contains(3L), "4 contended commits -> ids 0..3")
+      require(ST.appendConcurrent(s, raw.limit(1), t, batchId = Some("writer-2"))
+        .skippedExisting, "replayed batch must skip under the merged ledger")
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // incremental table-to-table materialization: documents arrive as three
     // snapshot appends (batch k = doc_id%3 == k); SnapshotPipe curates each
     // chunk IN ARRIVAL ORDER — quality gate, dedup within the chunk, then
@@ -2333,6 +2359,13 @@ object OpsQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "pipe_snap_read" ->
+      s"""${graft.model.Tok.sqlRawSequences}
+         |SELECT doc_id, source, array_to_string(tokens, ',') AS tok_str
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    // 4 contended concurrent appends partition the corpus by doc_id % 4 —
+    // the union is the whole corpus, writer-order-independent by construction
+    "pipe_snap_conc" ->
       s"""${graft.model.Tok.sqlRawSequences}
          |SELECT doc_id, source, array_to_string(tokens, ',') AS tok_str
          |FROM raw ORDER BY doc_id""".stripMargin,
