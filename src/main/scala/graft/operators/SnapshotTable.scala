@@ -747,6 +747,113 @@ object SnapshotTable {
     }
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (Iceberg `overwritePartitions` / Spark's
+    * `partitionOverwriteMode=dynamic`): replace EXACTLY the hidden
+    * partitions the incoming frame produces values for, in one atomic
+    * commit — untouched partitions carry over with their stats, Bloom
+    * sidecars, and pending merge-on-read deletes intact. The daily-restate
+    * shape a log table wants: recompute yesterday's partition and swap it
+    * in without rewriting (or even reading) the rest of the table; cost ∝
+    * the replaced partitions plus the new data, never table size.
+    *
+    * Soundness gate: every live dir must carry the `_p=` hidden-partition
+    * layout — a replaced value's rows hiding in an UNPARTITIONED dir (a
+    * plain append, or a compaction output: [[compact]] destroys the
+    * layout) would silently survive the overwrite, so a mixed-layout table
+    * fails loudly. Replacement keys on the RENDERED transform value
+    * (`_p=<v>` dir names), so the caller must keep using the same
+    * transform the table was built with — same contract as Iceberg's
+    * table-level partition spec, which this format does not stamp.
+    *
+    * Ledger: like [[deleteWhere]]/[[update]] (intentional row removal),
+    * the batch ledger carries forward plus this commit's own id — a replay
+    * of an OLD ingest must keep skipping (re-appending it would resurrect
+    * data this overwrite deliberately replaced). Committed as operation
+    * `dynoverwrite`: row-removing for incremental purposes (insert-only
+    * incremental/changelog reads across it fail loudly);
+    * [[changelogCdc]]'s generic dir-diff recovers exactly
+    * delete(replaced-partition rows) + insert(new rows), identical
+    * re-writes cancelling.
+    */
+  def overwritePartitions(spark: SparkSession, df: DataFrame, dir: String,
+                          partition: org.apache.spark.sql.Column,
+                          batchId: Option[String] = None,
+                          statsBy: Seq[String] = Nil,
+                          bloomBy: Seq[String] = Nil): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    require(!df.columns.contains("_p"),
+      "partitioned overwrite reserves the column name '_p' for the transform — " +
+        "rename the frame's '_p' column first")
+    val ids = manifestIds(fs, root)
+    val parent = ids.lastOption.map(manifest(spark, dir, _))
+    parent.toSeq.flatMap(_.live).find(!_.contains("/_p=")).foreach(d => sys.error(
+      s"dynamic partition overwrite needs a fully partition-clustered table, " +
+        s"but live dir '$d' of $dir is not hidden-partitioned — ingest with " +
+        "appendPartitioned only (compact() also destroys the layout)"))
+    val ledger = resolveLedger(spark, dir, ids, parent, batchId)
+    batchId.flatMap(b => ledger.find(_._1 == b)) match {
+      case Some((_, snap)) => Commit(snap, skippedExisting = true)
+      case None =>
+        val next = ids.lastOption.map(_ + 1).getOrElse(0L)
+        val name = f"snap-$next%06d"
+        val dataPath = new Path(dataDir(root), name).toString
+        df.withColumn("_p", partition)
+          .write.mode("overwrite").partitionBy("_p").parquet(dataPath)
+        val children = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("_p=")).sorted.toIndexedSeq
+        require(children.nonEmpty,
+          "partitioned overwrite wrote no partitions (empty frame?) — " +
+            "an empty dynamic overwrite replaces nothing; skip the commit instead")
+        children.foreach { c =>
+          require(!c.contains("__HIVE_DEFAULT_PARTITION__"),
+            "partition transform produced NULL values — make the transform total")
+          require(c.matches("_p=[A-Za-z0-9._+:=-]+"),
+            s"partition value dir '$c' is outside the manifest-safe charset — " +
+              "render the transform to [A-Za-z0-9._+:-]")
+        }
+        val newDirs = children.map(c => s"$name/$c")
+        // replacement keys on the rendered value: a live dir whose _p=
+        // segment matches an incoming value is replaced wholesale
+        val newVals = children.toSet
+        def valOf(d: String): String =
+          d.split('/').find(_.startsWith("_p=")).getOrElse("")
+        val (replaced, untouched) =
+          parent.map(_.live).getOrElse(Nil).partition(d => newVals.contains(valOf(d)))
+        val rows = spark.read.parquet(dataPath).count()
+        // replaced rows counted under the parent's MERGED view, so totals
+        // stay consistent with what read() reports under pending MOR deletes
+        val replacedRows =
+          if (replaced.isEmpty) 0L
+          else readMerged(spark, root, parent.get, replaced).count()
+        val schemaNow: Option[String] = parent match {
+          case None => Some(df.schema.json)
+          case Some(p) => p.schema.map(ps => mergeSchemas(ps, df.schema).json)
+        }
+        val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
+        val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
+        commitManifest(fs, root, Manifest(next, ids.lastOption, "dynoverwrite",
+          batchId, added = newDirs, live = untouched ++ newDirs,
+          addedRows = rows,
+          totalRows = parent.map(_.totalRows).getOrElse(0L) - replacedRows + rows,
+          batchCommits = ledger ++ batchId.map(_ -> next),
+          schemaJson = schemaNow,
+          statsCols = scols,
+          stats = parent.map(_.stats).getOrElse(Nil)
+              .filter(st => untouched.contains(st.dir)) ++
+            newDirs.flatMap(d =>
+              computeStats(spark, new Path(dataDir(root), d).toString, d, scols)),
+          bloomCols = bcols,
+          blooms = parent.map(_.blooms).getOrElse(Nil)
+              .filter(b => untouched.contains(b._1)) ++
+            newDirs.flatMap(d =>
+              computeBlooms(spark, fs, root, new Path(dataDir(root), d).toString, d, bcols)),
+          // pending MOR deletes still apply to the untouched dirs (old
+          // addSeq); the new dirs' newer addSeq provably escapes them
+          deletes = parent.map(_.deletes).getOrElse(Nil)))
+        Commit(next, skippedExisting = false)
+    }
+  }
+
   /** ADOPT already-written parquet files as a new append snapshot — the
     * commit half of the DSv2 streaming sink
     * ([[graft.sources.SnapshotStreamSource]]): executors wrote the files
@@ -1704,7 +1811,8 @@ object SnapshotTable {
     // fails loudly (the Iceberg "cannot do incremental scan on snapshot of
     // type overwrite" contract); read asOf the endpoint instead
     ms.find(x => x.operation == "delete" || x.operation == "overwrite" ||
-        x.operation == "rollback" || x.operation == "mor-delete" ||
+        x.operation == "dynoverwrite" || x.operation == "rollback" ||
+        x.operation == "mor-delete" ||
         x.operation == "mor-upsert" || x.operation == "update").foreach(x =>
       sys.error(s"incremental range ($fromExclusive, $toInclusive] crosses " +
         s"row-removing ${x.operation} snapshot ${x.snapshotId} — not insert-only; " +

@@ -491,6 +491,40 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // DYNAMIC PARTITION OVERWRITE: a lang-partitioned table restates two
+    // partitions (zh/de: only even doc_ids survive, +1000 chars) in ONE
+    // atomic commit. require()d: the commit adds only zh/de dirs and every
+    // other partition's dir carries over BY IDENTITY (the restate touches
+    // nothing else — cost ∝ replaced partitions, never table size); a
+    // replayed batch id skips via the carried ledger; insert-only
+    // incremental reads across the row-removing commit fail loudly.
+    "pipe_snap_dynover" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapdyn").toString
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      ST.appendPartitioned(s, base, t, col("lang"), Some("b0"),
+        statsBy = Seq("doc_id"))
+      val patch = base
+        .filter(col("lang").isin("zh", "de") && col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val c1 = ST.overwritePartitions(s, patch, t, col("lang"), Some("b1"))
+      val m0 = ST.manifest(s, t, 0)
+      val m1 = ST.manifest(s, t, c1.snapshotId)
+      def restated(d: String) = d.endsWith("_p=zh") || d.endsWith("_p=de")
+      require(m1.added.nonEmpty && m1.added.forall(restated),
+        s"overwrite must add only zh/de dirs (added=${m1.added})")
+      require(m0.live.filterNot(restated).forall(m1.live.contains),
+        "untouched partitions must carry over by identity")
+      require(ST.overwritePartitions(s, patch, t, col("lang"), Some("b1"))
+        .skippedExisting, "replayed batch id must skip via the ledger")
+      val incrFails =
+        try { ST.incremental(s, t, 0, c1.snapshotId); false }
+        catch { case _: RuntimeException => true }
+      require(incrFails, "insert-only incremental across dynoverwrite must fail")
+      ST.read(s, t).orderBy("doc_id")
+    }),
+
     // CDC-DRIVEN incremental materialization (SnapshotPipe.runCdc): a sink
     // mirrors a row-wise FILTER of the source through row-level changes,
     // crossing the MOR upsert and key-delete commits the insert-only pipe
@@ -2525,6 +2559,16 @@ object OpsQueries {
 
     "pipe_snap_part" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'zh'
+        |ORDER BY doc_id""".stripMargin,
+
+    // untouched partitions verbatim + the restated zh/de partitions
+    // (even ids only, +1000 chars) — the dynamic-overwrite arithmetic
+    "pipe_snap_dynover" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang NOT IN ('zh', 'de')
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+        |WHERE lang IN ('zh', 'de') AND doc_id % 2 = 0
         |ORDER BY doc_id""".stripMargin,
 
     // the mirror keeps originals that were neither patched (%10, moved out

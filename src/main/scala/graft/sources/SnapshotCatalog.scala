@@ -406,9 +406,17 @@ private[graft] class GraftSqlTable(
     def csv(k: String): Seq[String] =
       Option(opts.get(k)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
+      // advertises dynamic-overwrite capability for analysis; the actual
+      // lowering happens in SnapshotDmlRule (OverwritePartitionsDynamic →
+      // SnapshotTable.overwritePartitions command) because Spark has no V1
+      // fallback exec for dynamic overwrite — this builder never sees it
+      override def overwriteDynamicPartitions(): WriteBuilder = sys.error(
+        s"dynamic overwrite of $qualifiedName needs the substitution rule — " +
+          "set spark.sql.extensions=graft.GraftExtensions")
       override def build(): Write = new V1Write {
         // the V1 seam hands the WHOLE frame to the table's own commit
         // protocol — SQL inserts get the exactly-once ledger, manifest

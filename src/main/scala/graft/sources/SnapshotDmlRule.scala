@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column => SqlColumn, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, ExprId, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -65,6 +65,21 @@ class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Unwrapped(tbl) => mergeCommand(m, tbl)
         case _ => m
       }
+    // df.writeTo("cat.t").option("partition_by","<expr>").overwritePartitions()
+    // — Spark has no V1 fallback exec for dynamic overwrite, so the node
+    // lowers here onto the table's own atomic partition-swap commit
+    case o @ OverwritePartitionsDynamic(Unwrapped(tbl), query, opts, _, _)
+        if o.resolved =>
+      requireHead(tbl, "dynamic overwrite")
+      val pExpr = opts.getOrElse("partition_by", sys.error(
+        s"dynamic partition overwrite of ${tbl.dir} needs the partition " +
+          "transform: .option(\"partition_by\", \"<expr>\") (the same " +
+          "transform the table was appendPartitioned with — this format " +
+          "stamps no table-level partition spec)"))
+      GraftDynOverwriteCommand(tbl.dir, query, pExpr,
+        opts.get("batch_id"),
+        opts.get("stats_by").toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+        opts.get("bloom_by").toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     case other => other
   }
 
@@ -223,6 +238,26 @@ case class GraftDeleteCommand(dir: String, condition: Expression)
     val folded = fold(condition)
     val kept = SnapshotPrune.keepDirs(spark, dir, m, Seq(folded))
     SnapshotTable.deleteWhere(spark, dir, plainCol(folded), Some(kept))
+    Nil
+  }
+}
+
+/** `df.writeTo(<table>).overwritePartitions()` — one atomic dynamic
+  * partition swap via [[SnapshotTable.overwritePartitions]]: exactly the
+  * hidden partitions the frame produces values for are replaced, the rest
+  * carry over untouched. The transform arrives as the `partition_by` write
+  * option (an expression string over the frame's columns).
+  */
+case class GraftDynOverwriteCommand(dir: String, query: LogicalPlan,
+                                    partitionExpr: String,
+                                    batchId: Option[String],
+                                    statsBy: Seq[String], bloomBy: Seq[String])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotTable.overwritePartitions(spark, Bridge.ofRows(spark, query), dir,
+      org.apache.spark.sql.functions.expr(partitionExpr), batchId,
+      statsBy = statsBy, bloomBy = bloomBy)
     Nil
   }
 }

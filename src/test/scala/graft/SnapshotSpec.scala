@@ -767,6 +767,52 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("dynamic partition overwrite: atomic partition swap; CDC recovers the diff") {
+    import spark.implicits._
+    val t = tmp()
+    val days = Seq((1L, "2026-01-01", "a"), (2L, "2026-01-01", "b"),
+      (3L, "2026-01-02", "c"), (4L, "2026-01-03", "d")).toDF("id", "day", "v")
+    ST.appendPartitioned(spark, days, t, col("day"), Some("d0"),
+      statsBy = Seq("day", "id"))
+    // restate day 1: one row replaces two; days 2/3 carry over by identity
+    val restate = Seq((10L, "2026-01-01", "a2")).toDF("id", "day", "v")
+    val c = ST.overwritePartitions(spark, restate, t, col("day"), Some("r1"))
+    val m = ST.manifest(spark, t, c.snapshotId)
+    assert(m.operation == "dynoverwrite")
+    assert(m.added == Seq("snap-000001/_p=2026-01-01"))
+    assert(m.live.toSet == Set("snap-000000/_p=2026-01-02",
+      "snap-000000/_p=2026-01-03", "snap-000001/_p=2026-01-01"))
+    assert(m.totalRows == 3 && m.addedRows == 1)
+    assert(ST.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 10L))
+    // time travel still sees the pre-restate state
+    assert(ST.asOf(spark, t, 0).count() == 4)
+    // replay skips via the carried ledger
+    assert(ST.overwritePartitions(spark, restate, t, col("day"), Some("r1"))
+      .skippedExisting)
+    // CDC across the swap: delete(1,2) + insert(10), nothing else
+    val cdc = ST.changelogCdc(spark, t, 0, c.snapshotId)
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(cdc == Seq((1L, "delete"), (2L, "delete"), (10L, "insert")))
+    // insert-only incremental refuses the row-removing commit
+    intercept[RuntimeException](ST.incremental(spark, t, 0, c.snapshotId))
+    // carried stats survive: a day predicate still prunes to one dir
+    assert(ST.planScan(m,
+      ST.KeyRange("day", Some("2026-01-02"), Some("2026-01-02")))._1 ==
+      Seq("snap-000000/_p=2026-01-02"))
+    // and the NEW dir's stats exist too (same table property)
+    assert(ST.planScan(m,
+      ST.KeyRange("id", Some(10L), Some(10L)))._1 ==
+      Seq("snap-000001/_p=2026-01-01"))
+    // a mixed-layout table (plain append dirs) rejects dynamic overwrite
+    val t2 = tmp()
+    ST.append(spark, batch(0 until 3), t2)
+    val e = intercept[RuntimeException](
+      ST.overwritePartitions(spark, batch(0 until 1), t2, col("id") % 2))
+    assert(e.getMessage.contains("partition-clustered"))
+  }
+
   test("runCdc mirrors a mixed chain through row-level changes, exactly-once") {
     import spark.implicits._
     import graft.operators.SnapshotPipe

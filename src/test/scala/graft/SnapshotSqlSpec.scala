@@ -259,6 +259,36 @@ class SnapshotSqlSpec extends SparkSpec {
     intercept[Exception](sql(s"ALTER TABLE gsql.$t DROP COLUMN id"))
   }
 
+  test("writeTo.overwritePartitions swaps only the restated hidden partitions") {
+    import spark.implicits._
+    val t = fresh()
+    val dir = s"$warehouse/$t"
+    val days = Seq((1L, "2026-01-01", "a"), (2L, "2026-01-01", "b"),
+      (3L, "2026-01-02", "c")).toDF("id", "day", "v")
+    ST.appendPartitioned(spark, days, dir, col("day"), Some("d0"),
+      statsBy = Seq("day"))
+    // the DSv2 path: partition transform arrives as a write option
+    Seq((10L, "2026-01-01", "a2")).toDF("id", "day", "v")
+      .writeTo(s"gsql.$t").option("partition_by", "day")
+      .option("batch_id", "r1").overwritePartitions()
+    assert(sql(s"SELECT id FROM gsql.$t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 10L))
+    val m = ST.manifest(spark, dir, ST.latestId(spark, dir).get)
+    assert(m.operation == "dynoverwrite" &&
+      m.live.contains("snap-000000/_p=2026-01-02"))
+    // replayed batch id skips through the SQL path too
+    Seq((99L, "2026-01-01", "zz")).toDF("id", "day", "v")
+      .writeTo(s"gsql.$t").option("partition_by", "day")
+      .option("batch_id", "r1").overwritePartitions()
+    assert(sql(s"SELECT count(*) AS c FROM gsql.$t").collect().head.getLong(0) == 2)
+    // without the transform option it fails loudly, never a silent full overwrite
+    val e = intercept[Exception] {
+      Seq((5L, "2026-01-03", "x")).toDF("id", "day", "v")
+        .writeTo(s"gsql.$t").overwritePartitions()
+    }
+    assert(e.getMessage.contains("partition_by"))
+  }
+
   test("catalog management: SHOW TABLES, rename, drop") {
     val a = fresh()
     sql(s"CREATE TABLE gsql.$a (id BIGINT)")
