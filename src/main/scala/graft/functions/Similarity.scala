@@ -50,6 +50,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** RANGE (radius) search: every vector with cosine >= `minSim` of the
+    * query — the fixed-threshold complement of [[topK]] (FAISS
+    * `range_search`). One narrow projection + filter, no global sort or
+    * limit, so the plan is a single codegen'd scan stage and the result
+    * set is whatever the radius admits. Scale path: compose with the IVF
+    * index exactly like [[ivfTopKIndexed]] — `index.filter(col("list_id")
+    * .isin(probeLists(...)))` first, then this threshold filter — so the
+    * scan reads only the probed list partitions. Similarity is
+    * floor-rounded to 6dp (fr6) on both engine sides: bit-stable, unlike
+    * decimal HALF_UP at half boundaries.
+    */
+  def rangeSearch(embeddings: DataFrame, embCol: String, idCol: String,
+                  query: Seq[Float], minSim: Double): DataFrame =
+    embeddings
+      .select(col(idCol), fr6(cosineToConst(col(embCol), query)).as("sim"))
+      .filter(col("sim") >= minSim)
+
   /** Sign-LSH bucket id: bit i = (emb[i] > 0) for the first `nbits`
     * dimensions. Cheap, deterministic, and a valid partition key for
     * bucket-pruned ANN over a partitioned table.

@@ -419,6 +419,17 @@ object TextQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // radius search: every vector within cosine >= 0.2 of the vec_id=0
+    // query — fixed-threshold retrieval (no top-k sort), one filter stage
+    "sim_range" -> ((s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).toSeq
+      Similarity.rangeSearch(embs(s, dir).filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", q, 0.2)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // embedding-cosine near-dup pairs via BANDED sign-LSH (5 bands x 12 bits
     // = 4096 buckets/band; per-bucket population N/4096, never all-pairs)
     "dedup_embed" -> ((s, dir) => {
@@ -1508,6 +1519,17 @@ object TextQueries {
         |                sqrt(list_dot_product(qv, qv))), 6) AS sim
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "sim_range" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |         floor((list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |                (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |                 sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6 AS sim
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, sim FROM scored WHERE sim >= 0.2
+        |ORDER BY sim DESC, vec_id""".stripMargin,
 
     "dedup_embed" -> {
       val bands = 5; val bpb = 12
