@@ -1249,6 +1249,79 @@ object SnapshotTable {
     else readMerged(spark, root, m, kept).filter(col(column) === lit(value))
   }
 
+  /** Scan plan for a KEY-SET lookup `column IN values` — the runtime
+    * (dimension-driven) partition-pruning analogue for the native read
+    * path: a dir survives only if AT LEAST ONE key intersects its
+    * min/max bounds AND (when sketched) its Bloom sidecar might contain
+    * that key. Driver-side metadata arithmetic — |dirs| × |keys| bound
+    * probes + sidecar-sized Bloom reads — so `values` must be
+    * config-sized (a filtered dimension's keys, not a fact column).
+    * A false positive only KEEPS a dir; unsketched dirs are never
+    * Bloom-pruned; unprobeable key types keep (never prune unsafely).
+    */
+  def planScanIn(spark: SparkSession, dir: String, m: Manifest,
+                 column: String, values: Seq[Any]): (Seq[String], Seq[String]) = {
+    val (fs, root) = fsOf(spark, dir)
+    val sketched = m.blooms.filter(_._2 == column).map(_._1).toSet
+    val byDir = m.stats.filter(_.column == column).map(s => s.dir -> s).toMap
+    val bloomCache =
+      scala.collection.mutable.Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
+    def mightContain(d: String, v: Any): Boolean =
+      !sketched(d) || {
+        val bf = bloomCache.getOrElseUpdate(d, loadBloom(fs, root, d, column))
+        v match {
+          case n: Long   => bf.mightContainLong(n)
+          case n: Int    => bf.mightContainLong(n.toLong)
+          case n: Short  => bf.mightContainLong(n.toLong)
+          case n: Byte   => bf.mightContainLong(n.toLong)
+          case s: String => bf.mightContainString(s)
+          case _         => true
+        }
+      }
+    m.live.partition { d =>
+      values.exists { v =>
+        byDir.get(d).forall(statIntersects(_, KeyRange(column, Some(v), Some(v)))) &&
+          mightContain(d, v)
+      }
+    }
+  }
+
+  /** Pruned key-set read: only dirs [[planScanIn]] keeps are planned, then
+    * the exact IN filter applies. Identical result to
+    * `read(...).filter(col.isin(values))`.
+    */
+  def readWhereIn(spark: SparkSession, dir: String,
+                  column: String, values: Seq[Any]): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val id = latestId(spark, dir).getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val m = manifest(spark, dir, id)
+    val (kept, _) = planScanIn(spark, dir, m, column, values)
+    if (kept.isEmpty) read(spark, dir).limit(0)
+    else readMerged(spark, root, m, kept).filter(col(column).isin(values: _*))
+  }
+
+  /** STAR JOIN with runtime scan pruning (the dynamic-partition-pruning
+    * shape for snapshot tables): join this table to a FILTERED DIMENSION
+    * on `key`, reading only the data dirs that can contain a dimension
+    * key. The dimension's distinct keys are collected driver-side
+    * (bounded by `maxKeys` — fail loudly rather than silently degrade to
+    * an unbounded collect), dirs prune via bounds + Bloom sidecars, then
+    * the join itself broadcasts the dimension. At 100 TB this is the
+    * "read three days out of three years" plan: the fact scan touches
+    * only dirs the dimension's keys reach, decided from manifest
+    * metadata before any fact IO happens.
+    */
+  def joinPruned(spark: SparkSession, dir: String, dim: DataFrame,
+                 key: String, maxKeys: Int = 100000): DataFrame = {
+    val keys = dim.select(col(key)).distinct().limit(maxKeys + 1)
+      .collect().map(_.get(0)).toSeq
+    require(keys.length <= maxKeys,
+      s"joinPruned dimension has more than $maxKeys distinct '$key' keys — " +
+        "not a config-sized dimension; join the full read instead")
+    readWhereIn(spark, dir, key, keys)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+  }
+
   /** Time-travel read: the table exactly as of snapshot `id`, planned from
     * that snapshot's manifest alone — later appends, compactions and (not
     * yet expired) history are invisible.

@@ -341,6 +341,39 @@ object OpsQueries {
         .reduce(_ unionByName _).orderBy("doc_id")
     }),
 
+    // RUNTIME (dimension-driven) scan pruning — the star-join DPP shape:
+    // interleaved appends (doc_id % 4 bands) defeat min/max bounds, so
+    // the Bloom sidecars do the pruning; joinPruned collects the filtered
+    // dimension's keys driver-side (multiples of 100, all ≡ 0 mod 4 —
+    // they live in ONE dir), keeps only dirs that might contain one, and
+    // broadcasts the dim into the join. require()d: bounds alone keep
+    // everything, planScanIn prunes, decided before any fact IO.
+    "pipe_snap_dpp" -> ((s, dir) => {
+      import graft.operators.{SnapshotTable => ST}
+      val t = java.nio.file.Files.createTempDirectory("graft_snapdpp").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      for (k <- 0 to 3)
+        ST.append(s, docs.filter(col("doc_id") % 4 === k), t, Some(s"b$k"),
+          statsBy = Seq("doc_id"), bloomBy = Seq("doc_id"))
+      val m = ST.manifest(s, t, ST.latestId(s, t).get)
+      val dim = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), (col("doc_id") / 100).cast("long").as("dim_tag"))
+      val keys = dim.select("doc_id").collect().map(_.getLong(0)).toSeq
+      // probe with an INTERIOR key: doc_id=0 sits below the odd-band minima,
+      // so bounds would prune it at the edge — not the case being proven
+      val probe = keys.filter(_ > 0).min
+      require(ST.planScan(m,
+          ST.KeyRange("doc_id", Some(probe), Some(probe)))._1.size ==
+        m.live.size, "interleaved dirs must defeat min/max bounds")
+      val (kept, pruned) = ST.planScanIn(s, t, m, "doc_id", keys)
+      require(pruned.nonEmpty && kept.size < m.live.size,
+        s"key-set pruning must drop dirs (kept ${kept.size}/${m.live.size})")
+      ST.joinPruned(s, t, dim, "doc_id")
+        .select(col("doc_id"), col("source"), col("dim_tag"))
+        .orderBy("doc_id")
+    }),
+
     // row-level UPSERT + DELETE (copy-on-write): upsert a delta that
     // updates every 10th doc and inserts clones at doc_id+100000, then
     // delete a doc_id band; the final table is last-write-wins over the
@@ -2476,6 +2509,12 @@ object OpsQueries {
     "pipe_snap_bloom" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (5, 100, 250) ORDER BY doc_id""".stripMargin,
+
+    // fact rows whose doc_id the filtered dimension reaches, tagged with
+    // the dimension's computed label
+    "pipe_snap_dpp" ->
+      """SELECT doc_id, source, CAST(doc_id / 100 AS BIGINT) AS dim_tag
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
 
     "pipe_snap_upsert" ->
       """WITH delta AS (

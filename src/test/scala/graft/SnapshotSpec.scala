@@ -767,6 +767,39 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("key-set runtime pruning: joinPruned reads only dirs the dimension reaches") {
+    import spark.implicits._
+    val t = tmp()
+    // interleaved ids: every dir spans the full range, bounds cannot prune
+    for (k <- 0 to 3)
+      ST.append(spark, batch(0 until 40).filter(col("id") % 4 === k), t,
+        Some(s"b$k"), statsBy = Seq("id"), bloomBy = Seq("id"))
+    val m = ST.manifest(spark, t, 3)
+    // dimension keys all ≡ 0 mod 4 → only dir b0 can contain them
+    val keys = Seq(0L, 8L, 16L)
+    assert(ST.planScan(m, ST.KeyRange("id", Some(8L), Some(8L)))._1.size == 4)
+    val (kept, pruned) = ST.planScanIn(spark, t, m, "id", keys)
+    assert(kept == Seq("snap-000000") && pruned.size == 3)
+    // pruned read == unpruned filtered read
+    assert(ST.readWhereIn(spark, t, "id", keys)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(0L, 8L, 16L))
+    // the join: pruned scan + broadcast dim, rows identical to a full join
+    val dim = keys.map(k => (k, s"tag$k")).toDF("id", "tag")
+    val got = ST.joinPruned(spark, t, dim, "id")
+      .select(col("id"), col("tag")).as[(Long, String)].collect().sorted.toSeq
+    val want = ST.read(spark, t).join(dim, Seq("id"))
+      .select(col("id"), col("tag")).as[(Long, String)].collect().sorted.toSeq
+    assert(got == want && got.map(_._1) == Seq(0L, 8L, 16L))
+    // a column with NO blooms: bounds-only, never unsafely pruned
+    val (kept2, _) = ST.planScanIn(spark, t, m, "v", Seq("v3"))
+    assert(kept2.size == 4)
+    assert(ST.readWhereIn(spark, t, "v", Seq("v3")).count() == 1)
+    // an unbounded dimension fails loudly instead of collecting the world
+    val e = intercept[IllegalArgumentException](
+      ST.joinPruned(spark, t, batch(0 until 40), "id", maxKeys = 10))
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("dynamic partition overwrite: atomic partition swap; CDC recovers the diff") {
     import spark.implicits._
     val t = tmp()
