@@ -69,6 +69,33 @@ object TextQueries {
        |keep AS (SELECT id FROM reps WHERE id NOT IN (SELECT id_b FROM pairs))""".stripMargin
   }
 
+  /** Shared curation-decision CTE chain (keep-set + langid + quality) —
+    * one source of truth for the doc_curate AND txt_e2e oracles. Extends
+    * [[sqlKeepCtes]] with `lang` (doc_id, lang_guess) and `q`
+    * (doc_id, quality) CTEs.
+    */
+  private def sqlCurateCtes: String = {
+    val hits = Text.LangMarkers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString("(", ",", ")")
+      s"len(list_filter(string_split(text,' '), w -> w IN $inList)) AS h_$lang"
+    }.mkString(",\n         ")
+    val best = Text.LangMarkers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
+    val pick = Text.LangMarkers.foldRight("'und'") { case ((lang, _), acc) =>
+      s"CASE WHEN h_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+    }
+    s"""$sqlKeepCtes,
+       |scored AS (SELECT doc_id, $hits FROM documents),
+       |best_t AS (SELECT *, $best AS best FROM scored),
+       |lang AS (SELECT doc_id, $pick AS lang_guess FROM best_t),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |         round(least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |           + (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.4
+       |           + (1.0 - CAST(len(list_filter(words, x -> x IN ('the','a'))) AS DOUBLE) / len(words)) * 0.2, 6) AS quality
+       |  FROM w)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID heuristic (marker stopwords, first-max-wins)
     "txt_langid" -> ((s, dir) => {
@@ -400,6 +427,30 @@ object TextQueries {
           (coalesce(col("in_keep"), lit(false)) &&
             col("quality") >= 0.5 && col("lang_guess") === "en").cast("int"))
         .select(col("doc_id"), col("quality"), col("lang_guess"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // the FULL CURATION RECIPE as one declarative plan: near-dup keep-set
+    // ∧ quality ∧ langid decide the corpus (the doc_curate decision), then
+    // ONLY the survivors pack into 2048-token training sequences (the
+    // doc_pack machinery) — dedup → filter → pack end-to-end, one plan,
+    // no materialization between stages
+    "txt_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val raw = Tok.rawSequences(d)
+      val keep = Dedup.keepSet(raw, "tokens", "doc_id",
+          shingleK = 3, bands = 8, rowsPerBand = 2, jaccardThreshold = 0.5)
+        .withColumn("in_keep", lit(true))
+      val kept = d.select(col("doc_id").cast("long").as("doc_id"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.langId(col("text")).as("lang_guess"))
+        .join(keep, Seq("doc_id"), "left")
+        .filter(coalesce(col("in_keep"), lit(false)) &&
+          col("quality") >= 0.5 && col("lang_guess") === "en")
+        .select("doc_id")
+      val rawKept = raw.withColumn("doc_id", col("doc_id").cast("long"))
+        .join(kept, Seq("doc_id"), "left_semi")
+      Text.packAssignments(rawKept, "doc_id", "n_tok", seqLen = 2048)
         .orderBy("doc_id")
     }),
 
@@ -1476,32 +1527,36 @@ object TextQueries {
          |FROM pairs WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
          |ORDER BY train_id, eval_id""".stripMargin,
 
-    "doc_curate" -> {
-      val hits = Text.LangMarkers.map { case (lang, ms) =>
-        val inList = ms.map(m => s"'$m'").mkString("(", ",", ")")
-        s"len(list_filter(string_split(text,' '), w -> w IN $inList)) AS h_$lang"
-      }.mkString(",\n         ")
-      val best = Text.LangMarkers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
-      val pick = Text.LangMarkers.foldRight("'und'") { case ((lang, _), acc) =>
-        s"CASE WHEN h_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
-      }
-      s"""$sqlKeepCtes,
-         |scored AS (SELECT doc_id, $hits FROM documents),
-         |best_t AS (SELECT *, $best AS best FROM scored),
-         |lang AS (SELECT doc_id, $pick AS lang_guess FROM best_t),
-         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |q AS (
-         |  SELECT doc_id,
-         |         round(least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.4
-         |           + (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.4
-         |           + (1.0 - CAST(len(list_filter(words, x -> x IN ('the','a'))) AS DOUBLE) / len(words)) * 0.2, 6) AS quality
-         |  FROM w)
+    "doc_curate" ->
+      s"""$sqlCurateCtes
          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, q.quality, lang.lang_guess,
          |       CAST((CAST(d.doc_id AS BIGINT) IN (SELECT id FROM keep)
          |             AND q.quality >= 0.5 AND lang.lang_guess = 'en') AS INTEGER) AS kept
          |FROM documents d JOIN q USING (doc_id) JOIN lang USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+
+    // the full recipe composed: near-dedup keep ∧ quality ∧ langid decide
+    // the corpus, then ONLY survivors pack into 2048-token training
+    // sequences — pack ids/offsets shift vs doc_pack exactly by the
+    // rejected docs' token mass
+    "txt_e2e" ->
+      s"""$sqlCurateCtes,
+         |kept AS (
+         |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+         |  FROM documents d JOIN q USING (doc_id) JOIN lang USING (doc_id)
+         |  WHERE CAST(d.doc_id AS BIGINT) IN (SELECT id FROM keep)
+         |    AND q.quality >= 0.5 AND lang.lang_guess = 'en'),
+         |raw2 AS (
+         |  SELECT CAST(r.doc_id AS BIGINT) AS doc_id, n_tok FROM raw r
+         |  WHERE CAST(r.doc_id AS BIGINT) IN (SELECT doc_id FROM kept)),
+         |cum AS (
+         |  SELECT doc_id,
+         |         coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM raw2)
+         |SELECT doc_id, CAST(before // 2048 AS BIGINT) AS pack_id,
+         |       CAST(before % 2048 AS BIGINT) AS pack_offset
+         |FROM cum ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""${Tok.sqlRawSequences},
