@@ -87,4 +87,89 @@ class SnapshotPropertySpec extends SparkSpec {
       assert(got == want, s"changelog($from,$to] mismatch")
     }
   }
+
+  test("partitioned table: random append/dynoverwrite sequences agree with a per-partition model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val t = java.nio.file.Files.createTempDirectory("graft_snapdynprop").toString
+    val parts = Vector("p0", "p1", "p2", "p3")
+    // model history: one per-partition row-set map per committed snapshot
+    var states = Vector.empty[(Long, Map[String, Set[Long]])]
+    def model: Map[String, Set[Long]] =
+      states.lastOption.map(_._2).getOrElse(Map.empty)
+    var nextVal = 0L
+    var batchSeq = 0
+    var committed = Vector.empty[(String, Boolean)] // (batch id, wasOverwrite)
+
+    def frame(rows: Map[String, Set[Long]]) =
+      rows.toSeq.flatMap { case (p, ids) => ids.map(i => (i, p)) }
+        .toDF("id", "part")
+
+    for (step <- 0 until 20) {
+      rnd.nextInt(10) match {
+        case n if n <= 4 => // partitioned append: new rows across random parts
+          val touched = parts.filter(_ => rnd.nextBoolean()) match {
+            case Vector() => Vector(parts(rnd.nextInt(parts.size)))
+            case ps => ps
+          }
+          val rows = touched.map { p =>
+            val k = 1 + rnd.nextInt(3)
+            val ids = (nextVal until nextVal + k).toSet
+            nextVal += k
+            p -> ids
+          }.toMap
+          batchSeq += 1
+          val bid = s"a$batchSeq"
+          val c = ST.appendPartitioned(spark, frame(rows), t, col("part"), Some(bid))
+          assert(!c.skippedExisting, s"step $step: fresh append $bid must commit")
+          committed :+= (bid, false)
+          states :+= (c.snapshotId,
+            (parts.map(p => p -> (model.getOrElse(p, Set.empty[Long]) ++
+              rows.getOrElse(p, Set.empty))).toMap))
+        case n if n <= 7 && states.nonEmpty => // dynamic overwrite of a subset
+          val touched = parts.filter(_ => rnd.nextBoolean()) match {
+            case Vector() => Vector(parts(rnd.nextInt(parts.size)))
+            case ps => ps
+          }
+          val rows = touched.map { p =>
+            val k = 1 + rnd.nextInt(3)
+            val ids = (nextVal until nextVal + k).toSet
+            nextVal += k
+            p -> ids
+          }.toMap
+          batchSeq += 1
+          val bid = s"o$batchSeq"
+          val c = ST.overwritePartitions(spark, frame(rows), t, col("part"), Some(bid))
+          assert(!c.skippedExisting, s"step $step: fresh overwrite $bid must commit")
+          committed :+= (bid, true)
+          states :+= (c.snapshotId, model ++ rows)
+        case _ if committed.nonEmpty => // replay either op kind: must skip
+          val (bid, wasOv) = committed(rnd.nextInt(committed.size))
+          val junk = frame(Map(parts(rnd.nextInt(parts.size)) -> Set(888888L)))
+          val c =
+            if (wasOv) ST.overwritePartitions(spark, junk, t, col("part"), Some(bid))
+            else ST.appendPartitioned(spark, junk, t, col("part"), Some(bid))
+          assert(c.skippedExisting, s"step $step: replay of $bid must skip")
+        case _ => ()
+      }
+
+      if (states.nonEmpty) {
+        val got = ST.read(spark, t).select("id", "part").collect()
+          .map(r => r.getString(1) -> r.getLong(0))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val want = model.filter(_._2.nonEmpty)
+        assert(got == want, s"step $step: read mismatch")
+        // manifest row totals stay consistent under partition swaps
+        val m = ST.manifest(spark, t, states.last._1)
+        assert(m.totalRows == model.values.map(_.size).sum,
+          s"step $step: totalRows ${m.totalRows}")
+        // time travel to one random retained snapshot
+        val (sid, snap) = states(rnd.nextInt(states.size))
+        val gotAs = ST.asOf(spark, t, sid).select("id").collect()
+          .map(_.getLong(0)).toSet
+        assert(gotAs == snap.values.flatten.toSet, s"step $step: asOf($sid) mismatch")
+      }
+    }
+  }
 }
