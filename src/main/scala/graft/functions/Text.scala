@@ -75,6 +75,21 @@ object Text {
         distinctRatio(text) * 0.4 +
         (lit(1.0) - stopwordRatio(text)) * 0.2, 6)
 
+  /** [[qualityScore]] with floor-quantized 6dp (floor(x*1e6+0.5)/1e6, pure
+    * IEEE double math) instead of decimal HALF_UP round — bit-stable
+    * across engines exactly at half boundaries. Use this form in gates
+    * where a THRESHOLD on the score feeds further computation (a single
+    * boundary disagreement would cascade, e.g. through pack offsets);
+    * [[qualityScore]] stays as the established surface the txt_quality /
+    * doc_curate oracles pin.
+    */
+  def qualityScoreQ(text: Column): Column = {
+    val x = least(nWords(text).cast("double") / 100.0, lit(1.0)) * 0.4 +
+      distinctRatio(text) * 0.4 +
+      (lit(1.0) - stopwordRatio(text)) * 0.2
+    floor(x * 1e6 + 0.5) / 1e6
+  }
+
   // ---- repetition filters (training-data curation) ----
 
   /** Fraction of duplicate elements in an array: (n - n_distinct) / n,

@@ -689,15 +689,43 @@ object SnapshotTable {
     * loudly — a silently escaped dir name would detach the manifest from
     * the filesystem).
     */
+  /** Stage one hidden-partitioned data dir: write `df` partitioned by the
+    * rendered transform under `data/<name>`, validate the child dir names
+    * (NULL transform values and manifest-unsafe charsets fail loudly —
+    * a silently escaped dir name would detach the manifest from the
+    * filesystem), and return (manifest dir names, row count). Shared by
+    * [[appendPartitioned]] and [[overwritePartitions]].
+    */
+  private def stagePartitioned(spark: SparkSession, fs: FileSystem, root: Path,
+                               df: DataFrame,
+                               partition: org.apache.spark.sql.Column,
+                               name: String, opName: String)
+      : (IndexedSeq[String], Long) = {
+    require(!df.columns.contains("_p"),
+      s"$opName reserves the column name '_p' for the transform — " +
+        "rename the frame's '_p' column first")
+    val dataPath = new Path(dataDir(root), name).toString
+    df.withColumn("_p", partition)
+      .write.mode("overwrite").partitionBy("_p").parquet(dataPath)
+    val children = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("_p=")).sorted.toIndexedSeq
+    require(children.nonEmpty, s"$opName wrote no partitions (empty frame?)")
+    children.foreach { c =>
+      require(!c.contains("__HIVE_DEFAULT_PARTITION__"),
+        "partition transform produced NULL values — make the transform total")
+      require(c.matches("_p=[A-Za-z0-9._+:=-]+"),
+        s"partition value dir '$c' is outside the manifest-safe charset — " +
+          "render the transform to [A-Za-z0-9._+:-]")
+    }
+    (children.map(c => s"$name/$c"), spark.read.parquet(dataPath).count())
+  }
+
   def appendPartitioned(spark: SparkSession, df: DataFrame, dir: String,
                         partition: org.apache.spark.sql.Column,
                         batchId: Option[String] = None,
                         statsBy: Seq[String] = Nil,
                         bloomBy: Seq[String] = Nil): Commit = {
     val (fs, root) = fsOf(spark, dir)
-    require(!df.columns.contains("_p"),
-      "partitioned append reserves the column name '_p' for the transform — " +
-        "rename the frame's '_p' column first")
     val ids = manifestIds(fs, root)
     val parent = ids.lastOption.map(manifest(spark, dir, _))
     val ledger = resolveLedger(spark, dir, ids, parent, batchId)
@@ -706,21 +734,8 @@ object SnapshotTable {
       case None =>
         val next = ids.lastOption.map(_ + 1).getOrElse(0L)
         val name = f"snap-$next%06d"
-        val dataPath = new Path(dataDir(root), name).toString
-        df.withColumn("_p", partition)
-          .write.mode("overwrite").partitionBy("_p").parquet(dataPath)
-        val children = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("_p=")).sorted.toIndexedSeq
-        require(children.nonEmpty, "partitioned append wrote no partitions (empty frame?)")
-        children.foreach { c =>
-          require(!c.contains("__HIVE_DEFAULT_PARTITION__"),
-            "partition transform produced NULL values — make the transform total")
-          require(c.matches("_p=[A-Za-z0-9._+:=-]+"),
-            s"partition value dir '$c' is outside the manifest-safe charset — " +
-              "render the transform to [A-Za-z0-9._+:-]")
-        }
-        val dirs = children.map(c => s"$name/$c")
-        val rows = spark.read.parquet(dataPath).count()
+        val (dirs, rows) = stagePartitioned(spark, fs, root, df, partition,
+          name, "partitioned append")
         val schemaNow: Option[String] = parent match {
           case None => Some(df.schema.json)
           case Some(p) => p.schema.map(ps => mergeSchemas(ps, df.schema).json)
@@ -781,50 +796,37 @@ object SnapshotTable {
                           statsBy: Seq[String] = Nil,
                           bloomBy: Seq[String] = Nil): Commit = {
     val (fs, root) = fsOf(spark, dir)
-    require(!df.columns.contains("_p"),
-      "partitioned overwrite reserves the column name '_p' for the transform — " +
-        "rename the frame's '_p' column first")
     val ids = manifestIds(fs, root)
     val parent = ids.lastOption.map(manifest(spark, dir, _))
-    parent.toSeq.flatMap(_.live).find(!_.contains("/_p=")).foreach(d => sys.error(
-      s"dynamic partition overwrite needs a fully partition-clustered table, " +
-        s"but live dir '$d' of $dir is not hidden-partitioned — ingest with " +
-        "appendPartitioned only (compact() also destroys the layout)"))
     val ledger = resolveLedger(spark, dir, ids, parent, batchId)
     batchId.flatMap(b => ledger.find(_._1 == b)) match {
       case Some((_, snap)) => Commit(snap, skippedExisting = true)
       case None =>
+        // the layout gate sits AFTER the replay lookup: a batch committed
+        // before a later compact() destroyed the layout must still SKIP
+        // idempotently on replay, like every other committing path
+        parent.toSeq.flatMap(_.live).find(!_.contains("/_p=")).foreach(d => sys.error(
+          s"dynamic partition overwrite needs a fully partition-clustered table, " +
+            s"but live dir '$d' of $dir is not hidden-partitioned — ingest with " +
+            "appendPartitioned only (compact() also destroys the layout)"))
         val next = ids.lastOption.map(_ + 1).getOrElse(0L)
         val name = f"snap-$next%06d"
-        val dataPath = new Path(dataDir(root), name).toString
-        df.withColumn("_p", partition)
-          .write.mode("overwrite").partitionBy("_p").parquet(dataPath)
-        val children = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("_p=")).sorted.toIndexedSeq
-        require(children.nonEmpty,
-          "partitioned overwrite wrote no partitions (empty frame?) — " +
-            "an empty dynamic overwrite replaces nothing; skip the commit instead")
-        children.foreach { c =>
-          require(!c.contains("__HIVE_DEFAULT_PARTITION__"),
-            "partition transform produced NULL values — make the transform total")
-          require(c.matches("_p=[A-Za-z0-9._+:=-]+"),
-            s"partition value dir '$c' is outside the manifest-safe charset — " +
-              "render the transform to [A-Za-z0-9._+:-]")
-        }
-        val newDirs = children.map(c => s"$name/$c")
+        val (newDirs, rows) = stagePartitioned(spark, fs, root, df, partition,
+          name, "partitioned overwrite")
         // replacement keys on the rendered value: a live dir whose _p=
         // segment matches an incoming value is replaced wholesale
-        val newVals = children.toSet
+        val newVals = newDirs.map(_.split('/').last).toSet
         def valOf(d: String): String =
           d.split('/').find(_.startsWith("_p=")).getOrElse("")
         val (replaced, untouched) =
           parent.map(_.live).getOrElse(Nil).partition(d => newVals.contains(valOf(d)))
-        val rows = spark.read.parquet(dataPath).count()
-        // replaced rows counted under the parent's MERGED view, so totals
-        // stay consistent with what read() reports under pending MOR deletes
+        // totalRows counts PHYSICAL rows in live dirs (the Manifest
+        // contract), so the replaced dirs subtract at their RAW count —
+        // pending MOR delete keys keep subtracting at read time, exactly
+        // as they did before the swap (mor-delete/update precedent)
         val replacedRows =
           if (replaced.isEmpty) 0L
-          else readMerged(spark, root, parent.get, replaced).count()
+          else readDirs(spark, root, replaced, parent.flatMap(_.schema)).count()
         val schemaNow: Option[String] = parent match {
           case None => Some(df.schema.json)
           case Some(p) => p.schema.map(ps => mergeSchemas(ps, df.schema).json)
@@ -1215,25 +1217,90 @@ object SnapshotTable {
     * sketches from config-sized sidecar reads.
     */
   def planScanEq(spark: SparkSession, dir: String, m: Manifest,
-                 column: String, value: Any): (Seq[String], Seq[String]) = {
-    val (fs, root) = fsOf(spark, dir)
-    val (byBounds, prunedBounds) =
-      planScan(m, KeyRange(column, Some(value), Some(value)))
-    val sketched = m.blooms.filter(_._2 == column).map(_._1).toSet
-    val (kept, prunedBloom) = byBounds.partition { d =>
-      !sketched(d) || {
-        val bf = loadBloom(fs, root, d, column)
-        value match {
-          case n: Long   => bf.mightContainLong(n)
-          case n: Int    => bf.mightContainLong(n.toLong)
-          case n: Short  => bf.mightContainLong(n.toLong)
-          case n: Byte   => bf.mightContainLong(n.toLong)
-          case s: String => bf.mightContainString(s)
-          case _         => true // unprobeable type: keep (never prune unsafely)
-        }
+                 column: String, value: Any): (Seq[String], Seq[String]) =
+    planScanIn(spark, dir, m, column, Seq(value))
+
+  /** The column's comparison domain for driver-side probe normalization:
+    * the recorded stat domain when stats exist, else the stamped schema's
+    * type. None = unknowable (legacy chain, unsupported type) — callers
+    * must not prune at all.
+    */
+  private def probeDomain(m: Manifest, column: String): Option[String] =
+    m.stats.find(_.column == column).map(_.tpe)
+      .orElse(m.schema.flatMap(_.fields.find(_.name == column))
+        .flatMap(f => scala.util.Try(statDomain(f.dataType)).toOption))
+
+  /** Normalize a caller's probe value into the column's domain — the
+    * domain the write side built stats AND Bloom sketches in (a Long
+    * probed against a string-built sketch would false-negative, i.e.
+    * prune unsafely). None = the value is null or cannot be represented
+    * in the domain, so no stored row can equal it — it contributes no
+    * kept dirs and no pruning.
+    */
+  private def normalizeProbe(domain: String, v: Any): Option[Any] = v match {
+    case null => None
+    case _ => domain match {
+      case "long" => v match {
+        case n: Long  => Some(n)
+        case n: Int   => Some(n.toLong)
+        case n: Short => Some(n.toLong)
+        case n: Byte  => Some(n.toLong)
+        case n: java.lang.Number => // whole-valued fractionals can match
+          val d = n.doubleValue()
+          if (d == math.floor(d) && !d.isInfinite) Some(n.longValue()) else None
+        case s: String => scala.util.Try(s.trim.toLong).toOption
+        case _ => None
       }
+      case "double" => v match {
+        case n: java.lang.Number => Some(n.doubleValue())
+        case s: String => scala.util.Try(s.trim.toDouble).toOption
+        case _ => None
+      }
+      case _ => Some(v.toString) // string domain: everything renders
     }
-    (kept, prunedBounds ++ prunedBloom)
+  }
+
+  /** Scan plan for a KEY-SET lookup `column IN values` — the runtime
+    * (dimension-driven) partition-pruning analogue for the native read
+    * path: a dir survives only if AT LEAST ONE key intersects its
+    * min/max bounds AND (when sketched) its Bloom sidecar might contain
+    * that key. Driver-side metadata arithmetic — |dirs| × |keys| bound
+    * probes + sidecar-sized Bloom reads — so `values` must be
+    * config-sized (a filtered dimension's keys, not a fact column).
+    * Probe values normalize into the column's recorded domain first
+    * (stats and sketches were built in that domain — see
+    * [[normalizeProbe]]); null and domain-unrepresentable values match
+    * no stored row and drop out. A false positive only KEEPS a dir;
+    * unsketched dirs are never Bloom-pruned; an unknowable domain
+    * (legacy chain) disables pruning entirely — never prune unsafely.
+    */
+  def planScanIn(spark: SparkSession, dir: String, m: Manifest,
+                 column: String, values: Seq[Any]): (Seq[String], Seq[String]) = {
+    val (fs, root) = fsOf(spark, dir)
+    probeDomain(m, column) match {
+      case None => (m.live, Nil) // unknowable domain: keep everything
+      case Some(domain) =>
+        val normalized = values.flatMap(normalizeProbe(domain, _)).distinct
+        val sketched = m.blooms.filter(_._2 == column).map(_._1).toSet
+        val byDir = m.stats.filter(_.column == column).map(s => s.dir -> s).toMap
+        val bloomCache =
+          scala.collection.mutable.Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
+        def mightContain(d: String, v: Any): Boolean =
+          !sketched(d) || {
+            val bf = bloomCache.getOrElseUpdate(d, loadBloom(fs, root, d, column))
+            (domain, v) match {
+              case ("long", n: Long)     => bf.mightContainLong(n)
+              case ("string", s: String) => bf.mightContainString(s)
+              case _                     => true // double domain has no sketches
+            }
+          }
+        m.live.partition { d =>
+          normalized.exists { v =>
+            byDir.get(d).forall(statIntersects(_, KeyRange(column, Some(v), Some(v)))) &&
+              mightContain(d, v)
+          }
+        }
+    }
   }
 
   /** Pruned point-lookup read: only dirs the bounds AND sketches keep are
@@ -1247,43 +1314,6 @@ object SnapshotTable {
     val (kept, _) = planScanEq(spark, dir, m, column, value)
     if (kept.isEmpty) read(spark, dir).limit(0)
     else readMerged(spark, root, m, kept).filter(col(column) === lit(value))
-  }
-
-  /** Scan plan for a KEY-SET lookup `column IN values` — the runtime
-    * (dimension-driven) partition-pruning analogue for the native read
-    * path: a dir survives only if AT LEAST ONE key intersects its
-    * min/max bounds AND (when sketched) its Bloom sidecar might contain
-    * that key. Driver-side metadata arithmetic — |dirs| × |keys| bound
-    * probes + sidecar-sized Bloom reads — so `values` must be
-    * config-sized (a filtered dimension's keys, not a fact column).
-    * A false positive only KEEPS a dir; unsketched dirs are never
-    * Bloom-pruned; unprobeable key types keep (never prune unsafely).
-    */
-  def planScanIn(spark: SparkSession, dir: String, m: Manifest,
-                 column: String, values: Seq[Any]): (Seq[String], Seq[String]) = {
-    val (fs, root) = fsOf(spark, dir)
-    val sketched = m.blooms.filter(_._2 == column).map(_._1).toSet
-    val byDir = m.stats.filter(_.column == column).map(s => s.dir -> s).toMap
-    val bloomCache =
-      scala.collection.mutable.Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
-    def mightContain(d: String, v: Any): Boolean =
-      !sketched(d) || {
-        val bf = bloomCache.getOrElseUpdate(d, loadBloom(fs, root, d, column))
-        v match {
-          case n: Long   => bf.mightContainLong(n)
-          case n: Int    => bf.mightContainLong(n.toLong)
-          case n: Short  => bf.mightContainLong(n.toLong)
-          case n: Byte   => bf.mightContainLong(n.toLong)
-          case s: String => bf.mightContainString(s)
-          case _         => true
-        }
-      }
-    m.live.partition { d =>
-      values.exists { v =>
-        byDir.get(d).forall(statIntersects(_, KeyRange(column, Some(v), Some(v)))) &&
-          mightContain(d, v)
-      }
-    }
   }
 
   /** Pruned key-set read: only dirs [[planScanIn]] keeps are planned, then
@@ -1313,8 +1343,10 @@ object SnapshotTable {
     */
   def joinPruned(spark: SparkSession, dir: String, dim: DataFrame,
                  key: String, maxKeys: Int = 100000): DataFrame = {
+    // null dim keys never match an equi-join — drop them before probing
+    // (a null probe would also NPE the stat-bounds comparison)
     val keys = dim.select(col(key)).distinct().limit(maxKeys + 1)
-      .collect().map(_.get(0)).toSeq
+      .collect().map(_.get(0)).filter(_ != null).toSeq
     require(keys.length <= maxKeys,
       s"joinPruned dimension has more than $maxKeys distinct '$key' keys — " +
         "not a config-sized dimension; join the full read instead")

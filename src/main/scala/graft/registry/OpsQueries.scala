@@ -362,10 +362,12 @@ object OpsQueries {
       val keys = dim.select("doc_id").collect().map(_.getLong(0)).toSeq
       // probe with an INTERIOR key: doc_id=0 sits below the odd-band minima,
       // so bounds would prune it at the edge — not the case being proven
-      val probe = keys.filter(_ > 0).min
-      require(ST.planScan(m,
-          ST.KeyRange("doc_id", Some(probe), Some(probe)))._1.size ==
-        m.live.size, "interleaved dirs must defeat min/max bounds")
+      // (minOption: a tiny corpus may have no positive multiple of 100)
+      keys.filter(_ > 0).minOption.foreach { probe =>
+        require(ST.planScan(m,
+            ST.KeyRange("doc_id", Some(probe), Some(probe)))._1.size ==
+          m.live.size, "interleaved dirs must defeat min/max bounds")
+      }
       val (kept, pruned) = ST.planScanIn(s, t, m, "doc_id", keys)
       require(pruned.nonEmpty && kept.size < m.live.size,
         s"key-set pruning must drop dirs (kept ${kept.size}/${m.live.size})")

@@ -93,6 +93,12 @@ object TextQueries {
        |         round(least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.4
        |           + (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.4
        |           + (1.0 - CAST(len(list_filter(words, x -> x IN ('the','a'))) AS DOUBLE) / len(words)) * 0.2, 6) AS quality
+       |  FROM w),
+       |qq AS (
+       |  SELECT doc_id,
+       |         floor((least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |           + (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.4
+       |           + (1.0 - CAST(len(list_filter(words, x -> x IN ('the','a'))) AS DOUBLE) / len(words)) * 0.2) * 1e6 + 0.5) / 1e6 AS qualityq
        |  FROM w)""".stripMargin
   }
 
@@ -441,8 +447,11 @@ object TextQueries {
       val keep = Dedup.keepSet(raw, "tokens", "doc_id",
           shingleK = 3, bands = 8, rowsPerBand = 2, jaccardThreshold = 0.5)
         .withColumn("in_keep", lit(true))
+      // fr6-quantized quality (qualityScoreQ): a half-boundary rounding
+      // disagreement here would flip the kept SET and cascade through
+      // every later pack offset — the round-3 bit-safety rule
       val kept = d.select(col("doc_id").cast("long").as("doc_id"),
-          Text.qualityScore(col("text")).as("quality"),
+          Text.qualityScoreQ(col("text")).as("quality"),
           Text.langId(col("text")).as("lang_guess"))
         .join(keep, Seq("doc_id"), "left")
         .filter(coalesce(col("in_keep"), lit(false)) &&
@@ -1543,9 +1552,9 @@ object TextQueries {
       s"""$sqlCurateCtes,
          |kept AS (
          |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id
-         |  FROM documents d JOIN q USING (doc_id) JOIN lang USING (doc_id)
+         |  FROM documents d JOIN qq USING (doc_id) JOIN lang USING (doc_id)
          |  WHERE CAST(d.doc_id AS BIGINT) IN (SELECT id FROM keep)
-         |    AND q.quality >= 0.5 AND lang.lang_guess = 'en'),
+         |    AND qq.qualityq >= 0.5 AND lang.lang_guess = 'en'),
          |raw2 AS (
          |  SELECT CAST(r.doc_id AS BIGINT) AS doc_id, n_tok FROM raw r
          |  WHERE CAST(r.doc_id AS BIGINT) IN (SELECT doc_id FROM kept)),

@@ -369,6 +369,10 @@ private[graft] class GraftSqlTable(
       // below (AppendDataExecV1) — without it Spark's DSv2 strategy calls
       // Write.toBatch, which this table deliberately does not implement
       TableCapability.V1_BATCH_WRITE,
+      // OVERWRITE_DYNAMIC lets OverwritePartitionsDynamic pass analysis so
+      // the DML rule can lower it (or, without extensions, the builder's
+      // overwriteDynamicPartitions() hint can point at them)
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 

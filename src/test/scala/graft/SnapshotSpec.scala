@@ -838,6 +838,15 @@ class SnapshotSpec extends SparkSpec {
     assert(ST.planScan(m,
       ST.KeyRange("id", Some(10L), Some(10L)))._1 ==
       Seq("snap-000001/_p=2026-01-01"))
+    // a replayed overwrite batch still SKIPS after a later compact()
+    // destroyed the layout — the ledger lookup precedes the layout gate
+    ST.compact(spark, t)
+    assert(ST.overwritePartitions(spark, restate, t, col("day"), Some("r1"))
+      .skippedExisting)
+    // ...while a FRESH overwrite on the compacted table rejects loudly
+    val eMixed = intercept[RuntimeException](
+      ST.overwritePartitions(spark, restate, t, col("day"), Some("r2")))
+    assert(eMixed.getMessage.contains("partition-clustered"))
     // a mixed-layout table (plain append dirs) rejects dynamic overwrite
     val t2 = tmp()
     ST.append(spark, batch(0 until 3), t2)
