@@ -217,6 +217,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** RANGE search through a PRE-BUILT partitioned IVF index (the
+    * [[ivfBuild]] output): probe the top `nprobe` lists like
+    * [[ivfTopKIndexed]] — a partition-column predicate, so the scan reads
+    * only the probed list directories — then keep every vector within
+    * cosine >= `minSim` of the query. The at-scale form of
+    * [[rangeSearch]]: query cost O(N * nprobe / C), no global sort, and
+    * like any IVF query the recall bound is the probed lists (a
+    * qualifying vector assigned to an unprobed list is not returned —
+    * raise nprobe for recall, FAISS semantics).
+    */
+  def ivfRangeIndexed(index: DataFrame, embCol: String, idCol: String,
+                      centroids: Seq[(Long, Array[Float])], query: Array[Float],
+                      minSim: Double, nprobe: Int): DataFrame = {
+    val probed = probeLists(centroids, query, nprobe)
+    index
+      .filter(col("list_id").isin(probed: _*)) // partition pruning at the scan
+      .select(col(idCol), col("list_id").cast("long").as("list_id"),
+        fr6(cosineToConst(col(embCol), query.toSeq)).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Build a partitioned IVF index table: assign + write partitioned by
     * `list_id`, so probe filters prune partitions at the source. Returns the
     * reader frame.

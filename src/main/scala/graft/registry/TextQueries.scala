@@ -537,6 +537,24 @@ object TextQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // radius search THROUGH the partitioned IVF index: probe filter is a
+    // partition-column predicate (only nprobe list dirs are scanned), then
+    // the cosine threshold — the at-scale form of sim_range; recall bound
+    // = the probed lists, mirrored exactly by the oracle's probe CTE
+    "sim_rangeidx" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      val idxPath = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivfr_idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Similarity.ivfBuild(e.filter(col("vec_id") > 8), "embedding", cents, idxPath)
+      Similarity.ivfRangeIndexed(s.read.parquet(idxPath), "embedding", "vec_id",
+          cents, q, minSim = 0.15, nprobe = 2)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // cross-document EXACT-SUBSTRING duplication (Lee et al. 2022
     // ExactSubstr): 8-token windows keyed corpus-wide; a window in >1 doc
     // marks all its positions as duplicated spans. Explode -> window-keyed
@@ -1630,6 +1648,36 @@ object TextQueries {
         |       CAST(100 + CAST(doc_id AS BIGINT) % 900 AS INTEGER) AS width,
         |       CAST(50 + CAST(doc_id AS BIGINT) % 500 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same probe/assignment CTEs as sim_ivf (round-6, matching
+    // ivfAssign/probeLists), fr6 on the FINAL similarity like sim_range
+    "sim_rangeidx" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |         FROM embeddings WHERE vec_id > 8),
+        |asg AS (
+        |  SELECT vec_id, ev, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY
+        |           round(list_dot_product(ev, cv) /
+        |                 (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+        |           cid) AS rk
+        |  FROM base, cent),
+        |lists AS (SELECT vec_id, ev, cid AS list_id FROM asg WHERE rk = 1),
+        |probes AS (
+        |  SELECT cid FROM cent, q
+        |  ORDER BY round(list_dot_product(cv, qv) /
+        |                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC, cid
+        |  LIMIT 2)
+        |SELECT vec_id, list_id,
+        |       floor((list_dot_product(ev, qv) /
+        |              (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6 AS sim
+        |FROM lists, q WHERE list_id IN (SELECT cid FROM probes)
+        |  AND floor((list_dot_product(ev, qv) /
+        |             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6 >= 0.15
+        |ORDER BY sim DESC, vec_id""".stripMargin,
 
     "sim_ivf" ->
       """WITH cent AS (
