@@ -297,6 +297,38 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [list_id"), plan.take(800))
   }
 
+  test("range search: brute == filtered topK tail; indexed variant partition-pruned, recall = probed lists") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toSeq
+    val db = embs.filter(col("vec_id") > 8)
+    // brute radius == every row of the full scored set above the threshold
+    // (threshold -2 accepts everything — same scoring path, so no ulp
+    // divergence between the two sides)
+    val got = Similarity.rangeSearch(db, "embedding", "vec_id", q, 0.15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val all = Similarity.rangeSearch(db, "embedding", "vec_id", q, -2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == all.filter(_._2 >= 0.15))
+    assert(got.nonEmpty)
+    // indexed variant: rows = brute radius RESTRICTED to the probed lists
+    // (the FAISS recall bound), probe filter reaches the scan as a
+    // PartitionFilter
+    val cents = Similarity.ivfCentroids(embs, "embedding", "vec_id", 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfr_q").toString
+    Similarity.ivfBuild(db, "embedding", cents, idx)
+    val viaIndex = Similarity.ivfRangeIndexed(spark.read.parquet(idx),
+      "embedding", "vec_id", cents, q.toArray, minSim = 0.15, nprobe = 2)
+    val probed = Similarity.ivfAssign(db, "embedding", cents)
+      .filter(col("list_id").isin(
+        Similarity.probeLists(cents, q.toArray, 2): _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val gotIdx = viaIndex.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(gotIdx == got.filter { case (id, _) => probed.contains(id) })
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"), plan.take(800))
+  }
+
   test("IVF Lloyd training keeps centroid count and improves/holds distortion") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val init = Similarity.ivfCentroids(embs, "embedding", "vec_id", 4)
