@@ -310,10 +310,6 @@ object SnapshotTable {
         val next = ids.lastOption.map(_ + 1).getOrElse(0L)
         val name = f"snap-$next%06d"
         val dataPath = new Path(dataDir(root), name).toString
-        // Overwrite: an existing dir here is an UNCOMMITTED crash leftover
-        // (no manifest references it) — rewriting it is the recovery path.
-        df.write.mode("overwrite").parquet(dataPath)
-        val rows = spark.read.parquet(dataPath).count()
         // schema evolution: fresh tables stamp the frame's schema; evolved
         // appends merge new columns in. A LEGACY chain (parent without a
         // stamped schema) stays in footer-inference mode — stamping only
@@ -326,17 +322,20 @@ object SnapshotTable {
         // computed on every later append too, so pruning stays complete
         val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
         val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
+        // Overwrite: an existing dir here is an UNCOMMITTED crash leftover
+        // (no manifest references it) — rewriting it is the recovery path.
+        // Row count + stats bounds ride the write job (observed metrics).
+        val (rows, stats, _) = writeMeasured(df, dataPath, name, scols)
         val m = Manifest(next, ids.lastOption, "append", batchId,
           added = Seq(name), live = parent.map(_.live).getOrElse(Nil) :+ name,
           addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
           batchCommits = ledger ++ batchId.map(_ -> next),
           schemaJson = schemaNow,
           statsCols = scols,
-          stats = parent.map(_.stats).getOrElse(Nil) ++
-            computeStats(spark, dataPath, name, scols),
+          stats = parent.map(_.stats).getOrElse(Nil) ++ stats,
           bloomCols = bcols,
           blooms = parent.map(_.blooms).getOrElse(Nil) ++
-            computeBlooms(spark, fs, root, dataPath, name, bcols),
+            computeBlooms(spark, fs, root, dataPath, name, bcols, rowsHint = rows),
           // pending MOR deletes carry forward; the new dir's addSeq is newer
           // than every delete seq, so they provably never touch its rows
           deletes = parent.map(_.deletes).getOrElse(Nil))
@@ -398,14 +397,24 @@ object SnapshotTable {
     // provisional unique name: never referenced by any manifest — a writer
     // that dies here leaves a vacuum-reapable orphan, nothing more
     var name = s"snap-pending-c$token"
-    df.write.mode("overwrite").parquet(new Path(dataDir(root), name).toString)
-    val rows = spark.read.parquet(new Path(dataDir(root), name).toString).count()
-    // per-attempt memo: stats/sketches recompute only when the dir name or
-    // the (table-property ∪ requested) column set changed under rebase
-    var statKey: (String, Seq[String]) = null
-    var dirStats: Seq[DirStat] = Nil
-    var bloomKey: (String, Seq[String]) = null
-    var dirBlooms: Seq[(String, String)] = Nil
+    // stats bounds and Bloom sketch CONTENT are dir-name-agnostic — only
+    // their labels/sidecar filenames follow the attempt's dir name. Seed
+    // the expected column sets from the current head, observe count+bounds
+    // during the staged write (one job), build sketches once, and per
+    // attempt only RELABEL / re-write sidecar files driver-side. A rival
+    // commit that grows the table's stats/bloom column set under rebase
+    // (rare) costs one extra job for just the missing columns.
+    val seedParent = manifestIds(fs, root).lastOption.map(manifest(spark, dir, _))
+    val seedScols = (seedParent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
+    val (rows, seedStats, _) = writeMeasured(df,
+      new Path(dataDir(root), name).toString, name, seedScols)
+    // column -> bounds value (None = all-null/absent, never prunes)
+    val statMemo = scala.collection.mutable.Map[String, Option[DirStat]]()
+    seedScols.filter(df.columns.contains).foreach { c =>
+      statMemo(c) = seedStats.find(_.column == c) }
+    val bloomMemo =
+      scala.collection.mutable.Map[String, Option[org.apache.spark.util.sketch.BloomFilter]]()
+    var sidecarsFor: (String, Seq[String]) = null // (dir name, cols) last written
     var attempt = 0
     while (attempt <= maxRetries) {
       val ids = manifestIds(fs, root)
@@ -415,8 +424,8 @@ object SnapshotTable {
         case Some((_, snap)) =>
           // a rival committed this very batch: exactly-once wins over our
           // staged bytes — drop them and return the rival's commit
-          dirBlooms.foreach { case (d, c) =>
-            fs.delete(new Path(bloomDir(root), bloomFileName(d, c)), false) }
+          if (sidecarsFor != null) sidecarsFor._2.foreach(c =>
+            fs.delete(new Path(bloomDir(root), bloomFileName(sidecarsFor._1, c)), false))
           fs.delete(new Path(dataDir(root), name), true)
           return Commit(snap, skippedExisting = true)
         case None =>
@@ -427,21 +436,33 @@ object SnapshotTable {
         require(fs.rename(new Path(dataDir(root), name), new Path(dataDir(root), newName)),
           s"failed to rename staged dir $name -> $newName under $dir")
         // sidecars are keyed by dir name: the old attempt's are now stale
-        dirBlooms.foreach { case (d, c) =>
-          fs.delete(new Path(bloomDir(root), bloomFileName(d, c)), false) }
-        dirBlooms = Nil; bloomKey = null
+        if (sidecarsFor != null) sidecarsFor._2.foreach(c =>
+          fs.delete(new Path(bloomDir(root), bloomFileName(sidecarsFor._1, c)), false))
+        sidecarsFor = null
         name = newName
       }
       val dataPath = new Path(dataDir(root), name).toString
       val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
       val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
-      if (statKey != ((name, scols))) {
-        dirStats = computeStats(spark, dataPath, name, scols); statKey = (name, scols)
+      // bounds for any column a rival's rebase added since the write
+      scols.filter(c => df.columns.contains(c) && !statMemo.contains(c)) match {
+        case Nil =>
+        case missing =>
+          val computed = computeStats(spark, dataPath, name, missing)
+          missing.foreach(c => statMemo(c) = computed.find(_.column == c))
       }
-      if (bloomKey != ((name, bcols))) {
-        dirBlooms = computeBlooms(spark, fs, root, dataPath, name, bcols)
-        bloomKey = (name, bcols)
+      val dirStats = scols.flatMap(c => statMemo.getOrElse(c, None))
+        .map(_.copy(dir = name))
+      val bPresent = bcols.filter(df.columns.contains)
+      bPresent.filterNot(bloomMemo.contains).foreach { c =>
+        bloomMemo(c) = buildBloom(spark.read.parquet(dataPath), c, math.max(rows, 1L))
       }
+      val dirBlooms = bPresent.flatMap(c => bloomMemo(c).map { bf =>
+        if (sidecarsFor == null || sidecarsFor._1 != name || !sidecarsFor._2.contains(c))
+          writeBloomSidecar(fs, root, name, c, bf)
+        name -> c
+      })
+      sidecarsFor = (name, dirBlooms.map(_._2))
       val schemaNow: Option[String] = parent match {
         case None => Some(df.schema.json)
         case Some(p) => p.schema.map(ps => mergeSchemas(ps, df.schema).json)
@@ -561,12 +582,11 @@ object SnapshotTable {
         val next = ids.lastOption.map(_ + 1).getOrElse(0L)
         val name = f"snap-$next%06d"
         val dataPath = new Path(dataDir(root), name).toString
-        df.write.mode("overwrite").parquet(dataPath)
-        // explicit schema: an empty overwrite leaves zero part files to
-        // infer from (replacing a table with an empty frame is legal)
-        val rows = spark.read.schema(df.schema).parquet(dataPath).count()
         val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
         val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
+        // count + bounds observed during the write (empty overwrites are
+        // legal: the observed count is simply 0, no footer read needed)
+        val (rows, stats, _) = writeMeasured(df, dataPath, name, scols)
         commitManifest(fs, root, Manifest(next, ids.lastOption, "overwrite",
           batchId, added = Seq(name), live = Seq(name),
           addedRows = rows, totalRows = rows,
@@ -577,9 +597,10 @@ object SnapshotTable {
           batchCommits = batchId.map(_ -> next).toSeq,
           schemaJson = Some(df.schema.json),
           statsCols = scols,
-          stats = computeStats(spark, dataPath, name, scols),
+          stats = stats,
           bloomCols = bcols,
-          blooms = computeBlooms(spark, fs, root, dataPath, name, bcols),
+          blooms = computeBlooms(spark, fs, root, dataPath, name, bcols,
+            rowsHint = rows),
           deletes = Nil))
         Commit(next, skippedExisting = false)
     }
@@ -705,7 +726,11 @@ object SnapshotTable {
       s"$opName reserves the column name '_p' for the transform — " +
         "rename the frame's '_p' column first")
     val dataPath = new Path(dataDir(root), name).toString
+    // total row count observed during the write (no read-back footer job —
+    // which would also re-infer partition types, see partitionedStats)
+    val obs = org.apache.spark.sql.Observation()
     df.withColumn("_p", partition)
+      .observe(obs, count(lit(1)).as("_rows"))
       .write.mode("overwrite").partitionBy("_p").parquet(dataPath)
     val children = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("_p=")).sorted.toIndexedSeq
@@ -717,7 +742,51 @@ object SnapshotTable {
         s"partition value dir '$c' is outside the manifest-safe charset — " +
           "render the transform to [A-Za-z0-9._+:-]")
     }
-    (children.map(c => s"$name/$c"), spark.read.parquet(dataPath).count())
+    (children.map(c => s"$name/$c"), obs.get("_rows").asInstanceOf[Long])
+  }
+
+  /** Per-child-dir bounds + row counts of one staged hidden-partitioned dir
+    * in ONE grouped job (the former per-dir agg/count fan-out — one Spark
+    * action per partition value). Children are read by LISTED dir name with
+    * an explicit schema of just the needed columns — never via read-back
+    * partition-type inference, which canonicalizes numeric-looking strings
+    * ('01' -> 1) and would key stats to phantom dir names (the documented
+    * pruning hazard). Stats entries keep the old order: dirs ascending,
+    * columns in `scols` order.
+    */
+  private def partitionedStats(spark: SparkSession, root: Path,
+                               fullDirs: Seq[String],
+                               schema: org.apache.spark.sql.types.StructType,
+                               scols: Seq[String], bcols: Seq[String])
+      : (Seq[DirStat], Map[String, Long]) = {
+    scols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
+      s"stats column name '$c' must match [A-Za-z0-9_.]+"))
+    val presentS = scols.filter(schema.fieldNames.contains)
+    val presentB = bcols.filter(schema.fieldNames.contains)
+    if (presentS.isEmpty && presentB.isEmpty) return (Nil, Map.empty)
+    val needed = (presentS ++ presentB).distinct
+    val readSchema = org.apache.spark.sql.types.StructType(
+      needed.map(c => schema(c).copy(nullable = true)))
+    val domains = presentS.map(c => c -> statDomain(schema(c).dataType)).toMap
+    val u = fullDirs.map { d =>
+      spark.read.schema(readSchema)
+        .parquet(new Path(dataDir(root), d).toString)
+        .withColumn("_dir", lit(d))
+    }.reduce(_ unionByName _)
+    val aggs = count(lit(1)) +: presentS.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val rows = u.groupBy(col("_dir")).agg(aggs.head, aggs.tail: _*)
+      .collect().toIndexedSeq.sortBy(_.getString(0))
+    val stats = rows.flatMap { row =>
+      val d = row.getString(0)
+      presentS.zipWithIndex.flatMap { case (c, i) =>
+        (Option(row.get(2 * i + 2)), Option(row.get(2 * i + 3))) match {
+          case (Some(lo), Some(hi)) =>
+            Some(DirStat(d, c, domains(c), lo.toString, hi.toString))
+          case _ => None
+        }
+      }
+    }
+    (stats, rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   def appendPartitioned(spark: SparkSession, df: DataFrame, dir: String,
@@ -745,18 +814,21 @@ object SnapshotTable {
         // stats are computed PER LISTED CHILD DIR (like blooms), never by
         // grouping read-back _p values: Spark's partition-type inference
         // canonicalizes numeric-looking strings ('01' -> 1), which would
-        // key stats to phantom dir names and silently disable pruning
+        // key stats to phantom dir names and silently disable pruning.
+        // One grouped job covers every child dir (partitionedStats).
+        val (newStats, dirCounts) =
+          partitionedStats(spark, root, dirs, df.schema, scols, bcols)
         commitManifest(fs, root, Manifest(next, ids.lastOption, "append", batchId,
           added = dirs, live = parent.map(_.live).getOrElse(Nil) ++ dirs,
           addedRows = rows, totalRows = parent.map(_.totalRows).getOrElse(0L) + rows,
           batchCommits = ledger ++ batchId.map(_ -> next),
           schemaJson = schemaNow,
           statsCols = scols,
-          stats = parent.map(_.stats).getOrElse(Nil) ++ dirs.flatMap(d =>
-            computeStats(spark, new Path(dataDir(root), d).toString, d, scols)),
+          stats = parent.map(_.stats).getOrElse(Nil) ++ newStats,
           bloomCols = bcols,
           blooms = parent.map(_.blooms).getOrElse(Nil) ++ dirs.flatMap(d =>
-            computeBlooms(spark, fs, root, new Path(dataDir(root), d).toString, d, bcols)),
+            computeBlooms(spark, fs, root, new Path(dataDir(root), d).toString, d, bcols,
+              rowsHint = dirCounts.getOrElse(d, -1L))),
           deletes = parent.map(_.deletes).getOrElse(Nil)))
         Commit(next, skippedExisting = false)
     }
@@ -833,6 +905,10 @@ object SnapshotTable {
         }
         val scols = (parent.map(_.statsCols).getOrElse(Nil) ++ statsBy).distinct
         val bcols = (parent.map(_.bloomCols).getOrElse(Nil) ++ bloomBy).distinct
+        // one grouped job for every new dir's bounds+counts (partitionedStats)
+        val (newStats, dirCounts) =
+          partitionedStats(spark, root, newDirs, df.schema, scols, bcols)
+        val untouchedSet = untouched.toSet // O(1) carry filters (advice r05)
         commitManifest(fs, root, Manifest(next, ids.lastOption, "dynoverwrite",
           batchId, added = newDirs, live = untouched ++ newDirs,
           addedRows = rows,
@@ -841,14 +917,13 @@ object SnapshotTable {
           schemaJson = schemaNow,
           statsCols = scols,
           stats = parent.map(_.stats).getOrElse(Nil)
-              .filter(st => untouched.contains(st.dir)) ++
-            newDirs.flatMap(d =>
-              computeStats(spark, new Path(dataDir(root), d).toString, d, scols)),
+              .filter(st => untouchedSet(st.dir)) ++ newStats,
           bloomCols = bcols,
           blooms = parent.map(_.blooms).getOrElse(Nil)
-              .filter(b => untouched.contains(b._1)) ++
+              .filter(b => untouchedSet(b._1)) ++
             newDirs.flatMap(d =>
-              computeBlooms(spark, fs, root, new Path(dataDir(root), d).toString, d, bcols)),
+              computeBlooms(spark, fs, root, new Path(dataDir(root), d).toString, d, bcols,
+                rowsHint = dirCounts.getOrElse(d, -1L))),
           // pending MOR deletes still apply to the untouched dirs (old
           // addSeq); the new dirs' newer addSeq provably escapes them
           deletes = parent.map(_.deletes).getOrElse(Nil)))
@@ -911,7 +986,8 @@ object SnapshotTable {
             computeStats(spark, dataPath, name, scols),
           bloomCols = bcols,
           blooms = parent.map(_.blooms).getOrElse(Nil) ++
-            computeBlooms(spark, fs, root, dataPath, name, bcols),
+            computeBlooms(spark, fs, root, dataPath, name, bcols,
+              rowsHint = rows),
           deletes = parent.map(_.deletes).getOrElse(Nil)))
         Commit(next, skippedExisting = false)
     }
@@ -1036,10 +1112,60 @@ object SnapshotTable {
     }
   }
 
+  // ---- one-pass commit metrics (optimization round 6) -------------------
+  //
+  // Every committing path used to re-read its just-written dir up to three
+  // times: a footer row count, a min/max stats agg, and a bloom-sizing
+  // count. At gate scale each of those is a fixed-latency Spark action
+  // (~40 ms of job plus ~40 ms of driver-side planning, measured with
+  // graft.tools.JobProfile — pipe_snap_mirror ran 86 jobs, half of its wall
+  // in inter-job driver gaps); at 100 TB they are extra full passes over
+  // freshly written data. The write pass itself can compute the row count
+  // and the min/max bounds via CollectMetrics (`Dataset.observe`) — the
+  // SAME Spark aggregates over the SAME rows, so the recorded values are
+  // identical, with zero extra jobs (guide §1.2 "remove passes", §2.4
+  // "remove shuffles/actions outright"). Bloom sketches still need their
+  // own narrow job (partial sketches are sized by the row count, which must
+  // be known first), but they reuse the observed count instead of
+  // re-counting.
+
+  /** Write `df` to `dataPath` (overwrite) and return (rows, min/max
+    * DirStats for `cols`) computed DURING the write job via observed
+    * metrics. Matches [[computeStats]] exactly: same Spark min/max
+    * aggregate semantics, absent or all-null columns yield no entry,
+    * unsupported stat domains fail loudly before anything is written.
+    */
+  private def writeMeasured(df: DataFrame, dataPath: String, dirName: String,
+                            cols: Seq[String],
+                            extra: Seq[org.apache.spark.sql.Column] = Nil)
+      : (Long, Seq[DirStat], Map[String, Any]) = {
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
+      s"stats column name '$c' must match [A-Za-z0-9_.]+"))
+    val present = cols.filter(df.columns.contains)
+    val domains = present.map(c => c -> statDomain(df.schema(c).dataType)).toMap
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = (count(lit(1)).as("_rows") +: present.zipWithIndex.flatMap {
+      case (c, i) => Seq(min(col(c)).as(s"_lo_$i"), max(col(c)).as(s"_hi_$i")) }) ++ extra
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(dataPath)
+    val row = obs.get
+    val stats = present.zipWithIndex.flatMap { case (c, i) =>
+      (Option(row(s"_lo_$i")), Option(row(s"_hi_$i"))) match {
+        case (Some(lo), Some(hi)) =>
+          Some(DirStat(dirName, c, domains(c), lo.toString, hi.toString))
+        case _ => None
+      }
+    }
+    (row("_rows").asInstanceOf[Long], stats, row)
+  }
+
   /** Min/max bounds of `cols` over one just-written data dir — a single
     * narrow agg job over files that are already hot (at production scale
     * the writer's parquet footer stats carry the same numbers for free).
     * All-null/empty columns yield no entry (absent stats never prune).
+    * Committing paths that still write through a plain `df.write` prefer
+    * [[writeMeasured]] (no re-read); this remains for already-on-disk dirs
+    * (staged publish, adopted streaming files, racing-append relabels).
     */
   private def computeStats(spark: SparkSession, dataPath: String, dirName: String,
                            cols: Seq[String]): Seq[DirStat] = {
@@ -1090,48 +1216,67 @@ object SnapshotTable {
     */
   private def computeBlooms(spark: SparkSession, fs: FileSystem, root: Path,
                             dataPath: String, dirName: String,
-                            cols: Seq[String]): Seq[(String, String)] = {
-    import org.apache.spark.util.sketch.BloomFilter
+                            cols: Seq[String],
+                            rowsHint: Long = -1L): Seq[(String, String)] = {
     if (cols.isEmpty) return Nil
     cols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
       s"bloom column name '$c' must match [A-Za-z0-9_.]+"))
     val df = spark.read.parquet(dataPath)
     val present = cols.filter(df.columns.contains)
     if (present.isEmpty) return Nil
-    val rows = math.max(df.count(), 1L) // metadata-only (parquet footers)
+    // a committing path that just wrote the dir passes its observed row
+    // count; only already-on-disk dirs pay the (metadata-only) footer count
+    val rows = math.max(if (rowsHint >= 0L) rowsHint else df.count(), 1L)
     present.flatMap { c =>
-      val tpe = statDomain(df.schema(c).dataType)
-      require(tpe != "double",
-        s"bloom sketches need an exact key domain; column '$c' is fractional")
-      val partials: Array[Array[Byte]] = (tpe match {
-        case "long" =>
-          df.select(col(c).cast("long")).na.drop()
-            .map(_.getLong(0))(org.apache.spark.sql.Encoders.scalaLong)
-            .mapPartitions { it =>
-              val bf = BloomFilter.create(rows, BloomFpp)
-              it.foreach(bf.putLong)
-              Iterator.single(serBloom(bf))
-            }(org.apache.spark.sql.Encoders.BINARY)
-        case _ =>
-          df.select(col(c).cast("string")).na.drop()
-            .map(_.getString(0))(org.apache.spark.sql.Encoders.STRING)
-            .mapPartitions { it =>
-              val bf = BloomFilter.create(rows, BloomFpp)
-              it.foreach(bf.putString)
-              Iterator.single(serBloom(bf))
-            }(org.apache.spark.sql.Encoders.BINARY)
-      }).collect()
-      if (partials.isEmpty) None // zero-partition dir: no sketch, never pruned
-      else {
-        val merged = partials.map(b => BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b))).reduce { (a, b) => a.mergeInPlace(b); a }
-        val p = new Path(bloomDir(root), bloomFileName(dirName, c))
-        fs.mkdirs(bloomDir(root))
-        val out = fs.create(p, true)
-        try merged.writeTo(out) finally out.close()
-        Some(dirName -> c)
+      buildBloom(df, c, rows).map { merged =>
+        writeBloomSidecar(fs, root, dirName, c, merged)
+        dirName -> c
       }
     }
+  }
+
+  /** Merged Bloom sketch of one column over `df` (one narrow job; partial
+    * per-partition sketches OR-merged driver-side) — the build half of
+    * [[computeBlooms]], separated so a racing append can build once and
+    * re-write sidecars per rename attempt without re-running the job.
+    * Returns None for a zero-partition frame (no sketch, never pruned).
+    */
+  private def buildBloom(df: DataFrame, c: String,
+                         rows: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val tpe = statDomain(df.schema(c).dataType)
+    require(tpe != "double",
+      s"bloom sketches need an exact key domain; column '$c' is fractional")
+    val partials: Array[Array[Byte]] = (tpe match {
+      case "long" =>
+        df.select(col(c).cast("long")).na.drop()
+          .map(_.getLong(0))(org.apache.spark.sql.Encoders.scalaLong)
+          .mapPartitions { it =>
+            val bf = BloomFilter.create(rows, BloomFpp)
+            it.foreach(bf.putLong)
+            Iterator.single(serBloom(bf))
+          }(org.apache.spark.sql.Encoders.BINARY)
+      case _ =>
+        df.select(col(c).cast("string")).na.drop()
+          .map(_.getString(0))(org.apache.spark.sql.Encoders.STRING)
+          .mapPartitions { it =>
+            val bf = BloomFilter.create(rows, BloomFpp)
+            it.foreach(bf.putString)
+            Iterator.single(serBloom(bf))
+          }(org.apache.spark.sql.Encoders.BINARY)
+    }).collect()
+    if (partials.isEmpty) None // zero-partition dir: no sketch, never pruned
+    else Some(partials.map(b => BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(b))).reduce { (a, b) => a.mergeInPlace(b); a })
+  }
+
+  private def writeBloomSidecar(fs: FileSystem, root: Path, dirName: String,
+                                c: String,
+                                bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = new Path(bloomDir(root), bloomFileName(dirName, c))
+    fs.mkdirs(bloomDir(root))
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
   }
 
   private def serBloom(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
@@ -1652,22 +1797,22 @@ object SnapshotTable {
         val next = parent.snapshotId + 1
         val dname = f"br-$name-$next%06d"
         val dataPath = new Path(dataDir(root), dname).toString
-        df.write.mode("overwrite").parquet(dataPath)
-        val rows = spark.read.parquet(dataPath).count()
         // legacy fork (no stamped schema) stays in footer-inference mode,
         // same rule as append
         val schemaNow = parent.schema.map(ps => mergeSchemas(ps, df.schema).json)
         val scols = (parent.statsCols ++ statsBy).distinct
         val bcols = (parent.bloomCols ++ bloomBy).distinct
+        val (rows, stats, _) = writeMeasured(df, dataPath, dname, scols)
         writeManifest(fs, bd, Manifest(next, Some(parent.snapshotId), "append", batchId,
           added = Seq(dname), live = parent.live :+ dname,
           addedRows = rows, totalRows = parent.totalRows + rows,
           batchCommits = parent.batchCommits ++ batchId.map(_ -> next),
           schemaJson = schemaNow,
           statsCols = scols,
-          stats = parent.stats ++ computeStats(spark, dataPath, dname, scols),
+          stats = parent.stats ++ stats,
           bloomCols = bcols,
-          blooms = parent.blooms ++ computeBlooms(spark, fs, root, dataPath, dname, bcols),
+          blooms = parent.blooms ++ computeBlooms(spark, fs, root, dataPath, dname, bcols,
+            rowsHint = rows),
           deletes = parent.deletes), restamp = true)
         Commit(next, skippedExisting = false)
     }
@@ -1773,9 +1918,9 @@ object SnapshotTable {
     val sm = stagedManifestPath(root, token)
     require(!fs.exists(sm), s"stage token '$token' already in flight on $dir")
     val dataPath = new Path(dataDir(root), stageDirName(token)).toString
-    // an existing dir is an uncommitted crash leftover — overwrite recovers
-    df.write.mode("overwrite").parquet(dataPath)
-    val rows = spark.read.schema(df.schema).parquet(dataPath).count()
+    // an existing dir is an uncommitted crash leftover — overwrite recovers;
+    // the row count rides the write job (observed metric, no re-read)
+    val (rows, _, _) = writeMeasured(df, dataPath, stageDirName(token), Nil)
     val body = s"""{"token":${Json.quote(token)},""" +
       s""""batch_id":${batchId.map(Json.quote).getOrElse("null")},""" +
       s""""rows":$rows,""" +
@@ -1885,7 +2030,8 @@ object SnapshotTable {
             computeStats(spark, dataPath.toString, name, scols),
           bloomCols = bcols,
           blooms = parent.map(_.blooms).getOrElse(Nil) ++
-            computeBlooms(spark, fs, root, dataPath.toString, name, bcols),
+            computeBlooms(spark, fs, root, dataPath.toString, name, bcols,
+              rowsHint = st.rows),
           deletes = parent.map(_.deletes).getOrElse(Nil)))
         fs.delete(stagedManifestPath(root, token), false)
         Commit(next, skippedExisting = false)
@@ -2164,33 +2310,43 @@ object SnapshotTable {
     if (sortBy.nonEmpty || zorderBy.nonEmpty)
       Seq("_b", "_z").foreach(c => require(!base.columns.contains(c),
         s"clustered compaction reserves the column name '$c'"))
-    val expected =
-      if (m.deletes.isEmpty) m.totalRows
-      else base.count() // one extra pass over data the rewrite reads anyway
     val scols = (m.statsCols ++ sortBy ++ zorderBy).distinct
-    val (dirs, stats) =
+    // the rewritten row count is observed during the write itself — the
+    // former post-write footer count job (and, for pending-MOR-delete
+    // materialization, a whole extra pre-pass over the merged view) is gone
+    val (dirs, stats, rows, rowsByDir) =
       if (sortBy.isEmpty && zorderBy.isEmpty) {
-        base.coalesce(targetFiles).write.mode("overwrite").parquet(dataPath)
-        (Seq(name), computeStats(spark, dataPath, name, scols))
+        val (n, st, _) = writeMeasured(base.coalesce(targetFiles), dataPath,
+          name, scols)
+        (Seq(name), st, n, Map(name -> n))
       } else {
         val keyed = if (zorderBy.isEmpty) base
           else base.withColumn("_z", zValue(base, zorderBy))
         val rangeCols = if (zorderBy.isEmpty) sortBy.map(col) else Seq(col("_z"))
+        // observe ABOVE the range exchange, BELOW the final sort: the range
+        // partitioner SAMPLES its child to pick boundaries, so a metric
+        // below the exchange double-counts; one above the sort could hide
+        // the ordering from the writer and reinsert a sort
+        val obs = org.apache.spark.sql.Observation()
         keyed.repartitionByRange(targetFiles, rangeCols: _*)
+          .observe(obs, count(lit(1)).as("_rows"))
           .withColumn("_b", spark_partition_id())
           .sortWithinPartitions(col("_b") +: rangeCols: _*)
           .drop("_z")
           .write.mode("overwrite").partitionBy("_b").parquet(dataPath)
         val buckets = fs.listStatus(new Path(dataPath)).filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith("_b=")).sorted.toIndexedSeq
-        (buckets.map(b => s"$name/$b"), bucketStats(spark, dataPath, name, scols))
+        val (st, counts) = bucketStats(spark, dataPath, name, scols)
+        (buckets.map(b => s"$name/$b"), st,
+          obs.get("_rows").asInstanceOf[Long], counts)
       }
-    val rows = spark.read.parquet(dataPath).count()
-    require(rows == expected,
-      s"compaction row mismatch: rewrote $rows rows, expected $expected")
+    if (m.deletes.isEmpty)
+      require(rows == m.totalRows,
+        s"compaction row mismatch: rewrote $rows rows, expected ${m.totalRows}")
     // rebuild sidecar sketches per rewritten dir (clustered: one per bucket)
     val blooms = dirs.flatMap(d => computeBlooms(spark, fs, root,
-      new Path(dataDir(root), d).toString, d, m.bloomCols))
+      new Path(dataDir(root), d).toString, d, m.bloomCols,
+      rowsHint = rowsByDir.getOrElse(d, -1L)))
     commitManifest(fs, root, Manifest(next, Some(last), "replace", None,
       added = dirs, live = dirs, addedRows = 0L, totalRows = rows,
       batchCommits = m.batchCommits, schemaJson = m.schemaJson,
@@ -2234,8 +2390,9 @@ object SnapshotTable {
     // merged view of the smalls: their applicable pending deletes
     // materialize into the rewrite (and only theirs)
     val base = readMerged(spark, root, m, small)
-    base.coalesce(targetFiles).write.mode("overwrite").parquet(dataPath)
-    val rows = spark.read.parquet(dataPath).count()
+    // rewritten count + stats bounds observed during the write job
+    val (rows, newStats, _) = writeMeasured(base.coalesce(targetFiles),
+      dataPath, name, m.statsCols)
     val raw = readDirs(spark, root, small, m.schema).count()
     val remaining = m.live.filterNot(small.contains)
     val live = remaining :+ name
@@ -2249,11 +2406,11 @@ object SnapshotTable {
       totalRows = m.totalRows - (raw - rows),
       batchCommits = m.batchCommits, schemaJson = m.schemaJson,
       statsCols = m.statsCols,
-      stats = m.stats.filterNot(s => dropDirs(s.dir)) ++
-        computeStats(spark, dataPath, name, m.statsCols),
+      stats = m.stats.filterNot(s => dropDirs(s.dir)) ++ newStats,
       bloomCols = m.bloomCols,
       blooms = m.blooms.filterNot(b => dropDirs(b._1)) ++
-        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols),
+        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols,
+          rowsHint = rows),
       deletes = keepDeletes))
     Commit(next, skippedExisting = false)
   }
@@ -2299,25 +2456,30 @@ object SnapshotTable {
     * names).
     */
   private def bucketStats(spark: SparkSession, dataPath: String, name: String,
-                          cols: Seq[String], partCol: String = "_b"): Seq[DirStat] = {
-    if (cols.isEmpty) return Nil
+                          cols: Seq[String], partCol: String = "_b")
+      : (Seq[DirStat], Map[String, Long]) = {
     cols.foreach(c => require(c.matches("[A-Za-z0-9_.]+"),
       s"stats column name '$c' must match [A-Za-z0-9_.]+"))
     val df = spark.read.parquet(dataPath)
     val present = cols.filter(df.columns.contains)
-    if (present.isEmpty) return Nil
     val domains = present.map(c => c -> statDomain(df.schema(c).dataType)).toMap
-    val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c))))
-    df.groupBy(partCol).agg(aggs.head, aggs.tail: _*).collect().toIndexedSeq.flatMap { row =>
+    // per-dir row counts ride the same grouped pass (they size the Bloom
+    // sidecar rebuilds, which previously re-counted each dir)
+    val aggs = count(lit(1)) +: present.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val rows = df.groupBy(partCol).agg(aggs.head, aggs.tail: _*).collect().toIndexedSeq
+    val stats = rows.flatMap { row =>
       val d = s"$name/$partCol=${row.get(0)}"
       present.zipWithIndex.flatMap { case (c, i) =>
-        (Option(row.get(2 * i + 1)), Option(row.get(2 * i + 2))) match {
+        (Option(row.get(2 * i + 2)), Option(row.get(2 * i + 3))) match {
           case (Some(lo), Some(hi)) =>
             Some(DirStat(d, c, domains(c), lo.toString, hi.toString))
           case _ => None
         }
       }
     }
+    val counts = rows.map(r =>
+      s"$name/$partCol=${r.get(0)}" -> r.getLong(1)).toMap
+    (stats, counts)
   }
 
   /** Row-level DELETE, copy-on-write: rows where `range` matches are
@@ -2370,11 +2532,11 @@ object SnapshotTable {
     // bounds: DELETE WHERE k > 5 prunes on the hull k >= 5 but must remove
     // only k > 5) — the caller guarantees every matching row is
     // hint-contained, which pruning soundness requires.
-    readMerged(spark, root, m, affected)
-      .filter(!coalesce(cond, lit(false)))
-      .write.mode("overwrite").parquet(dataPath)
-    // explicit schema: a full-dir delete leaves zero part files to infer from
-    val keptRows = spark.read.schema(m.schema.get).parquet(dataPath).count()
+    // count + stats bounds of the rewrite ride the write job (observed)
+    val (keptRows, keptStats, _) = writeMeasured(
+      readMerged(spark, root, m, affected)
+        .filter(!coalesce(cond, lit(false))),
+      dataPath, name, m.statsCols)
     val keepDir = keptRows > 0 || untouched.isEmpty
     val live = untouched ++ (if (keepDir) Seq(name) else Nil)
     val untouchedRows =
@@ -2387,11 +2549,11 @@ object SnapshotTable {
       addedRows = 0L, totalRows = keptRows + untouchedRows,
       batchCommits = m.batchCommits, schemaJson = m.schemaJson,
       statsCols = m.statsCols,
-      stats = carried ++ (if (keptRows > 0)
-        computeStats(spark, dataPath, name, m.statsCols) else Nil),
+      stats = carried ++ (if (keptRows > 0) keptStats else Nil),
       bloomCols = m.bloomCols,
       blooms = carriedBlooms ++ (if (keptRows > 0)
-        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil),
+        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols,
+          rowsHint = keptRows) else Nil),
       // pending MOR deletes still apply to the untouched dirs (old addSeq);
       // the rewritten dir's newer addSeq provably escapes them
       deletes = m.deletes))
@@ -2434,12 +2596,13 @@ object SnapshotTable {
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
     val hit = coalesce(cond, lit(false))
-    readMerged(spark, root, m, affected)
-      .select(schema.fieldNames.map(f => assigns.get(f)
-        .map(a => when(hit, a.cast(schema(f).dataType)).otherwise(col(f)).as(f))
-        .getOrElse(col(f))).toIndexedSeq: _*)
-      .write.mode("overwrite").parquet(dataPath)
-    val keptRows = spark.read.schema(schema).parquet(dataPath).count()
+    // count + stats bounds of the rewrite ride the write job (observed)
+    val (keptRows, keptStats, _) = writeMeasured(
+      readMerged(spark, root, m, affected)
+        .select(schema.fieldNames.map(f => assigns.get(f)
+          .map(a => when(hit, a.cast(schema(f).dataType)).otherwise(col(f)).as(f))
+          .getOrElse(col(f))).toIndexedSeq: _*),
+      dataPath, name, m.statsCols)
     val keepDir = keptRows > 0 || untouched.isEmpty
     val live = untouched ++ (if (keepDir) Seq(name) else Nil)
     val untouchedRows =
@@ -2451,11 +2614,12 @@ object SnapshotTable {
       batchCommits = m.batchCommits, schemaJson = m.schemaJson,
       statsCols = m.statsCols,
       stats = m.stats.filter(st => untouched.contains(st.dir)) ++
-        (if (keptRows > 0) computeStats(spark, dataPath, name, m.statsCols) else Nil),
+        (if (keptRows > 0) keptStats else Nil),
       bloomCols = m.bloomCols,
       blooms = m.blooms.filter(b => untouched.contains(b._1)) ++
         (if (keptRows > 0)
-          computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil),
+          computeBlooms(spark, fs, root, dataPath, name, m.bloomCols,
+            rowsHint = keptRows) else Nil),
       // pending MOR deletes still apply to the untouched dirs (old addSeq);
       // the rewritten dir's newer addSeq provably escapes them
       deletes = m.deletes))
@@ -2496,20 +2660,17 @@ object SnapshotTable {
     val next = last + 1
     val name = f"snap-$next%06d-del"
     val delPath = new Path(dataDir(root), name).toString
-    keys.select(col(key).cast(schema(key).dataType)).na.drop().distinct()
-      .write.mode("overwrite").parquet(delPath)
-    val n = spark.read.schema(org.apache.spark.sql.types.StructType(
-      Seq(schema(key).copy(nullable = true)))).parquet(delPath).count()
-    if (n == 0L) { fs.delete(new Path(delPath), true); return Commit(last, skippedExisting = true) }
     // key bounds of the delete file ride in the commit's manifest stats
     // (keyed by the delete dir's name): changelogCdc prunes which data dirs
     // it scans to recover the removed rows. Unsupported key domains just
-    // skip the entry — absent stats never prune.
-    val delStats = schema(key).dataType match {
-      case dt if scala.util.Try(statDomain(dt)).isSuccess =>
-        computeStats(spark, delPath, name, Seq(key))
-      case _ => Nil
-    }
+    // skip the entry — absent stats never prune. Count + bounds are
+    // observed during the write (one job for all three).
+    val delCols =
+      if (scala.util.Try(statDomain(schema(key).dataType)).isSuccess) Seq(key) else Nil
+    val (n, delStats, _) = writeMeasured(
+      keys.select(col(key).cast(schema(key).dataType)).na.drop().distinct(),
+      delPath, name, delCols)
+    if (n == 0L) { fs.delete(new Path(delPath), true); return Commit(last, skippedExisting = true) }
     commitManifest(fs, root, m.copy(snapshotId = next, parentId = Some(last),
       operation = "mor-delete", batchId = batchId, added = Nil, addedRows = 0L,
       batchCommits = ledger ++ batchId.map(_ -> next),
@@ -2565,35 +2726,42 @@ object SnapshotTable {
     val next = last + 1
     val name = f"snap-$next%06d"
     val dataPath = new Path(dataDir(root), name).toString
-    ups.write.mode("overwrite").parquet(dataPath)
+    // ONE pass writes the delta and observes: row count, non-null key count
+    // (null validation) and the table's stats bounds for the new dir —
+    // the former write + validation agg + stats agg trio.
+    val (srcRows, upsStats, upsObs) = writeMeasured(ups, dataPath, name,
+      m.statsCols, extra = Seq(count(col(key)).as("_nkey")))
+    if (srcRows > 0L)
+      require(upsObs("_nkey").asInstanceOf[Long] == srcRows,
+        s"upsert source has null '$key' keys")
     val src = spark.read.schema(ups.schema).parquet(dataPath)
-    val bounds = src.agg(count(lit(1)), count(col(key)),
-      count_distinct(col(key))).collect()(0)
-    val srcRows = bounds.getLong(0)
-    if (srcRows > 0L) {
-      require(bounds.getLong(1) == srcRows, s"upsert source has null '$key' keys")
-      require(bounds.getLong(2) == srcRows,
-        s"upsert source has duplicate '$key' keys (${bounds.getLong(2)} distinct of $srcRows)")
-    }
-    val schemaNow = mergeSchemas(m.schema.get, src.schema)
+    val schemaNow = mergeSchemas(m.schema.get, ups.schema)
     val delName = s"$name-del"
     val delPath = new Path(dataDir(root), delName).toString
     val keyCol = col(key).cast(schemaNow(key).dataType)
-    extraDeleteKeys.map(x => src.select(keyCol)
-        .unionByName(x.select(keyCol)).na.drop().distinct())
-      .getOrElse(src.select(keyCol))
-      .write.mode("overwrite").parquet(delPath)
-    val nDel = spark.read.schema(org.apache.spark.sql.types.StructType(
-      Seq(schemaNow(key).copy(nullable = true)))).parquet(delPath).count()
+    // the delete file is the distinct source-key set (∪ extra retraction
+    // keys); the observed count of the distinct SOURCE keys doubles as the
+    // key-uniqueness validation — srcRows unique non-null keys iff it
+    // equals srcRows — so the former count_distinct agg job rides the
+    // delete-file write instead.
+    val srcKeyObs = org.apache.spark.sql.Observation()
+    val srcKeys = src.select(keyCol).na.drop().distinct()
+      .observe(srcKeyObs, count(lit(1)).as("_n"))
+    val delFrame = extraDeleteKeys.map(x =>
+        srcKeys.unionByName(x.select(keyCol)).na.drop().distinct())
+      .getOrElse(srcKeys)
+    val delCols =
+      if (scala.util.Try(statDomain(schemaNow(key).dataType)).isSuccess) Seq(key) else Nil
+    // key bounds of the delete file for changelogCdc pruning (see deleteKeys)
+    val (nDel, delStats, _) = writeMeasured(delFrame, delPath, delName, delCols)
+    if (srcRows > 0L) {
+      val distinctKeys = srcKeyObs.get("_n").asInstanceOf[Long]
+      require(distinctKeys == srcRows,
+        s"upsert source has duplicate '$key' keys ($distinctKeys distinct of $srcRows)")
+    }
     if (srcRows == 0L && nDel == 0L) {
       fs.delete(new Path(dataPath), true); fs.delete(new Path(delPath), true)
       return Commit(last, skippedExisting = true)
-    }
-    // key bounds of the delete file for changelogCdc pruning (see deleteKeys)
-    val delStats = schemaNow(key).dataType match {
-      case dt if scala.util.Try(statDomain(dt)).isSuccess =>
-        computeStats(spark, delPath, delName, Seq(key))
-      case _ => Nil
     }
     if (srcRows == 0L) fs.delete(new Path(dataPath), true)
     val op = if (srcRows > 0L) "mor-upsert" else "mor-delete"
@@ -2604,11 +2772,11 @@ object SnapshotTable {
       batchCommits = ledger ++ batchId.map(_ -> next),
       schemaJson = Some(schemaNow.json),
       statsCols = m.statsCols,
-      stats = m.stats ++ (if (srcRows > 0L)
-        computeStats(spark, dataPath, name, m.statsCols) else Nil) ++ delStats,
+      stats = m.stats ++ (if (srcRows > 0L) upsStats else Nil) ++ delStats,
       bloomCols = m.bloomCols,
       blooms = m.blooms ++ (if (srcRows > 0L)
-        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols) else Nil),
+        computeBlooms(spark, fs, root, dataPath, name, m.bloomCols,
+          rowsHint = srcRows) else Nil),
       deletes = m.deletes :+ DeleteFile(delName, key, next)))
     Commit(next, skippedExisting = false)
   }
@@ -2770,28 +2938,35 @@ object SnapshotTable {
     val next = last + 1
     val name = f"snap-$next%06d"
     val srcPath = new Path(dataDir(root), s"$name-src").toString
-    // materialize the delta first: one scan of the source, and the key
-    // bounds / uniqueness check read it back from parquet (tiny vs table)
-    source.write.mode("overwrite").parquet(srcPath)
+    // materialize the delta first: ONE scan of the source observes the row
+    // count, the null-key check, the key bounds AND the table's stats
+    // bounds for the new dir (the former separate validation agg + stats
+    // agg). Only the exact-distinct uniqueness check still needs its own
+    // narrow agg (distinct aggregates cannot ride observed metrics), over
+    // the tiny just-written delta.
+    val (srcRows, srcStats, srcObs) = writeMeasured(source, srcPath,
+      s"$name-src", m.statsCols,
+      extra = Seq(count(col(key)).as("_nkey"),
+        min(col(key)).as("_klo"), max(col(key)).as("_khi")))
+    if (srcRows == 0L) { fs.delete(new Path(srcPath), true); return Commit(last, skippedExisting = true) }
+    require(srcObs("_nkey").asInstanceOf[Long] == srcRows,
+      s"upsert source has null '$key' keys")
     // explicit schema: an empty source writes zero part files to infer from
     val src = spark.read.schema(source.schema).parquet(srcPath)
-    val bounds = src.agg(count(lit(1)), count(col(key)),
-      count_distinct(col(key)), min(col(key)), max(col(key))).collect()(0)
-    val srcRows = bounds.getLong(0)
-    if (srcRows == 0L) { fs.delete(new Path(srcPath), true); return Commit(last, skippedExisting = true) }
-    require(bounds.getLong(1) == srcRows, s"upsert source has null '$key' keys")
-    require(bounds.getLong(2) == srcRows,
-      s"upsert source has duplicate '$key' keys (${bounds.getLong(2)} distinct of $srcRows)")
-    val range = KeyRange(key, Option(bounds.get(3)), Option(bounds.get(4)))
+    val distinctKeys = src.agg(count_distinct(col(key))).collect()(0).getLong(0)
+    require(distinctKeys == srcRows,
+      s"upsert source has duplicate '$key' keys ($distinctKeys distinct of $srcRows)")
+    val range = KeyRange(key, Option(srcObs("_klo")), Option(srcObs("_khi")))
     val (affected, untouched) = planScan(m, range)
     val rwPath = new Path(dataDir(root), s"$name-rw").toString
-    val rwRows = if (affected.isEmpty) 0L else {
+    val (rwRows, rwStats) = if (affected.isEmpty) (0L, Nil) else {
       // merged view: pending MOR deletes on the affected dirs materialize
       // into the rewrite instead of resurrecting
-      readMerged(spark, root, m, affected)
-        .join(src.select(col(key)), Seq(key), "left_anti")
-        .write.mode("overwrite").parquet(rwPath)
-      spark.read.schema(m.schema.get).parquet(rwPath).count()
+      val (n, st, _) = writeMeasured(
+        readMerged(spark, root, m, affected)
+          .join(src.select(col(key)), Seq(key), "left_anti"),
+        rwPath, s"$name-rw", m.statsCols)
+      (n, st)
     }
     val schemaNow = mergeSchemas(m.schema.get, src.schema)
     val added = (if (rwRows > 0) Seq(s"$name-rw") else Nil) :+ s"$name-src"
@@ -2800,12 +2975,12 @@ object SnapshotTable {
       if (untouched.isEmpty) 0L
       else readDirs(spark, root, untouched, m.schema).count() // metadata-only
     val carried = m.stats.filter(st => untouched.contains(st.dir))
-    val newStats =
-      (if (rwRows > 0) computeStats(spark, rwPath, s"$name-rw", m.statsCols) else Nil) ++
-        computeStats(spark, srcPath, s"$name-src", m.statsCols)
+    val newStats = (if (rwRows > 0) rwStats else Nil) ++ srcStats
     val newBlooms =
-      (if (rwRows > 0) computeBlooms(spark, fs, root, rwPath, s"$name-rw", m.bloomCols) else Nil) ++
-        computeBlooms(spark, fs, root, srcPath, s"$name-src", m.bloomCols)
+      (if (rwRows > 0) computeBlooms(spark, fs, root, rwPath, s"$name-rw",
+        m.bloomCols, rowsHint = rwRows) else Nil) ++
+        computeBlooms(spark, fs, root, srcPath, s"$name-src", m.bloomCols,
+          rowsHint = srcRows)
     if (rwRows == 0 && affected.nonEmpty) fs.delete(new Path(rwPath), true)
     commitManifest(fs, root, Manifest(next, Some(last), "overwrite", None,
       added = added, live = live,
