@@ -372,15 +372,18 @@ object Route {
         (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
          else Map.empty[String, String])
       writeIfNeeded("_lineage", lineage(flagged, sinks))
-      val countsDf = sinkCounts(flagged, sinks)
-      // callers may ride extra run-level counters along (runConfig records
-      // the SOURCE event count as `_in` — the monitoring API's events.in)
-      val withExtra =
-        if (extraCounts.isEmpty) countsDf
-        else countsDf.unionByName(
-          spark.createDataFrame(extraCounts.toSeq.sortBy(_._1)).toDF(countsDf.columns.toIndexedSeq: _*))
-      withExtra.write.mode("overwrite").parquet(s"$outDir/_counts")
-      val counts = countsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ++ extraCounts
+      // ONE aggregate job computes the per-sink counts; the tiny _counts
+      // table is then written from the collected rows driver-side (the
+      // former code ran the same aggregate twice — once for the file, once
+      // for the result map). Callers may ride extra run-level counters
+      // along (runConfig records the SOURCE event count as `_in` — the
+      // monitoring API's events.in).
+      val collected = sinkCounts(flagged, sinks).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val withExtra = collected ++ extraCounts.toSeq.sortBy(_._1)
+      spark.createDataFrame(withExtra.toIndexedSeq).toDF("sink", "n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_counts")
+      val counts = collected.toMap ++ extraCounts
       val manifest = writeManifest(spark, outDir, counts, paths, resumed.result())
       RunResult(counts, paths, resumed.result(), manifest)
     } finally flagged.unpersist()
