@@ -464,11 +464,25 @@ object Dedup {
                           maxIter: Int = 15): DataFrame = {
     val sym0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // pre-partition the cached edge set by src (r6): every round's
+    // propagation join keys on src, so the cached partitioning is reused
+    // round after round — the former distinct() left it hash(src, dst)-
+    // partitioned and each round re-exchanged the edges, the dominant
+    // shuffle of the loop at scale
     val sym = graft.plans.CacheScope.persist(
       sym0.union(sym0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct())
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(col("src")))
+    // round 0 folds into initialization (r6): comp = min(node, min
+    // neighbor) is exactly the state after one propagate step from
+    // identity labels — ONE aggregate over the edges instead of a join
+    // against labels that are the identity map. The fixpoint is unchanged
+    // (comp decreases monotonically toward the component minimum, which is
+    // its own fixed point, from any sound starting state).
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("comp"))
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -478,14 +492,19 @@ object Dedup {
         .select(col("node"), col("comp").as("old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true) // feeds both sides of the jump self-join
-      // pointer jumping: comp := label[comp] (doubling — chains halve)
+      // pointer jumping: comp := label[comp] (doubling — chains halve);
+      // the convergence test rides the checkpoint job as an observed
+      // metric (r6) instead of a separate count() job per round
+      val obs = org.apache.spark.sql.Observation()
       val next = stepped.join(
           stepped.select(col("node").as("jn"), col("comp").as("jc")),
           stepped("comp") === col("jn"), "left")
         .select(col("node"), col("old"),
           least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"))
+        .observe(obs, sum(when(col("comp") =!= col("old"), 1L).otherwise(0L))
+          .as("_changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("comp") =!= col("old")).count()
+      changed = Option(obs.get("_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.select("node", "comp")
       it += 1
     }

@@ -36,6 +36,18 @@ object ObsProbe {
     d1.union(s.range(0, 10).toDF("id")).distinct()
       .write.mode("overwrite").parquet(s"$tmp/c")
     println(s"OBS_MID ${obs3.get.toSeq.sortBy(_._1)}")
+
+    // does an eager localCheckpoint fire observed metrics?
+    val obs4 = Observation()
+    val cp = df.observe(obs4, count(lit(1)).as("n"),
+        sum(when(col("id") % 2 === 0, 1L).otherwise(0L)).as("even"))
+      .localCheckpoint(true)
+    println(s"OBS_CKPT_rows=${cp.count()} metrics=" + {
+      val f = obs4.future
+      try scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration(3, "s")).toSeq.sortBy(_.toString).toString
+      catch { case e: Throwable => s"ERR ${e.getClass.getSimpleName}" }
+    })
     s.stop()
   }
 }
