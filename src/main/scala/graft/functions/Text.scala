@@ -655,20 +655,27 @@ object Text {
     */
   def bpeTrain(df: org.apache.spark.sql.DataFrame, tokensCol: String,
                rounds: Int, newIdBase: Int): Seq[(Int, Int, Int, Long)] = {
-    var cur = df.select(col(tokensCol).as("_bt"))
+    // round k applies the ACCUMULATED merge table to the base frame with
+    // ONE kernel projection (r6) — the former per-round bpeApply chain
+    // grew the plan by one projection every round, so round k re-analyzed
+    // k chained nodes (superlinear planning, codegen collapse at depth);
+    // the per-row recompute cost is identical (each round always re-reads
+    // the scan through all k merges), the plan size is now constant.
+    val base = df.select(col(tokensCol).as("_bt"))
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     val out = Seq.newBuilder[(Int, Int, Int, Long)]
-    var k = 0
     var dry = false
-    while (k < rounds && !dry) {
+    while (acc.length < rounds && !dry) {
+      val cur =
+        if (acc.isEmpty) base
+        else bpeApply(base, "_bt", "_bt", acc.toSeq, newIdBase)
       val top = bpePairCounts(cur, "_bt")
         .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
       if (top.isEmpty) dry = true
       else {
         val r = top(0)
-        out += ((k, r.getInt(0), r.getInt(1), r.getLong(2)))
-        cur = bpeApply(cur, "_bt", "_bt", Seq((r.getInt(0), r.getInt(1))),
-          newIdBase + k)
-        k += 1
+        out += ((acc.length, r.getInt(0), r.getInt(1), r.getLong(2)))
+        acc += ((r.getInt(0), r.getInt(1)))
       }
     }
     out.result()
@@ -687,6 +694,21 @@ object Text {
     */
   def bpeApply(df: org.apache.spark.sql.DataFrame, tokensCol: String,
                as: String, merges: Seq[(Int, Int)], newIdBase: Int)
+      : org.apache.spark.sql.DataFrame =
+    if (merges.isEmpty) df.withColumn(as, col(tokensCol))
+    else df.withColumn(as, graft.plans.BpeExpr.bpeApplyAll(col(tokensCol),
+      merges.zipWithIndex.map { case ((a, b), k) => (a, b, newIdBase + k) }))
+
+  /** The former per-rule projection chain — bit-identical to [[bpeApply]]
+    * (BpePropertySpec pins kernel == chain), kept as the property-test
+    * oracle. NOT for production vocab sizes: the plan grows one projection
+    * per rule, so analysis is superlinear in the merge count and
+    * whole-stage codegen collapses in the low hundreds of rules — exactly
+    * why [[graft.plans.BpeKernel]] exists.
+    */
+  private[graft] def bpeApplyChained(df: org.apache.spark.sql.DataFrame,
+                                     tokensCol: String, as: String,
+                                     merges: Seq[(Int, Int)], newIdBase: Int)
       : org.apache.spark.sql.DataFrame = {
     def step(c: Column, a: Int, b: Int, nid: Int): Column =
       filter(
