@@ -492,19 +492,20 @@ object Dedup {
         .select(col("node"), col("comp").as("old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true) // feeds both sides of the jump self-join
-      // pointer jumping: comp := label[comp] (doubling — chains halve);
-      // the convergence test rides the checkpoint job as an observed
-      // metric (r6) instead of a separate count() job per round
-      val obs = org.apache.spark.sql.Observation()
+      // pointer jumping: comp := label[comp] (doubling — chains halve).
+      // The convergence count stays a separate (cheap, in-memory) count()
+      // job: riding it on the checkpoint as an observed metric measured
+      // ~1.3 s SLOWER per round — Observation.get after an eager
+      // localCheckpoint waits on a listener-bus event that is not
+      // delivered promptly for checkpoint executions (observe pays off on
+      // write actions only; measured r6, BenchExtra A/B).
       val next = stepped.join(
           stepped.select(col("node").as("jn"), col("comp").as("jc")),
           stepped("comp") === col("jn"), "left")
         .select(col("node"), col("old"),
           least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"))
-        .observe(obs, sum(when(col("comp") =!= col("old"), 1L).otherwise(0L))
-          .as("_changed"))
         .localCheckpoint(true)
-      changed = Option(obs.get("_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      changed = next.filter(col("comp") =!= col("old")).count()
       labels = next.select("node", "comp")
       it += 1
     }
