@@ -318,6 +318,24 @@ object Route {
           val db = if (parts.contains("_bucket"))
             d.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
           else d
+          // cluster dynamic-partitioned sinks by their partition values
+          // before the write (r6; guide 6: Iceberg hash distribution-mode
+          // analogue): without it ONE writer task holds rows of EVERY
+          // partition value — it sorts and writes all the dirs serially
+          // (measured 0.8 s single-task writes in pipe_es_daily) and at
+          // scale emits tasks x values small files. The exchange keys on
+          // the rendered value, so each value lands in one task = one
+          // right-sized file per dir; spark.sql.files.maxRecordsPerFile
+          // re-splits a pathologically hot value's file at scale. The
+          // partition count is pinned (defaultParallelism, scale-adaptive)
+          // because a bare keyed repartition is an AQE-coalescible
+          // exchange: byte-based coalescing folds a small sink back onto
+          // one writer task, exactly the serial write this removes.
+          def clustered(body: DataFrame): DataFrame =
+            if (parts.isEmpty) body
+            else body.repartition(
+              body.sparkSession.sparkContext.defaultParallelism,
+              parts.map(col): _*)
           if (codec.contains("line")) {
             // line output codec (logstash-codec-line): one sprintf'd line
             // per event (`format => "%{message} %{tags}"`); default renders
@@ -327,7 +345,7 @@ object Route {
               coalesce(Mutate.sprintfFor(db, tpl).cast("string"), lit(""))
                 .as("value") +: parts.map(col): _*)
             if (parts.nonEmpty)
-              body.write.mode("overwrite")
+              clustered(body).write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(parts: _*).text(path)
             else body.write.mode("overwrite").text(path)
@@ -339,7 +357,7 @@ object Route {
                 csvFields.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
                 .as("value") +: parts.map(col): _*)
             if (parts.nonEmpty)
-              body.write.mode("overwrite")
+              clustered(body).write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(parts: _*).text(path)
             else body.write.mode("overwrite").text(path)
@@ -353,12 +371,12 @@ object Route {
               to_json(struct(payload.map(col).toIndexedSeq: _*)).as("value") +:
                 parts.map(col): _*)
             if (parts.nonEmpty)
-              body.write.mode("overwrite")
+              clustered(body).write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(parts: _*).text(path)
             else body.write.mode("overwrite").text(path)
           } else if (parts.nonEmpty) {
-            db.write.mode("overwrite")
+            clustered(db).write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy(parts: _*).parquet(path)
           } else db.write.mode("overwrite").parquet(path)
