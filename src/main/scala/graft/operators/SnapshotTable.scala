@@ -2846,13 +2846,15 @@ object SnapshotTable {
     }
     val src = source.persist()
     try {
-      if (src.count() == 0L)
-        return MergeStats(Commit(last, skippedExisting = true), 0L, 0L, 0L)
       val keyDt = schema(key).dataType
-      // prune: every source key lies in [min,max], so every table row a
-      // clause can touch provably lives in a bounds-kept dir
-      val b = src.agg(min(col(key).cast(keyDt)), max(col(key).cast(keyDt))).collect()(0)
-      val (kept, _) = planScan(m, KeyRange(key, Option(b.get(0)), Option(b.get(1))))
+      // ONE agg: emptiness check + key bounds (prune: every source key
+      // lies in [min,max], so every table row a clause can touch provably
+      // lives in a bounds-kept dir)
+      val b = src.agg(count(lit(1)),
+        min(col(key).cast(keyDt)), max(col(key).cast(keyDt))).collect()(0)
+      if (b.getLong(0) == 0L)
+        return MergeStats(Commit(last, skippedExisting = true), 0L, 0L, 0L)
+      val (kept, _) = planScan(m, KeyRange(key, Option(b.get(1)), Option(b.get(2))))
       val target =
         if (kept.isEmpty) readMerged(spark, root, m, m.live).limit(0)
         else readMerged(spark, root, m, kept)
@@ -2910,9 +2912,15 @@ object SnapshotTable {
         }
         val ups = updatedRows.unionByName(insRows).persist()
         try {
-          val (nUpd, nIns, nDel) =
-            (updatedRows.count(), insRows.count(), deletedKeys.count())
+          // nUpd derives from the commit: the manifest's addedRows IS the
+          // ups row count (observed during its write), so only the insert
+          // and delete clauses need their own (persisted-scan) counts
+          val nIns = insRows.count()
+          val nDel = deletedKeys.count()
           val commit = applyChanges(spark, dir, ups, Some(deletedKeys), key, batchId)
+          val nUpd =
+            if (commit.skippedExisting) 0L
+            else manifest(spark, dir, commit.snapshotId).addedRows - nIns
           MergeStats(commit, nUpd, nDel, nIns)
         } finally ups.unpersist(blocking = false)
       } finally matched.unpersist(blocking = false)
