@@ -1488,10 +1488,13 @@ object SnapshotTable {
     */
   def joinPruned(spark: SparkSession, dir: String, dim: DataFrame,
                  key: String, maxKeys: Int = 100000): DataFrame = {
-    // null dim keys never match an equi-join — drop them before probing
-    // (a null probe would also NPE the stat-bounds comparison)
-    val keys = dim.select(col(key)).distinct().limit(maxKeys + 1)
-      .collect().map(_.get(0)).filter(_ != null).toSeq
+    // null dim keys never match an equi-join — drop them BEFORE the
+    // distinct/limit (advice r05: a null landing inside the limited sample
+    // of an over-sized dimension made the non-null count equal maxKeys,
+    // passing the guard on a TRUNCATED key set — silently dropping rows)
+    val keys = dim.select(col(key)).where(col(key).isNotNull)
+      .distinct().limit(maxKeys + 1)
+      .collect().map(_.get(0)).toSeq
     require(keys.length <= maxKeys,
       s"joinPruned dimension has more than $maxKeys distinct '$key' keys — " +
         "not a config-sized dimension; join the full read instead")
@@ -3065,6 +3068,15 @@ object SnapshotTable {
       .filterNot(referenced).sorted.toIndexedSeq
     orphans.foreach(n => fs.delete(new Path(dd, n), true))
     cleanBlooms(spark, fs, root, dir)
+    // contended-crash debris: a writer that died between its CAS and tmp
+    // cleanup leaves .manifest-NNNNNN.<token>.tmp (+ .crc sidecars) in the
+    // manifest dir forever — never referenced once a commit is decided
+    // (advice r05)
+    val md = manifestDir(root)
+    if (fs.exists(md))
+      fs.listStatus(md).map(_.getPath.getName)
+        .filter(n => n.startsWith(".") && (n.endsWith(".tmp") || n.endsWith(".tmp.crc")))
+        .foreach(n => fs.delete(new Path(md, n), false))
     orphans
   }
 
