@@ -34,9 +34,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     import spark.implicits._
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(edges, "a", "b", maxIter = 2)
+      // force the distributed loop: the small-graph fast path (r6) would
+      // solve this driver-side and never iterate
+      Dedup.connectedComponents(edges, "a", "b", maxIter = 2, smallGraphEdges = 0L)
     }
     assert(e.getMessage.contains("not converged"))
+  }
+
+  test("small-graph fast path == distributed loop on chains, cliques, crossovers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (
+      (1L until 40L).map(i => (i, i + 1)) ++                 // one long chain
+      (100L until 110L).flatMap(a => (a + 1 until 110L).map((a, _))) ++ // clique
+      (0 until 60).map(_ => (200L + rnd.nextInt(30), 200L + rnd.nextInt(30))) ++
+      Seq((39L, 109L))                                        // chain-clique bridge
+    ).toDF("a", "b")
+    val fast = Dedup.connectedComponents(edges, "a", "b")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val loop = Dedup.connectedComponents(edges, "a", "b", smallGraphEdges = 0L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast == loop, s"fast path diverged from the loop:\n$fast\n$loop")
   }
 
   test("dupClusters: docs without pairs are singleton canonical clusters") {
