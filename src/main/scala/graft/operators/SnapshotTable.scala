@@ -2187,6 +2187,32 @@ object SnapshotTable {
     * without pre/post update images (the table carries no row ids to pair
     * them by). Rows surface with the range-end schema.
     */
+  /** Both directions of a multiset diff from ONE tagged aggregation:
+    * returns (a exceptAll r, r exceptAll a). The former exceptAll pair
+    * evaluated each input subtree twice (once per direction) and ran two
+    * whole-row aggregations; here one +1/-1-tagged count aggregation
+    * feeds both directions, and because both outputs share the identical
+    * aggregation exchange, exchange reuse executes the inputs once in the
+    * final plan (r6). Same null-safe whole-row grouping semantics as
+    * exceptAll; a net multiplicity n replicates via sequence() — CDC
+    * diffs are delta-sized, and a single row duplicated millions of times
+    * would be the place to swap back to exceptAll's streaming
+    * ReplicateRows.
+    */
+  private def diffBoth(a: DataFrame, r: DataFrame): (DataFrame, DataFrame) = {
+    val cols = a.columns.toSeq
+    val cnt = "__cdc_cnt"
+    require(!cols.contains(cnt), s"changelogCdc reserves the column name $cnt")
+    val net = a.withColumn(cnt, lit(1L))
+      .unionByName(r.select(cols.map(col): _*).withColumn(cnt, lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col(cnt)).as(cnt))
+    def rep(side: DataFrame, n: org.apache.spark.sql.Column) = side
+      .select(cols.map(col) :+ explode(sequence(lit(1L), n)).as("__cdc_i"): _*)
+      .drop("__cdc_i")
+    (rep(net.filter(col(cnt) > 0), col(cnt)),
+     rep(net.filter(col(cnt) < 0), -col(cnt)))
+  }
+
   def changelogCdc(spark: SparkSession, dir: String,
                    fromExclusive: Long, toInclusive: Long): DataFrame = {
     require(fromExclusive <= toInclusive,
@@ -2209,8 +2235,8 @@ object SnapshotTable {
         val p = manifest(spark, dir, m.parentId.get)
         val a = readMerged(spark, root, m, m.live, toSchema)
         val r = readMerged(spark, root, p, p.live, toSchema)
-        Seq(tag(a.exceptAll(r), id, "insert"),
-            tag(r.exceptAll(a), id, "delete"))
+        val (ins, del) = diffBoth(a, r)
+        Seq(tag(ins, id, "insert"), tag(del, id, "delete"))
       }
       else if (m.operation == "mor-delete" || m.operation == "mor-upsert") {
         // the delete file committed at this id names exactly the retracted
@@ -2238,9 +2264,8 @@ object SnapshotTable {
           val a = readDirs(spark, root, m.added, toSchema)
           if (kept.isEmpty) Seq(tag(a, id, "insert"))
           else {
-            val r = removedRows
-            Seq(tag(a.exceptAll(r), id, "insert"),
-                tag(r.exceptAll(a), id, "delete"))
+            val (ins, del) = diffBoth(a, removedRows)
+            Seq(tag(ins, id, "insert"), tag(del, id, "delete"))
           }
         }
       } else {
@@ -2259,10 +2284,9 @@ object SnapshotTable {
           case (false, true) =>
             Seq(tag(removedRead, id, "delete"))
           case (true, true) =>
-            val a = readDirs(spark, root, addedDirs, toSchema)
-            val r = removedRead
-            Seq(tag(a.exceptAll(r), id, "insert"),
-                tag(r.exceptAll(a), id, "delete"))
+            val (ins, del) =
+              diffBoth(readDirs(spark, root, addedDirs, toSchema), removedRead)
+            Seq(tag(ins, id, "insert"), tag(del, id, "delete"))
         }
       }
     }
