@@ -1070,7 +1070,15 @@ object SnapshotTable {
         val base = readDirs(spark, root, ds, schema)
         applicable.groupBy(_.column).toSeq.sortBy(_._1)
           .foldLeft(base) { case (df, (c, files)) =>
-            val keys = spark.read.parquet(
+            // delete files hold one column of the table key's (stable)
+            // type — pass the schema so the read skips footer inference
+            // (a per-action driver cost on every merged read; r6)
+            val reader = schema.flatMap(s =>
+                s.fields.find(_.name == c).map(f =>
+                  spark.read.schema(org.apache.spark.sql.types.StructType(
+                    Seq(f.copy(nullable = true))))))
+              .getOrElse(spark.read)
+            val keys = reader.parquet(
               files.map(f => new Path(dataDir(root), f.dir).toString): _*)
             df.join(broadcast(keys), Seq(c), "left_anti")
           }
@@ -2254,7 +2262,13 @@ object SnapshotTable {
           case None => p.live
         }
         def removedRows = {
-          val keys = spark.read.parquet(new Path(dataDir(root), df.dir).toString)
+          // explicit key schema: skips per-manifest footer inference (r6)
+          val reader = toSchema.flatMap(s =>
+              s.fields.find(_.name == df.column).map(f =>
+                spark.read.schema(org.apache.spark.sql.types.StructType(
+                  Seq(f.copy(nullable = true))))))
+            .getOrElse(spark.read)
+          val keys = reader.parquet(new Path(dataDir(root), df.dir).toString)
           readMerged(spark, root, p, kept, toSchema)
             .join(broadcast(keys), Seq(df.column), "left_semi")
         }
