@@ -262,6 +262,73 @@ object Route {
     try {
       val hadoopConf = spark.sparkContext.hadoopConfiguration
       val resumed = Seq.newBuilder[String]
+      // --- combined single-pass write for PLAIN sinks (r6, guide §2.4/§6) ---
+      // A plain sink (no index/codec/document_id/action/csv/line surface,
+      // identity decorator) writes exactly filter(flag) + drop(internal
+      // columns) — the same payload columns as every other plain sink and
+      // as the default branch. Writing N of them separately re-reads the
+      // persisted trunk N times: N write jobs and, at scale, N full passes
+      // over the routed data. One partitionBy(_sink) write produces all of
+      // them in ONE pass (a row explodes only into the sinks it matches —
+      // exactly the rows the N separate writes hold), then each partition
+      // dir is renamed to the sink's contract path and given its _SUCCESS
+      // marker, so the read-back layout and resume semantics are unchanged.
+      // Falls back to the per-sink writer for: zero-row sinks (preserving
+      // the empty-dir-with-schema layout), `ordered` runs (the dynamic-
+      // partition writer's internal sort on the partition key need not be
+      // stable, and ordered mode's contract is within-file order), bucketed
+      // runs (two-level layout), and names needing partition-path escaping.
+      val outFs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hadoopConf)
+      def hasSuccess(name: String): Boolean =
+        outFs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$name", "_SUCCESS"))
+      val combineEligible: Seq[SinkSpec] =
+        if (ordered || buckets > 0 || trunk1.columns.contains("_sink")) Nil
+        else sinks.filter(sp =>
+          sp.indexTemplate.isEmpty && sp.codec.isEmpty && sp.documentId.isEmpty &&
+            sp.csvFields.isEmpty && sp.esAction.isEmpty && sp.lineFormat.isEmpty &&
+            sp.decorator == Mutate.Decorator() &&
+            sp.name.nonEmpty && sp.name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'))
+      val combineSinks = combineEligible.filterNot(sp => hasSuccess(sp.name))
+      val combineDefault = writeDefault && !ordered && buckets == 0 &&
+        !trunk1.columns.contains("_sink") && !hasSuccess("_default")
+      val combineTargets = combineSinks.map(_.name) ++
+        (if (combineDefault) Seq("_default") else Nil)
+      val combinedDone: Set[String] =
+        if (combineTargets.size < 2) Set.empty
+        else {
+          val anyMatch = sinks.map(s => col(flagCol(s.name)))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val labels = combineSinks.map(sp => when(col(flagCol(sp.name)), lit(sp.name))) ++
+            (if (combineDefault) Seq(when(!anyMatch, lit("_default"))) else Nil)
+          val dropCols = flagged.columns
+            .filter(c => c.startsWith("_m_") || c.startsWith(MetaPrefix))
+          val combined = flagged
+            .withColumn("_sink",
+              explode(filter(array(labels.toIndexedSeq: _*), v => v.isNotNull)))
+            .drop(dropCols.toIndexedSeq: _*)
+          // reap staging debris from a crashed previous combined attempt
+          if (outFs.exists(new org.apache.hadoop.fs.Path(outDir)))
+            outFs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+              .filter(_.getPath.getName.startsWith(".sinkstage-"))
+              .foreach(st => outFs.delete(st.getPath, true))
+          val staging = new org.apache.hadoop.fs.Path(
+            outDir, s".sinkstage-${java.util.UUID.randomUUID().toString.take(8)}")
+          try {
+            combined.write.mode("overwrite").partitionBy("_sink").parquet(staging.toString)
+            combineTargets.flatMap { name =>
+              val src = new org.apache.hadoop.fs.Path(staging, s"_sink=$name")
+              if (!outFs.exists(src)) None // zero rows: per-sink fallback keeps the empty layout
+              else {
+                val dst = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+                if (outFs.exists(dst)) outFs.delete(dst, true)
+                require(outFs.rename(src, dst),
+                  s"combined sink write: rename $src -> $dst failed")
+                outFs.create(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"), true).close()
+                Some(name)
+              }
+            }.toSet
+          } finally { outFs.delete(staging, true); () }
+        }
       def writeIfNeeded(name: String, df: => DataFrame,
                         indexTemplate: Option[String] = None,
                         codec: Option[String] = None,
@@ -273,7 +340,8 @@ object Route {
         val path = s"$outDir/$name"
         val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val fs = success.getFileSystem(hadoopConf)
-        if (fs.exists(success)) { resumed += name }
+        if (combinedDone(name)) () // written this run by the combined single-pass job
+        else if (fs.exists(success)) { resumed += name }
         else {
           val d00 = df
           val dIdx = indexTemplate.fold(d00)(tpl =>

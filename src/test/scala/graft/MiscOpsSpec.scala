@@ -38,6 +38,41 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("combined plain-sink write == per-sink frames: overlap, empty sink, default, resume") {
+    import graft.conditions.{Eq, InList}
+    val out = java.nio.file.Files.createTempDirectory("graft_combined").toString
+    val pipe = StandardPipeline.fromDir(spark, sfDir)
+    // never-matching plain sink (empty-dir fallback) + a sink overlapping
+    // teamA (a row must land in BOTH dirs via the explode)
+    val extra = Seq(
+      Route.SinkSpec("never_sink", Eq("severity", "NOPE")),
+      Route.SinkSpec("teamA_too", InList("team", Seq("team-0", "team-1"))))
+    val sinks = StandardPipeline.sinks ++ extra
+    val r = Route.run(spark, pipe.trunk, sinks, out)
+    assert(r.resumedSinks.isEmpty)
+    val flagged = Route.withSinkFlags(pipe.trunk, sinks)
+    for (sp <- sinks) {
+      val got = spark.read.parquet(s"$out/${sp.name}")
+      val want = Route.sinkFrame(flagged, sp)
+      assert(got.columns.toSeq == want.columns.toSeq, s"${sp.name} columns")
+      assert(got.count() == r.counts(sp.name), s"${sp.name} count")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"${sp.name} rows differ from the per-sink frame")
+    }
+    // empty sink: directory still readable with the payload schema
+    val empty = spark.read.parquet(s"$out/never_sink")
+    assert(empty.count() == 0 && empty.columns.contains("doc_id"))
+    // overlap: teamA_too holds exactly the teamA rows
+    assert(spark.read.parquet(s"$out/teamA_too").count() == r.counts("sink_teamA"))
+    // default branch written and disjoint from every sink
+    val deflt = spark.read.parquet(s"$out/_default")
+    assert(deflt.count() == r.counts("_default"))
+    // resume: every sink dir (combined-written ones included) has _SUCCESS
+    val r2 = Route.run(spark, pipe.trunk, sinks, out)
+    assert(sinks.map(_.name).toSet.subsetOf(r2.resumedSinks.toSet))
+    assert(r2.counts == r.counts)
+  }
+
   test("flow-rate Aggregator matches hand-computed rate and merges across partitions") {
     import spark.implicits._
     // 11 events over exactly 10 seconds -> 1.1 events/sec
