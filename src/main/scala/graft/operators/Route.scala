@@ -457,15 +457,35 @@ object Route {
       }.toMap ++
         (if (writeDefault) Map("_default" -> writeIfNeeded("_default", defaultFrame(flagged, sinks)))
          else Map.empty[String, String])
-      writeIfNeeded("_lineage", lineage(flagged, sinks))
-      // ONE aggregate job computes the per-sink counts; the tiny _counts
-      // table is then written from the collected rows driver-side (the
-      // former code ran the same aggregate twice — once for the file, once
-      // for the result map). Callers may ride extra run-level counters
-      // along (runConfig records the SOURCE event count as `_in` — the
-      // monitoring API's events.in).
-      val collected = sinkCounts(flagged, sinks).collect()
-        .map(r => r.getString(0) -> r.getLong(1))
+      // ONE per-partition aggregation produces BOTH epilogue surfaces
+      // (r6, guide §2.4): the _lineage rows are its output, and the
+      // per-sink counts are their exact integer column sums — the former
+      // separate global-counts aggregate and the distributed _lineage
+      // write collapse into this single collect (two full trunk passes
+      // -> one; both tiny tables are then written driver-side). The
+      // aggregation carries one extra unmatched-rows column for
+      // `_default`; it is dropped before the _lineage rows are persisted,
+      // so that table's schema is unchanged. Callers may ride extra
+      // run-level counters along (runConfig records the SOURCE event
+      // count as `_in` — the monitoring API's events.in).
+      val anyMatchAll = sinks.map(s => col(flagCol(s.name)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val lineAgg = flagged.groupBy(spark_partition_id().as("part"))
+        .agg(count(lit(1)).as("rows"),
+          (sinks.map(s => sum(col(flagCol(s.name)).cast("long")).as(s"n_${s.name}")) :+
+            sum((!anyMatchAll).cast("long")).as("_n_default")): _*)
+      val lineRows = lineAgg.collect()
+      val lineSchema = org.apache.spark.sql.types.StructType(lineAgg.schema.dropRight(1))
+      writeIfNeeded("_lineage", spark.createDataFrame(
+        java.util.Arrays.asList(lineRows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))): _*), lineSchema))
+      // same names, order and zero-on-empty semantics as sinkCounts():
+      // per-partition sums of two-valued flags total to the global sums
+      def colSum(i: Int): Long = lineRows.map(_.getLong(i)).sum
+      val collected: Array[(String, Long)] =
+        sinks.zipWithIndex.map { case (s, i) => s.name -> colSum(i + 2) }.toArray ++
+          Array("_default" -> colSum(lineRows.headOption.map(_.length - 1).getOrElse(2)),
+                "_total" -> lineRows.map(_.getLong(1)).sum)
       val withExtra = collected ++ extraCounts.toSeq.sortBy(_._1)
       spark.createDataFrame(withExtra.toIndexedSeq).toDF("sink", "n")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_counts")
